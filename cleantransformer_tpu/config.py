@@ -1,0 +1,130 @@
+"""Model configuration classes.
+
+Mirrors the reference's per-model config surface (GPTConfig
+reference: CleanTransformer/models/modeling_gpt.py:14-29, BertConfig
+modeling_bert.py:17-47, BloomConfig modeling_bloom.py:17-54) including the
+``**kwargs`` passthrough and Bloom's ``n_embed``/``hidden_size`` synonym
+handling, so the same HuggingFace ``config.json`` files load unchanged.
+
+TPU-specific additions (not in the reference): ``param_dtype`` /
+``compute_dtype`` select the bf16 compute policy, and ``max_cache_len``
+bounds the fixed-shape KV-cache used by the jitted decode loop.
+"""
+
+import json
+
+import jax.numpy as jnp
+
+_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "float16": jnp.float16,
+}
+
+
+def _resolve_dtype(d):
+    if isinstance(d, str):
+        return _DTYPES[d]
+    return d
+
+
+class BaseConfig:
+    """Common plumbing: kwargs passthrough, json load, dtype policy."""
+
+    def __init__(self, **kwargs):
+        self.param_dtype = _resolve_dtype(kwargs.pop("param_dtype", jnp.float32))
+        self.compute_dtype = _resolve_dtype(kwargs.pop("compute_dtype", jnp.float32))
+        for k, v in kwargs.items():
+            setattr(self, k, v)
+
+    @classmethod
+    def from_json(cls, config_fn, **overrides):
+        d = json.load(open(config_fn, "r"))
+        d.update(overrides)
+        return cls(**d)
+
+    def to_dict(self):
+        return {k: (str(v) if k.endswith("dtype") else v) for k, v in self.__dict__.items()}
+
+
+class GPTConfig(BaseConfig):
+    """GPT-1/2/3 config (reference: modeling_gpt.py:14-29)."""
+
+    def __init__(self, vocab_size=100, n_embd=100, n_positions=100, n_layer=3, n_head=2,
+                 n_ctx=2000, embd_pdrop=0.1, attn_pdrop=0.1, resid_pdrop=0.1,
+                 layer_norm_epsilon=1e-5, afn="gelu_new", **kwargs):
+        self.vocab_size = vocab_size
+        self.n_embd = n_embd
+        self.n_positions = n_positions
+        self.n_layer = n_layer
+        self.n_head = n_head
+        self.n_ctx = n_ctx
+        self.embd_pdrop, self.attn_pdrop, self.resid_pdrop = embd_pdrop, attn_pdrop, resid_pdrop
+        self.layer_norm_epsilon = layer_norm_epsilon
+        self.afn = afn
+        super().__init__(**kwargs)
+
+
+class BertConfig(BaseConfig):
+    """BERT config (reference: modeling_bert.py:17-47)."""
+
+    def __init__(self, vocab_size=30522, hidden_size=768, num_hidden_layers=12,
+                 num_attention_heads=12, intermediate_size=3072, hidden_act="gelu",
+                 hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.1,
+                 max_position_embeddings=512, type_vocab_size=2, initializer_range=0.02,
+                 layer_norm_eps=1e-12, pad_token_id=0, **kwargs):
+        self.vocab_size = vocab_size
+        self.hidden_size = hidden_size
+        self.num_hidden_layers = num_hidden_layers
+        self.num_attention_heads = num_attention_heads
+        self.hidden_act = hidden_act
+        self.intermediate_size = intermediate_size
+        self.hidden_dropout_prob = hidden_dropout_prob
+        self.attention_probs_dropout_prob = attention_probs_dropout_prob
+        self.max_position_embeddings = max_position_embeddings
+        self.type_vocab_size = type_vocab_size
+        self.initializer_range = initializer_range
+        self.layer_norm_eps = layer_norm_eps
+        self.pad_token_id = pad_token_id
+        super().__init__(**kwargs)
+
+
+class BloomConfig(BaseConfig):
+    """Bloom config with ``n_embed`` backward-compat (reference: modeling_bloom.py:17-54)."""
+
+    def __init__(self, vocab_size=250880, hidden_size=64, n_layer=2, num_attention_heads=8,
+                 layer_norm_epsilon=1e-5, initializer_range=0.02, use_cache=True,
+                 bos_token_id=1, eos_token_id=2,
+                 apply_residual_connection_post_layernorm=False,
+                 hidden_dropout=0.0, attention_dropout=0.0,
+                 pretraining_tp=1, slow_but_exact=False, **kwargs):
+        self.vocab_size = vocab_size
+        n_embed = kwargs.pop("n_embed", None)
+        self.hidden_size = hidden_size if n_embed is None else n_embed
+        self.n_layer = n_layer
+        self.n_head = self.num_attention_heads = num_attention_heads
+        self.layer_norm_epsilon = layer_norm_epsilon
+        self.initializer_range = initializer_range
+        self.use_cache = use_cache
+        self.pretraining_tp = pretraining_tp
+        self.apply_residual_connection_post_layernorm = apply_residual_connection_post_layernorm
+        self.hidden_dropout = hidden_dropout
+        self.attention_dropout = attention_dropout
+        self.bos_token_id = bos_token_id
+        self.eos_token_id = eos_token_id
+        self.slow_but_exact = slow_but_exact
+        self.num_hidden_layers = self.n_layer
+        super().__init__(**kwargs)
+
+
+def load_bloom_config(config_fn, **overrides):
+    """Resolve the n_embed/hidden_size and n_head/num_attention_heads synonyms the
+    same way the reference does (examples/inference_bloom.py:50-63)."""
+    d = json.load(open(config_fn, "r"))
+    for synonyms in (["n_embed", "hidden_size"], ["n_head", "num_attention_heads"]):
+        source_k = next((k for k in synonyms if k in d), None)
+        if source_k is not None:
+            for k in synonyms:
+                d[k] = d[source_k]
+    d.update(overrides)
+    return BloomConfig(**d)

@@ -1,0 +1,453 @@
+"""The generation engine.
+
+Behavioral spec: the reference's GenerationMixin
+(CleanTransformer/generation/generation_util.py) — same ``generation_configs``
+keys (beam_size, max_gen_len, end_ids, pad_id, no_repeat_ngram_size,
+do_sample, temperature, top_k, top_p, early_stop; generation_util.py:20-29),
+same finished-sequence pad masking (L89-94), same mask/position extension
+rules (L97-101), same beam bookkeeping (L121-205).
+
+TPU-first redesign:
+ - Greedy/sampling decode is ONE jitted function: fixed-shape token/mask
+   buffers of size prompt_len + max_gen_len + 2, a fixed-shape KV-cache
+   written with dynamic_update_slice, and a ``lax.while_loop`` with early
+   exit when every sequence is finished — replacing the reference's Python
+   loop with concat-grown tensors (generation_util.py:57-119).
+ - With streamers attached, the same jitted single-step function is driven
+   from a host loop so the callback sees every token (reference streamer
+   protocol, L104-112).
+ - Beam search keeps the reference's per-batch candidate-pool semantics
+   exactly (dynamic bookkeeping on host, L121-178) while the model step and
+   the KV-cache beam reorder (a gather along the batch axis, replacing
+   index_select L265-272) stay jitted.
+
+Model protocol (duck-typed; see models/gpt.py, models/bloom.py):
+  model.params, model.config
+  model.forward_fn() -> fn(params, config, input_ids, attention_mask,
+                           position_ids, segment_ids, cache)
+                        -> ((logits, hidden), new_cache)
+  model.init_cache(batch_size, max_len) -> cache pytree
+"""
+
+import functools
+from types import MethodType
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cleantransformer_tpu.generation.logits_process import (
+    no_repeat_ngram, build_wrapper_chain,
+)
+
+
+def bind_generation(model):
+    """Attach .generate() to a model instance (the reference gets it by
+    inheriting GenerationMixin; here it is bound explicitly)."""
+    model.generate = MethodType(generate, model)
+    return model
+
+
+def generate(model, input_ids, attention_mask=None, position_ids=None,
+             segment_ids=None, generation_configs={}, steamers=None, rng=None):
+    """Mirror of GenerationMixin.generate (generation_util.py:19-55).
+
+    Returns tokens of shape (bsz, beam_size, total_len) like the reference.
+    """
+    cfg = generation_configs
+    beam_size = cfg.get("beam_size", 1)
+    max_gen_len = cfg.get("max_gen_len", 100)
+    end_ids = cfg.get("end_ids", None)
+    pad_id = cfg.get("pad_id", 0)
+    no_repeat_ngram_size = cfg.get("no_repeat_ngram_size", 0)
+    do_sample = cfg.get("do_sample", True)
+    temperature = cfg.get("temperature", 1.0)
+    top_k = cfg.get("top_k", 10)
+    top_p = cfg.get("top_p", 0.8)
+    early_stop = cfg.get("early_stop", True)
+
+    if isinstance(end_ids, int):
+        end_ids = [end_ids]
+    end_ids = tuple(end_ids) if end_ids is not None else None
+
+    input_ids = jnp.asarray(input_ids)
+    if attention_mask is None:
+        attention_mask = jnp.ones_like(input_ids)
+    attention_mask = jnp.asarray(attention_mask)
+
+    if rng is None:
+        rng = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+
+    common = dict(
+        max_gen_len=max_gen_len, end_ids=end_ids, pad_id=pad_id,
+        no_repeat_ngram_size=no_repeat_ngram_size, do_sample=do_sample,
+        temperature=temperature, top_k=top_k, top_p=top_p,
+    )
+    if beam_size == 1:
+        return _greedy_search(model, input_ids, attention_mask, position_ids,
+                              segment_ids, rng=rng, steamers=steamers, **common)
+    return _beam_search(model, input_ids, attention_mask, position_ids,
+                        segment_ids, rng=rng, steamers=steamers,
+                        beam_size=beam_size, early_stop=early_stop, **common)
+
+
+# ---------------------------------------------------------------------------
+# shared jitted pieces
+# ---------------------------------------------------------------------------
+
+def _make_buffers(input_ids, attention_mask, total_len, pad_id):
+    """Fixed-size token/mask buffers. The mask extension value for generated
+    positions is the prompt mask's last column (generation_util.py:101)."""
+    B, S0 = input_ids.shape
+    tokens_buf = jnp.full((B, total_len), pad_id, dtype=jnp.int32)
+    tokens_buf = jax.lax.dynamic_update_slice(tokens_buf, input_ids.astype(jnp.int32), (0, 0))
+    mask_buf = jnp.zeros((B, total_len), dtype=jnp.int32)
+    mask_buf = jax.lax.dynamic_update_slice(mask_buf, attention_mask.astype(jnp.int32), (0, 0))
+    extend_val = attention_mask[:, -1].astype(jnp.int32)
+    return tokens_buf, mask_buf, extend_val
+
+
+def _select_token(scores, do_sample, rng):
+    if do_sample:
+        return jax.random.categorical(rng, scores, axis=-1).astype(jnp.int32)
+    return jnp.argmax(scores, axis=-1).astype(jnp.int32)
+
+
+def _finish_update(step_output, unfinished, end_ids, pad_id):
+    """Pad finished rows and update the unfinished flags
+    (generation_util.py:89-94)."""
+    step_output = step_output * unfinished + pad_id * (1 - unfinished)
+    if end_ids is not None:
+        not_end = jnp.ones_like(unfinished)
+        for e in end_ids:
+            not_end = not_end * (step_output != e).astype(unfinished.dtype)
+        unfinished = unfinished * not_end
+    return step_output, unfinished
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "forward", "config", "ngram_size", "do_sample", "temperature", "top_k",
+    "top_p", "end_ids", "pad_id"))
+def _prefill_step(params, config, forward, tokens_buf, mask_buf, cache,
+                  input_ids, position_ids, segment_ids, unfinished, rng,
+                  ngram_size, do_sample, temperature, top_k, top_p,
+                  end_ids, pad_id, cur_len):
+    """Run the prompt through the model and choose the first generated token."""
+    (logits, _), cache = forward(params, config, input_ids, mask_buf,
+                                 position_ids, segment_ids, cache)
+    scores = logits[:, -1, :].astype(jnp.float32)
+    return _postprocess_and_append(
+        forward, config, params, scores, tokens_buf, mask_buf, cache,
+        unfinished, rng, ngram_size, do_sample, temperature, top_k, top_p,
+        end_ids, pad_id, cur_len)
+
+
+def _postprocess_and_append(forward, config, params, scores, tokens_buf,
+                            mask_buf, cache, unfinished, rng, ngram_size,
+                            do_sample, temperature, top_k, top_p, end_ids,
+                            pad_id, cur_len):
+    if ngram_size and ngram_size > 1:
+        scores = no_repeat_ngram(tokens_buf, cur_len, scores, ngram_size)
+    wrapper = build_wrapper_chain(do_sample, temperature, top_k, top_p)
+    scores = wrapper(scores)
+    rng, sub = jax.random.split(rng)
+    step_output = _select_token(scores, do_sample, sub)
+    step_output, unfinished = _finish_update(step_output, unfinished, end_ids, pad_id)
+    B = tokens_buf.shape[0]
+    tokens_buf = jax.lax.dynamic_update_slice(
+        tokens_buf, step_output[:, None], (0, cur_len))
+    extend_val = mask_buf[jnp.arange(B), jnp.maximum(cur_len - 1, 0)]
+    mask_buf = jax.lax.dynamic_update_slice(
+        mask_buf, extend_val[:, None], (0, cur_len))
+    return tokens_buf, mask_buf, cache, unfinished, rng, cur_len + 1
+
+
+def _decode_one(forward, config, params, tokens_buf, mask_buf, cache,
+                unfinished, rng, cur_len, ngram_size, do_sample, temperature,
+                top_k, top_p, end_ids, pad_id):
+    """One decode iteration: forward the last written token, pick the next."""
+    B = tokens_buf.shape[0]
+    last_tok = jax.lax.dynamic_slice(tokens_buf, (0, cur_len - 1), (B, 1))
+    (logits, _), cache = forward(params, config, last_tok, mask_buf,
+                                 None, None, cache)
+    scores = logits[:, -1, :].astype(jnp.float32)
+    return _postprocess_and_append(
+        forward, config, params, scores, tokens_buf, mask_buf, cache,
+        unfinished, rng, ngram_size, do_sample, temperature, top_k, top_p,
+        end_ids, pad_id, cur_len)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "forward", "config", "ngram_size", "do_sample", "temperature", "top_k",
+    "top_p", "end_ids", "pad_id", "total_len"))
+def _decode_loop(params, config, forward, tokens_buf, mask_buf, cache,
+                 unfinished, rng, cur_len, ngram_size, do_sample, temperature,
+                 top_k, top_p, end_ids, pad_id, total_len):
+    """Fused decode: lax.while_loop until all finished or the buffer is full."""
+
+    def cond(state):
+        tokens_buf, mask_buf, cache, unfinished, rng, cur_len = state
+        return jnp.logical_and(cur_len < total_len, jnp.max(unfinished) > 0)
+
+    def body(state):
+        tokens_buf, mask_buf, cache, unfinished, rng, cur_len = state
+        return _decode_one(forward, config, params, tokens_buf, mask_buf,
+                           cache, unfinished, rng, cur_len, ngram_size,
+                           do_sample, temperature, top_k, top_p, end_ids, pad_id)
+
+    state = (tokens_buf, mask_buf, cache, unfinished, rng, cur_len)
+    tokens_buf, mask_buf, cache, unfinished, rng, cur_len = jax.lax.while_loop(cond, body, state)
+    return tokens_buf, cur_len
+
+
+_decode_step_jit = None
+
+
+def _get_decode_step():
+    global _decode_step_jit
+    if _decode_step_jit is None:
+        _decode_step_jit = jax.jit(
+            _decode_one,
+            static_argnames=("forward", "config", "ngram_size", "do_sample",
+                             "temperature", "top_k", "top_p", "end_ids", "pad_id"))
+    return _decode_step_jit
+
+
+# ---------------------------------------------------------------------------
+# greedy / sampling search
+# ---------------------------------------------------------------------------
+
+def _greedy_search(model, input_ids, attention_mask, position_ids, segment_ids,
+                   rng, steamers, max_gen_len, end_ids, pad_id,
+                   no_repeat_ngram_size, do_sample, temperature, top_k, top_p):
+    B, S0 = input_ids.shape
+    # The reference's loop emits up to max_gen_len + 2 tokens before its
+    # step > max_len check trips (generation_util.py:114-117).
+    total_len = S0 + max_gen_len + 2
+    forward = model.forward_fn()
+    cache = model.init_cache(B, total_len)
+    tokens_buf, mask_buf, _ = _make_buffers(input_ids, attention_mask, total_len, pad_id)
+    unfinished = jnp.ones((B,), dtype=jnp.int32)
+
+    kw = dict(ngram_size=no_repeat_ngram_size, do_sample=do_sample,
+              temperature=temperature, top_k=top_k, top_p=top_p,
+              end_ids=end_ids, pad_id=pad_id)
+    tokens_buf, mask_buf, cache, unfinished, rng, cur_len = _prefill_step(
+        model.params, model.config, forward, tokens_buf, mask_buf, cache,
+        input_ids, position_ids, segment_ids, unfinished, rng,
+        cur_len=jnp.asarray(S0, jnp.int32), **kw)
+
+    if steamers is None:
+        tokens_buf, cur_len = _decode_loop(
+            model.params, model.config, forward, tokens_buf, mask_buf, cache,
+            unfinished, rng, cur_len, total_len=total_len, **kw)
+        n = int(cur_len)
+        return np.asarray(tokens_buf[:, :n]).reshape(B, 1, n)
+
+    # streaming path: jitted single step driven from host so callbacks fire
+    steamers = steamers if isinstance(steamers, list) else [steamers]
+    step_fn = _get_decode_step()
+    state = (tokens_buf, mask_buf, cache, unfinished, rng, cur_len)
+    while True:
+        tokens_buf, mask_buf, cache, unfinished, rng, cur_len = state
+        n = int(cur_len)
+        finish = False
+        for steamer in steamers:
+            if callable(steamer):
+                finish = steamer(np.asarray(tokens_buf[:, :n]).reshape(B, 1, n)) or finish
+        if finish or int(jnp.max(unfinished)) == 0 or n >= total_len:
+            return np.asarray(tokens_buf[:, :n]).reshape(B, 1, n)
+        state = step_fn(forward, model.config, model.params, tokens_buf,
+                        mask_buf, cache, unfinished, rng, cur_len, **kw)
+
+
+# ---------------------------------------------------------------------------
+# beam search
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("forward", "config"))
+def _beam_forward_last(params, config, forward, tokens_buf, mask_buf, cache, cur_len):
+    B = tokens_buf.shape[0]
+    last_tok = jax.lax.dynamic_slice(tokens_buf, (0, cur_len - 1), (B, 1))
+    (logits, _), cache = forward(params, config, last_tok, mask_buf, None, None, cache)
+    return logits[:, -1, :].astype(jnp.float32), cache
+
+
+@functools.partial(jax.jit, static_argnames=("forward", "config"))
+def _beam_prefill(params, config, forward, input_ids, mask_buf, position_ids,
+                  segment_ids, cache):
+    (logits, _), cache = forward(params, config, input_ids, mask_buf,
+                                 position_ids, segment_ids, cache)
+    return logits[:, -1, :].astype(jnp.float32), cache
+
+
+@jax.jit
+def _cache_reorder(cache, flat_indices):
+    """Beam reorder: gather the cache along the batch axis (replacing the
+    reference's per-layer index_select, generation_util.py:265-272)."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.take(x, flat_indices, axis=1) if x.ndim >= 2 else x, cache)
+
+
+def _beam_topk(scores_log, probs, bsz, beam_size, do_sample, temperature,
+               wrapper, tokens_np, rng):
+    """2*beam candidate selection (generation_util.py:180-205)."""
+    vocab = scores_log.shape[-1]
+    probs_col = probs.reshape(-1, 1)
+    if do_sample:
+        scores = scores_log + probs_col * temperature
+    else:
+        scores = scores_log + probs_col
+    scores = scores.reshape(bsz, -1)
+    if do_sample:
+        scores = wrapper(scores)
+        rng, sub = jax.random.split(rng)
+        # sampling WITHOUT replacement (torch.multinomial semantics,
+        # generation_util.py:195) via the Gumbel top-k trick
+        gumbel = jax.random.gumbel(sub, scores.shape)
+        _, next_tokens = jax.lax.top_k(scores + gumbel, 2 * beam_size)
+        picked = jnp.take_along_axis(scores, next_tokens, axis=-1)
+        order = jnp.argsort(-picked, axis=1)
+        picked = jnp.take_along_axis(picked, order, axis=1)
+        next_tokens = jnp.take_along_axis(next_tokens, order, axis=1)
+    else:
+        picked, next_tokens = jax.lax.top_k(scores, 2 * beam_size)
+    token_indices = next_tokens // vocab
+    next_tokens = next_tokens % vocab
+    return np.asarray(token_indices), np.asarray(next_tokens), np.asarray(picked), rng
+
+
+def _beam_search(model, input_ids, attention_mask, position_ids, segment_ids,
+                 rng, steamers, beam_size, early_stop, max_gen_len, end_ids,
+                 pad_id, no_repeat_ngram_size, do_sample, temperature, top_k,
+                 top_p, length_penalty=1.0):
+    """Reference-semantics beam search (generation_util.py:207-290): the
+    candidate pool / worst-score / early-stop bookkeeping runs on host; the
+    model step, logits math and cache reorder are jitted."""
+    bsz, S0 = input_ids.shape
+    total_len = S0 + max_gen_len + 2
+    forward = model.forward_fn()
+    end_set = set(end_ids) if end_ids is not None else set()
+
+    # expand to beams (generation_util.py:214-217)
+    input_ids = jnp.repeat(input_ids, beam_size, axis=0)
+    attention_mask = jnp.repeat(attention_mask, beam_size, axis=0)
+    if position_ids is not None:
+        position_ids = jnp.repeat(jnp.asarray(position_ids), beam_size, axis=0)
+    if segment_ids is not None:
+        segment_ids = jnp.repeat(jnp.asarray(segment_ids), beam_size, axis=0)
+    B = bsz * beam_size
+
+    cache = model.init_cache(B, total_len)
+    tokens_buf, mask_buf, _ = _make_buffers(input_ids, attention_mask, total_len, pad_id)
+    # sentence scores; beams>0 start at -1e9 (generation_util.py:220-221)
+    probs = np.zeros((bsz, beam_size), dtype=np.float32)
+    probs[:, 1:] = -1e9
+
+    infos = [{"is_done": False, "worst_score": 1e9, "candi_generation": []}
+             for _ in range(bsz)]
+    wrapper = build_wrapper_chain(do_sample, temperature, top_k, top_p)
+    steamers = steamers if (steamers is None or isinstance(steamers, list)) else [steamers]
+
+    cur_len = S0
+    first = True
+    while True:
+        if first:
+            scores_logits, cache = _beam_prefill(
+                model.params, model.config, forward, input_ids, mask_buf,
+                position_ids, segment_ids, cache)
+            first = False
+        else:
+            scores_logits, cache = _beam_forward_last(
+                model.params, model.config, forward, tokens_buf, mask_buf,
+                cache, jnp.asarray(cur_len, jnp.int32))
+
+        if no_repeat_ngram_size and no_repeat_ngram_size > 1:
+            scores_logits = no_repeat_ngram(
+                tokens_buf, jnp.asarray(cur_len, jnp.int32), scores_logits,
+                no_repeat_ngram_size)
+
+        scores_log = jax.nn.log_softmax(scores_logits, axis=-1)
+        token_indices, next_tokens, picked, rng = _beam_topk(
+            scores_log, jnp.asarray(probs), bsz, beam_size, do_sample,
+            temperature, wrapper, None, rng)
+
+        tokens_np = np.asarray(tokens_buf[:, :cur_len])
+        infos, new_indices, new_tokens, new_probs = _update_beam_infos(
+            beam_size, infos, tokens_np, token_indices, next_tokens, picked,
+            end_set, pad_id, length_penalty, early_stop)
+        probs = new_probs
+
+        # reorder beams + append token (generation_util.py:247-263)
+        flat_idx = (new_indices + np.arange(bsz)[:, None] * beam_size).reshape(-1)
+        flat_idx_j = jnp.asarray(flat_idx)
+        tokens_buf = jnp.take(tokens_buf, flat_idx_j, axis=0)
+        mask_buf = jnp.take(mask_buf, flat_idx_j, axis=0)
+        extend_val = mask_buf[jnp.arange(B), cur_len - 1]
+        tokens_buf = tokens_buf.at[:, cur_len].set(jnp.asarray(new_tokens.reshape(-1)))
+        mask_buf = mask_buf.at[:, cur_len].set(extend_val)
+        cache = _cache_reorder(cache, flat_idx_j)
+        cur_len += 1
+
+        if steamers is not None:
+            finish = False
+            for steamer in steamers:
+                if callable(steamer):
+                    finish = steamer(np.asarray(tokens_buf[:, :cur_len])
+                                     .reshape(bsz, beam_size, -1)) or finish
+            if finish:
+                break
+
+        # END check (generation_util.py:286-288): step > max_len
+        if (cur_len - 1) > (S0 + max_gen_len):
+            break
+
+    return np.asarray(tokens_buf[:, :cur_len]).reshape(bsz, beam_size, -1)
+
+
+def _update_beam_infos(beam, infos, tokens_np, token_indices, next_tokens,
+                       picked, end_set, pad_id, length_penalty, early_stop):
+    """Candidate-pool bookkeeping, semantics per generation_util.py:121-178."""
+    bsz = next_tokens.shape[0]
+    new_indices = np.zeros((bsz, beam), dtype=np.int64)
+    new_tokens = np.zeros((bsz, beam), dtype=np.int64)
+    new_probs = np.zeros((bsz, beam), dtype=np.float32)
+    cur_len = tokens_np.shape[-1]
+
+    for bi in range(bsz):
+        pool = infos[bi]["candi_generation"]
+        if infos[bi]["is_done"]:
+            new_tokens[bi, :] = pad_id
+            continue
+        valid = 0
+        for ci in range(next_tokens.shape[1]):
+            tok = int(next_tokens[bi, ci])
+            if tok in end_set:
+                if ci >= beam:
+                    continue  # low-scored end beyond beam_size: drop (L143)
+                choice = beam * bi + int(token_indices[bi, ci])
+                score = float(picked[bi, ci]) / (cur_len ** length_penalty)
+                pool.append({"ids": tokens_np[choice], "score": score})
+                if len(pool) > beam:
+                    ranked = sorted((c["score"], idx) for idx, c in enumerate(pool))
+                    del pool[ranked[0][1]]
+                    infos[bi]["worst_score"] = ranked[1][0]
+                else:
+                    infos[bi]["worst_score"] = min(score, infos[bi]["worst_score"])
+            else:
+                new_indices[bi, valid] = token_indices[bi, ci]
+                new_tokens[bi, valid] = tok
+                new_probs[bi, valid] = picked[bi, ci]
+                valid += 1
+            if valid >= beam:
+                break
+        infos[bi]["candi_generation"] = pool
+        if len(pool) >= beam:
+            if early_stop:
+                infos[bi]["is_done"] = True
+                continue
+            next_highest = float(picked[bi].max()) / ((cur_len + 1) ** length_penalty)
+            if infos[bi]["worst_score"] > next_highest:
+                infos[bi]["is_done"] = True
+    return infos, new_indices, new_tokens, new_probs

@@ -1,0 +1,259 @@
+"""Bloom as pure functions over pytree parameters.
+
+Behavioral spec: the reference's modeling_bloom.py. TPU-first design mirrors
+models/gpt.py: stacked layer params + lax.scan, fixed-shape KV-cache, iota
+masks. Reference semantics preserved:
+
+ - ALiBi bias: per-head slopes 2^(-8i/n) times mask-cumsum key positions
+   (build_alibi_tensor, modeling_bloom.py:309-331); added to q@k^T * 1/sqrt(hd)
+   (the baddbmm at modeling_bloom.py:99-104).
+ - fused QKV viewed (b, s, heads, 3, head_dim) (modeling_bloom.py:79-82).
+ - bool attention mask (True = masked) filled with finfo.min after an
+   upcast to fp32 (modeling_bloom.py:106-110); causal part only when
+   q_len > 1 (modeling_bloom.py:176-185) — with the fixed-size cache the
+   causal iota test is equivalent for q_len == 1 as well.
+ - residual added inside the attention layer (modeling_bloom.py:121-122) and
+   ``apply_residual_connection_post_layernorm`` switch (modeling_bloom.py:142-158).
+ - tied lm_head fallback and shift-by-1 CE loss when labels are given
+   (modeling_bloom.py:215-231).
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from cleantransformer_tpu.ops.activations import bloom_gelu
+from cleantransformer_tpu.ops.layers import layer_norm, linear
+from cleantransformer_tpu.ops.losses import shift_cross_entropy_loss
+from cleantransformer_tpu.parallel.sharding import shard_hint
+
+
+def alibi_slopes(num_heads):
+    """Per-head ALiBi slopes (modeling_bloom.py:312-326), as a host-side
+    constant (shapes are static)."""
+    closest_pow2 = 2 ** math.floor(math.log2(num_heads))
+    base = 2 ** (-(2 ** -(math.log2(closest_pow2) - 3)))
+    slopes = [base ** i for i in range(1, closest_pow2 + 1)]
+    if closest_pow2 != num_heads:
+        extra_base = 2 ** (-(2 ** -(math.log2(2 * closest_pow2) - 3)))
+        num_rem = min(closest_pow2, num_heads - closest_pow2)
+        slopes += [extra_base ** i for i in range(1, 1 + 2 * num_rem, 2)]
+    return jnp.asarray(slopes, dtype=jnp.float32)
+
+
+def build_alibi_bias(attention_mask, num_heads, dtype=jnp.float32):
+    """(B, T) mask -> (B, H, 1, T) additive bias: slopes * ((cumsum-1)*mask)
+    (modeling_bloom.py:329-331)."""
+    slopes = alibi_slopes(num_heads)
+    am = attention_mask.astype(jnp.float32)
+    positions = (jnp.cumsum(am, axis=-1) - 1) * am  # (B, T)
+    return (slopes[None, :, None, None] * positions[:, None, None, :]).astype(dtype)
+
+
+def init_bloom_params(config, rng):
+    D, V, L = config.hidden_size, config.vocab_size, config.n_layer
+    keys = jax.random.split(rng, 8)
+    std = config.initializer_range
+    dt = config.param_dtype
+
+    def norm(k, *shape):
+        return (jax.random.normal(k, shape) * std).astype(dt)
+
+    def ln(shape=(L, D)):
+        return {"w": jnp.ones(shape, dt), "b": jnp.zeros(shape, dt)}
+
+    params = {
+        "word_embeddings": norm(keys[0], V, D),
+        "word_embeddings_layernorm": {"w": jnp.ones((D,), dt), "b": jnp.zeros((D,), dt)},
+        "blocks": {
+            "input_layernorm": ln(),
+            "self_attention": {
+                "query_key_value": {"w": norm(keys[1], L, D, 3 * D), "b": jnp.zeros((L, 3 * D), dt)},
+                "dense": {"w": norm(keys[2], L, D, D), "b": jnp.zeros((L, D), dt)},
+            },
+            "post_attention_layernorm": ln(),
+            "mlp": {
+                "dense_h_to_4h": {"w": norm(keys[3], L, D, 4 * D), "b": jnp.zeros((L, 4 * D), dt)},
+                "dense_4h_to_h": {"w": norm(keys[4], L, 4 * D, D), "b": jnp.zeros((L, D), dt)},
+            },
+        },
+        "ln_f": {"w": jnp.ones((D,), dt), "b": jnp.zeros((D,), dt)},
+    }
+    params["lm_head"] = params["word_embeddings"]
+    return params
+
+
+def init_bloom_cache(config, batch_size, max_len, dtype=None):
+    L, H = config.n_layer, config.n_head
+    hd = config.hidden_size // H
+    dtype = dtype or config.compute_dtype
+    return {
+        "k": jnp.zeros((L, batch_size, H, max_len, hd), dtype),
+        "v": jnp.zeros((L, batch_size, H, max_len, hd), dtype),
+        "length": jnp.zeros((), jnp.int32),
+    }
+
+
+def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
+                     cache_len, num_heads, dropout_rate=0.0, deterministic=True,
+                     rng=None):
+    B, S, D = h.shape
+    hd = D // num_heads
+    qkv = linear(h, attn_params["query_key_value"]["w"], attn_params["query_key_value"]["b"])
+    qkv = qkv.reshape(B, S, num_heads, 3, hd)
+    q = qkv[..., 0, :].transpose(0, 2, 1, 3)  # (B, H, S, hd)
+    k = qkv[..., 1, :].transpose(0, 2, 1, 3)
+    v = qkv[..., 2, :].transpose(0, 2, 1, 3)
+    k = shard_hint(k, ("data", "model", None, None))
+
+    if layer_kv is None:
+        new_k, new_v = k, v
+    else:
+        k_buf, v_buf = layer_kv
+        new_k = jax.lax.dynamic_update_slice(k_buf, k.astype(k_buf.dtype), (0, 0, cache_len, 0))
+        new_v = jax.lax.dynamic_update_slice(v_buf, v.astype(v_buf.dtype), (0, 0, cache_len, 0))
+        k, v = new_k, new_v
+
+    scores = jnp.matmul(q, k.swapaxes(-1, -2)) * (1.0 / math.sqrt(hd))
+    scores = scores + alibi_bias.astype(scores.dtype)
+    # fp32 upcast before masked softmax (modeling_bloom.py:106-110)
+    scores = scores.astype(jnp.float32)
+    scores = jnp.where(bool_mask, jnp.finfo(jnp.float32).min, scores)
+    weights = jax.nn.softmax(scores, axis=-1)
+    if not deterministic and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, weights.shape)
+        weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
+    weights = weights.astype(v.dtype)
+    out = jnp.matmul(weights, v)
+    out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
+    out = linear(out, attn_params["dense"]["w"], attn_params["dense"]["b"])
+    return residual + out, (new_k, new_v)
+
+
+def _bloom_mlp(mlp_params, h, residual):
+    x = bloom_gelu(linear(h, mlp_params["dense_h_to_4h"]["w"], mlp_params["dense_h_to_4h"]["b"]))
+    x = shard_hint(x, ("data", None, "model"))
+    x = linear(x, mlp_params["dense_4h_to_h"]["w"], mlp_params["dense_4h_to_h"]["b"])
+    return residual + x
+
+
+def _bloom_block(block_params, layer_kv, h, config, alibi_bias, bool_mask, cache_len):
+    eps = config.layer_norm_epsilon
+    ln_out = layer_norm(h, block_params["input_layernorm"]["w"],
+                        block_params["input_layernorm"]["b"], eps)
+    residual = ln_out if config.apply_residual_connection_post_layernorm else h
+    attn_out, kv = _bloom_attention(
+        block_params["self_attention"], ln_out, residual, alibi_bias, bool_mask,
+        layer_kv, cache_len, config.n_head)
+    ln_out2 = layer_norm(attn_out, block_params["post_attention_layernorm"]["w"],
+                         block_params["post_attention_layernorm"]["b"], eps)
+    residual = ln_out2 if config.apply_residual_connection_post_layernorm else attn_out
+    out = _bloom_mlp(block_params["mlp"], ln_out2, residual)
+    return out, kv
+
+
+def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=None,
+                  segment_ids=None, cache=None):
+    """BloomModel.forward (modeling_bloom.py:187-205). position_ids/segment_ids
+    are accepted for engine-protocol uniformity and ignored (Bloom is
+    position-embedding-free). Returns (hidden, new_cache)."""
+    del position_ids, segment_ids
+    B, S = input_ids.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((B, S), jnp.int32)
+    cache_len = cache["length"] if cache is not None else jnp.zeros((), jnp.int32)
+    T = cache["k"].shape[3] if cache is not None else S
+
+    h = params["word_embeddings"][input_ids].astype(config.compute_dtype)
+    h = layer_norm(h, params["word_embeddings_layernorm"]["w"],
+                   params["word_embeddings_layernorm"]["b"], config.layer_norm_epsilon)
+    h = shard_hint(h, ("data", None, None))
+
+    alibi_bias = build_alibi_bias(attention_mask, config.n_head)  # (B, H, 1, T)
+
+    # bool mask (True = masked): padding OR not-causal (modeling_bloom.py:176-185)
+    row = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)
+    not_causal = col > (cache_len + row)
+    pad = (attention_mask == 0)[:, None, None, :]
+    bool_mask = pad | not_causal[None, None]
+
+    if cache is None:
+        def body(carry, block_params):
+            out, _ = _bloom_block(block_params, None, carry, config, alibi_bias,
+                                  bool_mask, cache_len)
+            return out, None
+        h, _ = jax.lax.scan(body, h, params["blocks"])
+        new_cache = None
+    else:
+        def body(carry, xs):
+            block_params, k_buf, v_buf = xs
+            out, (nk, nv) = _bloom_block(block_params, (k_buf, v_buf), carry,
+                                         config, alibi_bias, bool_mask, cache_len)
+            return out, (nk, nv)
+        h, (new_k, new_v) = jax.lax.scan(body, h, (params["blocks"], cache["k"], cache["v"]))
+        new_cache = {"k": new_k, "v": new_v, "length": cache_len + S}
+
+    h = layer_norm(h, params["ln_f"]["w"], params["ln_f"]["b"], config.layer_norm_epsilon)
+    return h, new_cache
+
+
+def bloom_lm_forward(params, config, input_ids, attention_mask=None,
+                     position_ids=None, segment_ids=None, cache=None, labels=None,
+                     loss_mask=None):
+    """BloomForCausalLM.forward (modeling_bloom.py:218-232): returns
+    ((loss?, logits, hidden), cache) like the reference tuple convention —
+    here as ((logits, hidden), cache), or ((loss, logits, hidden), cache)
+    when labels are given (shift-by-1 CE, modeling_bloom.py:223-231)."""
+    h, new_cache = bloom_forward(params, config, input_ids, attention_mask,
+                                 position_ids, segment_ids, cache)
+    logits = jnp.matmul(h, params["lm_head"].T.astype(h.dtype))
+    if labels is not None:
+        loss = shift_cross_entropy_loss(logits.astype(jnp.float32), labels,
+                                        mask=loss_mask)
+        return (loss, logits, h), new_cache
+    return (logits, h), new_cache
+
+
+class BloomModel:
+    """API-compatible wrapper (reference BloomModel, modeling_bloom.py:162-205)."""
+
+    def __init__(self, config, params=None, rng=None):
+        self.config = config
+        self.params = params if params is not None else init_bloom_params(
+            config, rng if rng is not None else jax.random.PRNGKey(0))
+
+    def __call__(self, input_ids, attention_mask=None, head_mask=None, k_v_pasts=None):
+        del head_mask
+        return bloom_forward(self.params, self.config, input_ids, attention_mask,
+                             cache=k_v_pasts)
+
+
+class BloomForCausalLM:
+    """API-compatible wrapper (reference BloomForCausalLM, modeling_bloom.py:208-232)."""
+
+    def __init__(self, config, params=None, rng=None):
+        self.config = config
+        self.params = params if params is not None else init_bloom_params(
+            config, rng if rng is not None else jax.random.PRNGKey(0))
+        self._forward = bloom_lm_forward
+        from cleantransformer_tpu.generation.engine import bind_generation
+        bind_generation(self)
+
+    def _tie_weight(self):
+        """Tie lm_head to the word embeddings (modeling_bloom.py:215-216)."""
+        self.params["lm_head"] = self.params["word_embeddings"]
+
+    def init_cache(self, batch_size, max_len, dtype=None):
+        return init_bloom_cache(self.config, batch_size, max_len, dtype)
+
+    def forward_fn(self):
+        return self._forward
+
+    def __call__(self, input_ids, attention_mask=None, head_mask=None,
+                 k_v_pasts=None, labels=None, **kwargs):
+        del head_mask
+        return bloom_lm_forward(self.params, self.config, input_ids,
+                                attention_mask, cache=k_v_pasts, labels=labels)

@@ -1,0 +1,303 @@
+"""GPT-1/2/3 as pure functions over pytree parameters.
+
+Behavioral spec is the reference's modeling_gpt.py; the design is TPU-first:
+ - layer parameters are *stacked* along a leading layer axis and the block
+   loop is a single ``lax.scan`` (one compile of one block, not n_layer
+   unrolled copies);
+ - the KV-cache is a fixed-shape ring buffer updated with
+   ``lax.dynamic_update_slice`` (replacing the reference's concat-grow cache,
+   modeling_gpt.py:76-80), so the whole decode loop compiles once;
+ - the causal mask is computed from iota comparisons, not an (n_ctx, n_ctx)
+   materialized tril buffer (reference modeling_gpt.py:56).
+
+Mask semantics match the reference exactly:
+ - causal: ``w*b + -1e4*(1-b)`` == where(causal, w, -1e4) (modeling_gpt.py:87-89)
+ - padding: additive ``(1-m)*finfo.min`` (modeling_gpt.py:176-179)
+ - position_ids default: ``cumsum(mask)-1`` with pad positions forced to 1
+   (modeling_gpt.py:171-174)
+
+Parameter layout (all linear weights in (in, out) layout — HF GPT-2's own
+Conv1D layout, see ops/layers.py):
+
+  {'tokens_embed': (V, D), 'position_embed': (P, D),
+   'blocks': {'ln_1': {'w': (L, D), 'b': (L, D)},
+              'attn': {'c_attn': {'w': (L, D, 3D), 'b': (L, 3D)},
+                       'c_proj': {'w': (L, D, D),  'b': (L, D)}},
+              'ln_2': {'w': (L, D), 'b': (L, D)},
+              'mlp':  {'c_fc':   {'w': (L, D, 4D), 'b': (L, 4D)},
+                       'c_proj': {'w': (L, 4D, D), 'b': (L, D)}}},
+   'ln_f': {'w': (D,), 'b': (D,)}}           # gpt2/gpt3 only
+
+The LM head is weight-tied to ``tokens_embed`` (reference modeling_gpt.py:207-208).
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from cleantransformer_tpu.ops.activations import ACT2FN
+from cleantransformer_tpu.ops.layers import layer_norm, linear
+from cleantransformer_tpu.parallel.sharding import shard_hint
+
+CAUSAL_NEG = -1e4  # the reference's causal fill value (modeling_gpt.py:89)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init_gpt_params(config, rng, version="gpt"):
+    D, V, P, L = config.n_embd, config.vocab_size, config.n_positions, config.n_layer
+    keys = jax.random.split(rng, 8)
+    std = 0.02
+    dt = config.param_dtype
+
+    def norm(k, *shape):
+        return (jax.random.normal(k, shape) * std).astype(dt)
+
+    params = {
+        "tokens_embed": norm(keys[0], V, D),
+        "position_embed": norm(keys[1], P, D),
+        "blocks": {
+            "ln_1": {"w": jnp.ones((L, D), dt), "b": jnp.zeros((L, D), dt)},
+            "attn": {
+                "c_attn": {"w": norm(keys[2], L, D, 3 * D), "b": jnp.zeros((L, 3 * D), dt)},
+                "c_proj": {"w": norm(keys[3], L, D, D), "b": jnp.zeros((L, D), dt)},
+            },
+            "ln_2": {"w": jnp.ones((L, D), dt), "b": jnp.zeros((L, D), dt)},
+            "mlp": {
+                "c_fc": {"w": norm(keys[4], L, D, 4 * D), "b": jnp.zeros((L, 4 * D), dt)},
+                "c_proj": {"w": norm(keys[5], L, 4 * D, D), "b": jnp.zeros((L, D), dt)},
+            },
+        },
+    }
+    if version != "gpt":
+        params["ln_f"] = {"w": jnp.ones((D,), dt), "b": jnp.zeros((D,), dt)}
+    return params
+
+
+def init_kv_cache(config, batch_size, max_len, dtype=None):
+    """Fixed-shape KV cache: {'k','v': (L, B, H, T, hd), 'length': ()}."""
+    L, H = config.n_layer, config.n_head
+    hd = config.n_embd // H
+    dtype = dtype or config.compute_dtype
+    return {
+        "k": jnp.zeros((L, batch_size, H, max_len, hd), dtype),
+        "v": jnp.zeros((L, batch_size, H, max_len, hd), dtype),
+        "length": jnp.zeros((), jnp.int32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _attend(q, k, v, cache_len, q_offset, key_padding_additive, scale, causal_fill):
+    """Shared causal attention core for prefill/decode over a fixed key buffer.
+
+    q: (B, H, S, hd); k, v: (B, H, T, hd) where only [0, cache_len+S) is valid.
+    Query i has global position q_offset + i. Key j is attendable iff
+    j <= q_offset + i (causal; also excludes unwritten buffer slots).
+    """
+    B, H, S, hd = q.shape
+    T = k.shape[2]
+    scores = jnp.matmul(q, k.swapaxes(-1, -2))
+    if scale:
+        scores = scores / math.sqrt(hd)
+    row = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)
+    causal = col <= (q_offset + row)
+    scores = jnp.where(causal[None, None], scores, jnp.asarray(causal_fill, scores.dtype))
+    if key_padding_additive is not None:
+        scores = scores + key_padding_additive.astype(scores.dtype)
+    weights = jax.nn.softmax(scores, axis=-1)
+    return jnp.matmul(weights.astype(v.dtype), v)
+
+
+def _split_heads(x, n_head):
+    b, s, d = x.shape
+    return x.reshape(b, s, n_head, d // n_head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, s, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * hd)
+
+
+def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_len,
+               scale=True):
+    """One transformer block. ``layer_kv`` is (k, v) buffers (B, H, T, hd) for
+    this layer (or None when running cache-less), ``cache_len`` the number of
+    already-cached tokens."""
+    eps = config.layer_norm_epsilon
+    act = ACT2FN[config.afn]
+    H = config.n_head
+    S = h.shape[1]
+
+    def attn(x):
+        qkv = linear(x, block_params["attn"]["c_attn"]["w"], block_params["attn"]["c_attn"]["b"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = _split_heads(q, H), _split_heads(k, H), _split_heads(v, H)
+        k = shard_hint(k, ("data", "model", None, None))
+        if layer_kv is None:
+            new_k, new_v = k, v
+            q_offset = 0
+        else:
+            k_buf, v_buf = layer_kv
+            new_k = jax.lax.dynamic_update_slice(k_buf, k.astype(k_buf.dtype), (0, 0, cache_len, 0))
+            new_v = jax.lax.dynamic_update_slice(v_buf, v.astype(v_buf.dtype), (0, 0, cache_len, 0))
+            q_offset = cache_len
+            k, v = new_k, new_v
+        out = _attend(q, k, v, cache_len, q_offset, additive_mask, scale, CAUSAL_NEG)
+        out = _merge_heads(out)
+        return linear(out, block_params["attn"]["c_proj"]["w"], block_params["attn"]["c_proj"]["b"]), (new_k, new_v)
+
+    def mlp(x):
+        x = act(linear(x, block_params["mlp"]["c_fc"]["w"], block_params["mlp"]["c_fc"]["b"]))
+        x = shard_hint(x, ("data", None, "model"))
+        return linear(x, block_params["mlp"]["c_proj"]["w"], block_params["mlp"]["c_proj"]["b"])
+
+    if version == "gpt":  # post-LN (modeling_gpt.py:141-146)
+        attn_out, kv = attn(h)
+        n1 = layer_norm(h + attn_out, block_params["ln_1"]["w"], block_params["ln_1"]["b"], eps)
+        out = layer_norm(n1 + mlp(n1), block_params["ln_2"]["w"], block_params["ln_2"]["b"], eps)
+    else:  # pre-LN gpt2/gpt3 (modeling_gpt.py:147-152)
+        attn_out, kv = attn(layer_norm(h, block_params["ln_1"]["w"], block_params["ln_1"]["b"], eps))
+        h = h + attn_out
+        out = h + mlp(layer_norm(h, block_params["ln_2"]["w"], block_params["ln_2"]["b"], eps))
+    return out, kv
+
+
+def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=None,
+                segment_ids=None, cache=None, version="gpt"):
+    """GPT forward. Returns (hidden_states, new_cache).
+
+    - cache-less: ``attention_mask`` is (B, S) over the inputs (or None).
+    - cached: ``input_ids`` are the S new tokens; ``attention_mask`` must be
+      (B, T) over the *full cache buffer* (1 = attendable). Unwritten future
+      slots are already excluded by the causal/window mask.
+    """
+    compute_dtype = config.compute_dtype
+    B, S = input_ids.shape
+
+    cache_len = cache["length"] if cache is not None else jnp.zeros((), jnp.int32)
+
+    if position_ids is None:
+        if attention_mask is not None:
+            # reference: cumsum(mask)-1 with pad positions set to 1, windowed to
+            # the current inputs (modeling_gpt.py:171-174). With a cache, the
+            # window is [cache_len, cache_len+S) of the full-buffer mask.
+            am = attention_mask.astype(jnp.int32)
+            pos_full = jnp.cumsum(am, axis=-1) - 1
+            pos_full = jnp.where(am == 0, 1, pos_full)
+            if cache is None:
+                position_ids = pos_full[:, -S:]
+            else:
+                position_ids = jax.lax.dynamic_slice(
+                    pos_full, (0, cache_len), (B, S))
+        else:
+            position_ids = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+
+    # additive padding mask over the key axis (modeling_gpt.py:176-179)
+    additive_mask = None
+    if attention_mask is not None:
+        neg = jnp.finfo(compute_dtype).min if jnp.issubdtype(compute_dtype, jnp.floating) \
+            else jnp.finfo(jnp.float32).min
+        additive_mask = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * neg
+
+    h = params["tokens_embed"][input_ids]
+    h = h + params["position_embed"][position_ids]
+    if segment_ids is not None:
+        h = h + params["tokens_embed"][segment_ids]
+    h = h.astype(compute_dtype)
+    h = shard_hint(h, ("data", None, None))
+
+    scale = True  # GPTModel always builds blocks with scale=True (modeling_gpt.py:163)
+
+    if cache is None:
+        def body(carry, block_params):
+            out, _ = _gpt_block(block_params, None, carry, config, version,
+                                additive_mask, cache_len, scale)
+            return out, None
+        h, _ = jax.lax.scan(body, h, params["blocks"])
+        new_cache = None
+    else:
+        def body(carry, xs):
+            block_params, k_buf, v_buf = xs
+            out, (nk, nv) = _gpt_block(block_params, (k_buf, v_buf), carry, config,
+                                       version, additive_mask, cache_len, scale)
+            return out, (nk, nv)
+        h, (new_k, new_v) = jax.lax.scan(body, h, (params["blocks"], cache["k"], cache["v"]))
+        new_cache = {"k": new_k, "v": new_v, "length": cache_len + S}
+
+    if version != "gpt":
+        h = layer_norm(h, params["ln_f"]["w"], params["ln_f"]["b"], config.layer_norm_epsilon)
+    return h, new_cache
+
+
+def gpt_lm_head(params, hidden_states):
+    """Tied LM head: logits = h @ wte^T (modeling_gpt.py:204-208)."""
+    wte = params.get("lm_head", params["tokens_embed"])
+    return jnp.matmul(hidden_states, wte.T.astype(hidden_states.dtype))
+
+
+def gpt_lm_forward(params, config, input_ids, attention_mask=None, position_ids=None,
+                   segment_ids=None, cache=None, version="gpt"):
+    """Mirror of GPTLMHeadModel.forward: returns ((lm_logits, hidden), cache)."""
+    h, new_cache = gpt_forward(params, config, input_ids, attention_mask,
+                               position_ids, segment_ids, cache, version)
+    return (gpt_lm_head(params, h), h), new_cache
+
+
+# ---------------------------------------------------------------------------
+# Thin class wrappers mirroring the reference's public API
+# ---------------------------------------------------------------------------
+
+class GPTModel:
+    """API-compatible wrapper (reference GPTModel, modeling_gpt.py:156-195)."""
+
+    def __init__(self, config, version="gpt", params=None, rng=None):
+        self.config = config
+        self.version = version
+        self.params = params if params is not None else init_gpt_params(
+            config, rng if rng is not None else jax.random.PRNGKey(0), version)
+
+    def __call__(self, input_ids, attention_mask=None, position_ids=None,
+                 segment_ids=None, k_v_pasts=None):
+        return gpt_forward(self.params, self.config, input_ids, attention_mask,
+                           position_ids, segment_ids, k_v_pasts, self.version)
+
+
+class GPTLMHeadModel:
+    """API-compatible wrapper (reference GPTLMHeadModel, modeling_gpt.py:198-214).
+
+    Inherits the generation surface via GenerationMixin-equivalent methods
+    (see cleantransformer_tpu/generation/engine.py)."""
+
+    def __init__(self, config, version="gpt", params=None, rng=None):
+        self.config = config
+        self.version = version
+        self.params = params if params is not None else init_gpt_params(
+            config, rng if rng is not None else jax.random.PRNGKey(0), version)
+        # memoized so repeated generate() calls hit the same jit cache entry
+        self._forward = partial(gpt_lm_forward, version=self.version)
+        from cleantransformer_tpu.generation.engine import bind_generation
+        bind_generation(self)
+
+    @property
+    def n_layer(self):
+        return self.config.n_layer
+
+    def init_cache(self, batch_size, max_len, dtype=None):
+        return init_kv_cache(self.config, batch_size, max_len, dtype)
+
+    def forward_fn(self):
+        """The jittable forward for the generation engine."""
+        return self._forward
+
+    def __call__(self, input_ids, attention_mask=None, segment_ids=None,
+                 position_ids=None, k_v_pasts=None):
+        return gpt_lm_forward(self.params, self.config, input_ids, attention_mask,
+                              position_ids, segment_ids, k_v_pasts, self.version)

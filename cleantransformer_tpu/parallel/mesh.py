@@ -1,0 +1,52 @@
+"""Device-mesh management.
+
+The TPU-native replacement for the reference's NCCL process groups
+(ft_bloom_DDP.py:183 ``dist.init_process_group``): a single
+``jax.sharding.Mesh`` over ICI with named axes
+
+  - ``data``  — data parallelism (replaces DDP / DistributedSampler)
+  - ``model`` — tensor parallelism (makes Bloom's ``pretraining_tp`` stub real)
+
+Gradient sync, bucketing, and overlap are handled by the XLA scheduler via
+sharding annotations — there is no hand-written all-reduce machinery.
+"""
+
+import contextlib
+import math
+
+import jax
+import numpy as np
+
+_ACTIVE_MESH = None
+
+
+def make_mesh(data=None, model=1, devices=None):
+    """Build a Mesh with ('data', 'model') axes.
+
+    ``data=None`` uses all remaining devices for data parallelism.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"data*model ({data}*{model}) != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, model)
+    return jax.sharding.Mesh(dev_array, ("data", "model"))
+
+
+def active_mesh():
+    return _ACTIVE_MESH
+
+
+@contextlib.contextmanager
+def use_mesh(mesh):
+    """Activate a mesh for ``shard_hint`` constraints during tracing."""
+    global _ACTIVE_MESH
+    prev = _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    try:
+        with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else contextlib.nullcontext():
+            yield mesh
+    finally:
+        _ACTIVE_MESH = prev

@@ -1,0 +1,109 @@
+"""Sharding rules: the TPU-native replacement for DDP/ZeRO/Megatron-TP.
+
+ - ``shard_hint``: in-model ``with_sharding_constraint`` that is a no-op
+   outside a ``use_mesh`` context, so single-device code pays nothing.
+ - ``param_specs``: PartitionSpec pytree for a model's parameters
+   (Megatron-style TP: qkv/h->4h column-sharded, proj/4h->h row-sharded
+   over the 'model' axis — realizing Bloom's ``pretraining_tp`` stub,
+   reference modeling_bloom.py:32-33,258-265).
+ - optimizer-state sharding (ZeRO-1/3 analogue) falls out of pjit: optimizer
+   state pytrees reuse the param specs.
+"""
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cleantransformer_tpu.parallel import mesh as _mesh_mod
+
+
+def shard_hint(x, axes):
+    """Constrain ``x`` to PartitionSpec(*axes) on the active mesh; no-op when
+    no mesh is active. Axis names not present on the mesh are dropped."""
+    mesh = _mesh_mod.active_mesh()
+    if mesh is None:
+        return x
+    names = set(mesh.axis_names)
+    cleaned = []
+    for a in axes:
+        if a is None:
+            cleaned.append(None)
+        elif isinstance(a, (tuple, list)):
+            sub = tuple(n for n in a if n in names and mesh.shape[n] > 1)
+            cleaned.append(sub if sub else None)
+        else:
+            cleaned.append(a if (a in names and mesh.shape[a] > 1) else None)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*cleaned)))
+
+
+def replicate(tree, mesh):
+    """Fully replicate a pytree across the mesh."""
+    s = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def named_sharding(mesh, spec_tree):
+    return jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec),
+        spec_tree, is_leaf=lambda x: isinstance(x, P))
+
+
+def _map_with_path(params, rule):
+    def walk(path, node):
+        if isinstance(node, dict):
+            return {k: walk(path + (k,), v) for k, v in node.items()}
+        return rule(path, node)
+    return walk((), params)
+
+
+def gpt_param_specs(params):
+    """Megatron-TP PartitionSpecs for the GPT param tree (leading layer axis
+    on block params). Column-parallel: c_attn, mlp.c_fc. Row-parallel:
+    attn.c_proj, mlp.c_proj. Embeddings/LN replicated."""
+
+    def rule(path, leaf):
+        if "blocks" in path:
+            if "c_attn" in path or "c_fc" in path:
+                return P(None, None, "model") if leaf.ndim == 3 else P(None, "model")
+            if "c_proj" in path and leaf.ndim == 3:
+                return P(None, "model", None)
+            return P(*([None] * leaf.ndim))
+        return P(*([None] * leaf.ndim))
+
+    return _map_with_path(params, rule)
+
+
+def bloom_param_specs(params):
+    """Megatron-TP specs for the Bloom param tree: query_key_value and
+    dense_h_to_4h column-parallel, dense / dense_4h_to_h row-parallel."""
+
+    def rule(path, leaf):
+        if "blocks" in path:
+            if "query_key_value" in path or "dense_h_to_4h" in path:
+                return P(None, None, "model") if leaf.ndim == 3 else P(None, "model")
+            if ("dense_4h_to_h" in path or path[-2:] == ("dense", "w")) and leaf.ndim == 3:
+                return P(None, "model", None)
+            return P(*([None] * leaf.ndim))
+        return P(*([None] * leaf.ndim))
+
+    return _map_with_path(params, rule)
+
+
+def data_specs(batch_like):
+    """Shard the leading batch dim of every leaf over 'data'."""
+    return jax.tree_util.tree_map(
+        lambda x: P("data", *([None] * (x.ndim - 1))), batch_like)
+
+
+def param_specs(params, model_type="gpt"):
+    if model_type in ("gpt", "gpt2", "gpt3"):
+        return gpt_param_specs(params)
+    if model_type == "bloom":
+        return bloom_param_specs(params)
+    # default: fully replicated
+    return jax.tree_util.tree_map(lambda x: P(*([None] * x.ndim)), params)
+
+
+def shard_params(params, mesh, model_type="gpt"):
+    specs = param_specs(params, model_type)
+    shardings = named_sharding(mesh, specs)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)

@@ -1,0 +1,204 @@
+"""HuggingFace checkpoint -> pytree parameter loading.
+
+The reference loads HF checkpoints by remapping state-dict keys
+(examples/inference_gpt2.py:16-36, inference_bert.py:16-40,
+inference_bloom.py:17-36); those remap tables are the spec here, with two
+TPU-driven changes:
+
+ 1. per-layer weights are *stacked* along a leading layer axis (the models
+    scan over layers instead of unrolling);
+ 2. torch.nn.Linear weights ((out, in)) are transposed to the (in, out)
+    right-multiply layout (HF GPT-2's Conv1D weights are already (in, out)
+    and are NOT transposed — reference Conv1D, modeling_gpt.py:32-46).
+
+Reading ``pytorch_model.bin`` uses torch (cpu) when available; ``.safetensors``
+files are read with a self-contained parser (no torch needed).
+"""
+
+import json
+import os
+import struct
+
+import numpy as np
+
+_SAFETENSORS_DTYPES = {
+    "F64": np.float64, "F32": np.float32, "F16": np.float16,
+    "I64": np.int64, "I32": np.int32, "I16": np.int16, "I8": np.int8,
+    "U8": np.uint8, "BOOL": np.bool_,
+}
+
+
+def _load_safetensors(path):
+    """Minimal safetensors reader (header = u64 length + json; raw tensors)."""
+    out = {}
+    with open(path, "rb") as f:
+        (hdr_len,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(hdr_len))
+        base = f.tell()
+        for name, meta in header.items():
+            if name == "__metadata__":
+                continue
+            dt = meta["dtype"]
+            begin, end = meta["data_offsets"]
+            f.seek(base + begin)
+            raw = f.read(end - begin)
+            if dt == "BF16":
+                u16 = np.frombuffer(raw, dtype=np.uint16)
+                arr = (u16.astype(np.uint32) << 16).view(np.float32)
+            else:
+                arr = np.frombuffer(raw, dtype=_SAFETENSORS_DTYPES[dt])
+            out[name] = arr.reshape(meta["shape"]).copy()
+    return out
+
+
+def load_state_dict(path):
+    """Load a checkpoint file (.safetensors or torch .bin/.pt) to numpy dict."""
+    if path.endswith(".safetensors"):
+        return _load_safetensors(path)
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if not isinstance(sd, dict):
+        sd = sd.state_dict()
+    return {k: v.float().numpy() if v.dtype in (torch.bfloat16, torch.float16)
+            else v.numpy() for k, v in sd.items()}
+
+
+def load_checkpoint_dir(model_dir):
+    """Find and load the model weights in an HF checkpoint directory."""
+    for name in ("model.safetensors", "pytorch_model.bin", "pytorch_model.pt"):
+        p = os.path.join(model_dir, name)
+        if os.path.exists(p):
+            return load_state_dict(p)
+    raise FileNotFoundError(f"no checkpoint file found in {model_dir}")
+
+
+def _np(x):
+    return np.asarray(x, dtype=np.float32)
+
+
+def _stack(sd, fmt, n_layer, transpose=False):
+    arrs = [_np(sd[fmt.format(i=i)]) for i in range(n_layer)]
+    if transpose:
+        arrs = [a.T for a in arrs]
+    return np.stack(arrs)
+
+
+def gpt_params_from_state_dict(sd, config, dtype=np.float32):
+    """HF gpt2 layout (wte/wpe/h.N.*, examples/inference_gpt2.py:16-36) ->
+    stacked GPT pytree. Conv1D weights are already (in, out): no transpose."""
+    if any(k.startswith("transformer.") for k in sd):
+        sd = {k[len("transformer."):] if k.startswith("transformer.") else k: v
+              for k, v in sd.items()}
+    L = config.n_layer
+    params = {
+        "tokens_embed": _np(sd["wte.weight"]),
+        "position_embed": _np(sd["wpe.weight"]),
+        "blocks": {
+            "ln_1": {"w": _stack(sd, "h.{i}.ln_1.weight", L),
+                     "b": _stack(sd, "h.{i}.ln_1.bias", L)},
+            "attn": {
+                "c_attn": {"w": _stack(sd, "h.{i}.attn.c_attn.weight", L),
+                           "b": _stack(sd, "h.{i}.attn.c_attn.bias", L)},
+                "c_proj": {"w": _stack(sd, "h.{i}.attn.c_proj.weight", L),
+                           "b": _stack(sd, "h.{i}.attn.c_proj.bias", L)},
+            },
+            "ln_2": {"w": _stack(sd, "h.{i}.ln_2.weight", L),
+                     "b": _stack(sd, "h.{i}.ln_2.bias", L)},
+            "mlp": {
+                "c_fc": {"w": _stack(sd, "h.{i}.mlp.c_fc.weight", L),
+                         "b": _stack(sd, "h.{i}.mlp.c_fc.bias", L)},
+                "c_proj": {"w": _stack(sd, "h.{i}.mlp.c_proj.weight", L),
+                           "b": _stack(sd, "h.{i}.mlp.c_proj.bias", L)},
+            },
+        },
+        "ln_f": {"w": _np(sd["ln_f.weight"]), "b": _np(sd["ln_f.bias"])},
+    }
+    return _to_dtype(params, dtype)
+
+
+def bloom_params_from_state_dict(sd, config, dtype=np.float32):
+    """HF bloom layout with optional 'transformer.' prefix and tied-lm_head
+    fallback (examples/inference_bloom.py:17-36). Linear weights transposed
+    to (in, out)."""
+    prefix = "transformer." if "transformer.word_embeddings.weight" in sd else ""
+    if prefix:
+        sd = {**{k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)},
+              **{k: v for k, v in sd.items() if not k.startswith(prefix)}}
+    L = config.n_layer
+    params = {
+        "word_embeddings": _np(sd["word_embeddings.weight"]),
+        "word_embeddings_layernorm": {"w": _np(sd["word_embeddings_layernorm.weight"]),
+                                      "b": _np(sd["word_embeddings_layernorm.bias"])},
+        "blocks": {
+            "input_layernorm": {"w": _stack(sd, "h.{i}.input_layernorm.weight", L),
+                                "b": _stack(sd, "h.{i}.input_layernorm.bias", L)},
+            "self_attention": {
+                "query_key_value": {"w": _stack(sd, "h.{i}.self_attention.query_key_value.weight", L, transpose=True),
+                                    "b": _stack(sd, "h.{i}.self_attention.query_key_value.bias", L)},
+                "dense": {"w": _stack(sd, "h.{i}.self_attention.dense.weight", L, transpose=True),
+                          "b": _stack(sd, "h.{i}.self_attention.dense.bias", L)},
+            },
+            "post_attention_layernorm": {"w": _stack(sd, "h.{i}.post_attention_layernorm.weight", L),
+                                         "b": _stack(sd, "h.{i}.post_attention_layernorm.bias", L)},
+            "mlp": {
+                "dense_h_to_4h": {"w": _stack(sd, "h.{i}.mlp.dense_h_to_4h.weight", L, transpose=True),
+                                  "b": _stack(sd, "h.{i}.mlp.dense_h_to_4h.bias", L)},
+                "dense_4h_to_h": {"w": _stack(sd, "h.{i}.mlp.dense_4h_to_h.weight", L, transpose=True),
+                                  "b": _stack(sd, "h.{i}.mlp.dense_4h_to_h.bias", L)},
+            },
+        },
+        "ln_f": {"w": _np(sd["ln_f.weight"]), "b": _np(sd["ln_f.bias"])},
+        "lm_head": _np(sd["lm_head.weight"]) if "lm_head.weight" in sd
+                   else _np(sd["word_embeddings.weight"]),
+    }
+    return _to_dtype(params, dtype)
+
+
+def bert_params_from_state_dict(sd, config, dtype=np.float32, with_classifier=True):
+    """HF bert layout (bert.embeddings/encoder.layer.N, inference_bert.py:16-40).
+    All torch Linear weights transposed to (in, out)."""
+    L = config.num_hidden_layers
+    e = "bert.embeddings."
+    l = "bert.encoder.layer.{i}."
+    params = {
+        "word_embeddings": _np(sd[e + "word_embeddings.weight"]),
+        "position_embeddings": _np(sd[e + "position_embeddings.weight"]),
+        "segment_embeddings": _np(sd[e + "token_type_embeddings.weight"]),
+        "embedding_ln": {"w": _np(sd[e + "LayerNorm.weight"]),
+                         "b": _np(sd[e + "LayerNorm.bias"])},
+        "blocks": {
+            "attn": {
+                "q": {"w": _stack(sd, l + "attention.self.query.weight", L, transpose=True),
+                      "b": _stack(sd, l + "attention.self.query.bias", L)},
+                "k": {"w": _stack(sd, l + "attention.self.key.weight", L, transpose=True),
+                      "b": _stack(sd, l + "attention.self.key.bias", L)},
+                "v": {"w": _stack(sd, l + "attention.self.value.weight", L, transpose=True),
+                      "b": _stack(sd, l + "attention.self.value.bias", L)},
+                "out": {"w": _stack(sd, l + "attention.output.dense.weight", L, transpose=True),
+                        "b": _stack(sd, l + "attention.output.dense.bias", L)},
+            },
+            "norm1": {"w": _stack(sd, l + "attention.output.LayerNorm.weight", L),
+                      "b": _stack(sd, l + "attention.output.LayerNorm.bias", L)},
+            "ffw": {
+                "fc": {"w": _stack(sd, l + "intermediate.dense.weight", L, transpose=True),
+                       "b": _stack(sd, l + "intermediate.dense.bias", L)},
+                "out": {"w": _stack(sd, l + "output.dense.weight", L, transpose=True),
+                        "b": _stack(sd, l + "output.dense.bias", L)},
+            },
+            "norm2": {"w": _stack(sd, l + "output.LayerNorm.weight", L),
+                      "b": _stack(sd, l + "output.LayerNorm.bias", L)},
+        },
+        "pooler": {"w": _np(sd["bert.pooler.dense.weight"]).T,
+                   "b": _np(sd["bert.pooler.dense.bias"])},
+    }
+    if with_classifier and "classifier.weight" in sd:
+        params["classifier"] = {"w": _np(sd["classifier.weight"]).T,
+                                "b": _np(sd["classifier.bias"])}
+    return _to_dtype(params, dtype)
+
+
+def _to_dtype(tree, dtype):
+    if dtype is None or dtype == np.float32:
+        return tree
+    import jax
+    return jax.tree_util.tree_map(lambda x: x.astype(dtype), tree)
