@@ -13,8 +13,13 @@ import sys
 
 # Force the CPU backend: the environment pre-sets JAX_PLATFORMS=axon (the real
 # TPU tunnel), which is single-client and must not be grabbed by unit tests.
+# PALLAS_AXON_REMOTE_COMPILE in particular routes every XLA compile through a
+# remote RPC (~75s of wall per compile) — scrub all axon plumbing.
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+for _var in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+             "AXON_LOOPBACK_RELAY", "PALLAS_AXON_TPU_GEN",
+             "AXON_POOL_SVC_OVERRIDE"):
+    os.environ.pop(_var, None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
@@ -24,3 +29,10 @@ if os.path.isdir(REFERENCE_PATH) and REFERENCE_PATH not in sys.path:
     sys.path.insert(0, REFERENCE_PATH)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# sitecustomize imports jax at interpreter start (axon plugin registration),
+# so env-var changes above don't reach already-latched config values —
+# update them on the live config object as well.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

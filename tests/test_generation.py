@@ -1,0 +1,83 @@
+"""Logits processor parity vs the reference processors, plus engine edges."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from cleantransformer_tpu.generation.logits_process import (
+    temperature_wrap, top_k_wrap, top_p_wrap, no_repeat_ngram,
+)
+
+
+def _scores(seed=0, b=3, v=20):
+    g = torch.Generator().manual_seed(seed)
+    return torch.randn(b, v, generator=g)
+
+
+def test_temperature_matches_reference():
+    from CleanTransformer.generation.logits_processor import TemperatureLogitsWrapper
+    s = _scores()
+    expected = TemperatureLogitsWrapper(0.7)(None, s.clone())
+    got = temperature_wrap(jnp.asarray(s.numpy()), 0.7)
+    np.testing.assert_allclose(np.asarray(got), expected.numpy(), rtol=1e-6)
+    # the 1e-2 temperature floor (logits_processor.py:37)
+    expected_floor = TemperatureLogitsWrapper(1e-5)(None, s.clone())
+    got_floor = temperature_wrap(jnp.asarray(s.numpy()), 1e-5)
+    np.testing.assert_allclose(np.asarray(got_floor), expected_floor.numpy(), rtol=1e-5)
+
+
+def test_top_k_matches_reference():
+    from CleanTransformer.generation.logits_processor import TopKLogitsWrapper
+    s = _scores(1)
+    expected = TopKLogitsWrapper(5)(None, s.clone()).numpy()
+    got = np.asarray(top_k_wrap(jnp.asarray(s.numpy()), 5))
+    finite = np.isfinite(expected)
+    assert (np.isfinite(got) == finite).all()
+    np.testing.assert_allclose(got[finite], expected[finite], rtol=1e-6)
+
+
+def test_top_p_matches_reference():
+    from CleanTransformer.generation.logits_processor import TopPLogitsWrapper
+    for seed, p in [(2, 0.8), (3, 0.5), (4, 0.95)]:
+        s = _scores(seed)
+        expected = TopPLogitsWrapper(p)(None, s.clone()).numpy()
+        got = np.asarray(top_p_wrap(jnp.asarray(s.numpy()), p))
+        finite = np.isfinite(expected)
+        assert (np.isfinite(got) == finite).all(), f"seed={seed} p={p}"
+        np.testing.assert_allclose(got[finite], expected[finite], rtol=1e-6)
+
+
+def test_no_repeat_ngram_matches_reference():
+    from CleanTransformer.generation.logits_processor import NoRepeatNGramLogitsProcessor
+    g = torch.Generator().manual_seed(5)
+    for n in (2, 3):
+        ids = torch.randint(0, 6, (3, 14), generator=g)  # small vocab => repeats
+        s = _scores(6, b=3, v=6)
+        expected = NoRepeatNGramLogitsProcessor(n)(ids, s.clone()).numpy()
+        T = 20  # fixed buffer larger than cur_len
+        buf = jnp.zeros((3, T), jnp.int32).at[:, :14].set(jnp.asarray(ids.numpy()))
+        got = np.asarray(no_repeat_ngram(buf, jnp.asarray(14), jnp.asarray(s.numpy()), n))
+        finite = np.isfinite(expected)
+        assert (np.isfinite(got) == finite).all(), f"n={n}"
+        np.testing.assert_allclose(got[finite], expected[finite], rtol=1e-6)
+
+
+def test_no_repeat_ngram_short_sequence_no_ban():
+    buf = jnp.zeros((2, 10), jnp.int32)
+    s = jnp.ones((2, 7))
+    got = no_repeat_ngram(buf, jnp.asarray(1), s, 3)  # cur_len < n
+    assert np.isfinite(np.asarray(got)).all()
+
+
+def test_sampling_respects_top_k():
+    """Sampled tokens must come from the top-k set."""
+    import jax
+    s = jnp.asarray(_scores(9, b=4, v=50).numpy())
+    filtered = top_k_wrap(s, 5)
+    toks = jax.random.categorical(jax.random.PRNGKey(0), filtered, axis=-1,
+                                  shape=(64, 4))
+    allowed = np.asarray(jnp.argsort(-s, axis=-1)[:, :5])
+    for b in range(4):
+        assert set(np.asarray(toks)[:, b]).issubset(set(allowed[b]))
