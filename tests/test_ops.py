@@ -82,7 +82,8 @@ class TestActivations:
         expected = t2n(bloom_gelu_back(g, (x,)))
         _, vjp = jax.vjp(bloom_gelu, jnp.asarray(t2n(x)))
         got = vjp(jnp.asarray(t2n(g)))[0]
-        np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-9, atol=1e-9)
+        # ours runs in fp32 (x64 disabled) vs the torch fp64 oracle
+        np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-5, atol=1e-6)
 
 
 class TestLosses:

@@ -41,8 +41,19 @@ def _run_reference(opt_name, steps=50):
     return w.detach().numpy(), b.detach().numpy()
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def enable_x64():
+    jax.config.update("jax_enable_x64", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 def _run_ours(factory, steps=50):
-    from jax.experimental import enable_x64
     with enable_x64():
         gt_w, gt_b, w0, b0, inputs = _make_problem(steps=steps)
         params = {"w": jnp.asarray(w0.numpy()), "b": jnp.asarray(b0.numpy())}
