@@ -81,7 +81,9 @@ def init_bloom_params(config, rng):
         },
         "ln_f": {"w": jnp.ones((D,), dt), "b": jnp.zeros((D,), dt)},
     }
-    params["lm_head"] = params["word_embeddings"]
+    # NOTE: no 'lm_head' key => weight-tied to word_embeddings (one parameter,
+    # so gradients flow through both uses — matching the reference's shared
+    # Parameter after _tie_weight, modeling_bloom.py:215-216)
     return params
 
 
@@ -209,7 +211,8 @@ def bloom_lm_forward(params, config, input_ids, attention_mask=None,
     when labels are given (shift-by-1 CE, modeling_bloom.py:223-231)."""
     h, new_cache = bloom_forward(params, config, input_ids, attention_mask,
                                  position_ids, segment_ids, cache)
-    logits = jnp.matmul(h, params["lm_head"].T.astype(h.dtype))
+    lm_head = params.get("lm_head", params["word_embeddings"])
+    logits = jnp.matmul(h, lm_head.T.astype(h.dtype))
     if labels is not None:
         loss = shift_cross_entropy_loss(logits.astype(jnp.float32), labels,
                                         mask=loss_mask)
@@ -243,8 +246,9 @@ class BloomForCausalLM:
         bind_generation(self)
 
     def _tie_weight(self):
-        """Tie lm_head to the word embeddings (modeling_bloom.py:215-216)."""
-        self.params["lm_head"] = self.params["word_embeddings"]
+        """Tie lm_head to the word embeddings (modeling_bloom.py:215-216):
+        dropping the separate leaf makes them ONE trainable parameter."""
+        self.params.pop("lm_head", None)
 
     def init_cache(self, batch_size, max_len, dtype=None):
         return init_bloom_cache(self.config, batch_size, max_len, dtype)

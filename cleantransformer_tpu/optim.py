@@ -42,7 +42,8 @@ def sgd(lr=0.01, momentum=None, dampening=0.0, weight_decay=None):
         zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
         return SGDState(momentum_buffer=zeros, initialized=jnp.zeros((), dtype=bool))
 
-    def update_fn(grads, state, params):
+    def update_fn(grads, state, params, lr_override=None):
+        lr_ = lr if lr_override is None else lr_override
         if weight_decay:
             grads = jax.tree_util.tree_map(lambda g, p: g + weight_decay * p, grads, params)
         if momentum:
@@ -50,15 +51,16 @@ def sgd(lr=0.01, momentum=None, dampening=0.0, weight_decay=None):
                 seeded = momentum * buf + (1 - dampening) * g
                 return jnp.where(state.initialized, seeded, g)
             buf = jax.tree_util.tree_map(upd_buf, state.momentum_buffer, grads)
-            new_params = jax.tree_util.tree_map(lambda p, b: p - lr * b, params, buf)
+            new_params = jax.tree_util.tree_map(lambda p, b: p - lr_ * b, params, buf)
             return new_params, SGDState(buf, jnp.ones((), dtype=bool))
-        new_params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
+        new_params = jax.tree_util.tree_map(lambda p, g: p - lr_ * g, params, grads)
         return new_params, state
 
     return init_fn, update_fn
 
 
 def _adam_core(lr, beta1, beta2, eps, grads, state, params, decoupled_wd=None):
+    # ``lr`` may be a traced scalar (scheduled learning rate under jit)
     count = state.count + 1
     mu = jax.tree_util.tree_map(lambda m, g: beta1 * m + (1 - beta1) * g, state.mu, grads)
     nu = jax.tree_util.tree_map(lambda n, g: beta2 * n + (1 - beta2) * g * g, state.nu, grads)
@@ -88,10 +90,11 @@ def adamw(lr=1e-3, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0):
         return AdamState(count=jnp.zeros((), jnp.int32), mu=zeros,
                          nu=jax.tree_util.tree_map(jnp.zeros_like, params))
 
-    def update_fn(grads, state, params):
+    def update_fn(grads, state, params, lr_override=None):
         if weight_decay:
             grads = jax.tree_util.tree_map(lambda g, p: g + weight_decay * p, grads, params)
-        return _adam_core(lr, beta1, beta2, eps, grads, state, params)
+        return _adam_core(lr if lr_override is None else lr_override,
+                          beta1, beta2, eps, grads, state, params)
 
     return init_fn, update_fn
 
@@ -113,7 +116,8 @@ def adamw_decoupled(lr=1e-3, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0,
         return AdamState(count=jnp.zeros((), jnp.int32), mu=zeros,
                          nu=jax.tree_util.tree_map(jnp.zeros_like, params))
 
-    def update_fn(grads, state, params):
+    def update_fn(grads, state, params, lr_override=None):
+        lr_ = lr if lr_override is None else lr_override
         count = state.count + 1
         mu = jax.tree_util.tree_map(lambda m, g: beta1 * m + (1 - beta1) * g, state.mu, grads)
         nu = jax.tree_util.tree_map(lambda n, g: beta2 * n + (1 - beta2) * g * g, state.nu, grads)
@@ -123,9 +127,9 @@ def adamw_decoupled(lr=1e-3, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0,
         wd_mask = mask(params) if callable(mask) else mask
 
         def upd(p, m, n, decay_on):
-            step = lr * (m / bc1) / (jnp.sqrt(n / bc2) + eps)
+            step = lr_ * (m / bc1) / (jnp.sqrt(n / bc2) + eps)
             if weight_decay:
-                step = jnp.where(decay_on, step + lr * weight_decay * p, step)
+                step = jnp.where(decay_on, step + lr_ * weight_decay * p, step)
             return p - step
 
         if wd_mask is None:

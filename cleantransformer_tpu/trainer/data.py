@@ -1,0 +1,115 @@
+"""Data pipeline: datasets, collation, host-side loading.
+
+``BelleDataset`` reproduces the reference's SFT prompt format
+(examples/ft_bloom.py:23-55): '\\n\\nHuman: {instruction}\\n\\nAssistant: {output}'
+with labels = input_ids (pads included, as the reference's collate does).
+
+``DataLoader`` is the host-side loader: deterministic seeded shuffling,
+drop-last static batch shapes (jit-friendly), per-host sharding
+(``shard_index``/``num_shards`` — the TPU replacement for DistributedSampler,
+ft_bloom_DDP.py:68-76), and optional length-grouped batching (the reference
+trainer's LengthGroupedSampler, trainer/trainer.py:942-966).
+"""
+
+import json
+
+import numpy as np
+
+
+class BelleDataset:
+    def __init__(self, path):
+        self.data = [json.loads(l) for l in open(path, "r") if l.strip()]
+
+    def __getitem__(self, item):
+        one = self.data[item]
+        instruction = one["instruction"]
+        output = one.get("output", "")
+        if not instruction.startswith("\n\nHuman: "):
+            instruction = f"\n\nHuman: {instruction}"
+        if not instruction.endswith("\n\nAssistant: "):
+            instruction = f"{instruction}\n\nAssistant: "
+        return {"prompt": f"{instruction}{output}"}
+
+    def __len__(self):
+        return len(self.data)
+
+
+def belle_collate(batch, tokenizer, max_length, pad_to_max=False,
+                  eos_token=None, pad_token_id=None):
+    """Tokenize + pad a batch of {'prompt'} samples; labels = input_ids
+    (reference collate, ft_bloom.py:41-55). Works with HF fast tokenizers
+    (duck-typed: __call__ with padding/truncation) or our BPETokenizer."""
+    eos = eos_token if eos_token is not None else getattr(tokenizer, "eos_token", "")
+    texts = [s["prompt"] + (eos or "") for s in batch]
+    if hasattr(tokenizer, "encode_batch"):  # our tokenizers
+        enc = tokenizer.encode_batch(texts, max_length=max_length,
+                                     pad_to_max=pad_to_max)
+        ids, mask = enc["input_ids"], enc["attention_mask"]
+    else:  # HF tokenizer
+        enc = tokenizer(texts, truncation=True, padding="max_length" if pad_to_max else True,
+                        max_length=max_length, return_tensors="np")
+        ids = enc["input_ids"].astype(np.int32)
+        mask = enc["attention_mask"].astype(np.int32)
+    return {"input_ids": ids, "attention_mask": mask,
+            "labels": ids.copy(), "prompts": texts}
+
+
+class DataLoader:
+    """Host-side batch iterator with static shapes.
+
+    - ``shuffle``: deterministic from ``seed`` + epoch (set_epoch mirrors
+      DistributedSampler.set_epoch, ft_bloom_DDP.py:114-115).
+    - ``shard_index``/``num_shards``: each host sees a disjoint 1/num_shards
+      slice per epoch (per-host data sharding over the 'data' mesh axis).
+    - ``drop_last`` defaults True so every batch has identical shape (one jit
+      compilation).
+    - ``group_by_length``: sort a window of batches by sample length to cut
+      padding waste (LengthGroupedSampler analogue).
+    """
+
+    def __init__(self, dataset, batch_size, collate_fn, shuffle=True, seed=0,
+                 drop_last=True, shard_index=0, num_shards=1,
+                 group_by_length=False, length_fn=None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+        self.group_by_length = group_by_length
+        self.length_fn = length_fn or (lambda s: len(s.get("prompt", "")))
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def _indices(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(idx)
+        if self.group_by_length:
+            window = self.batch_size * 64
+            lengths = np.array([self.length_fn(self.dataset[int(i)]) for i in idx])
+            out = []
+            for s in range(0, n, window):
+                chunk = idx[s:s + window]
+                out.append(chunk[np.argsort(lengths[s:s + window], kind="stable")])
+            idx = np.concatenate(out)
+        # per-host shard: contiguous strided split (each host distinct data)
+        idx = idx[self.shard_index::self.num_shards]
+        return idx
+
+    def __len__(self):
+        n = len(self._indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        idx = self._indices()
+        end = len(idx) - (len(idx) % self.batch_size) if self.drop_last else len(idx)
+        for s in range(0, end, self.batch_size):
+            batch = [self.dataset[int(i)] for i in idx[s:s + self.batch_size]]
+            yield self.collate_fn(batch)

@@ -1,0 +1,157 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: DP loss equivalence
+(the determinism assert the reference only did by eyeballing per-rank grad
+prints, ft_bloom_DDP.py:145-150), TP forward parity, sharded training."""
+
+import json
+from functools import partial
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cleantransformer_tpu.config import BloomConfig, GPTConfig
+from cleantransformer_tpu.models.bloom import BloomForCausalLM, bloom_lm_forward
+from cleantransformer_tpu.models.gpt import GPTLMHeadModel, gpt_lm_forward
+from cleantransformer_tpu.parallel import (
+    make_mesh, use_mesh, shard_params, replicate, named_sharding,
+)
+from cleantransformer_tpu.parallel.sharding import param_specs, data_specs
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _bloom():
+    cfg = BloomConfig(vocab_size=64, hidden_size=32, n_layer=2,
+                      num_attention_heads=4)
+    model = BloomForCausalLM(cfg, rng=jax.random.PRNGKey(0))
+    model._tie_weight()
+    return cfg, model
+
+
+def _batch(bsz=8, seq=6, vocab=64, seed=0):
+    rs = np.random.RandomState(seed)
+    ids = rs.randint(0, vocab, (bsz, seq)).astype(np.int32)
+    mask = np.ones((bsz, seq), np.int32)
+    return {"input_ids": jnp.asarray(ids), "attention_mask": jnp.asarray(mask),
+            "labels": jnp.asarray(ids)}
+
+
+def _loss_fn(cfg):
+    def loss(params, batch):
+        (l, _, _), _ = bloom_lm_forward(params, cfg, batch["input_ids"],
+                                        batch["attention_mask"],
+                                        labels=batch["labels"])
+        return l
+    return loss
+
+
+class TestDataParallel:
+    def test_dp_loss_matches_single_device(self):
+        cfg, model = _bloom()
+        batch = _batch()
+        loss_fn = _loss_fn(cfg)
+        single = float(jax.jit(loss_fn)(model.params, batch))
+
+        mesh = make_mesh(data=8, model=1)
+        with use_mesh(mesh):
+            p = replicate(model.params, mesh)
+            b = jax.tree_util.tree_map(
+                jax.device_put, batch, named_sharding(mesh, data_specs(batch)))
+            sharded = float(jax.jit(loss_fn)(p, b))
+        assert abs(single - sharded) < 1e-5
+
+    def test_dp_grads_match_single_device(self):
+        cfg, model = _bloom()
+        batch = _batch()
+        loss_fn = _loss_fn(cfg)
+        g_single = jax.jit(jax.grad(loss_fn))(model.params, batch)
+
+        mesh = make_mesh(data=8, model=1)
+        with use_mesh(mesh):
+            p = replicate(model.params, mesh)
+            b = jax.tree_util.tree_map(
+                jax.device_put, batch, named_sharding(mesh, data_specs(batch)))
+            g_sharded = jax.jit(jax.grad(loss_fn))(p, b)
+        for a, c in zip(jax.tree_util.tree_leaves(g_single),
+                        jax.tree_util.tree_leaves(g_sharded)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=2e-4, atol=1e-5)
+
+
+class TestTensorParallel:
+    def test_tp_forward_matches_unsharded(self):
+        cfg, model = _bloom()
+        batch = _batch(bsz=4)
+        (ref_logits, _), _ = jax.jit(partial(bloom_lm_forward, config=cfg))(
+            params=model.params, input_ids=batch["input_ids"],
+            attention_mask=batch["attention_mask"])
+
+        mesh = make_mesh(data=2, model=4)
+        with use_mesh(mesh):
+            p = shard_params(model.params, mesh, "bloom")
+            b = jax.tree_util.tree_map(
+                jax.device_put,
+                {"input_ids": batch["input_ids"],
+                 "attention_mask": batch["attention_mask"]},
+                named_sharding(mesh, data_specs(
+                    {"input_ids": batch["input_ids"],
+                     "attention_mask": batch["attention_mask"]})))
+            (tp_logits, _), _ = jax.jit(partial(bloom_lm_forward, config=cfg))(
+                params=p, input_ids=b["input_ids"],
+                attention_mask=b["attention_mask"])
+        np.testing.assert_allclose(np.asarray(tp_logits), np.asarray(ref_logits),
+                                   rtol=2e-4, atol=1e-4)
+
+    def test_tp_gpt_forward_matches_unsharded(self):
+        cfg = GPTConfig(vocab_size=64, n_embd=32, n_positions=64, n_layer=2,
+                        n_head=4)
+        model = GPTLMHeadModel(cfg, version="gpt2", rng=jax.random.PRNGKey(1))
+        batch = _batch(bsz=4, vocab=64)
+        fwd = partial(gpt_lm_forward, version="gpt2")
+        (ref_logits, _), _ = jax.jit(partial(fwd, config=cfg))(
+            params=model.params, input_ids=batch["input_ids"],
+            attention_mask=batch["attention_mask"])
+        mesh = make_mesh(data=2, model=4)
+        with use_mesh(mesh):
+            p = shard_params(model.params, mesh, "gpt")
+            (tp_logits, _), _ = jax.jit(partial(fwd, config=cfg))(
+                params=p, input_ids=batch["input_ids"],
+                attention_mask=batch["attention_mask"])
+        np.testing.assert_allclose(np.asarray(tp_logits), np.asarray(ref_logits),
+                                   rtol=2e-4, atol=1e-4)
+
+
+class TestShardedTraining:
+    def test_trainer_dp_runs_and_loss_decreases(self, tmp_path):
+        from cleantransformer_tpu.trainer import (
+            Trainer, TrainingArguments, BelleDataset, belle_collate)
+        from cleantransformer_tpu.tokenizers import BPETokenizer
+
+        data_fn = str(tmp_path / "d.jsonl")
+        with open(data_fn, "w") as f:
+            for i in range(64):
+                f.write(json.dumps({"instruction": f"q {i}", "output": str(i)}) + "\n")
+        tok = BPETokenizer(vocab_size=100)
+        tok.fit(["human assistant q 0123456789"])
+        cfg = BloomConfig(vocab_size=len(tok.vocab), hidden_size=32, n_layer=2,
+                          num_attention_heads=4)
+        model = BloomForCausalLM(cfg, rng=jax.random.PRNGKey(0))
+        model._tie_weight()
+        args = TrainingArguments(output_dir=str(tmp_path / "out"),
+                                 num_train_epochs=1,
+                                 per_device_train_batch_size=2,
+                                 learning_rate=1e-3, logging_steps=2,
+                                 save_steps=0, mesh_data=0, mesh_model=1)
+        trainer = Trainer(model=model, args=args,
+                          train_dataset=BelleDataset(data_fn),
+                          data_collator=partial(belle_collate, tokenizer=tok,
+                                                max_length=16, pad_to_max=True,
+                                                eos_token=""),
+                          callbacks=[])
+        assert trainer.mesh is not None and trainer.mesh.shape["data"] == 8
+        state = trainer.train()
+        losses = [l["loss"] for l in state["log_history"] if "loss" in l]
+        assert len(losses) >= 2 and losses[-1] < losses[0]

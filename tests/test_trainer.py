@@ -1,0 +1,190 @@
+"""Trainer stack: data pipeline, schedules, checkpointing, training loop."""
+
+import json
+import os
+from functools import partial
+
+import numpy as np
+import pytest
+
+import jax
+
+from cleantransformer_tpu.config import BloomConfig
+from cleantransformer_tpu.models.bloom import BloomForCausalLM
+from cleantransformer_tpu.tokenizers import BPETokenizer
+from cleantransformer_tpu.trainer import (
+    Trainer, TrainingArguments, BelleDataset, DataLoader, belle_collate,
+    get_scheduler,
+)
+from cleantransformer_tpu.utils import checkpoint as ckpt_io
+
+
+@pytest.fixture(scope="module")
+def belle_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("data") / "train.jsonl"
+    with open(p, "w") as f:
+        for i in range(32):
+            f.write(json.dumps({"instruction": f"add {i} and {i+1}",
+                                "output": str(2 * i + 1)}) + "\n")
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def tok(belle_file):
+    t = BPETokenizer(vocab_size=120)
+    t.fit([json.loads(l)["instruction"] + " human assistant 0123456789"
+           for l in open(belle_file)])
+    return t
+
+
+class TestData:
+    def test_belle_prompt_format(self, belle_file):
+        ds = BelleDataset(belle_file)
+        p = ds[0]["prompt"]
+        assert p.startswith("\n\nHuman: ")
+        assert "\n\nAssistant: " in p
+
+    def test_collate_shapes_and_labels(self, belle_file, tok):
+        ds = BelleDataset(belle_file)
+        out = belle_collate([ds[0], ds[1]], tokenizer=tok, max_length=32,
+                            pad_to_max=True, eos_token="")
+        assert out["input_ids"].shape == (2, 32)
+        assert (out["labels"] == out["input_ids"]).all()
+        assert out["attention_mask"].sum() > 0
+
+    def test_loader_shards_are_disjoint(self, belle_file, tok):
+        ds = BelleDataset(belle_file)
+        collate = lambda b: b
+        seen = []
+        for shard in range(4):
+            dl = DataLoader(ds, 2, collate, shuffle=True, seed=3,
+                            shard_index=shard, num_shards=4)
+            seen.append({s["prompt"] for batch in dl for s in batch})
+        for i in range(4):
+            for j in range(i + 1, 4):
+                assert not (seen[i] & seen[j])
+
+    def test_loader_epoch_reshuffles(self, belle_file):
+        ds = BelleDataset(belle_file)
+        dl = DataLoader(ds, 4, lambda b: [s["prompt"] for s in b], seed=1)
+        dl.set_epoch(0)
+        e0 = [b for b in dl]
+        dl.set_epoch(1)
+        e1 = [b for b in dl]
+        assert e0 != e1
+        dl.set_epoch(0)
+        assert [b for b in dl] == e0  # deterministic replay
+
+    def test_group_by_length(self, belle_file):
+        ds = BelleDataset(belle_file)
+        dl = DataLoader(ds, 4, lambda b: [len(s["prompt"]) for s in b],
+                        shuffle=False, group_by_length=True)
+        batches = list(dl)
+        spreads = [max(b) - min(b) for b in batches]
+        assert np.mean(spreads) <= 4  # tightly grouped lengths
+
+
+class TestSchedules:
+    def test_linear(self):
+        s = get_scheduler("linear", 1.0, num_warmup_steps=10, num_training_steps=110)
+        assert s(0) < s(9) <= 1.0
+        assert abs(s(10) - 1.0) < 0.01
+        assert s(109) < 0.02
+
+    def test_cosine(self):
+        s = get_scheduler("cosine", 1.0, num_warmup_steps=0, num_training_steps=100)
+        assert abs(s(0) - 1.0) < 0.02
+        assert s(50) < s(10)
+        assert s(99) < 0.01
+
+    def test_constant_with_warmup(self):
+        s = get_scheduler("constant_with_warmup", 2.0, num_warmup_steps=4)
+        assert s(0) == 0.5
+        assert s(100) == 2.0
+
+
+class TestCheckpointIO:
+    def test_pytree_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+        tree = {"a": {"b": np.arange(6, dtype=np.float32).reshape(2, 3)},
+                "c": [np.ones(2, np.int32), np.zeros(3, np.float32)],
+                "d": jnp.asarray(np.random.randn(4).astype(np.float32))}
+        path = str(tmp_path / "t.safetensors")
+        ckpt_io.save_pytree(path, tree)
+        loaded = ckpt_io.load_pytree(path, tree)
+        for a, b in zip(jax.tree_util.tree_leaves(tree),
+                        jax.tree_util.tree_leaves(loaded)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_bf16_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+        x = jnp.asarray([1.5, -2.25, 3.0], dtype=jnp.bfloat16)
+        path = str(tmp_path / "bf16.safetensors")
+        ckpt_io.save_pytree(path, {"x": x})
+        loaded = ckpt_io.load_pytree(path, {"x": x})
+        np.testing.assert_array_equal(np.asarray(loaded["x"], dtype=np.float32),
+                                      np.asarray(x, dtype=np.float32))
+
+    def test_rotation_protects_best(self, tmp_path):
+        out = str(tmp_path)
+        for step in (10, 20, 30, 40):
+            ckpt_io.save_checkpoint(out, step, {"w": np.ones(2)})
+        best = os.path.join(out, "checkpoint-10")
+        ckpt_io.rotate_checkpoints(out, save_total_limit=2, best_ckpt=best)
+        left = sorted(os.listdir(out))
+        assert "checkpoint-10" in left and len(left) == 2
+
+    def test_get_last_checkpoint(self, tmp_path):
+        out = str(tmp_path)
+        assert ckpt_io.get_last_checkpoint(out) is None
+        for step in (5, 50, 9):
+            ckpt_io.save_checkpoint(out, step, {"w": np.ones(1)})
+        assert ckpt_io.get_last_checkpoint(out).endswith("checkpoint-50")
+
+
+class TestTrainLoop:
+    def _setup(self, belle_file, tok, tmp_path, **arg_overrides):
+        cfg = BloomConfig(vocab_size=len(tok.vocab), hidden_size=32, n_layer=2,
+                          num_attention_heads=4)
+        model = BloomForCausalLM(cfg, rng=jax.random.PRNGKey(0))
+        model._tie_weight()
+        args = TrainingArguments(
+            output_dir=str(tmp_path / "out"), num_train_epochs=2,
+            per_device_train_batch_size=4, learning_rate=1e-3,
+            logging_steps=4, save_steps=8, save_total_limit=2,
+            warmup_steps=2, **arg_overrides)
+        ds = BelleDataset(belle_file)
+        collate = partial(belle_collate, tokenizer=tok, max_length=32,
+                          pad_to_max=True, eos_token="")
+        return Trainer(model=model, args=args, train_dataset=ds,
+                       eval_dataset=ds, data_collator=collate, callbacks=[])
+
+    def test_loss_decreases_and_checkpoints(self, belle_file, tok, tmp_path):
+        trainer = self._setup(belle_file, tok, tmp_path,
+                              gradient_accumulation_steps=2)
+        state = trainer.train()
+        losses = [l["loss"] for l in state["log_history"] if "loss" in l]
+        assert losses[-1] < losses[0]
+        assert any("eval_loss" in l for l in state["log_history"])
+        ckpts = sorted(os.listdir(trainer.args.output_dir))
+        assert len(ckpts) == 2  # save_total_limit rotation
+
+    def test_resume_restores_state(self, belle_file, tok, tmp_path):
+        trainer = self._setup(belle_file, tok, tmp_path)
+        trainer.train()
+        end_params = trainer.model.params
+
+        fresh = self._setup(belle_file, tok, tmp_path)
+        fresh.create_optimizer(16)
+        step = fresh._load_from_checkpoint(True)
+        assert step == trainer.state["global_step"]
+        a = np.asarray(end_params["word_embeddings"])
+        b = np.asarray(fresh.model.params["word_embeddings"])
+        np.testing.assert_array_equal(a, b)
+        assert fresh.opt_state.count == step or int(fresh.opt_state.count) > 0
+
+    def test_remat_trains(self, belle_file, tok, tmp_path):
+        trainer = self._setup(belle_file, tok, tmp_path, remat=True)
+        trainer.args.num_train_epochs = 1
+        state = trainer.train()
+        assert state["global_step"] > 0
