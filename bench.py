@@ -26,6 +26,10 @@ GPT2_SMALL = dict(vocab_size=50257, n_embd=768, n_positions=1024, n_layer=12,
 def bench_ours():
     sys.path.insert(0, "/root/repo")
     import jax
+    # persistent compilation cache: axon remote-compiles are slow (~minutes
+    # for the decode loop); warm runs load from disk in seconds
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from cleantransformer_tpu.config import GPTConfig
     from cleantransformer_tpu.models.gpt import GPTLMHeadModel
 

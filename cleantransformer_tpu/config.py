@@ -34,6 +34,9 @@ class BaseConfig:
     def __init__(self, **kwargs):
         self.param_dtype = _resolve_dtype(kwargs.pop("param_dtype", jnp.float32))
         self.compute_dtype = _resolve_dtype(kwargs.pop("compute_dtype", jnp.float32))
+        # fast path: Pallas blockwise attention for multi-token forwards
+        # (training / prefill). Off by default = reference-parity dense path.
+        self.use_flash_attention = kwargs.pop("use_flash_attention", False)
         for k, v in kwargs.items():
             setattr(self, k, v)
 

@@ -100,7 +100,7 @@ def init_bloom_cache(config, batch_size, max_len, dtype=None):
 
 def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
                      cache_len, num_heads, dropout_rate=0.0, deterministic=True,
-                     rng=None):
+                     rng=None, use_flash=False, pad_mask=None):
     B, S, D = h.shape
     hd = D // num_heads
     qkv = linear(h, attn_params["query_key_value"]["w"], attn_params["query_key_value"]["b"])
@@ -117,6 +117,22 @@ def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
         new_k = jax.lax.dynamic_update_slice(k_buf, k.astype(k_buf.dtype), (0, 0, cache_len, 0))
         new_v = jax.lax.dynamic_update_slice(v_buf, v.astype(v_buf.dtype), (0, 0, cache_len, 0))
         k, v = new_k, new_v
+
+    # Flash covers every multi-token forward: cache-less (training/parity) and
+    # cached prefill — the engine only does multi-token cached forwards at
+    # cache offset 0, so the kernel's 0-based causal iota is exact.
+    if use_flash and S > 1:
+        from cleantransformer_tpu.ops.pallas_kernels import (
+            flash_attention, should_interpret)
+        # fold ALiBi + padding into the per-key additive bias (B,H,T)
+        bias = alibi_bias[:, :, 0, :]
+        if pad_mask is not None:
+            bias = bias + jnp.where(pad_mask, 0.0, -jnp.inf)[:, None, :]
+        out = flash_attention(q, k, v, bias, scale=1.0 / math.sqrt(hd),
+                              causal=True, interpret=should_interpret())
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
+        out = linear(out, attn_params["dense"]["w"], attn_params["dense"]["b"])
+        return residual + out, (new_k, new_v)
 
     scores = jnp.matmul(q, k.swapaxes(-1, -2)) * (1.0 / math.sqrt(hd))
     scores = scores + alibi_bias.astype(scores.dtype)
@@ -141,14 +157,17 @@ def _bloom_mlp(mlp_params, h, residual):
     return residual + x
 
 
-def _bloom_block(block_params, layer_kv, h, config, alibi_bias, bool_mask, cache_len):
+def _bloom_block(block_params, layer_kv, h, config, alibi_bias, bool_mask,
+                 cache_len, pad_mask=None):
     eps = config.layer_norm_epsilon
     ln_out = layer_norm(h, block_params["input_layernorm"]["w"],
                         block_params["input_layernorm"]["b"], eps)
     residual = ln_out if config.apply_residual_connection_post_layernorm else h
     attn_out, kv = _bloom_attention(
         block_params["self_attention"], ln_out, residual, alibi_bias, bool_mask,
-        layer_kv, cache_len, config.n_head)
+        layer_kv, cache_len, config.n_head,
+        use_flash=getattr(config, "use_flash_attention", False),
+        pad_mask=pad_mask)
     ln_out2 = layer_norm(attn_out, block_params["post_attention_layernorm"]["w"],
                          block_params["post_attention_layernorm"]["b"], eps)
     residual = ln_out2 if config.apply_residual_connection_post_layernorm else attn_out
@@ -182,10 +201,12 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
     pad = (attention_mask == 0)[:, None, None, :]
     bool_mask = pad | not_causal[None, None]
 
+    pad_mask = attention_mask != 0  # (B, T) True = attendable, for flash bias
+
     if cache is None:
         def body(carry, block_params):
             out, _ = _bloom_block(block_params, None, carry, config, alibi_bias,
-                                  bool_mask, cache_len)
+                                  bool_mask, cache_len, pad_mask)
             return out, None
         h, _ = jax.lax.scan(body, h, params["blocks"])
         new_cache = None
@@ -193,7 +214,8 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
         def body(carry, xs):
             block_params, k_buf, v_buf = xs
             out, (nk, nv) = _bloom_block(block_params, (k_buf, v_buf), carry,
-                                         config, alibi_bias, bool_mask, cache_len)
+                                         config, alibi_bias, bool_mask,
+                                         cache_len, pad_mask)
             return out, (nk, nv)
         h, (new_k, new_v) = jax.lax.scan(body, h, (params["blocks"], cache["k"], cache["v"]))
         new_cache = {"k": new_k, "v": new_v, "length": cache_len + S}

@@ -150,7 +150,21 @@ def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_
             new_v = jax.lax.dynamic_update_slice(v_buf, v.astype(v_buf.dtype), (0, 0, cache_len, 0))
             q_offset = cache_len
             k, v = new_k, new_v
-        out = _attend(q, k, v, cache_len, q_offset, additive_mask, scale, CAUSAL_NEG)
+        # multi-token cached forwards only happen at cache offset 0 (prefill),
+        # so the kernel's 0-based causal iota is exact there too
+        use_flash = getattr(config, "use_flash_attention", False) and S > 1
+        if use_flash:
+            from cleantransformer_tpu.ops.pallas_kernels import (
+                flash_attention, should_interpret)
+            if additive_mask is not None:
+                bias = additive_mask[:, :, 0, :]  # (B,1,T) broadcast over heads
+            else:
+                bias = jnp.zeros((x.shape[0], 1, k.shape[2]), jnp.float32)
+            out = flash_attention(q, k, v, bias,
+                                  scale=(1.0 / math.sqrt(q.shape[-1])) if scale else 1.0,
+                                  causal=True, interpret=should_interpret())
+        else:
+            out = _attend(q, k, v, cache_len, q_offset, additive_mask, scale, CAUSAL_NEG)
         out = _merge_heads(out)
         return linear(out, block_params["attn"]["c_proj"]["w"], block_params["attn"]["c_proj"]["b"]), (new_k, new_v)
 

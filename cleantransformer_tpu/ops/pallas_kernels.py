@@ -1,0 +1,219 @@
+"""Pallas TPU kernels for the hot ops.
+
+``flash_attention``: blockwise online-softmax attention — never materializes
+the (seq, seq) score matrix the reference builds everywhere
+(transformer.py:41-46, modeling_gpt.py:83-93, modeling_bloom.py:99-110).
+Supports causal masking, an additive per-(batch,head) key bias (ALiBi +
+padding folded together), and a scale factor. fp32 accumulation, bf16-friendly
+tiles. The MXU sees (BLOCK_Q, head_dim) x (head_dim, BLOCK_K) tiles; the
+online max/sum rescaling runs on the VPU.
+
+This is the *fast path* (training + prefill): exact softmax, but with -inf
+masking and a different accumulation order than the reference's dense
+``w*b + -1e4*(1-b)`` path, so bit-parity mode keeps dense attention.
+Backward currently recomputes through the dense formulation (a fused flash
+backward kernel is planned); forward-only callers (inference prefill) never
+pay that cost.
+
+Also: ``fused_layer_norm`` — one-pass Welford-free LN kernel matching
+ops/layers.layer_norm numerics (eps inside sqrt).
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, causal,
+                  block_k, seq_k):
+    """One (batch*head, q-block) program: loop key blocks with online softmax."""
+    q = q_ref[0].astype(jnp.float32)  # (BQ, hd)
+    block_q = q.shape[0]
+    qi = pl.program_id(1)
+    num_kb = pl.cdiv(seq_k, block_k)
+    if causal:
+        # only key blocks up to the causal frontier of this q block
+        last_row = qi * block_q + block_q - 1
+        num_kb_eff = jnp.minimum(num_kb, (last_row + block_k) // block_k)
+    else:
+        num_kb_eff = num_kb
+
+    def body(kb, carry):
+        acc, m, l = carry
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if scale != 1.0:
+            s = s * scale
+        s = s + bias_ref[0, pl.ds(kb * block_k, block_k)][None, :]
+        if causal:
+            row = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            col = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(col <= row, s, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        # guard fully-masked rows (m_new == -inf): exp(-inf - -inf) = nan
+        safe_m = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        p = jnp.exp(s - safe_m)
+        p = jnp.where(jnp.isfinite(s), p, 0.0)
+        corr = jnp.where(jnp.isfinite(m), jnp.exp(m - safe_m), 0.0)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * corr + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc_new, m_new, l_new
+
+    head_dim = q.shape[-1]
+    acc0 = jnp.zeros((block_q, head_dim), jnp.float32)
+    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_kb_eff, body, (acc0, m0, l0))
+    out_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
+
+
+def _flash_fwd_impl(q, k, v, bias, scale, causal, block_q, block_k, interpret):
+    B, H, Sq0, hd = q.shape
+    Sk0 = k.shape[2]
+    block_q = min(block_q, Sq0)
+    block_k = min(block_k, Sk0)
+    # pad ragged seq lengths up to block multiples (key pads get -inf bias;
+    # query pad rows are sliced off the output)
+    pad_q = (-Sq0) % block_q
+    pad_k = (-Sk0) % block_k
+    bias = jnp.broadcast_to(bias, (B, H, Sk0))
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pad_k)),
+                       constant_values=-jnp.inf)
+    Sq, Sk = Sq0 + pad_q, Sk0 + pad_k
+    qf = q.reshape(B * H, Sq, hd)
+    kf = k.reshape(B * H, Sk, hd)
+    vf = v.reshape(B * H, Sk, hd)
+    bias_f = bias.reshape(B * H, Sk)
+
+    grid = (B * H, Sq // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, causal=causal,
+                          block_k=block_k, seq_k=Sk),
+        out_shape=jax.ShapeDtypeStruct((B * H, Sq, hd), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sk, hd), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sk, hd), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sk), lambda bh, qi: (bh, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qf, kf, vf, bias_f)
+    out = out.reshape(B, H, Sq, hd)
+    if pad_q:
+        out = out[:, :, :Sq0]
+    return out
+
+
+def _dense_reference(q, k, v, bias, scale, causal):
+    """Dense formulation used for the backward pass (exact same math)."""
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32))
+    if scale != 1.0:
+        scores = scores * scale
+    scores = scores + bias[:, :, None, :].astype(jnp.float32)
+    if causal:
+        Sq, Sk = scores.shape[-2], scores.shape[-1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sk), 1)
+        scores = jnp.where((col <= row)[None, None], scores, -jnp.inf)
+    weights = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v.astype(jnp.float32)).astype(q.dtype)
+
+
+def should_interpret():
+    """Pallas interpret mode off-TPU (CPU tests / virtual meshes)."""
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def flash_attention(q, k, v, bias, scale=1.0, causal=True,
+                    block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
+                    interpret=False):
+    """q: (B,H,Sq,hd); k,v: (B,H,Sk,hd); bias: (B,H,Sk) or (B,1,Sk) additive
+    (ALiBi + padding, broadcast over queries). Returns (B,H,Sq,hd)."""
+    return _flash_fwd_impl(q, k, v, bias, scale, causal, block_q, block_k,
+                           interpret)
+
+
+def _flash_fwd(q, k, v, bias, scale, causal, block_q, block_k, interpret):
+    out = _flash_fwd_impl(q, k, v, bias, scale, causal, block_q, block_k,
+                          interpret)
+    return out, (q, k, v, bias)
+
+
+def _flash_bwd(scale, causal, block_q, block_k, interpret, res, g):
+    q, k, v, bias = res
+    _, vjp = jax.vjp(lambda q, k, v, bias: _dense_reference(
+        q, k, v, bias, scale, causal), q, k, v, bias)
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused LayerNorm
+# ---------------------------------------------------------------------------
+
+def _ln_kernel(x_ref, w_ref, b_ref, out_ref, *, eps):
+    x = x_ref[...].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    c = x - mean
+    std = jnp.sqrt(jnp.mean(c * c + eps, axis=-1, keepdims=True))
+    out_ref[...] = ((c / std) * w_ref[...].astype(jnp.float32)
+                    + b_ref[...].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def fused_layer_norm(x, weight, bias, eps=1e-5, block_rows=256, interpret=False):
+    """LayerNorm over the last dim as a single Pallas kernel (numerics match
+    ops/layers.layer_norm with exact_reference=True). x: (..., D)."""
+    orig_shape = x.shape
+    D = orig_shape[-1]
+    xf = x.reshape(-1, D)
+    R = xf.shape[0]
+    block_rows = min(block_rows, R)
+    pad = (-R) % block_rows
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+    grid = (xf.shape[0] // block_rows,)
+    out = pl.pallas_call(
+        functools.partial(_ln_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xf, weight, bias)
+    if pad:
+        out = out[:R]
+    return out.reshape(orig_shape)

@@ -1,0 +1,102 @@
+"""Bloom SFT on the Belle dataset (reference: examples/ft_bloom.py), using the
+Trainer. Single chip by default; pass --dp N / --tp N for mesh parallelism
+(the torchrun/DDP/DeepSpeed replacement — see examples/ft_bloom_dp.py and
+scripts/).
+
+  python examples/ft_bloom.py --model_dir checkpoints/bloom-396m-zh \
+      --data_fn datasets/belle/train.jsonl
+  python examples/ft_bloom.py --demo       # tiny random model + synthetic data
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def init_args():
+    parser = argparse.ArgumentParser(description="Args")
+    parser.add_argument("--model_dir", default=None, type=str)
+    parser.add_argument("--data_fn", default=None, type=str)
+    parser.add_argument("--save_dir", default="checkpoints/bloom-sft", type=str)
+    parser.add_argument("--batch_size", default=32, type=int)
+    parser.add_argument("--accum", default=1, type=int)
+    parser.add_argument("--lr", default=1e-5, type=float)
+    parser.add_argument("--epochs", default=10, type=int)
+    parser.add_argument("--max_len", default=1024, type=int)
+    parser.add_argument("--dp", default=1, type=int, help="data-parallel size (0=all devices)")
+    parser.add_argument("--tp", default=1, type=int, help="tensor-parallel size")
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--flash", action="store_true")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--demo", action="store_true")
+    args, _ = parser.parse_known_args()
+    return args
+
+
+def main():
+    args = init_args()
+    import jax
+    from cleantransformer_tpu.config import load_bloom_config, BloomConfig
+    from cleantransformer_tpu.models.bloom import BloomForCausalLM
+    from cleantransformer_tpu.trainer import (
+        Trainer, TrainingArguments, BelleDataset, belle_collate)
+
+    overrides = {}
+    if args.bf16:
+        overrides["compute_dtype"] = "bfloat16"
+    if args.flash:
+        overrides["use_flash_attention"] = True
+
+    if args.demo or not args.model_dir:
+        tmp = tempfile.mkdtemp()
+        data_fn = os.path.join(tmp, "demo.jsonl")
+        with open(data_fn, "w") as f:
+            for i in range(64):
+                f.write(json.dumps({"instruction": f"count to {i}",
+                                    "output": " ".join(map(str, range(i % 8)))}) + "\n")
+        from cleantransformer_tpu.tokenizers import BPETokenizer
+        tokenizer = BPETokenizer(vocab_size=200)
+        tokenizer.fit(["human assistant count to 0123456789 " * 2])
+        config = BloomConfig(vocab_size=len(tokenizer.vocab), hidden_size=64,
+                             n_layer=2, num_attention_heads=4, **overrides)
+        model = BloomForCausalLM(config, rng=jax.random.PRNGKey(0))
+        model._tie_weight()
+        args.max_len, args.batch_size, args.epochs = 32, 8, 2
+        eos = ""
+    else:
+        config = load_bloom_config(os.path.join(args.model_dir, "config.json"),
+                                   **overrides)
+        from cleantransformer_tpu.utils.hf_loader import (
+            load_checkpoint_dir, bloom_params_from_state_dict)
+        params = bloom_params_from_state_dict(load_checkpoint_dir(args.model_dir),
+                                              config)
+        model = BloomForCausalLM(config, params=params)
+        from transformers import BloomTokenizerFast
+        tokenizer = BloomTokenizerFast.from_pretrained(args.model_dir,
+                                                       padding_side="right")
+        data_fn = args.data_fn
+        eos = tokenizer.eos_token
+
+    train_args = TrainingArguments(
+        output_dir=args.save_dir, num_train_epochs=args.epochs,
+        per_device_train_batch_size=args.batch_size,
+        gradient_accumulation_steps=args.accum, learning_rate=args.lr,
+        logging_steps=10, save_steps=1000, mesh_data=args.dp, mesh_model=args.tp,
+        max_seq_length=args.max_len)
+    trainer = Trainer(
+        model=model, args=train_args, train_dataset=BelleDataset(data_fn),
+        data_collator=partial(belle_collate, tokenizer=tokenizer,
+                              max_length=args.max_len, pad_to_max=True,
+                              eos_token=eos))
+    trainer.train(resume_from_checkpoint=True if args.resume else None)
+    trainer.save_model(args.save_dir)
+    print("done; saved to", args.save_dir)
+
+
+if __name__ == "__main__":
+    main()

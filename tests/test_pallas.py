@@ -1,0 +1,96 @@
+"""Pallas kernels vs their dense formulations (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cleantransformer_tpu.ops.pallas_kernels import (
+    flash_attention, fused_layer_norm, _dense_reference,
+)
+from cleantransformer_tpu.ops.layers import layer_norm
+
+
+def _qkv(B=2, H=2, Sq=128, Sk=128, hd=32, seed=0):
+    rs = np.random.RandomState(seed)
+    q = jnp.asarray(rs.randn(B, H, Sq, hd).astype(np.float32))
+    k = jnp.asarray(rs.randn(B, H, Sk, hd).astype(np.float32))
+    v = jnp.asarray(rs.randn(B, H, Sk, hd).astype(np.float32))
+    return q, k, v
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_matches_dense(self, causal):
+        q, k, v = _qkv()
+        bias = jnp.zeros((2, 2, 128))
+        out = flash_attention(q, k, v, bias, scale=0.125, causal=causal,
+                              block_q=64, block_k=64, interpret=True)
+        ref = _dense_reference(q, k, v, bias, 0.125, causal)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_with_alibi_and_padding_bias(self):
+        from cleantransformer_tpu.models.bloom import build_alibi_bias
+        q, k, v = _qkv(B=2, H=4, Sq=64, Sk=64, hd=16, seed=1)
+        mask = np.ones((2, 64), np.int32)
+        mask[0, :10] = 0  # left padding
+        alibi = build_alibi_bias(jnp.asarray(mask), 4)[:, :, 0, :]  # (B,H,Sk)
+        pad = jnp.where(jnp.asarray(mask) == 0, -jnp.inf, 0.0)[:, None, :]
+        bias = alibi + pad
+        out = flash_attention(q, k, v, bias, scale=0.25, causal=True,
+                              block_q=32, block_k=32, interpret=True)
+        ref = np.asarray(_dense_reference(q, k, v, bias, 0.25, True))
+        # dense softmax NaNs on fully-masked rows (causal query inside the
+        # left padding); flash guards them to 0 — compare finite rows only
+        out = np.asarray(out)
+        assert np.isfinite(out).all()
+        finite = np.isfinite(ref)
+        np.testing.assert_allclose(out[finite], ref[finite],
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_fully_masked_rows_are_finite(self):
+        """A row whose every key is masked must not produce NaNs."""
+        q, k, v = _qkv(B=1, H=1, Sq=32, Sk=32, hd=16, seed=2)
+        bias = jnp.full((1, 1, 32), -jnp.inf)
+        out = flash_attention(q, k, v, bias, causal=False,
+                              block_q=32, block_k=32, interpret=True)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_gradient_flows(self):
+        q, k, v = _qkv(B=1, H=2, Sq=32, Sk=32, hd=16, seed=3)
+        bias = jnp.zeros((1, 2, 32))
+
+        def loss(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, bias, scale=0.25,
+                                           causal=True, block_q=32,
+                                           block_k=32, interpret=True) ** 2)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        ref_g = jax.grad(lambda q, k, v: jnp.sum(_dense_reference(
+            q, k, v, bias, 0.25, True) ** 2), argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g, ref_g):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_uneven_blocks(self):
+        q, k, v = _qkv(B=1, H=1, Sq=96, Sk=96, hd=16, seed=4)
+        bias = jnp.zeros((1, 1, 96))
+        out = flash_attention(q, k, v, bias, causal=True, block_q=32,
+                              block_k=32, interpret=True)
+        ref = _dense_reference(q, k, v, bias, 1.0, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestFusedLayerNorm:
+    def test_matches_layer_norm(self):
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.randn(3, 17, 64).astype(np.float32))
+        w = jnp.asarray(rs.randn(64).astype(np.float32))
+        b = jnp.asarray(rs.randn(64).astype(np.float32))
+        out = fused_layer_norm(x, w, b, eps=1e-5, block_rows=16, interpret=True)
+        ref = layer_norm(x, w, b, eps=1e-5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
