@@ -43,6 +43,7 @@ class BPETokenizer:
         self._vocab_set = set()
         self.token2id = {}
         self.id2token = {}
+        self._native = None
 
     # -- vocab management ---------------------------------------------------
 
@@ -58,6 +59,7 @@ class BPETokenizer:
         self._vocab_set = set(self.vocab)
         self.id2token = dict(enumerate(self.vocab))
         self.token2id = {v: i for i, v in self.id2token.items()}
+        self._native = None  # rebuilt lazily on next encode
 
     # -- training -----------------------------------------------------------
 
@@ -202,9 +204,27 @@ class BPETokenizer:
     def _id2token(self, i):
         return self.id2token[i]
 
-    def encode(self, text):
-        """text -> flat id list."""
+    def encode(self, text, use_native=True):
+        """text -> flat id list. Uses the C++ matching core
+        (cleantransformer_tpu/native) when a compiler is available; the
+        Python path is the fallback and the parity oracle."""
+        if use_native:
+            native = self._get_native()
+            if native is not None:
+                if self.lowercase:
+                    text = text.lower()
+                return native.encode_words(self.basic_tokenizer(text))
         return [self._token2id(t) for t in self.tokenize(text)]
+
+    def _get_native(self):
+        if self._native is None and self.vocab:
+            try:
+                from cleantransformer_tpu.native import NativeBPEEncoder
+                self._native = NativeBPEEncoder(self.vocab, self.unk,
+                                                add_post="</w>")
+            except Exception:
+                self._native = False
+        return self._native or None
 
     def decode(self, token_ids):
         """list of id-lists -> list of texts (reference decode contract,
