@@ -1,0 +1,162 @@
+"""Extended benchmark suite (run manually; bench.py stays the driver's
+one-line headline). Measures on the current accelerator:
+
+ - GPT-2 124M greedy decode tokens/sec/chip (batch sweep)
+ - Bloom-560m-class greedy decode tokens/sec/chip
+ - Bloom SFT train-step time + tokens/sec + MFU (bf16, flash attention)
+ - GPT-2 prefill throughput (tokens/sec)
+
+Writes BENCH_DETAILS.md and prints one json line per metric.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from cleantransformer_tpu.config import BloomConfig, GPTConfig
+from cleantransformer_tpu.models.bloom import BloomForCausalLM, bloom_lm_forward
+from cleantransformer_tpu.models.gpt import GPTLMHeadModel, gpt_lm_forward
+from cleantransformer_tpu.optim import adamw_decoupled
+from cleantransformer_tpu.utils.profiling import (
+    count_params, transformer_flops, device_peak_flops)
+
+RESULTS = []
+
+
+def record(name, value, unit, extra=None):
+    row = {"metric": name, "value": round(value, 2), "unit": unit}
+    if extra:
+        row.update(extra)
+    RESULTS.append(row)
+    print(json.dumps(row), flush=True)
+
+
+def bench_decode(model, name, batch, prompt, gen, vocab):
+    rs = np.random.RandomState(0)
+    ids = rs.randint(0, vocab, (batch, prompt)).astype(np.int32)
+    mask = np.ones((batch, prompt), np.int32)
+    cfg = {"beam_size": 1, "max_gen_len": gen, "do_sample": False,
+           "end_ids": None, "pad_id": 0, "no_repeat_ngram_size": 0}
+    out = model.generate(ids, mask, generation_configs=cfg)
+    n_new = out.shape[-1] - prompt
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        model.generate(ids, mask, generation_configs=cfg)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    record(name, batch * n_new / dt, "tokens/s",
+           {"batch": batch, "per_step_ms": round(1e3 * dt / n_new, 3)})
+
+
+def bench_prefill(model, cfg, batch=8, seq=512):
+    rs = np.random.RandomState(0)
+    ids = jnp.asarray(rs.randint(0, cfg.vocab_size, (batch, seq)), jnp.int32)
+    mask = jnp.ones((batch, seq), jnp.int32)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, model.params)
+
+    @jax.jit
+    def fwd(p, ids, mask):
+        (logits, _), _ = gpt_lm_forward(p, cfg, ids, mask, version="gpt2",
+                                        last_only=True)
+        return logits
+
+    fwd(params, ids, mask).block_until_ready()
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        fwd(params, ids, mask).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    record("gpt2_124M_prefill_tokens_per_sec", batch * seq / dt, "tokens/s",
+           {"seq": seq, "batch": batch})
+
+
+def bench_sft_step(use_flash):
+    # bloom-560m-class: 24 layers, hidden 1024, 16 heads; vocab cut to fit HBM
+    cfg = BloomConfig(vocab_size=50432, hidden_size=1024, n_layer=24,
+                      num_attention_heads=16, compute_dtype="bfloat16",
+                      use_flash_attention=use_flash)
+    model = BloomForCausalLM(cfg, rng=jax.random.PRNGKey(0))
+    model._tie_weight()
+    n_params = count_params(model.params)
+    init_fn, update_fn = adamw_decoupled(lr=1e-5)
+    opt_state = init_fn(model.params)
+    B, S = 8, 1024
+    rs = np.random.RandomState(0)
+    batch = {"input_ids": jnp.asarray(rs.randint(0, 50432, (B, S)), jnp.int32),
+             "attention_mask": jnp.ones((B, S), jnp.int32)}
+    batch["labels"] = batch["input_ids"]
+
+    def loss_fn(params, b):
+        (loss, _, _), _ = bloom_lm_forward(params, cfg, b["input_ids"],
+                                           b["attention_mask"],
+                                           labels=b["labels"])
+        return loss
+
+    @jax.jit
+    def step(params, opt_state, b):
+        loss, grads = jax.value_and_grad(loss_fn)(params, b)
+        params, opt_state = update_fn(grads, opt_state, params)
+        return params, opt_state, loss
+
+    params = model.params
+    params, opt_state, loss = step(params, opt_state, batch)
+    jax.block_until_ready(loss)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        params, opt_state, loss = step(params, opt_state, batch)
+        jax.block_until_ready(loss)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    flops = transformer_flops(n_params, S, 1024, 24) * B * S
+    record(f"bloom560m_sft_step_time{'_flash' if use_flash else ''}",
+           dt * 1e3, "ms (batch=8, seq=1024, bf16)",
+           {"tokens_per_sec": round(B * S / dt, 1),
+            "mfu": round(flops / dt / device_peak_flops(), 3),
+            "params_millions": round(n_params / 1e6, 1)})
+
+
+def main():
+    # GPT-2 decode, batch sweep
+    cfg = GPTConfig(vocab_size=50257, n_embd=768, n_positions=1024, n_layer=12,
+                    n_head=12, n_ctx=1024, compute_dtype="bfloat16")
+    model = GPTLMHeadModel(cfg, version="gpt2", rng=jax.random.PRNGKey(0))
+    for batch in (8, 32):
+        bench_decode(model, f"gpt2_124M_decode_b{batch}", batch, 32, 128, 50257)
+    bench_prefill(model, cfg)
+
+    # Bloom-560m-class decode
+    bcfg = BloomConfig(vocab_size=50432, hidden_size=1024, n_layer=24,
+                       num_attention_heads=16, compute_dtype="bfloat16")
+    bmodel = BloomForCausalLM(bcfg, rng=jax.random.PRNGKey(0))
+    bmodel._tie_weight()
+    bench_decode(bmodel, "bloom560m_decode_b8", 8, 32, 128, 50432)
+
+    bench_sft_step(use_flash=True)
+    bench_sft_step(use_flash=False)
+
+    with open("/root/repo/BENCH_DETAILS.md", "w") as f:
+        f.write("# Extended benchmarks (single chip)\n\n")
+        f.write(f"device: {jax.devices()[0].device_kind}\n\n")
+        f.write("```\n")
+        for r in RESULTS:
+            f.write(json.dumps(r) + "\n")
+        f.write("```\n")
+
+
+if __name__ == "__main__":
+    main()

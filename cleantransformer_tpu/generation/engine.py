@@ -79,15 +79,27 @@ def generate(model, input_ids, attention_mask=None, position_ids=None,
     if rng is None:
         rng = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
 
+    # Inference-precision cast: when the model's compute policy is bf16, cast
+    # the fp32 master params once — decode is HBM-bandwidth-bound, and bf16
+    # weights halve the bytes every step must stream.
+    params = model.params
+    cdtype = getattr(model.config, "compute_dtype", jnp.float32)
+    if cdtype != jnp.float32:
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(cdtype)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+            params)
+
     common = dict(
         max_gen_len=max_gen_len, end_ids=end_ids, pad_id=pad_id,
         no_repeat_ngram_size=no_repeat_ngram_size, do_sample=do_sample,
         temperature=temperature, top_k=top_k, top_p=top_p,
     )
     if beam_size == 1:
-        return _greedy_search(model, input_ids, attention_mask, position_ids,
-                              segment_ids, rng=rng, steamers=steamers, **common)
-    return _beam_search(model, input_ids, attention_mask, position_ids,
+        return _greedy_search(model, params, input_ids, attention_mask,
+                              position_ids, segment_ids, rng=rng,
+                              steamers=steamers, **common)
+    return _beam_search(model, params, input_ids, attention_mask, position_ids,
                         segment_ids, rng=rng, steamers=steamers,
                         beam_size=beam_size, early_stop=early_stop, **common)
 
@@ -135,7 +147,8 @@ def _prefill_step(params, config, forward, tokens_buf, mask_buf, cache,
                   end_ids, pad_id, cur_len):
     """Run the prompt through the model and choose the first generated token."""
     (logits, _), cache = forward(params, config, input_ids, mask_buf,
-                                 position_ids, segment_ids, cache)
+                                 position_ids, segment_ids, cache,
+                                 last_only=True)
     scores = logits[:, -1, :].astype(jnp.float32)
     return _postprocess_and_append(
         forward, config, params, scores, tokens_buf, mask_buf, cache,
@@ -218,8 +231,8 @@ def _get_decode_step():
 # greedy / sampling search
 # ---------------------------------------------------------------------------
 
-def _greedy_search(model, input_ids, attention_mask, position_ids, segment_ids,
-                   rng, steamers, max_gen_len, end_ids, pad_id,
+def _greedy_search(model, params, input_ids, attention_mask, position_ids,
+                   segment_ids, rng, steamers, max_gen_len, end_ids, pad_id,
                    no_repeat_ngram_size, do_sample, temperature, top_k, top_p):
     B, S0 = input_ids.shape
     # The reference's loop emits up to max_gen_len + 2 tokens before its
@@ -234,13 +247,13 @@ def _greedy_search(model, input_ids, attention_mask, position_ids, segment_ids,
               temperature=temperature, top_k=top_k, top_p=top_p,
               end_ids=end_ids, pad_id=pad_id)
     tokens_buf, mask_buf, cache, unfinished, rng, cur_len = _prefill_step(
-        model.params, model.config, forward, tokens_buf, mask_buf, cache,
+        params, model.config, forward, tokens_buf, mask_buf, cache,
         input_ids, position_ids, segment_ids, unfinished, rng,
         cur_len=jnp.asarray(S0, jnp.int32), **kw)
 
     if steamers is None:
         tokens_buf, cur_len = _decode_loop(
-            model.params, model.config, forward, tokens_buf, mask_buf, cache,
+            params, model.config, forward, tokens_buf, mask_buf, cache,
             unfinished, rng, cur_len, total_len=total_len, **kw)
         n = int(cur_len)
         return np.asarray(tokens_buf[:, :n]).reshape(B, 1, n)
@@ -258,7 +271,7 @@ def _greedy_search(model, input_ids, attention_mask, position_ids, segment_ids,
                 finish = steamer(np.asarray(tokens_buf[:, :n]).reshape(B, 1, n)) or finish
         if finish or int(jnp.max(unfinished)) == 0 or n >= total_len:
             return np.asarray(tokens_buf[:, :n]).reshape(B, 1, n)
-        state = step_fn(forward, model.config, model.params, tokens_buf,
+        state = step_fn(forward, model.config, params, tokens_buf,
                         mask_buf, cache, unfinished, rng, cur_len, **kw)
 
 
@@ -278,7 +291,8 @@ def _beam_forward_last(params, config, forward, tokens_buf, mask_buf, cache, cur
 def _beam_prefill(params, config, forward, input_ids, mask_buf, position_ids,
                   segment_ids, cache):
     (logits, _), cache = forward(params, config, input_ids, mask_buf,
-                                 position_ids, segment_ids, cache)
+                                 position_ids, segment_ids, cache,
+                                 last_only=True)
     return logits[:, -1, :].astype(jnp.float32), cache
 
 
@@ -318,10 +332,10 @@ def _beam_topk(scores_log, probs, bsz, beam_size, do_sample, temperature,
     return np.asarray(token_indices), np.asarray(next_tokens), np.asarray(picked), rng
 
 
-def _beam_search(model, input_ids, attention_mask, position_ids, segment_ids,
-                 rng, steamers, beam_size, early_stop, max_gen_len, end_ids,
-                 pad_id, no_repeat_ngram_size, do_sample, temperature, top_k,
-                 top_p, length_penalty=1.0):
+def _beam_search(model, params, input_ids, attention_mask, position_ids,
+                 segment_ids, rng, steamers, beam_size, early_stop, max_gen_len,
+                 end_ids, pad_id, no_repeat_ngram_size, do_sample, temperature,
+                 top_k, top_p, length_penalty=1.0):
     """Reference-semantics beam search (generation_util.py:207-290): the
     candidate pool / worst-score / early-stop bookkeeping runs on host; the
     model step, logits math and cache reorder are jitted."""
@@ -355,12 +369,12 @@ def _beam_search(model, input_ids, attention_mask, position_ids, segment_ids,
     while True:
         if first:
             scores_logits, cache = _beam_prefill(
-                model.params, model.config, forward, input_ids, mask_buf,
+                params, model.config, forward, input_ids, mask_buf,
                 position_ids, segment_ids, cache)
             first = False
         else:
             scores_logits, cache = _beam_forward_last(
-                model.params, model.config, forward, tokens_buf, mask_buf,
+                params, model.config, forward, tokens_buf, mask_buf,
                 cache, jnp.asarray(cur_len, jnp.int32))
 
         if no_repeat_ngram_size and no_repeat_ngram_size > 1:

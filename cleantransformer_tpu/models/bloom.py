@@ -100,7 +100,7 @@ def init_bloom_cache(config, batch_size, max_len, dtype=None):
 
 def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
                      cache_len, num_heads, dropout_rate=0.0, deterministic=True,
-                     rng=None, use_flash=False, pad_mask=None):
+                     rng=None, use_flash=False, pad_mask=None, head_mask=None):
     B, S, D = h.shape
     hd = D // num_heads
     qkv = linear(h, attn_params["query_key_value"]["w"], attn_params["query_key_value"]["b"])
@@ -143,6 +143,9 @@ def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
     if not deterministic and dropout_rate > 0.0:
         keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, weights.shape)
         weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
+    if head_mask is not None:
+        # multiplicative, post-softmax (modeling_bloom.py:112-113)
+        weights = weights * head_mask
     weights = weights.astype(v.dtype)
     out = jnp.matmul(weights, v)
     out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
@@ -158,7 +161,7 @@ def _bloom_mlp(mlp_params, h, residual):
 
 
 def _bloom_block(block_params, layer_kv, h, config, alibi_bias, bool_mask,
-                 cache_len, pad_mask=None):
+                 cache_len, pad_mask=None, head_mask=None):
     eps = config.layer_norm_epsilon
     ln_out = layer_norm(h, block_params["input_layernorm"]["w"],
                         block_params["input_layernorm"]["b"], eps)
@@ -167,7 +170,7 @@ def _bloom_block(block_params, layer_kv, h, config, alibi_bias, bool_mask,
         block_params["self_attention"], ln_out, residual, alibi_bias, bool_mask,
         layer_kv, cache_len, config.n_head,
         use_flash=getattr(config, "use_flash_attention", False),
-        pad_mask=pad_mask)
+        pad_mask=pad_mask, head_mask=head_mask)
     ln_out2 = layer_norm(attn_out, block_params["post_attention_layernorm"]["w"],
                          block_params["post_attention_layernorm"]["b"], eps)
     residual = ln_out2 if config.apply_residual_connection_post_layernorm else attn_out
@@ -176,7 +179,7 @@ def _bloom_block(block_params, layer_kv, h, config, alibi_bias, bool_mask,
 
 
 def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=None,
-                  segment_ids=None, cache=None):
+                  segment_ids=None, cache=None, head_mask=None):
     """BloomModel.forward (modeling_bloom.py:187-205). position_ids/segment_ids
     are accepted for engine-protocol uniformity and ignored (Bloom is
     position-embedding-free). Returns (hidden, new_cache)."""
@@ -206,7 +209,7 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
     if cache is None:
         def body(carry, block_params):
             out, _ = _bloom_block(block_params, None, carry, config, alibi_bias,
-                                  bool_mask, cache_len, pad_mask)
+                                  bool_mask, cache_len, pad_mask, head_mask)
             return out, None
         h, _ = jax.lax.scan(body, h, params["blocks"])
         new_cache = None
@@ -215,7 +218,7 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
             block_params, k_buf, v_buf = xs
             out, (nk, nv) = _bloom_block(block_params, (k_buf, v_buf), carry,
                                          config, alibi_bias, bool_mask,
-                                         cache_len, pad_mask)
+                                         cache_len, pad_mask, head_mask)
             return out, (nk, nv)
         h, (new_k, new_v) = jax.lax.scan(body, h, (params["blocks"], cache["k"], cache["v"]))
         new_cache = {"k": new_k, "v": new_v, "length": cache_len + S}
@@ -226,15 +229,16 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
 
 def bloom_lm_forward(params, config, input_ids, attention_mask=None,
                      position_ids=None, segment_ids=None, cache=None, labels=None,
-                     loss_mask=None):
+                     loss_mask=None, last_only=False, head_mask=None):
     """BloomForCausalLM.forward (modeling_bloom.py:218-232): returns
     ((loss?, logits, hidden), cache) like the reference tuple convention —
     here as ((logits, hidden), cache), or ((loss, logits, hidden), cache)
     when labels are given (shift-by-1 CE, modeling_bloom.py:223-231)."""
     h, new_cache = bloom_forward(params, config, input_ids, attention_mask,
-                                 position_ids, segment_ids, cache)
+                                 position_ids, segment_ids, cache, head_mask)
     lm_head = params.get("lm_head", params["word_embeddings"])
-    logits = jnp.matmul(h, lm_head.T.astype(h.dtype))
+    h_for_logits = h[:, -1:] if last_only else h
+    logits = jnp.matmul(h_for_logits, lm_head.T.astype(h.dtype))
     if labels is not None:
         loss = shift_cross_entropy_loss(logits.astype(jnp.float32), labels,
                                         mask=loss_mask)
@@ -251,9 +255,8 @@ class BloomModel:
             config, rng if rng is not None else jax.random.PRNGKey(0))
 
     def __call__(self, input_ids, attention_mask=None, head_mask=None, k_v_pasts=None):
-        del head_mask
         return bloom_forward(self.params, self.config, input_ids, attention_mask,
-                             cache=k_v_pasts)
+                             cache=k_v_pasts, head_mask=head_mask)
 
 
 class BloomForCausalLM:
@@ -280,6 +283,6 @@ class BloomForCausalLM:
 
     def __call__(self, input_ids, attention_mask=None, head_mask=None,
                  k_v_pasts=None, labels=None, **kwargs):
-        del head_mask
         return bloom_lm_forward(self.params, self.config, input_ids,
-                                attention_mask, cache=k_v_pasts, labels=labels)
+                                attention_mask, cache=k_v_pasts, labels=labels,
+                                head_mask=head_mask)

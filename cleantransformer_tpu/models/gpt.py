@@ -258,11 +258,16 @@ def gpt_lm_head(params, hidden_states):
 
 
 def gpt_lm_forward(params, config, input_ids, attention_mask=None, position_ids=None,
-                   segment_ids=None, cache=None, version="gpt"):
-    """Mirror of GPTLMHeadModel.forward: returns ((lm_logits, hidden), cache)."""
+                   segment_ids=None, cache=None, version="gpt", last_only=False):
+    """Mirror of GPTLMHeadModel.forward: returns ((lm_logits, hidden), cache).
+
+    ``last_only``: compute logits for the final position only — the decode
+    engine's prefill uses this (the (S, vocab) projection is the dominant
+    prefill matmul and only row -1 is consumed)."""
     h, new_cache = gpt_forward(params, config, input_ids, attention_mask,
                                position_ids, segment_ids, cache, version)
-    return (gpt_lm_head(params, h), h), new_cache
+    logits = gpt_lm_head(params, h[:, -1:] if last_only else h)
+    return (logits, h), new_cache
 
 
 # ---------------------------------------------------------------------------

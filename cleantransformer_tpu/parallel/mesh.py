@@ -20,6 +20,22 @@ import numpy as np
 _ACTIVE_MESH = None
 
 
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host bring-up — the jax analogue of
+    ``dist.init_process_group("nccl")`` (ft_bloom_DDP.py:183). With no
+    arguments, reads the standard JAX coordinator env vars; a no-op on a
+    single host without them."""
+    import os
+    if coordinator_address is None and "JAX_COORDINATOR_ADDRESS" not in os.environ \
+            and "COORDINATOR_ADDRESS" not in os.environ:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
 def make_mesh(data=None, model=1, devices=None):
     """Build a Mesh with ('data', 'model') axes.
 

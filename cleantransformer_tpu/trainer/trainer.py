@@ -116,13 +116,14 @@ class PrinterCallback(TrainerCallback):
 class Trainer:
     def __init__(self, model=None, args=None, train_dataset=None, eval_dataset=None,
                  data_collator=None, compute_metrics=None, callbacks=None,
-                 loss_fn=None, optimizer_factory=None):
+                 loss_fn=None, optimizer_factory=None, prediction_fn=None):
         self.model = model
         self.args = args or TrainingArguments()
         self.train_dataset = train_dataset
         self.eval_dataset = eval_dataset
         self.data_collator = data_collator
         self.compute_metrics = compute_metrics
+        self.prediction_fn = prediction_fn  # (params, batch) -> predictions
         self.callbacks = callbacks if callbacks is not None else [PrinterCallback()]
         self.loss_fn = loss_fn or self._default_loss_fn()
         self.optimizer_factory = optimizer_factory
@@ -292,7 +293,7 @@ class Trainer:
     def train(self, resume_from_checkpoint=None):
         args = self.args
         loader = self.get_train_dataloader()
-        steps_per_epoch = max(1, len(loader) // max(1, 1))
+        steps_per_epoch = max(1, len(loader))
         if args.max_steps > 0:
             max_steps = args.max_steps
             num_epochs = math.ceil(max_steps / steps_per_epoch)
@@ -384,20 +385,32 @@ class Trainer:
     # -- evaluation (trainer.py:591-787) -------------------------------------
 
     def evaluate(self, eval_dataset=None):
+        """Eval loop (trainer.py:591-787): per-batch loss, optional
+        prediction gathering + user compute_metrics over
+        {'predictions', 'label_ids'} (the HF EvalPrediction contract)."""
         ds = eval_dataset or self.eval_dataset
         loader = ds if isinstance(ds, DataLoader) else DataLoader(
             ds, batch_size=self.args.per_device_eval_batch_size,
             collate_fn=self.data_collator, shuffle=False, drop_last=False)
-        losses, n = [], 0
+        losses, preds, label_ids = [], [], []
         eval_loss = jax.jit(self.loss_fn)
+        pred_step = jax.jit(self.prediction_fn) if self.prediction_fn else None
         rng = jax.random.PRNGKey(0)
         for batch in loader:
             db = self._device_batch(batch)
             losses.append(float(eval_loss(self.model.params, db, rng)))
-            n += 1
+            if pred_step is not None:
+                preds.append(np.asarray(pred_step(self.model.params, db)))
+                if "labels" in batch:
+                    label_ids.append(np.asarray(batch["labels"]))
         metrics = {"eval_loss": float(np.mean(losses)) if losses else float("nan")}
         if self.compute_metrics is not None:
-            metrics.update(self.compute_metrics(self))
+            if preds:
+                ep = {"predictions": np.concatenate(preds),
+                      "label_ids": np.concatenate(label_ids) if label_ids else None}
+                metrics.update(self.compute_metrics(ep))
+            else:
+                metrics.update(self.compute_metrics(self))
         self.log({**metrics, "step": self.state["global_step"]})
         for cb in self.callbacks:
             cb.on_evaluate(self, metrics)
