@@ -355,6 +355,19 @@ def _beam_search(model, params, input_ids, attention_mask, position_ids,
 
     cache = model.init_cache(B, total_len)
     tokens_buf, mask_buf, _ = _make_buffers(input_ids, attention_mask, total_len, pad_id)
+
+    if steamers is None:
+        # fast path: the whole beam search is ONE compiled program
+        from cleantransformer_tpu.generation.beam_fused import beam_search_fused
+        out = beam_search_fused(
+            params, model.config, forward, input_ids, position_ids,
+            segment_ids, tokens_buf, mask_buf, cache, rng,
+            beam_size=beam_size, ngram_size=no_repeat_ngram_size,
+            do_sample=do_sample, temperature=float(temperature),
+            top_k=top_k, top_p=top_p, end_ids=end_ids, pad_id=pad_id,
+            early_stop=early_stop, total_len=total_len, s0=S0)
+        return np.asarray(out)
+
     # sentence scores; beams>0 start at -1e9 (generation_util.py:220-221)
     probs = np.zeros((bsz, beam_size), dtype=np.float32)
     probs[:, 1:] = -1e9
