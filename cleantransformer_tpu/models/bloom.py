@@ -111,12 +111,20 @@ def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
     k = shard_hint(k, ("data", "model", None, None))
 
     if layer_kv is None:
-        new_k, new_v = k, v
+        new_k, new_v = None, None
     else:
-        k_buf, v_buf = layer_kv
-        new_k = jax.lax.dynamic_update_slice(k_buf, k.astype(k_buf.dtype), (0, 0, cache_len, 0))
-        new_v = jax.lax.dynamic_update_slice(v_buf, v.astype(v_buf.dtype), (0, 0, cache_len, 0))
-        k, v = new_k, new_v
+        # token-sized in-place carry update on the full (L,B,H,T,hd) cache
+        # (see models/gpt.py attn for rationale)
+        k_cache, v_cache, li = layer_kv
+        new_k = jax.lax.dynamic_update_slice(
+            k_cache, k[None].astype(k_cache.dtype), (li, 0, 0, cache_len, 0))
+        new_v = jax.lax.dynamic_update_slice(
+            v_cache, v[None].astype(v_cache.dtype), (li, 0, 0, cache_len, 0))
+        T = k_cache.shape[3]
+        k = jax.lax.dynamic_slice(new_k, (li, 0, 0, 0, 0),
+                                  (1, B, num_heads, T, hd))[0]
+        v = jax.lax.dynamic_slice(new_v, (li, 0, 0, 0, 0),
+                                  (1, B, num_heads, T, hd))[0]
 
     # Flash covers every multi-token forward: cache-less (training/parity) and
     # cached prefill — the engine only does multi-token cached forwards at
@@ -214,13 +222,15 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
         h, _ = jax.lax.scan(body, h, params["blocks"])
         new_cache = None
     else:
-        def body(carry, xs):
-            block_params, k_buf, v_buf = xs
-            out, (nk, nv) = _bloom_block(block_params, (k_buf, v_buf), carry,
-                                         config, alibi_bias, bool_mask,
+        def body(carry, block_params):
+            h_in, k_cache, v_cache, li = carry
+            out, (nk, nv) = _bloom_block(block_params, (k_cache, v_cache, li),
+                                         h_in, config, alibi_bias, bool_mask,
                                          cache_len, pad_mask, head_mask)
-            return out, (nk, nv)
-        h, (new_k, new_v) = jax.lax.scan(body, h, (params["blocks"], cache["k"], cache["v"]))
+            return (out, nk, nv, li + 1), None
+        (h, new_k, new_v, _), _ = jax.lax.scan(
+            body, (h, cache["k"], cache["v"], jnp.zeros((), jnp.int32)),
+            params["blocks"])
         new_cache = {"k": new_k, "v": new_v, "length": cache_len + S}
 
     h = layer_norm(h, params["ln_f"]["w"], params["ln_f"]["b"], config.layer_norm_epsilon)

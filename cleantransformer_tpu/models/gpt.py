@@ -94,7 +94,8 @@ def init_kv_cache(config, batch_size, max_len, dtype=None):
 # forward
 # ---------------------------------------------------------------------------
 
-def _attend(q, k, v, cache_len, q_offset, key_padding_additive, scale, causal_fill):
+def _attend(q, k, v, cache_len, q_offset, key_padding_additive, scale, causal_fill,
+            attn_drop=None):
     """Shared causal attention core for prefill/decode over a fixed key buffer.
 
     q: (B, H, S, hd); k, v: (B, H, T, hd) where only [0, cache_len+S) is valid.
@@ -113,6 +114,9 @@ def _attend(q, k, v, cache_len, q_offset, key_padding_additive, scale, causal_fi
     if key_padding_additive is not None:
         scores = scores + key_padding_additive.astype(scores.dtype)
     weights = jax.nn.softmax(scores, axis=-1)
+    if attn_drop is not None:
+        rate, rng, deterministic = attn_drop
+        weights = _dropout(weights, rate, rng, deterministic)
     return jnp.matmul(weights.astype(v.dtype), v)
 
 
@@ -126,15 +130,24 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * hd)
 
 
+def _dropout(x, rate, rng, deterministic):
+    if deterministic or not rate or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
 def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_len,
-               scale=True):
+               scale=True, deterministic=True, rng=None):
     """One transformer block. ``layer_kv`` is (k, v) buffers (B, H, T, hd) for
     this layer (or None when running cache-less), ``cache_len`` the number of
-    already-cached tokens."""
+    already-cached tokens. Training mode (deterministic=False): attn/resid
+    dropout per the reference block (modeling_gpt.py:60-61, 94, 107, 136)."""
     eps = config.layer_norm_epsilon
     act = ACT2FN[config.afn]
     H = config.n_head
     S = h.shape[1]
+    rngs = jax.random.split(rng, 4) if rng is not None else (None,) * 4
 
     def attn(x):
         qkv = linear(x, block_params["attn"]["c_attn"]["w"], block_params["attn"]["c_attn"]["b"])
@@ -142,14 +155,26 @@ def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_
         q, k, v = _split_heads(q, H), _split_heads(k, H), _split_heads(v, H)
         k = shard_hint(k, ("data", "model", None, None))
         if layer_kv is None:
-            new_k, new_v = k, v
+            new_k, new_v = None, None
             q_offset = 0
         else:
-            k_buf, v_buf = layer_kv
-            new_k = jax.lax.dynamic_update_slice(k_buf, k.astype(k_buf.dtype), (0, 0, cache_len, 0))
-            new_v = jax.lax.dynamic_update_slice(v_buf, v.astype(v_buf.dtype), (0, 0, cache_len, 0))
+            # write ONLY the new tokens into the full (L,B,H,T,hd) cache at
+            # (layer_idx, :, :, cache_len) — a carry-update XLA keeps in
+            # place, instead of re-emitting whole per-layer buffers as
+            # stacked scan outputs (which forced a full cache copy per step)
+            k_cache, v_cache, li = layer_kv
+            B_, = (x.shape[0],)
+            new_k = jax.lax.dynamic_update_slice(
+                k_cache, k[None].astype(k_cache.dtype), (li, 0, 0, cache_len, 0))
+            new_v = jax.lax.dynamic_update_slice(
+                v_cache, v[None].astype(v_cache.dtype), (li, 0, 0, cache_len, 0))
             q_offset = cache_len
-            k, v = new_k, new_v
+            T = k_cache.shape[3]
+            hd = k.shape[-1]
+            k = jax.lax.dynamic_slice(
+                new_k, (li, 0, 0, 0, 0), (1, B_, H, T, hd))[0]
+            v = jax.lax.dynamic_slice(
+                new_v, (li, 0, 0, 0, 0), (1, B_, H, T, hd))[0]
         # multi-token cached forwards only happen at cache offset 0 (prefill),
         # so the kernel's 0-based causal iota is exact there too
         use_flash = getattr(config, "use_flash_attention", False) and S > 1
@@ -164,14 +189,19 @@ def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_
                                   scale=(1.0 / math.sqrt(q.shape[-1])) if scale else 1.0,
                                   causal=True, interpret=should_interpret())
         else:
-            out = _attend(q, k, v, cache_len, q_offset, additive_mask, scale, CAUSAL_NEG)
+            out = _attend(q, k, v, cache_len, q_offset, additive_mask, scale, CAUSAL_NEG,
+                          attn_drop=(config.attn_pdrop, rngs[0], deterministic))
         out = _merge_heads(out)
-        return linear(out, block_params["attn"]["c_proj"]["w"], block_params["attn"]["c_proj"]["b"]), (new_k, new_v)
+        out = linear(out, block_params["attn"]["c_proj"]["w"], block_params["attn"]["c_proj"]["b"])
+        return _dropout(out, config.resid_pdrop, rngs[1], deterministic), (new_k, new_v)
 
     def mlp(x):
         x = act(linear(x, block_params["mlp"]["c_fc"]["w"], block_params["mlp"]["c_fc"]["b"]))
         x = shard_hint(x, ("data", None, "model"))
-        return linear(x, block_params["mlp"]["c_proj"]["w"], block_params["mlp"]["c_proj"]["b"])
+        x = linear(x, block_params["mlp"]["c_proj"]["w"], block_params["mlp"]["c_proj"]["b"])
+        # the reference uses torch.nn.Dropout() (p=0.5!) here; we use
+        # resid_pdrop — the 0.5 default is plainly a reference bug
+        return _dropout(x, config.resid_pdrop, rngs[2], deterministic)
 
     if version == "gpt":  # post-LN (modeling_gpt.py:141-146)
         attn_out, kv = attn(h)
@@ -185,7 +215,8 @@ def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_
 
 
 def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=None,
-                segment_ids=None, cache=None, version="gpt"):
+                segment_ids=None, cache=None, version="gpt", deterministic=True,
+                dropout_rng=None):
     """GPT forward. Returns (hidden_states, new_cache).
 
     - cache-less: ``attention_mask`` is (B, S) over the inputs (or None).
@@ -226,24 +257,34 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
     if segment_ids is not None:
         h = h + params["tokens_embed"][segment_ids]
     h = h.astype(compute_dtype)
+    if not deterministic and dropout_rng is not None:
+        h = _dropout(h, config.embd_pdrop,
+                     jax.random.fold_in(dropout_rng, 0xE), deterministic)
     h = shard_hint(h, ("data", None, None))
 
     scale = True  # GPTModel always builds blocks with scale=True (modeling_gpt.py:163)
 
     if cache is None:
-        def body(carry, block_params):
-            out, _ = _gpt_block(block_params, None, carry, config, version,
-                                additive_mask, cache_len, scale)
-            return out, None
-        h, _ = jax.lax.scan(body, h, params["blocks"])
+        def body(carry, xs):
+            h_in, li = carry
+            rng_l = (jax.random.fold_in(dropout_rng, li)
+                     if dropout_rng is not None else None)
+            out, _ = _gpt_block(xs, None, h_in, config, version,
+                                additive_mask, cache_len, scale,
+                                deterministic, rng_l)
+            return (out, li + 1), None
+        (h, _), _ = jax.lax.scan(body, (h, jnp.zeros((), jnp.int32)), params["blocks"])
         new_cache = None
     else:
-        def body(carry, xs):
-            block_params, k_buf, v_buf = xs
-            out, (nk, nv) = _gpt_block(block_params, (k_buf, v_buf), carry, config,
-                                       version, additive_mask, cache_len, scale)
-            return out, (nk, nv)
-        h, (new_k, new_v) = jax.lax.scan(body, h, (params["blocks"], cache["k"], cache["v"]))
+        def body(carry, block_params):
+            h_in, k_cache, v_cache, li = carry
+            out, (nk, nv) = _gpt_block(block_params, (k_cache, v_cache, li),
+                                       h_in, config, version, additive_mask,
+                                       cache_len, scale)
+            return (out, nk, nv, li + 1), None
+        (h, new_k, new_v, _), _ = jax.lax.scan(
+            body, (h, cache["k"], cache["v"], jnp.zeros((), jnp.int32)),
+            params["blocks"])
         new_cache = {"k": new_k, "v": new_v, "length": cache_len + S}
 
     if version != "gpt":
@@ -258,14 +299,16 @@ def gpt_lm_head(params, hidden_states):
 
 
 def gpt_lm_forward(params, config, input_ids, attention_mask=None, position_ids=None,
-                   segment_ids=None, cache=None, version="gpt", last_only=False):
+                   segment_ids=None, cache=None, version="gpt", last_only=False,
+                   deterministic=True, dropout_rng=None):
     """Mirror of GPTLMHeadModel.forward: returns ((lm_logits, hidden), cache).
 
     ``last_only``: compute logits for the final position only — the decode
     engine's prefill uses this (the (S, vocab) projection is the dominant
     prefill matmul and only row -1 is consumed)."""
     h, new_cache = gpt_forward(params, config, input_ids, attention_mask,
-                               position_ids, segment_ids, cache, version)
+                               position_ids, segment_ids, cache, version,
+                               deterministic, dropout_rng)
     logits = gpt_lm_head(params, h[:, -1:] if last_only else h)
     return (logits, h), new_cache
 

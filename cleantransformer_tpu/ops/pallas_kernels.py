@@ -53,7 +53,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, causal,
                                 preferred_element_type=jnp.float32)
         if scale != 1.0:
             s = s * scale
-        s = s + bias_ref[0, pl.ds(kb * block_k, block_k)][None, :]
+        s = s + bias_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :]
         if causal:
             row = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
@@ -101,7 +101,9 @@ def _flash_fwd_impl(q, k, v, bias, scale, causal, block_q, block_k, interpret):
     qf = q.reshape(B * H, Sq, hd)
     kf = k.reshape(B * H, Sk, hd)
     vf = v.reshape(B * H, Sk, hd)
-    bias_f = bias.reshape(B * H, Sk)
+    # bias kept 3D: TPU tiling wants the block's trailing two dims to equal
+    # the array's ((1, Sk) block on a (BH, Sk) array is rejected on hardware)
+    bias_f = bias.reshape(B * H, 1, Sk)
 
     grid = (B * H, Sq // block_q)
     out = pl.pallas_call(
@@ -116,7 +118,7 @@ def _flash_fwd_impl(q, k, v, bias, scale, causal, block_q, block_k, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Sk, hd), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sk), lambda bh, qi: (bh, 0),
+            pl.BlockSpec((1, 1, Sk), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0),
