@@ -306,6 +306,11 @@ class Trainer:
         if self._train_step is None:
             self._train_step = self._build_train_step()
 
+        # FLOs accounting (reference floating_point_ops/store_flos,
+        # trainer.py:1260-1276): 6N per token
+        from cleantransformer_tpu.utils.profiling import count_params
+        n_params = count_params(self.model.params)
+
         start_step = 0
         if resume_from_checkpoint:
             start_step = self._load_from_checkpoint(resume_from_checkpoint)
@@ -343,7 +348,9 @@ class Trainer:
                     self.state["global_step"] += 1
                     self.state["epoch"] = self.state["global_step"] / steps_per_epoch
                     loss_window.append(loss)
-                    tokens_since_log += int(np.prod(batch["input_ids"].shape))
+                    batch_tokens = int(np.prod(batch["input_ids"].shape))
+                    tokens_since_log += batch_tokens
+                    self.state["total_flos"] += 6.0 * n_params * batch_tokens
 
                     if args.logging_steps and self.state["global_step"] % args.logging_steps == 0:
                         dt = time.time() - t_log

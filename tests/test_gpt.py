@@ -89,6 +89,17 @@ class TestGreedyDecode:
         assert expected.shape == tuple(got.shape)
         assert (expected.numpy() == np.asarray(got)).all()
 
+    def test_gpt1_postln_bit_exact_greedy(self):
+        ref, model, cfg = make_pair("gpt")
+        ids, mask = _inputs()
+        gen = {"beam_size": 1, "max_gen_len": 12, "end_ids": None, "pad_id": 0,
+               "no_repeat_ngram_size": 0, "do_sample": False}
+        with torch.no_grad():
+            expected = ref.generate(ids, attention_mask=mask, generation_configs=gen)
+        got = model.generate(jnp.asarray(ids.numpy()), jnp.asarray(mask.numpy()),
+                             generation_configs=gen)
+        assert (expected.numpy() == np.asarray(got)).all()
+
     def test_bit_exact_with_ngram_and_end_ids(self, gpt2_pair):
         ref, model, cfg = gpt2_pair
         ids, mask = _inputs()
