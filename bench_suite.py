@@ -84,7 +84,7 @@ def bench_prefill(model, cfg, batch=8, seq=512):
            {"seq": seq, "batch": batch})
 
 
-def bench_sft_step(use_flash):
+def bench_sft_step(use_flash, remat=True):
     # bloom-560m-class: 24 layers, hidden 1024, 16 heads; vocab cut to fit HBM
     cfg = BloomConfig(vocab_size=50432, hidden_size=1024, n_layer=24,
                       num_attention_heads=16, compute_dtype="bfloat16",
@@ -103,7 +103,7 @@ def bench_sft_step(use_flash):
     def loss_fn(params, b):
         (loss, _, _), _ = bloom_lm_forward(params, cfg, b["input_ids"],
                                            b["attention_mask"],
-                                           labels=b["labels"])
+                                           labels=b["labels"], remat=remat)
         return loss
 
     @jax.jit

@@ -187,7 +187,7 @@ def _bloom_block(block_params, layer_kv, h, config, alibi_bias, bool_mask,
 
 
 def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=None,
-                  segment_ids=None, cache=None, head_mask=None):
+                  segment_ids=None, cache=None, head_mask=None, remat=False):
     """BloomModel.forward (modeling_bloom.py:187-205). position_ids/segment_ids
     are accepted for engine-protocol uniformity and ignored (Bloom is
     position-embedding-free). Returns (hidden, new_cache)."""
@@ -215,10 +215,18 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
     pad_mask = attention_mask != 0  # (B, T) True = attendable, for flash bias
 
     if cache is None:
-        def body(carry, block_params):
-            out, _ = _bloom_block(block_params, None, carry, config, alibi_bias,
+        def run_block(h_in, block_params):
+            out, _ = _bloom_block(block_params, None, h_in, config, alibi_bias,
                                   bool_mask, cache_len, pad_mask, head_mask)
-            return out, None
+            return out
+        if remat:
+            # per-layer rematerialization: the scan stores only each block's
+            # input instead of all its intermediates (activation checkpointing
+            # — the ZeRO/gradient-checkpointing analogue, SURVEY §2.3)
+            run_block = jax.checkpoint(run_block)
+
+        def body(carry, block_params):
+            return run_block(carry, block_params), None
         h, _ = jax.lax.scan(body, h, params["blocks"])
         new_cache = None
     else:
@@ -239,13 +247,14 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
 
 def bloom_lm_forward(params, config, input_ids, attention_mask=None,
                      position_ids=None, segment_ids=None, cache=None, labels=None,
-                     loss_mask=None, last_only=False, head_mask=None):
+                     loss_mask=None, last_only=False, head_mask=None, remat=False):
     """BloomForCausalLM.forward (modeling_bloom.py:218-232): returns
     ((loss?, logits, hidden), cache) like the reference tuple convention —
     here as ((logits, hidden), cache), or ((loss, logits, hidden), cache)
     when labels are given (shift-by-1 CE, modeling_bloom.py:223-231)."""
     h, new_cache = bloom_forward(params, config, input_ids, attention_mask,
-                                 position_ids, segment_ids, cache, head_mask)
+                                 position_ids, segment_ids, cache, head_mask,
+                                 remat=remat)
     lm_head = params.get("lm_head", params["word_embeddings"])
     h_for_logits = h[:, -1:] if last_only else h
     logits = jnp.matmul(h_for_logits, lm_head.T.astype(h.dtype))

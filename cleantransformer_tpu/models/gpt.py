@@ -216,7 +216,7 @@ def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_
 
 def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=None,
                 segment_ids=None, cache=None, version="gpt", deterministic=True,
-                dropout_rng=None):
+                dropout_rng=None, remat=False):
     """GPT forward. Returns (hidden_states, new_cache).
 
     - cache-less: ``attention_mask`` is (B, S) over the inputs (or None).
@@ -265,14 +265,19 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
     scale = True  # GPTModel always builds blocks with scale=True (modeling_gpt.py:163)
 
     if cache is None:
-        def body(carry, xs):
-            h_in, li = carry
+        def run_block(h_in, li, xs):
             rng_l = (jax.random.fold_in(dropout_rng, li)
                      if dropout_rng is not None else None)
             out, _ = _gpt_block(xs, None, h_in, config, version,
                                 additive_mask, cache_len, scale,
                                 deterministic, rng_l)
-            return (out, li + 1), None
+            return out
+        if remat:
+            run_block = jax.checkpoint(run_block)  # per-layer remat
+
+        def body(carry, xs):
+            h_in, li = carry
+            return (run_block(h_in, li, xs), li + 1), None
         (h, _), _ = jax.lax.scan(body, (h, jnp.zeros((), jnp.int32)), params["blocks"])
         new_cache = None
     else:
@@ -300,7 +305,7 @@ def gpt_lm_head(params, hidden_states):
 
 def gpt_lm_forward(params, config, input_ids, attention_mask=None, position_ids=None,
                    segment_ids=None, cache=None, version="gpt", last_only=False,
-                   deterministic=True, dropout_rng=None):
+                   deterministic=True, dropout_rng=None, remat=False):
     """Mirror of GPTLMHeadModel.forward: returns ((lm_logits, hidden), cache).
 
     ``last_only``: compute logits for the final position only — the decode
@@ -308,7 +313,7 @@ def gpt_lm_forward(params, config, input_ids, attention_mask=None, position_ids=
     prefill matmul and only row -1 is consumed)."""
     h, new_cache = gpt_forward(params, config, input_ids, attention_mask,
                                position_ids, segment_ids, cache, version,
-                               deterministic, dropout_rng)
+                               deterministic, dropout_rng, remat)
     logits = gpt_lm_head(params, h[:, -1:] if last_only else h)
     return (logits, h), new_cache
 

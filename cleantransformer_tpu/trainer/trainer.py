@@ -170,7 +170,8 @@ class Trainer:
                 params = {**params, emb_key: emb + noise}
             (out), _ = model.forward_fn()(params, model.config,
                                           batch["input_ids"],
-                                          batch["attention_mask"], None, None, None)
+                                          batch["attention_mask"], None, None,
+                                          None, remat=self.args.remat)
             logits = out[0].astype(jnp.float32)
             labels = batch["labels"]
             shift_logits = logits[:, :-1]
@@ -220,9 +221,10 @@ class Trainer:
     def _build_train_step(self):
         accum = self.args.gradient_accumulation_steps
         max_norm = self.args.max_grad_norm
+        # note: args.remat applies PER-LAYER rematerialization inside the
+        # model's layer scan (models/*.py run_block), which is what actually
+        # bounds activation memory — not a whole-loss checkpoint
         loss_fn = self.loss_fn
-        if self.args.remat:
-            loss_fn = jax.checkpoint(loss_fn)
         _, update_fn = self.optimizer
 
         def micro_grads(params, micro_batch, rng):
