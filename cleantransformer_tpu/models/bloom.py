@@ -161,10 +161,24 @@ def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
     return residual + out, (new_k, new_v)
 
 
-def _bloom_mlp(mlp_params, h, residual):
+def _bloom_mlp(mlp_params, h, residual, pretraining_tp=1, slow_but_exact=False):
     x = bloom_gelu(linear(h, mlp_params["dense_h_to_4h"]["w"], mlp_params["dense_h_to_4h"]["b"]))
     x = shard_hint(x, ("data", None, "model"))
-    x = linear(x, mlp_params["dense_4h_to_h"]["w"], mlp_params["dense_4h_to_h"]["b"])
+    w = mlp_params["dense_4h_to_h"]["w"]
+    if pretraining_tp > 1 and slow_but_exact:
+        # Megatron-TP numerics emulation (modeling_bloom.py:258-265): sum of
+        # per-shard column-slice matmuls, reproducing TP's accumulation order
+        # bit-for-bit. (Real TP here is the 'model' mesh axis — this branch
+        # exists for checkpoint-numerics parity with Megatron-trained Bloom.)
+        # NB: the reference (and HF 4.26) slow path never adds the bias
+        slices = w.shape[0] / pretraining_tp
+        out = jnp.zeros(h.shape, x.dtype)
+        for i in range(pretraining_tp):
+            lo, hi = int(i * slices), int((i + 1) * slices)
+            out = out + jnp.matmul(x[:, :, lo:hi], w[lo:hi].astype(x.dtype))
+        x = out
+    else:
+        x = linear(x, w, mlp_params["dense_4h_to_h"]["b"])
     return residual + x
 
 
@@ -182,7 +196,9 @@ def _bloom_block(block_params, layer_kv, h, config, alibi_bias, bool_mask,
     ln_out2 = layer_norm(attn_out, block_params["post_attention_layernorm"]["w"],
                          block_params["post_attention_layernorm"]["b"], eps)
     residual = ln_out2 if config.apply_residual_connection_post_layernorm else attn_out
-    out = _bloom_mlp(block_params["mlp"], ln_out2, residual)
+    out = _bloom_mlp(block_params["mlp"], ln_out2, residual,
+                     getattr(config, "pretraining_tp", 1),
+                     getattr(config, "slow_but_exact", False))
     return out, kv
 
 

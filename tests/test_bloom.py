@@ -97,3 +97,31 @@ def test_config_synonyms():
     cfg = BloomConfig(n_embed=48, hidden_size=32, num_attention_heads=4, n_layer=1,
                       vocab_size=50)
     assert cfg.hidden_size == 48  # n_embed wins (modeling_bloom.py:38-39)
+
+
+def test_slow_but_exact_mlp_matches_reference():
+    """The Megatron-TP numerics-emulation branch (modeling_bloom.py:258-265)
+    vs the reference BloomMLP module run directly."""
+    import torch
+    from CleanTransformer.models.modeling_bloom import BloomMLP, BloomConfig as RefCfg
+    from cleantransformer_tpu.models.bloom import _bloom_mlp
+    import jax.numpy as jnp
+
+    torch.manual_seed(3)
+    rc = RefCfg(vocab_size=10, hidden_size=32, n_layer=1, num_attention_heads=4,
+                pretraining_tp=2, slow_but_exact=True)
+    ref = BloomMLP(rc)
+    ref.eval()
+    h = torch.randn(2, 5, 32)
+    res = torch.randn(2, 5, 32)
+    with torch.no_grad():
+        expected = ref(h, res).numpy()
+    params = {
+        "dense_h_to_4h": {"w": jnp.asarray(ref.dense_h_to_4h.weight.detach().numpy().T),
+                          "b": jnp.asarray(ref.dense_h_to_4h.bias.detach().numpy())},
+        "dense_4h_to_h": {"w": jnp.asarray(ref.dense_4h_to_h.weight.detach().numpy().T),
+                          "b": jnp.asarray(ref.dense_4h_to_h.bias.detach().numpy())},
+    }
+    got = _bloom_mlp(params, jnp.asarray(h.numpy()), jnp.asarray(res.numpy()),
+                     pretraining_tp=2, slow_but_exact=True)
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-4, atol=1e-5)
