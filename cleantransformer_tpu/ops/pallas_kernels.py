@@ -31,9 +31,10 @@ DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 256
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, causal,
-                  block_k, seq_k):
-    """One (batch*head, q-block) program: loop key blocks with online softmax."""
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref, *, scale,
+                  causal, block_k, seq_k):
+    """One (batch*head, q-block) program: loop key blocks with online softmax.
+    Also emits the per-row logsumexp (for the backward kernels)."""
     q = q_ref[0].astype(jnp.float32)  # (BQ, hd)
     block_q = q.shape[0]
     qi = pl.program_id(1)
@@ -78,6 +79,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, causal,
     l0 = jnp.zeros((block_q, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_kb_eff, body, (acc0, m0, l0))
     out_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
+    lse = jnp.where(l[:, 0] > 0, m[:, 0] + jnp.log(jnp.maximum(l[:, 0], 1e-30)),
+                    -jnp.inf)
+    lse_ref[0, 0, :] = lse
 
 
 def _flash_fwd_impl(q, k, v, bias, scale, causal, block_q, block_k, interpret):
@@ -106,10 +110,11 @@ def _flash_fwd_impl(q, k, v, bias, scale, causal, block_q, block_k, interpret):
     bias_f = bias.reshape(B * H, 1, Sk)
 
     grid = (B * H, Sq // block_q)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, causal=causal,
                           block_k=block_k, seq_k=Sk),
-        out_shape=jax.ShapeDtypeStruct((B * H, Sq, hd), q.dtype),
+        out_shape=(jax.ShapeDtypeStruct((B * H, Sq, hd), q.dtype),
+                   jax.ShapeDtypeStruct((B * H, 1, Sq), jnp.float32)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0),
@@ -121,14 +126,18 @@ def _flash_fwd_impl(q, k, v, bias, scale, causal, block_q, block_k, interpret):
             pl.BlockSpec((1, 1, Sk), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda bh, qi: (bh, 0, qi),
+                         memory_space=pltpu.VMEM),
+        ),
         interpret=interpret,
     )(qf, kf, vf, bias_f)
     out = out.reshape(B, H, Sq, hd)
     if pad_q:
         out = out[:, :, :Sq0]
-    return out
+    return out, lse  # lse stays padded (B*H, 1, Sq_padded) for the backward
 
 
 def _dense_reference(q, k, v, bias, scale, causal):
@@ -158,21 +167,226 @@ def flash_attention(q, k, v, bias, scale=1.0, causal=True,
                     interpret=False):
     """q: (B,H,Sq,hd); k,v: (B,H,Sk,hd); bias: (B,H,Sk) or (B,1,Sk) additive
     (ALiBi + padding, broadcast over queries). Returns (B,H,Sq,hd)."""
-    return _flash_fwd_impl(q, k, v, bias, scale, causal, block_q, block_k,
-                           interpret)
+    out, _ = _flash_fwd_impl(q, k, v, bias, scale, causal, block_q, block_k,
+                             interpret)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# flash backward kernels (standard two-pass: dq over q-blocks, dk/dv/dbias
+# over k-blocks, using the saved per-row logsumexp)
+# ---------------------------------------------------------------------------
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, d_ref,
+                         dq_ref, *, scale, causal, block_k, seq_k):
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0, :][:, None]            # (BQ, 1)
+    D = d_ref[0, 0, :][:, None]                # (BQ, 1)
+    block_q = q.shape[0]
+    qi = pl.program_id(1)
+    num_kb = pl.cdiv(seq_k, block_k)
+    if causal:
+        last_row = qi * block_q + block_q - 1
+        num_kb_eff = jnp.minimum(num_kb, (last_row + block_k) // block_k)
+    else:
+        num_kb_eff = num_kb
+
+    safe_lse = jnp.where(jnp.isfinite(lse), lse, 0.0)
+
+    def body(kb, dq):
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if scale != 1.0:
+            s = s * scale
+        s = s + bias_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :]
+        if causal:
+            row = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            col = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(col <= row, s, -jnp.inf)
+        p = jnp.where(jnp.isfinite(s) & jnp.isfinite(lse),
+                      jnp.exp(s - safe_lse), 0.0)
+        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - D)
+        return dq + jax.lax.dot_general(ds, k_blk, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, num_kb_eff, body,
+                           jnp.zeros(q.shape, jnp.float32))
+    if scale != 1.0:
+        dq = dq * scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                          d_ref, dk_ref, dv_ref, dbias_ref, *, scale, causal,
+                          block_q, seq_q):
+    k_blk = k_ref[0].astype(jnp.float32)       # (BK, hd)
+    v_blk = v_ref[0].astype(jnp.float32)
+    bias_blk = bias_ref[0, 0, :][None, :]      # (1, BK)
+    block_k = k_blk.shape[0]
+    kb = pl.program_id(1)
+    num_qb = pl.cdiv(seq_q, block_q)
+    qb_start = (kb * block_k) // block_q if causal else 0
+
+    def body(qb, carry):
+        dk, dv, dbias = carry
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
+        D = d_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if scale != 1.0:
+            s = s * scale
+        s = s + bias_blk
+        if causal:
+            row = qb * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            col = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(col <= row, s, -jnp.inf)
+        safe_lse = jnp.where(jnp.isfinite(lse), lse, 0.0)
+        p = jnp.where(jnp.isfinite(s) & jnp.isfinite(lse),
+                      jnp.exp(s - safe_lse), 0.0)
+        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - D)
+        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dbias = dbias + jnp.sum(ds, axis=0)
+        return dk, dv, dbias
+
+    hd = k_blk.shape[-1]
+    dk, dv, dbias = jax.lax.fori_loop(
+        qb_start, num_qb, body,
+        (jnp.zeros((block_k, hd), jnp.float32),
+         jnp.zeros((block_k, hd), jnp.float32),
+         jnp.zeros((block_k,), jnp.float32)))
+    if scale != 1.0:
+        dk = dk * scale
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dbias_ref[0, 0, :] = dbias
 
 
 def _flash_fwd(q, k, v, bias, scale, causal, block_q, block_k, interpret):
-    out = _flash_fwd_impl(q, k, v, bias, scale, causal, block_q, block_k,
-                          interpret)
-    return out, (q, k, v, bias)
+    out, lse = _flash_fwd_impl(q, k, v, bias, scale, causal, block_q, block_k,
+                               interpret)
+    return out, (q, k, v, bias, out, lse)
 
 
 def _flash_bwd(scale, causal, block_q, block_k, interpret, res, g):
-    q, k, v, bias = res
-    _, vjp = jax.vjp(lambda q, k, v, bias: _dense_reference(
-        q, k, v, bias, scale, causal), q, k, v, bias)
-    return vjp(g)
+    q, k, v, bias, out, lse = res
+    B, H, Sq0, hd = q.shape
+    Sk0 = k.shape[2]
+    bias_shape_in = bias.shape
+    block_q = min(block_q, Sq0)
+    block_k = min(block_k, Sk0)
+    pad_q = (-Sq0) % block_q
+    pad_k = (-Sk0) % block_k
+    bias_b = jnp.broadcast_to(bias, (B, H, Sk0))
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        bias_b = jnp.pad(bias_b, ((0, 0), (0, 0), (0, pad_k)),
+                         constant_values=-jnp.inf)
+    Sq, Sk = Sq0 + pad_q, Sk0 + pad_k
+    BH = B * H
+    qf = q.reshape(BH, Sq, hd)
+    kf = k.reshape(BH, Sk, hd)
+    vf = v.reshape(BH, Sk, hd)
+    dof = g.reshape(BH, Sq, hd)
+    outf = out.reshape(BH, Sq, hd)
+    bias_f = bias_b.reshape(BH, 1, Sk)
+    # lse comes padded from the forward already
+    Dval = jnp.sum(dof.astype(jnp.float32) * outf.astype(jnp.float32),
+                   axis=-1).reshape(BH, 1, Sq)
+
+    vec_spec = lambda blk: pl.BlockSpec((1, 1, blk), lambda bh, i: (bh, 0, i),
+                                        memory_space=pltpu.VMEM)
+    full_vec = pl.BlockSpec((1, 1, Sq), lambda bh, i: (bh, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, causal=causal,
+                          block_k=block_k, seq_k=Sk),
+        out_shape=jax.ShapeDtypeStruct((BH, Sq, hd), q.dtype),
+        grid=(BH, Sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sk, hd), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sk, hd), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Sk), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            vec_spec(block_q),
+            vec_spec(block_q),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qf, kf, vf, bias_f, dof, lse, Dval)
+
+    dk, dv, dbias = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, causal=causal,
+                          block_q=block_q, seq_q=Sq),
+        out_shape=(jax.ShapeDtypeStruct((BH, Sk, hd), k.dtype),
+                   jax.ShapeDtypeStruct((BH, Sk, hd), v.dtype),
+                   jax.ShapeDtypeStruct((BH, 1, Sk), jnp.float32)),
+        grid=(BH, Sk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, Sq, hd), lambda bh, kb: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), lambda bh, kb: (bh, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), lambda bh, kb: (bh, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k), lambda bh, kb: (bh, 0, kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sq, hd), lambda bh, kb: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full_vec,
+            full_vec,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, hd), lambda bh, kb: (bh, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), lambda bh, kb: (bh, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k), lambda bh, kb: (bh, 0, kb),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, bias_f, dof, lse, Dval)
+
+    dq = dq.reshape(B, H, Sq, hd)[:, :, :Sq0]
+    dk = dk.reshape(B, H, Sk, hd)[:, :, :Sk0]
+    dv = dv.reshape(B, H, Sk, hd)[:, :, :Sk0]
+    dbias = dbias.reshape(B, H, Sk)[:, :, :Sk0]
+    # un-broadcast dbias to the caller's bias shape (e.g. (B, 1, Sk))
+    if bias_shape_in != (B, H, Sk0):
+        axes = tuple(i for i, (a, b) in enumerate(zip((B, H, Sk0), bias_shape_in))
+                     if a != b)
+        dbias = jnp.sum(dbias, axis=axes, keepdims=True)
+        dbias = dbias.reshape(bias_shape_in)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), \
+        dbias.astype(bias.dtype)
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)

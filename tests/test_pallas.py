@@ -94,3 +94,43 @@ class TestFusedLayerNorm:
         ref = layer_norm(x, w, b, eps=1e-5)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestFlashBackwardKernels:
+    def test_grads_with_broadcast_bias_and_ragged_shapes(self):
+        """Pallas dq/dk/dv/dbias kernels vs dense autodiff: ragged lengths
+        (padding path), broadcast (B,1,Sk) bias, both causal settings."""
+        for causal, (Sq, Sk) in [(True, (96, 96)), (False, (40, 72))]:
+            q, k, v = _qkv(B=2, H=2, Sq=Sq, Sk=Sk, hd=32, seed=7)
+            bias = jnp.asarray(
+                np.random.RandomState(8).randn(2, 1, Sk).astype(np.float32))
+
+            def loss(q, k, v, bias):
+                return jnp.sum(flash_attention(q, k, v, bias, scale=0.2,
+                                               causal=causal, block_q=32,
+                                               block_k=32, interpret=True) ** 2)
+
+            def ref_loss(q, k, v, bias):
+                return jnp.sum(_dense_reference(q, k, v,
+                                                jnp.broadcast_to(bias, (2, 2, Sk)),
+                                                0.2, causal) ** 2)
+
+            g = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+            rg = jax.grad(ref_loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+            for a, b, name in zip(g, rg, "q k v bias".split()):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+                    err_msg=f"d{name} causal={causal} Sq={Sq}")
+
+    def test_bwd_with_fully_masked_rows_is_finite(self):
+        q, k, v = _qkv(B=1, H=1, Sq=32, Sk=32, hd=16, seed=9)
+        bias = jnp.full((1, 1, 32), -jnp.inf)
+
+        def loss(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, bias, causal=False,
+                                           block_q=32, block_k=32,
+                                           interpret=True) ** 2)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        for a in g:
+            assert np.isfinite(np.asarray(a)).all()
