@@ -33,7 +33,7 @@ def bench_ours():
     from cleantransformer_tpu.config import GPTConfig
     from cleantransformer_tpu.models.gpt import GPTLMHeadModel
 
-    cfg = GPTConfig(**GPT2_SMALL, compute_dtype="bfloat16")
+    cfg = GPTConfig(**GPT2_SMALL, compute_dtype="bfloat16", decode_unroll=12)
     model = GPTLMHeadModel(cfg, version="gpt2", rng=jax.random.PRNGKey(0))
     rs = np.random.RandomState(0)
     ids = rs.randint(0, cfg.vocab_size, (BATCH, PROMPT_LEN)).astype(np.int32)

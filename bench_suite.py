@@ -133,7 +133,7 @@ def bench_sft_step(use_flash, remat=True):
 def main():
     # GPT-2 decode, batch sweep
     cfg = GPTConfig(vocab_size=50257, n_embd=768, n_positions=1024, n_layer=12,
-                    n_head=12, n_ctx=1024, compute_dtype="bfloat16")
+                    n_head=12, n_ctx=1024, compute_dtype="bfloat16", decode_unroll=12)
     model = GPTLMHeadModel(cfg, version="gpt2", rng=jax.random.PRNGKey(0))
     for batch in (8, 32):
         bench_decode(model, f"gpt2_124M_decode_b{batch}", batch, 32, 128, 50257)
@@ -141,7 +141,8 @@ def main():
 
     # Bloom-560m-class decode
     bcfg = BloomConfig(vocab_size=50432, hidden_size=1024, n_layer=24,
-                       num_attention_heads=16, compute_dtype="bfloat16")
+                       num_attention_heads=16, compute_dtype="bfloat16",
+                       decode_unroll=24)
     bmodel = BloomForCausalLM(bcfg, rng=jax.random.PRNGKey(0))
     bmodel._tie_weight()
     bench_decode(bmodel, "bloom560m_decode_b8", 8, 32, 128, 50432)

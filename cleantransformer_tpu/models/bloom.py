@@ -254,7 +254,8 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
             return (out, nk, nv, li + 1), None
         (h, new_k, new_v, _), _ = jax.lax.scan(
             body, (h, cache["k"], cache["v"], jnp.zeros((), jnp.int32)),
-            params["blocks"])
+            params["blocks"],
+            unroll=getattr(config, "decode_unroll", 1))
         new_cache = {"k": new_k, "v": new_v, "length": cache_len + S}
 
     h = layer_norm(h, params["ln_f"]["w"], params["ln_f"]["b"], config.layer_norm_epsilon)

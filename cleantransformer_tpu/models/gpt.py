@@ -289,7 +289,8 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
             return (out, nk, nv, li + 1), None
         (h, new_k, new_v, _), _ = jax.lax.scan(
             body, (h, cache["k"], cache["v"], jnp.zeros((), jnp.int32)),
-            params["blocks"])
+            params["blocks"],
+            unroll=getattr(config, "decode_unroll", 1))
         new_cache = {"k": new_k, "v": new_v, "length": cache_len + S}
 
     if version != "gpt":

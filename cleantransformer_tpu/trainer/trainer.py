@@ -462,11 +462,24 @@ class Trainer:
             cb.on_save(self, ckpt)
         return ckpt
 
-    def save_model(self, output_dir=None):
+    def save_model(self, output_dir=None, hf_format=False):
+        """Write final weights (+config.json). ``hf_format=True`` exports the
+        HF checkpoint layout (transformers-loadable) for GPT-2/Bloom models."""
         out = output_dir or self.args.output_dir
         os.makedirs(out, exist_ok=True)
-        ckpt_io.save_pytree(os.path.join(out, "model.safetensors"),
-                            self.model.params)
+        if hf_format:
+            mt = self._model_type()
+            if mt == "bloom":
+                ckpt_io.export_hf_bloom(os.path.join(out, "model.safetensors"),
+                                        self.model.params)
+            elif mt == "gpt":
+                ckpt_io.export_hf_gpt2(os.path.join(out, "model.safetensors"),
+                                       self.model.params)
+            else:
+                raise ValueError(f"no HF export for model type {mt}")
+        else:
+            ckpt_io.save_pytree(os.path.join(out, "model.safetensors"),
+                                self.model.params)
         if hasattr(self.model.config, "to_dict"):
             with open(os.path.join(out, "config.json"), "w") as f:
                 json.dump(self.model.config.to_dict(), f, indent=2, default=str)

@@ -188,3 +188,24 @@ class TestTrainLoop:
         trainer.args.num_train_epochs = 1
         state = trainer.train()
         assert state["global_step"] > 0
+
+
+def test_hf_export_roundtrip(tmp_path):
+    """save_model(hf_format=True) must produce a checkpoint our HF loader
+    (and transformers) can read back identically."""
+    from cleantransformer_tpu.models.bloom import BloomForCausalLM
+    from cleantransformer_tpu.utils.hf_loader import (
+        load_state_dict, bloom_params_from_state_dict)
+
+    cfg = BloomConfig(vocab_size=50, hidden_size=16, n_layer=2,
+                      num_attention_heads=2)
+    model = BloomForCausalLM(cfg, rng=jax.random.PRNGKey(0))
+    trainer = Trainer(model=model, args=TrainingArguments(output_dir=str(tmp_path)),
+                      callbacks=[])
+    trainer.save_model(str(tmp_path), hf_format=True)
+    sd = load_state_dict(str(tmp_path / "model.safetensors"))
+    assert "h.0.self_attention.query_key_value.weight" in sd
+    params2 = bloom_params_from_state_dict(sd, cfg)
+    a = np.asarray(model.params["blocks"]["self_attention"]["query_key_value"]["w"])
+    b = np.asarray(params2["blocks"]["self_attention"]["query_key_value"]["w"])
+    np.testing.assert_allclose(a, b, rtol=1e-6)
