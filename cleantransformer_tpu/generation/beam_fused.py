@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from cleantransformer_tpu.generation.logits_process import (
     no_repeat_ngram, build_wrapper_chain,
 )
+from cleantransformer_tpu.generation import engine as _engine
 
 
 def _pool_insert(pool, pool_count, worst, s, do_pool, beam):
@@ -69,12 +70,15 @@ def _select_candidates(token_indices, next_tokens, picked, is_done, pool,
             is_end = is_end | (next_tokens == e)
 
     beam_range = jnp.arange(beam)
-    for ci in range(n_cand):  # 2*beam, small: unrolled
+    # NB: only the FIRST beam candidates are examined — the reference's
+    # selection loop is `for beam_i in range(beam)` (generation_util.py:140);
+    # an end-token among them leaves trailing beam slots at token/index/prob 0.
+    for ci in range(beam):
         stopped = vc >= beam
         active = (~is_done) & (~stopped)
         cand_end = is_end[:, ci]
-        # pool path: end-candidates within the first beam slots (L141-154)
-        do_pool = active & cand_end & (ci < beam)
+        # pool path: end-candidates (L141-154)
+        do_pool = active & cand_end
         s = picked[:, ci] / (cur_len.astype(jnp.float32) ** length_penalty)
         pool, pool_count, worst = _pool_insert(pool, pool_count, worst, s,
                                                do_pool, beam)
@@ -95,7 +99,7 @@ def _select_candidates(token_indices, next_tokens, picked, is_done, pool,
     "forward", "config", "beam_size", "ngram_size", "do_sample", "temperature",
     "top_k", "top_p", "end_ids", "pad_id", "early_stop", "total_len", "s0"))
 def beam_search_fused(params, config, forward, input_ids, position_ids,
-                      segment_ids, tokens_buf, mask_buf, cache, rng,
+                      segment_ids, tokens_buf, mask_buf, cache, aux, rng,
                       beam_size, ngram_size, do_sample, temperature, top_k,
                       top_p, end_ids, pad_id, early_stop, total_len, s0,
                       length_penalty=1.0):
@@ -111,7 +115,7 @@ def beam_search_fused(params, config, forward, input_ids, position_ids,
     is_done = jnp.zeros((bsz,), bool)
 
     def process(scores_logits, state):
-        (tokens_buf, mask_buf, cache, probs, pool, pool_count, worst,
+        (tokens_buf, mask_buf, cache, aux, probs, pool, pool_count, worst,
          is_done, rng, cur_len) = state
         V = scores_logits.shape[-1]
         if ngram_size and ngram_size > 1:
@@ -157,40 +161,44 @@ def beam_search_fused(params, config, forward, input_ids, position_ids,
         mask_buf = jnp.take(mask_buf, flat_idx, axis=0)
         cache = jax.tree_util.tree_map(
             lambda x: jnp.take(x, flat_idx, axis=1) if x.ndim >= 2 else x, cache)
+        aux = jax.tree_util.tree_map(
+            lambda x: jnp.take(x, flat_idx, axis=0) if x.ndim == 2 else x, aux)
+        aux = _engine._aux_extend(aux, cur_len, B, beam_mode=True)
         extend = mask_buf[jnp.arange(B), jnp.maximum(cur_len - 1, 0)]
         tokens_buf = jax.lax.dynamic_update_slice(
             tokens_buf, new_tok.reshape(-1, 1), (0, cur_len))
         mask_buf = jax.lax.dynamic_update_slice(
             mask_buf, extend[:, None], (0, cur_len))
-        return (tokens_buf, mask_buf, cache, new_prob, pool, pool_count,
+        return (tokens_buf, mask_buf, cache, aux, new_prob, pool, pool_count,
                 worst, is_done, rng, cur_len + 1)
 
     # prefill (first iteration of the reference loop, L227-232)
     (logits, _), cache = forward(params, config, input_ids, mask_buf,
                                  position_ids, segment_ids, cache,
                                  last_only=True)
-    state = (tokens_buf, mask_buf, cache, probs, pool, pool_count, worst,
+    state = (tokens_buf, mask_buf, cache, aux, probs, pool, pool_count, worst,
              is_done, rng, jnp.asarray(s0, jnp.int32))
     state = process(logits[:, -1, :].astype(jnp.float32), state)
 
     def cond(state):
         cur_len = state[-1]
-        is_done = state[7]
+        is_done = state[8]
         # reference END check: step = cur_len - 1 > s0 + max_gen_len
         return jnp.logical_and(cur_len < total_len, ~jnp.all(is_done))
 
     def body(state):
-        (tokens_buf, mask_buf, cache, probs, pool, pool_count, worst,
+        (tokens_buf, mask_buf, cache, aux, probs, pool, pool_count, worst,
          is_done, rng, cur_len) = state
         last_tok = jax.lax.dynamic_slice(tokens_buf, (0, cur_len - 1), (B, 1))
+        pos, seg = _engine._aux_slice(aux, cur_len, B)
         (logits, _), cache = forward(params, config, last_tok, mask_buf,
-                                     None, None, cache)
-        state = (tokens_buf, mask_buf, cache, probs, pool, pool_count, worst,
-                 is_done, rng, cur_len)
+                                     pos, seg, cache)
+        state = (tokens_buf, mask_buf, cache, aux, probs, pool, pool_count,
+                 worst, is_done, rng, cur_len)
         return process(logits[:, -1, :].astype(jnp.float32), state)
 
     state = jax.lax.while_loop(cond, body, state)
-    (tokens_buf, mask_buf, cache, probs, pool, pool_count, worst, is_done,
+    (tokens_buf, mask_buf, cache, aux, probs, pool, pool_count, worst, is_done,
      rng, cur_len) = state
 
     # early-exit normalization: iterations the reference would still have run

@@ -81,14 +81,21 @@ def generate(model, input_ids, attention_mask=None, position_ids=None,
 
     # Inference-precision cast: when the model's compute policy is bf16, cast
     # the fp32 master params once — decode is HBM-bandwidth-bound, and bf16
-    # weights halve the bytes every step must stream.
+    # weights halve the bytes every step must stream. Cached per params
+    # identity so repeated generate() calls (chat REPL) don't re-materialize
+    # the cast copy every turn.
     params = model.params
     cdtype = getattr(model.config, "compute_dtype", jnp.float32)
     if cdtype != jnp.float32:
-        params = jax.tree_util.tree_map(
-            lambda x: x.astype(cdtype)
-            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
-            params)
+        cached = getattr(model, "_cast_param_cache", None)
+        if cached is not None and cached[0] is model.params:
+            params = cached[1]
+        else:
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(cdtype)
+                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+                params)
+            model._cast_param_cache = (model.params, params)
 
     common = dict(
         max_gen_len=max_gen_len, end_ids=end_ids, pad_id=pad_id,
@@ -120,6 +127,53 @@ def _make_buffers(input_ids, attention_mask, total_len, pad_id):
     return tokens_buf, mask_buf, extend_val
 
 
+def _make_aux_buffers(position_ids, segment_ids, B, total_len, beam_mode=False):
+    """Optional user position/segment buffers threaded through decode.
+    Extension rules per the reference: greedy appends row-max+1 positions
+    (generation_util.py:98) and repeats the last segment id (L99); beam
+    appends last-value+1 (L255) — ``beam_mode`` picks the position rule.
+    Entries are None when the user did not supply them."""
+    aux = {"pos": None, "pos_max": None, "seg": None}
+    if position_ids is not None:
+        p = jnp.asarray(position_ids).astype(jnp.int32)
+        buf = jnp.zeros((B, total_len), jnp.int32)
+        aux["pos"] = jax.lax.dynamic_update_slice(buf, p, (0, 0))
+        aux["pos_max"] = jnp.max(p, axis=-1)  # unused in beam_mode
+    if segment_ids is not None:
+        s = jnp.asarray(segment_ids).astype(jnp.int32)
+        buf = jnp.zeros((B, total_len), jnp.int32)
+        aux["seg"] = jax.lax.dynamic_update_slice(buf, s, (0, 0))
+    return aux
+
+
+def _aux_slice(aux, cur_len, B):
+    """Current-step (B,1) position/segment inputs (or None)."""
+    pos = seg = None
+    if aux["pos"] is not None:
+        pos = jax.lax.dynamic_slice(aux["pos"], (0, cur_len - 1), (B, 1))
+    if aux["seg"] is not None:
+        seg = jax.lax.dynamic_slice(aux["seg"], (0, cur_len - 1), (B, 1))
+    return pos, seg
+
+
+def _aux_extend(aux, cur_len, B, beam_mode=False):
+    """Append the next position/segment values at ``cur_len``."""
+    if aux["pos"] is not None:
+        if beam_mode:
+            last = aux["pos"][jnp.arange(B), cur_len - 1]
+            new = last + 1
+        else:
+            new = aux["pos_max"] + 1
+            aux = {**aux, "pos_max": new}
+        aux = {**aux, "pos": jax.lax.dynamic_update_slice(
+            aux["pos"], new[:, None], (0, cur_len))}
+    if aux["seg"] is not None:
+        last = aux["seg"][jnp.arange(B), cur_len - 1]
+        aux = {**aux, "seg": jax.lax.dynamic_update_slice(
+            aux["seg"], last[:, None], (0, cur_len))}
+    return aux
+
+
 def _select_token(scores, do_sample, rng):
     if do_sample:
         return jax.random.categorical(rng, scores, axis=-1).astype(jnp.int32)
@@ -142,7 +196,7 @@ def _finish_update(step_output, unfinished, end_ids, pad_id):
     "forward", "config", "ngram_size", "do_sample", "temperature", "top_k",
     "top_p", "end_ids", "pad_id"))
 def _prefill_step(params, config, forward, tokens_buf, mask_buf, cache,
-                  input_ids, position_ids, segment_ids, unfinished, rng,
+                  input_ids, position_ids, segment_ids, aux, unfinished, rng,
                   ngram_size, do_sample, temperature, top_k, top_p,
                   end_ids, pad_id, cur_len):
     """Run the prompt through the model and choose the first generated token."""
@@ -151,13 +205,13 @@ def _prefill_step(params, config, forward, tokens_buf, mask_buf, cache,
                                  last_only=True)
     scores = logits[:, -1, :].astype(jnp.float32)
     return _postprocess_and_append(
-        forward, config, params, scores, tokens_buf, mask_buf, cache,
+        forward, config, params, scores, tokens_buf, mask_buf, cache, aux,
         unfinished, rng, ngram_size, do_sample, temperature, top_k, top_p,
         end_ids, pad_id, cur_len)
 
 
 def _postprocess_and_append(forward, config, params, scores, tokens_buf,
-                            mask_buf, cache, unfinished, rng, ngram_size,
+                            mask_buf, cache, aux, unfinished, rng, ngram_size,
                             do_sample, temperature, top_k, top_p, end_ids,
                             pad_id, cur_len):
     if ngram_size and ngram_size > 1:
@@ -173,20 +227,22 @@ def _postprocess_and_append(forward, config, params, scores, tokens_buf,
     extend_val = mask_buf[jnp.arange(B), jnp.maximum(cur_len - 1, 0)]
     mask_buf = jax.lax.dynamic_update_slice(
         mask_buf, extend_val[:, None], (0, cur_len))
-    return tokens_buf, mask_buf, cache, unfinished, rng, cur_len + 1
+    aux = _aux_extend(aux, cur_len, B)
+    return tokens_buf, mask_buf, cache, aux, unfinished, rng, cur_len + 1
 
 
-def _decode_one(forward, config, params, tokens_buf, mask_buf, cache,
+def _decode_one(forward, config, params, tokens_buf, mask_buf, cache, aux,
                 unfinished, rng, cur_len, ngram_size, do_sample, temperature,
                 top_k, top_p, end_ids, pad_id):
     """One decode iteration: forward the last written token, pick the next."""
     B = tokens_buf.shape[0]
     last_tok = jax.lax.dynamic_slice(tokens_buf, (0, cur_len - 1), (B, 1))
+    pos, seg = _aux_slice(aux, cur_len, B)
     (logits, _), cache = forward(params, config, last_tok, mask_buf,
-                                 None, None, cache)
+                                 pos, seg, cache)
     scores = logits[:, -1, :].astype(jnp.float32)
     return _postprocess_and_append(
-        forward, config, params, scores, tokens_buf, mask_buf, cache,
+        forward, config, params, scores, tokens_buf, mask_buf, cache, aux,
         unfinished, rng, ngram_size, do_sample, temperature, top_k, top_p,
         end_ids, pad_id, cur_len)
 
@@ -194,24 +250,24 @@ def _decode_one(forward, config, params, tokens_buf, mask_buf, cache,
 @functools.partial(jax.jit, static_argnames=(
     "forward", "config", "ngram_size", "do_sample", "temperature", "top_k",
     "top_p", "end_ids", "pad_id", "total_len"))
-def _decode_loop(params, config, forward, tokens_buf, mask_buf, cache,
+def _decode_loop(params, config, forward, tokens_buf, mask_buf, cache, aux,
                  unfinished, rng, cur_len, ngram_size, do_sample, temperature,
                  top_k, top_p, end_ids, pad_id, total_len):
     """Fused decode: lax.while_loop until all finished or the buffer is full."""
 
     def cond(state):
-        tokens_buf, mask_buf, cache, unfinished, rng, cur_len = state
+        cur_len, unfinished = state[-1], state[-3]
         return jnp.logical_and(cur_len < total_len, jnp.max(unfinished) > 0)
 
     def body(state):
-        tokens_buf, mask_buf, cache, unfinished, rng, cur_len = state
+        tokens_buf, mask_buf, cache, aux, unfinished, rng, cur_len = state
         return _decode_one(forward, config, params, tokens_buf, mask_buf,
-                           cache, unfinished, rng, cur_len, ngram_size,
+                           cache, aux, unfinished, rng, cur_len, ngram_size,
                            do_sample, temperature, top_k, top_p, end_ids, pad_id)
 
-    state = (tokens_buf, mask_buf, cache, unfinished, rng, cur_len)
-    tokens_buf, mask_buf, cache, unfinished, rng, cur_len = jax.lax.while_loop(cond, body, state)
-    return tokens_buf, cur_len
+    state = (tokens_buf, mask_buf, cache, aux, unfinished, rng, cur_len)
+    state = jax.lax.while_loop(cond, body, state)
+    return state[0], state[-1]
 
 
 _decode_step_jit = None
@@ -241,19 +297,20 @@ def _greedy_search(model, params, input_ids, attention_mask, position_ids,
     forward = model.forward_fn()
     cache = model.init_cache(B, total_len)
     tokens_buf, mask_buf, _ = _make_buffers(input_ids, attention_mask, total_len, pad_id)
+    aux = _make_aux_buffers(position_ids, segment_ids, B, total_len)
     unfinished = jnp.ones((B,), dtype=jnp.int32)
 
     kw = dict(ngram_size=no_repeat_ngram_size, do_sample=do_sample,
               temperature=temperature, top_k=top_k, top_p=top_p,
               end_ids=end_ids, pad_id=pad_id)
-    tokens_buf, mask_buf, cache, unfinished, rng, cur_len = _prefill_step(
+    tokens_buf, mask_buf, cache, aux, unfinished, rng, cur_len = _prefill_step(
         params, model.config, forward, tokens_buf, mask_buf, cache,
-        input_ids, position_ids, segment_ids, unfinished, rng,
+        input_ids, position_ids, segment_ids, aux, unfinished, rng,
         cur_len=jnp.asarray(S0, jnp.int32), **kw)
 
     if steamers is None:
         tokens_buf, cur_len = _decode_loop(
-            params, model.config, forward, tokens_buf, mask_buf, cache,
+            params, model.config, forward, tokens_buf, mask_buf, cache, aux,
             unfinished, rng, cur_len, total_len=total_len, **kw)
         n = int(cur_len)
         return np.asarray(tokens_buf[:, :n]).reshape(B, 1, n)
@@ -261,9 +318,9 @@ def _greedy_search(model, params, input_ids, attention_mask, position_ids,
     # streaming path: jitted single step driven from host so callbacks fire
     steamers = steamers if isinstance(steamers, list) else [steamers]
     step_fn = _get_decode_step()
-    state = (tokens_buf, mask_buf, cache, unfinished, rng, cur_len)
+    state = (tokens_buf, mask_buf, cache, aux, unfinished, rng, cur_len)
     while True:
-        tokens_buf, mask_buf, cache, unfinished, rng, cur_len = state
+        tokens_buf, mask_buf, cache, aux, unfinished, rng, cur_len = state
         n = int(cur_len)
         finish = False
         for steamer in steamers:
@@ -272,7 +329,7 @@ def _greedy_search(model, params, input_ids, attention_mask, position_ids,
         if finish or int(jnp.max(unfinished)) == 0 or n >= total_len:
             return np.asarray(tokens_buf[:, :n]).reshape(B, 1, n)
         state = step_fn(forward, model.config, params, tokens_buf,
-                        mask_buf, cache, unfinished, rng, cur_len, **kw)
+                        mask_buf, cache, aux, unfinished, rng, cur_len, **kw)
 
 
 # ---------------------------------------------------------------------------
@@ -280,10 +337,12 @@ def _greedy_search(model, params, input_ids, attention_mask, position_ids,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("forward", "config"))
-def _beam_forward_last(params, config, forward, tokens_buf, mask_buf, cache, cur_len):
+def _beam_forward_last(params, config, forward, tokens_buf, mask_buf, cache,
+                       aux, cur_len):
     B = tokens_buf.shape[0]
     last_tok = jax.lax.dynamic_slice(tokens_buf, (0, cur_len - 1), (B, 1))
-    (logits, _), cache = forward(params, config, last_tok, mask_buf, None, None, cache)
+    pos, seg = _aux_slice(aux, cur_len, B)
+    (logits, _), cache = forward(params, config, last_tok, mask_buf, pos, seg, cache)
     return logits[:, -1, :].astype(jnp.float32), cache
 
 
@@ -355,13 +414,14 @@ def _beam_search(model, params, input_ids, attention_mask, position_ids,
 
     cache = model.init_cache(B, total_len)
     tokens_buf, mask_buf, _ = _make_buffers(input_ids, attention_mask, total_len, pad_id)
+    aux = _make_aux_buffers(position_ids, segment_ids, B, total_len, beam_mode=True)
 
     if steamers is None:
         # fast path: the whole beam search is ONE compiled program
         from cleantransformer_tpu.generation.beam_fused import beam_search_fused
         out = beam_search_fused(
             params, model.config, forward, input_ids, position_ids,
-            segment_ids, tokens_buf, mask_buf, cache, rng,
+            segment_ids, tokens_buf, mask_buf, cache, aux, rng,
             beam_size=beam_size, ngram_size=no_repeat_ngram_size,
             do_sample=do_sample, temperature=float(temperature),
             top_k=top_k, top_p=top_p, end_ids=end_ids, pad_id=pad_id,
@@ -388,7 +448,7 @@ def _beam_search(model, params, input_ids, attention_mask, position_ids,
         else:
             scores_logits, cache = _beam_forward_last(
                 params, model.config, forward, tokens_buf, mask_buf,
-                cache, jnp.asarray(cur_len, jnp.int32))
+                cache, aux, jnp.asarray(cur_len, jnp.int32))
 
         if no_repeat_ngram_size and no_repeat_ngram_size > 1:
             scores_logits = no_repeat_ngram(
@@ -414,6 +474,9 @@ def _beam_search(model, params, input_ids, attention_mask, position_ids,
         extend_val = mask_buf[jnp.arange(B), cur_len - 1]
         tokens_buf = tokens_buf.at[:, cur_len].set(jnp.asarray(new_tokens.reshape(-1)))
         mask_buf = mask_buf.at[:, cur_len].set(extend_val)
+        aux = jax.tree_util.tree_map(
+            lambda x: jnp.take(x, flat_idx_j, axis=0) if x.ndim == 2 else x, aux)
+        aux = _aux_extend(aux, jnp.asarray(cur_len, jnp.int32), B, beam_mode=True)
         cache = _cache_reorder(cache, flat_idx_j)
         cur_len += 1
 
@@ -448,11 +511,13 @@ def _update_beam_infos(beam, infos, tokens_np, token_indices, next_tokens,
             new_tokens[bi, :] = pad_id
             continue
         valid = 0
-        for ci in range(next_tokens.shape[1]):
+        # NB: the reference examines only the FIRST beam candidates of the
+        # 2*beam selected (generation_util.py:140 `for beam_i in range(beam)`),
+        # so an end-token among them leaves trailing beam slots at token 0 /
+        # index 0 / prob 0. Reproduced exactly.
+        for ci in range(beam):
             tok = int(next_tokens[bi, ci])
             if tok in end_set:
-                if ci >= beam:
-                    continue  # low-scored end beyond beam_size: drop (L143)
                 choice = beam * bi + int(token_indices[bi, ci])
                 score = float(picked[bi, ci]) / (cur_len ** length_penalty)
                 pool.append({"ids": tokens_np[choice], "score": score})

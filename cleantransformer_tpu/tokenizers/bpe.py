@@ -117,24 +117,30 @@ class BPETokenizer:
         return pair_counts[pair]
 
     def _apply_merge(self, pair, words, counts, pair_counts, pair_words, symbol_counts):
-        """Merge ``pair`` -> joined symbol in every word containing it,
-        updating pair/symbol counts incrementally."""
+        """Merge ``pair`` -> joined symbol in every word containing it.
+
+        Pair counts are maintained by removing each touched word's old pair
+        contributions and re-adding its new ones — immune to the
+        adjacent-merge double-count an in-site neighbor update suffers
+        (e.g. 'aaaa' after merging (a,a) has ONE ('aa','aa') pair)."""
         a, b = pair
         joined = a + b
         touched = pair_words.pop(pair, set())
         pair_counts.pop(pair, None)
         for wi in touched:
             toks, c = words[wi], counts[wi]
-            i = 0
+            # remove old pair contributions of this word
+            for p in zip(toks, toks[1:]):
+                if p in pair_counts:
+                    pair_counts[p] -= c
+                    if pair_counts[p] <= 0:
+                        pair_counts.pop(p, None)
+                        pair_words.pop(p, None)
+            # leftmost-greedy merge (same as the reference's string replace)
             out = []
-            n = len(toks)
+            i, n = 0, len(toks)
             while i < n:
                 if i < n - 1 and toks[i] == a and toks[i + 1] == b:
-                    # decrement neighbor pairs around the merge site
-                    if out:
-                        self._dec_pair((out[-1], a), c, pair_counts, pair_words, wi)
-                    if i + 2 < n:
-                        self._dec_pair((b, toks[i + 2]), c, pair_counts, pair_words, wi)
                     symbol_counts[a] -= c
                     symbol_counts[b] -= c
                     symbol_counts[joined] += c
@@ -143,30 +149,14 @@ class BPETokenizer:
                 else:
                     out.append(toks[i])
                     i += 1
-            # register the new neighbor pairs formed with the merged symbol
-            for j, s in enumerate(out):
-                if s == joined:
-                    if j > 0:
-                        self._inc_pair((out[j - 1], s), c, pair_counts, pair_words, wi)
-                    if j + 1 < len(out):
-                        self._inc_pair((s, out[j + 1]), c, pair_counts, pair_words, wi)
+            # add new pair contributions
+            for p in zip(out, out[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + c
+                pair_words.setdefault(p, set()).add(wi)
             words[wi] = out
         for s in (a, b):
             if symbol_counts.get(s, 0) <= 0:
                 symbol_counts.pop(s, None)
-
-    @staticmethod
-    def _dec_pair(pair, c, pair_counts, pair_words, wi):
-        if pair in pair_counts:
-            pair_counts[pair] -= c
-            if pair_counts[pair] <= 0:
-                pair_counts.pop(pair, None)
-                pair_words.pop(pair, None)
-
-    @staticmethod
-    def _inc_pair(pair, c, pair_counts, pair_words, wi):
-        pair_counts[pair] = pair_counts.get(pair, 0) + c
-        pair_words.setdefault(pair, set()).add(wi)
 
     # -- inference ----------------------------------------------------------
 

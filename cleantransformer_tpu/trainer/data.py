@@ -108,8 +108,14 @@ class DataLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self):
+        return self.iter_skip(0)
+
+    def iter_skip(self, skip_batches):
+        """Iterate from batch ``skip_batches`` of this epoch's order without
+        collating the skipped ones (resume-from-checkpoint fast path —
+        skip_first_batches analogue, reference trainer.py:450-451)."""
         idx = self._indices()
         end = len(idx) - (len(idx) % self.batch_size) if self.drop_last else len(idx)
-        for s in range(0, end, self.batch_size):
+        for s in range(skip_batches * self.batch_size, end, self.batch_size):
             batch = [self.dataset[int(i)] for i in idx[s:s + self.batch_size]]
             yield self.collate_fn(batch)

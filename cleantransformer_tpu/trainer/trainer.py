@@ -125,11 +125,14 @@ class Trainer:
         self.compute_metrics = compute_metrics
         self.prediction_fn = prediction_fn  # (params, batch) -> predictions
         self.callbacks = callbacks if callbacks is not None else [PrinterCallback()]
+        self._user_loss = loss_fn is not None
         self.loss_fn = loss_fn or self._default_loss_fn()
+        self._eval_loss_fn = None
         self.optimizer_factory = optimizer_factory
 
         self.state = {"global_step": 0, "epoch": 0.0, "log_history": [],
-                      "best_metric": None, "best_model_checkpoint": None,
+                      "best_metric": None, "best_step": None,
+                      "best_model_checkpoint": None,
                       "total_flos": 0.0, "tokens_seen": 0}
         np.random.seed(self.args.seed)
         self._rng = jax.random.PRNGKey(self.args.seed)
@@ -149,12 +152,18 @@ class Trainer:
 
     # -- loss ---------------------------------------------------------------
 
-    def _default_loss_fn(self):
+    def _default_loss_fn(self, train=True):
         """Causal-LM loss with optional label smoothing (trainer.py:558-586)
-        and NEFTune embedding noise (trainer.py:867-898)."""
+        and NEFTune embedding noise (trainer.py:867-898).
+
+        ``train=False`` builds the evaluation variant: NEFTune noise OFF
+        (the reference hook is active only during training,
+        trainer.py:867-898). Note: noise is applied to the embedding table
+        (repeated tokens in a batch share noise) rather than per-position
+        embedding outputs — documented deviation, see PARITY.md."""
         model = self.model
         smoothing = self.args.label_smoothing_factor if self.args else 0.0
-        neftune = self.args.neftune_noise_alpha if self.args else 0.0
+        neftune = (self.args.neftune_noise_alpha if (self.args and train) else 0.0)
 
         def loss_fn(params, batch, rng):
             if neftune > 0.0:
@@ -331,22 +340,33 @@ class Trainer:
         loss_window = []
         done = False
 
+        # resume: fast-forward to the epoch containing start_step and skip
+        # its already-consumed batches (skip_first_batches analogue,
+        # trainer.py:365-398, 450-451); global_step was already restored
+        start_epoch = start_step // steps_per_epoch
+        skip_in_epoch = start_step % steps_per_epoch
+
         mesh_ctx = use_mesh(self.mesh) if self.mesh is not None else _null_ctx()
         with mesh_ctx:
-            for epoch in range(num_epochs):
+            for epoch in range(start_epoch, num_epochs):
                 loader.set_epoch(epoch)
                 for cb in self.callbacks:
                     cb.on_epoch_begin(self, epoch)
-                for batch in loader:
-                    if self.state["global_step"] < start_step:
-                        self.state["global_step"] += 1
-                        continue  # resume skip (trainer.py:450-451)
+                skip = skip_in_epoch if epoch == start_epoch else 0
+                batch_iter = (loader.iter_skip(skip)
+                              if hasattr(loader, "iter_skip") and skip
+                              else iter(loader))
+                for batch in batch_iter:
                     db = self._device_batch(batch)
                     self._rng, step_rng = jax.random.split(self._rng)
                     lr = self.lr_schedule(self.state["global_step"])
                     params, opt_state, loss, gnorm = self._train_step(
                         params, opt_state, db, step_rng,
                         jnp.asarray(lr, jnp.float32))
+                    # keep the public handles valid every step: the jit step
+                    # donates the previous buffers, so stale references would
+                    # raise 'Array has been deleted' in callbacks/user code
+                    self.model.params, self.opt_state = params, opt_state
                     self.state["global_step"] += 1
                     self.state["epoch"] = self.state["global_step"] / steps_per_epoch
                     loss_window.append(loss)
@@ -366,14 +386,14 @@ class Trainer:
                         loss_window, tokens_since_log, t_log = [], 0, time.time()
                         self.log(logs)
 
-                    if args.save_steps and self.state["global_step"] % args.save_steps == 0:
-                        self.model.params, self.opt_state = params, opt_state
-                        self._save_checkpoint()
-
                     if args.eval_steps and self.eval_dataset is not None and \
                             self.state["global_step"] % args.eval_steps == 0:
-                        self.model.params = params
                         self.evaluate()
+
+                    # save after eval so a best metric at this step can mark
+                    # this very checkpoint (trainer.py:1325-1338)
+                    if args.save_steps and self.state["global_step"] % args.save_steps == 0:
+                        self._save_checkpoint()
 
                     for cb in self.callbacks:
                         cb.on_step_end(self)
@@ -381,7 +401,6 @@ class Trainer:
                         done = True
                         break
                 if self.eval_dataset is not None and not args.eval_steps:
-                    self.model.params = params
                     self.evaluate()
                 if done:
                     break
@@ -402,7 +421,12 @@ class Trainer:
             ds, batch_size=self.args.per_device_eval_batch_size,
             collate_fn=self.data_collator, shuffle=False, drop_last=False)
         losses, preds, label_ids = [], [], []
-        eval_loss = jax.jit(self.loss_fn)
+        if self._eval_loss_fn is None:
+            # user-supplied loss is used as-is; the default gets its
+            # eval variant (no NEFTune noise)
+            self._eval_loss_fn = (self.loss_fn if self._user_loss
+                                  else self._default_loss_fn(train=False))
+        eval_loss = jax.jit(self._eval_loss_fn)
         pred_step = jax.jit(self.prediction_fn) if self.prediction_fn else None
         rng = jax.random.PRNGKey(0)
         for batch in loader:
@@ -436,8 +460,10 @@ class Trainer:
                   (val > best if self.args.greater_is_better else val < best))
         if better:
             self.state["best_metric"] = val
-            self.state["best_model_checkpoint"] = os.path.join(
-                self.args.output_dir, f"{ckpt_io.CKPT_PREFIX}{self.state['global_step']}")
+            # record the step; the checkpoint path is only claimed when a
+            # checkpoint is actually written at this step (_save_checkpoint),
+            # so rotation never protects a dangling path
+            self.state["best_step"] = self.state["global_step"]
 
     # -- logging (trainer.py:1287-1298) --------------------------------------
 
@@ -450,6 +476,10 @@ class Trainer:
 
     def _save_checkpoint(self):
         os.makedirs(self.args.output_dir, exist_ok=True)
+        if self.state.get("best_step") == self.state["global_step"]:
+            self.state["best_model_checkpoint"] = os.path.join(
+                self.args.output_dir,
+                f"{ckpt_io.CKPT_PREFIX}{self.state['global_step']}")
         trainer_state = {k: v for k, v in self.state.items()}
         ckpt = ckpt_io.save_checkpoint(
             self.args.output_dir, self.state["global_step"],

@@ -34,6 +34,10 @@ def init_args():
     parser.add_argument("--flash", action="store_true")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--demo", action="store_true")
+    parser.add_argument("--check_determinism", action="store_true",
+                        help="run the first-batch loss twice and assert "
+                             "bitwise equality (the DDP grad-fingerprint "
+                             "check, ft_bloom_DDP.py:145-150, as an assert)")
     args, _ = parser.parse_known_args()
     return args
 
@@ -93,6 +97,17 @@ def main():
         data_collator=partial(belle_collate, tokenizer=tokenizer,
                               max_length=args.max_len, pad_to_max=True,
                               eos_token=eos))
+
+    if args.check_determinism:
+        loader = trainer.get_train_dataloader()
+        batch = trainer._device_batch(next(iter(loader)))
+        loss_jit = jax.jit(trainer.loss_fn)
+        rng = jax.random.PRNGKey(0)
+        l1 = float(loss_jit(model.params, batch, rng))
+        l2 = float(loss_jit(model.params, batch, rng))
+        assert l1 == l2, f"nondeterministic first-batch loss: {l1} != {l2}"
+        print(f"determinism check OK: loss {l1} reproduced bitwise")
+
     trainer.train(resume_from_checkpoint=True if args.resume else None)
     trainer.save_model(args.save_dir)
     print("done; saved to", args.save_dir)

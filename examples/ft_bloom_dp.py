@@ -25,12 +25,9 @@ def main():
     parser.add_argument("--tp", default=1, type=int)
     args, _ = parser.parse_known_args()
 
-    # delegate to ft_bloom with dp=0 (all devices on the data axis)
+    # delegate to ft_bloom with dp=0 (all devices on the data axis);
+    # --check_determinism is handled there (first-batch loss bitwise assert)
     sys.argv += ["--dp", "0", "--tp", str(args.tp), "--bf16"]
-    if args.check_determinism:
-        import jax
-        import numpy as np
-        print(f"devices: {jax.device_count()}")
     from examples import ft_bloom
     ft_bloom.main()
 

@@ -57,6 +57,30 @@ def test_fused_beam_bit_exact_vs_reference(pair, early_stop, end_id, ngram):
     assert (expected.numpy() == np.asarray(got)).all()
 
 
+def test_end_token_in_top_beam_candidates(pair):
+    """When an end token lands among the first `beam` candidates, the
+    reference leaves trailing beam slots at token/index/prob 0
+    (generation_util.py:140 scans only range(beam)); reproduce bit-exactly."""
+    ref, model = pair
+    ids, mask = _inputs(seed=9)
+    # choose the model's own argmax continuation as the end id so it is
+    # guaranteed to appear in the top candidates
+    with torch.no_grad():
+        (logits, _), _ = ref(ids, attention_mask=mask)
+    end_id = int(logits[0, -1].argmax())
+    gen = {"beam_size": 3, "max_gen_len": 10, "end_ids": end_id, "pad_id": 0,
+           "do_sample": False, "early_stop": True, "no_repeat_ngram_size": 0}
+    with torch.no_grad():
+        expected = ref.generate(ids, attention_mask=mask, generation_configs=gen)
+    got = model.generate(jnp.asarray(ids.numpy()), jnp.asarray(mask.numpy()),
+                         generation_configs=gen)
+    assert (expected.numpy() == np.asarray(got)).all()
+    # host-loop path must agree too
+    host = model.generate(jnp.asarray(ids.numpy()), jnp.asarray(mask.numpy()),
+                          generation_configs=gen, steamers=lambda t: False)
+    assert (expected.numpy() == np.asarray(host)).all()
+
+
 def test_fused_matches_host_loop(pair):
     """The streamer path (host loop) and the fused path must agree."""
     _, model = pair

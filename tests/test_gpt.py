@@ -112,6 +112,41 @@ class TestGreedyDecode:
         assert (expected.numpy() == np.asarray(got)).all()
 
 
+class TestExplicitPositionSegmentDecode:
+    def test_greedy_with_user_position_and_segment_ids(self, gpt2_pair):
+        """User-supplied position_ids/segment_ids must be extended every
+        decode step (max+1 / repeat-last, generation_util.py:98-99)."""
+        ref, model, cfg = gpt2_pair
+        ids, mask = _inputs(left_pad_row=None)
+        pos = torch.arange(2, 9).repeat(2, 1)  # offset positions
+        seg = torch.full((2, 7), 3, dtype=torch.long)
+        gen = {"beam_size": 1, "max_gen_len": 10, "end_ids": None, "pad_id": 0,
+               "no_repeat_ngram_size": 0, "do_sample": False}
+        with torch.no_grad():
+            expected = ref.generate(ids, attention_mask=mask, position_ids=pos,
+                                    segment_ids=seg, generation_configs=gen)
+        got = model.generate(jnp.asarray(ids.numpy()), jnp.asarray(mask.numpy()),
+                             position_ids=jnp.asarray(pos.numpy()),
+                             segment_ids=jnp.asarray(seg.numpy()),
+                             generation_configs=gen)
+        assert (expected.numpy() == np.asarray(got)).all()
+
+    def test_beam_with_user_position_ids(self, gpt2_pair):
+        """Beam extends positions last+1 (generation_util.py:255)."""
+        ref, model, cfg = gpt2_pair
+        ids, mask = _inputs(left_pad_row=None)
+        pos = torch.arange(1, 8).repeat(2, 1)
+        gen = {"beam_size": 3, "max_gen_len": 8, "end_ids": 5, "pad_id": 0,
+               "no_repeat_ngram_size": 0, "do_sample": False, "early_stop": True}
+        with torch.no_grad():
+            expected = ref.generate(ids, attention_mask=mask, position_ids=pos,
+                                    generation_configs=gen)
+        got = model.generate(jnp.asarray(ids.numpy()), jnp.asarray(mask.numpy()),
+                             position_ids=jnp.asarray(pos.numpy()),
+                             generation_configs=gen)
+        assert (expected.numpy() == np.asarray(got)).all()
+
+
 def test_cached_equals_uncached_forward(gpt2_pair):
     """Prefill+decode through the fixed-shape cache must equal one uncached
     forward over the same tokens."""

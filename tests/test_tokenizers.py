@@ -128,3 +128,18 @@ class TestBertTokenizer:
         out = mine.encode_plus_batch(["hello world", "say that"], max_len=10)
         assert out["input_ids"].shape == (2, 10)
         assert out["segment_ids"].shape == (2, 10)
+
+
+def test_bpe_adjacent_merge_pair_counts():
+    """Regression: after merging (a,a) in 'aaaa aaaa aaaa', the ('aa','aa')
+    pair must count once per word (3), not twice (the in-site neighbor
+    update double-counted adjacent merged symbols)."""
+    corpus = ["aaaa aaaa aaaa"]
+    bpe = BPETokenizer(vocab_size=8, lowercase=True)
+    bpe.fit(corpus)
+    # cross-check the full merge cascade against the reference trainer
+    from CleanTransformer.tokenizers import BPETokenizer as RefBPE
+    ref = RefBPE(vocab_size=8)
+    ref.fit(corpus, out_fn="/tmp/_ref_aaaa.txt")
+    assert set(ref.vocab) == set(bpe.vocab)
+    assert bpe.tokenize("aaaa") == ref.tokenize("aaaa")

@@ -183,6 +183,40 @@ class TestTrainLoop:
         np.testing.assert_array_equal(a, b)
         assert fresh.opt_state.count == step or int(fresh.opt_state.count) > 0
 
+    def test_resume_skips_consumed_batches(self, belle_file, tok, tmp_path):
+        """Resuming from checkpoint-N must continue with epoch-0's batch N+1
+        (skip_first_batches semantics), not restart at batch 0."""
+        seen = []
+
+        def spy_collate(batch):
+            out = belle_collate(batch, tokenizer=tok, max_length=32,
+                                pad_to_max=True, eos_token="")
+            seen.append(tuple(out["prompts"]))
+            return out
+
+        trainer = self._setup(belle_file, tok, tmp_path)
+        trainer.data_collator = spy_collate
+        trainer.eval_dataset = None  # eval would also hit the spy collate
+        trainer.args.num_train_epochs = 1
+        trainer.args.save_steps = 4
+        trainer.train()
+        epoch0_batches = list(seen)
+        assert len(epoch0_batches) == 8
+
+        seen.clear()
+        import os as _os
+        ck4 = _os.path.join(str(tmp_path / "out"), "checkpoint-4")
+        again = self._setup(belle_file, tok, tmp_path)
+        again.data_collator = spy_collate
+        again.eval_dataset = None
+        again.args.num_train_epochs = 1
+        again.create_optimizer(8)
+        again.train(resume_from_checkpoint=ck4)
+        # collation happens per yielded batch post-skip: first processed batch
+        # must be epoch-0's batch index 4 (the 5th), not batch 0
+        assert seen[0] == epoch0_batches[4]
+        assert len(seen) == 4  # only the remaining tail was consumed
+
     def test_remat_trains(self, belle_file, tok, tmp_path):
         trainer = self._setup(belle_file, tok, tmp_path, remat=True)
         trainer.args.num_train_epochs = 1
