@@ -37,6 +37,9 @@ class BaseConfig:
         # fast path: Pallas blockwise attention for multi-token forwards
         # (training / prefill). Off by default = reference-parity dense path.
         self.use_flash_attention = kwargs.pop("use_flash_attention", False)
+        # int8 weight-only quantized inference (ops/quant.py); generate()
+        # quantizes the fp32 master params once per params identity
+        self.quantize_int8 = kwargs.pop("quantize_int8", False)
         for k, v in kwargs.items():
             setattr(self, k, v)
 

@@ -86,15 +86,23 @@ def generate(model, input_ids, attention_mask=None, position_ids=None,
     # the cast copy every turn.
     params = model.params
     cdtype = getattr(model.config, "compute_dtype", jnp.float32)
-    if cdtype != jnp.float32:
+    quantize = getattr(model.config, "quantize_int8", False)
+    if quantize or cdtype != jnp.float32:
         cached = getattr(model, "_cast_param_cache", None)
         if cached is not None and cached[0] is model.params:
             params = cached[1]
         else:
-            params = jax.tree_util.tree_map(
-                lambda x: x.astype(cdtype)
-                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
-                params)
+            if quantize:
+                from cleantransformer_tpu.ops.quant import (
+                    quantize_params_for_inference)
+                params = quantize_params_for_inference(
+                    params, compute_dtype=cdtype if cdtype != jnp.float32
+                    else jnp.bfloat16)
+            else:
+                params = jax.tree_util.tree_map(
+                    lambda x: x.astype(cdtype)
+                    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+                    params)
             model._cast_param_cache = (model.params, params)
 
     common = dict(

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from cleantransformer_tpu.ops.activations import bloom_gelu
 from cleantransformer_tpu.ops.layers import layer_norm, linear
 from cleantransformer_tpu.ops.losses import shift_cross_entropy_loss
+from cleantransformer_tpu.ops.quant import embed_lookup, lm_head_matmul
 from cleantransformer_tpu.parallel.sharding import shard_hint
 
 
@@ -214,7 +215,7 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
     cache_len = cache["length"] if cache is not None else jnp.zeros((), jnp.int32)
     T = cache["k"].shape[3] if cache is not None else S
 
-    h = params["word_embeddings"][input_ids].astype(config.compute_dtype)
+    h = embed_lookup(params["word_embeddings"], input_ids).astype(config.compute_dtype)
     h = layer_norm(h, params["word_embeddings_layernorm"]["w"],
                    params["word_embeddings_layernorm"]["b"], config.layer_norm_epsilon)
     h = shard_hint(h, ("data", None, None))
@@ -274,7 +275,7 @@ def bloom_lm_forward(params, config, input_ids, attention_mask=None,
                                  remat=remat)
     lm_head = params.get("lm_head", params["word_embeddings"])
     h_for_logits = h[:, -1:] if last_only else h
-    logits = jnp.matmul(h_for_logits, lm_head.T.astype(h.dtype))
+    logits = lm_head_matmul(h_for_logits, lm_head)
     if labels is not None:
         loss = shift_cross_entropy_loss(logits.astype(jnp.float32), labels,
                                         mask=loss_mask)

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 
 from cleantransformer_tpu.ops.activations import ACT2FN
 from cleantransformer_tpu.ops.layers import layer_norm, linear
+from cleantransformer_tpu.ops.quant import embed_lookup, lm_head_matmul
 from cleantransformer_tpu.parallel.sharding import shard_hint
 
 CAUSAL_NEG = -1e4  # the reference's causal fill value (modeling_gpt.py:89)
@@ -252,10 +253,10 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
             else jnp.finfo(jnp.float32).min
         additive_mask = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * neg
 
-    h = params["tokens_embed"][input_ids]
-    h = h + params["position_embed"][position_ids]
+    h = embed_lookup(params["tokens_embed"], input_ids)
+    h = h + params["position_embed"][position_ids].astype(h.dtype)
     if segment_ids is not None:
-        h = h + params["tokens_embed"][segment_ids]
+        h = h + embed_lookup(params["tokens_embed"], segment_ids).astype(h.dtype)
     h = h.astype(compute_dtype)
     if not deterministic and dropout_rng is not None:
         h = _dropout(h, config.embd_pdrop,
@@ -299,9 +300,10 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
 
 
 def gpt_lm_head(params, hidden_states):
-    """Tied LM head: logits = h @ wte^T (modeling_gpt.py:204-208)."""
+    """Tied LM head: logits = h @ wte^T (modeling_gpt.py:204-208).
+    Supports int8-quantized tables (ops/quant.py)."""
     wte = params.get("lm_head", params["tokens_embed"])
-    return jnp.matmul(hidden_states, wte.T.astype(hidden_states.dtype))
+    return lm_head_matmul(hidden_states, wte)
 
 
 def gpt_lm_forward(params, config, input_ids, attention_mask=None, position_ids=None,

@@ -51,8 +51,15 @@ def linear(x, weight, bias=None):
     right-multiply layout for the MXU, and the same layout HF GPT-2's Conv1D
     uses (reference Conv1D: modeling_gpt.py:32-46). torch.nn.Linear weights
     ((out, in)) are transposed at checkpoint-load time (utils/hf_loader.py).
+
+    Also accepts int8 weight-only-quantized weights ({"q","s"} pytrees from
+    ops/quant.py) — the convert fuses into the dot, halving HBM reads.
     """
-    out = jnp.matmul(x, weight.astype(x.dtype))
+    if isinstance(weight, dict) and "q" in weight:
+        from cleantransformer_tpu.ops.quant import quantized_matmul
+        out = quantized_matmul(x, weight)
+    else:
+        out = jnp.matmul(x, weight.astype(x.dtype))
     if bias is not None:
         out = out + bias.astype(x.dtype)
     return out

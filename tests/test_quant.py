@@ -1,0 +1,83 @@
+"""Int8 weight-only quantization: numerics and end-to-end decode."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cleantransformer_tpu.config import GPTConfig
+from cleantransformer_tpu.models.gpt import GPTLMHeadModel, init_gpt_params
+from cleantransformer_tpu.ops.quant import (
+    quantize_weight, quantized_matmul, dequantize_weight,
+    quantize_params_for_inference, embed_lookup, lm_head_matmul, is_quantized,
+)
+
+
+def test_quantize_dequantize_error_bound():
+    rs = np.random.RandomState(0)
+    w = jnp.asarray(rs.randn(64, 128).astype(np.float32))
+    wq = quantize_weight(w, compute_dtype=jnp.float32)
+    deq = dequantize_weight(wq)
+    rel = np.abs(np.asarray(deq) - np.asarray(w)).max() / np.abs(np.asarray(w)).max()
+    assert rel < 0.01  # 7-bit symmetric: < 1% of column max
+
+
+def test_quantized_matmul_close_to_float():
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(4, 64).astype(np.float32))
+    w = jnp.asarray(rs.randn(64, 32).astype(np.float32))
+    wq = quantize_weight(w, compute_dtype=jnp.float32)
+    ref = x @ w
+    got = quantized_matmul(x, wq)
+    denom = np.abs(np.asarray(ref)).mean()
+    assert np.abs(np.asarray(got) - np.asarray(ref)).mean() / denom < 0.01
+
+
+def test_quantize_params_skips_norms_and_biases():
+    cfg = GPTConfig(vocab_size=64, n_embd=32, n_positions=64, n_layer=2, n_head=4)
+    params = init_gpt_params(cfg, jax.random.PRNGKey(0), "gpt2")
+    qp = quantize_params_for_inference(params)
+    assert is_quantized(qp["blocks"]["attn"]["c_attn"]["w"])
+    assert is_quantized(qp["blocks"]["mlp"]["c_fc"]["w"])
+    assert not is_quantized(qp["blocks"]["ln_1"]["w"])   # LayerNorm stays float
+    assert qp["blocks"]["ln_1"]["w"].dtype == jnp.bfloat16
+    assert is_quantized(qp["tokens_embed"])
+    assert not is_quantized(qp["position_embed"])
+
+
+def test_embed_and_lm_head_roundtrip():
+    rs = np.random.RandomState(2)
+    table = jnp.asarray(rs.randn(50, 16).astype(np.float32))
+    qp = quantize_params_for_inference({"tokens_embed": table},
+                                       compute_dtype=jnp.float32)
+    ids = jnp.asarray([0, 3, 49])
+    np.testing.assert_allclose(np.asarray(embed_lookup(qp["tokens_embed"], ids)),
+                               np.asarray(table[ids]), rtol=0.02, atol=0.05)
+    h = jnp.asarray(rs.randn(2, 16).astype(np.float32))
+    ref = h @ table.T
+    got = lm_head_matmul(h, qp["tokens_embed"])
+    assert np.abs(np.asarray(got) - np.asarray(ref)).mean() \
+        / np.abs(np.asarray(ref)).mean() < 0.02
+
+
+def test_quantized_decode_end_to_end():
+    """quantize_int8 generate() runs, tokens valid, and mostly agrees with
+    the bf16 path (int8 noise may flip near-ties, so exactness isn't
+    asserted)."""
+    kw = dict(vocab_size=97, n_embd=64, n_positions=128, n_layer=2, n_head=4)
+    params = init_gpt_params(GPTConfig(**kw), jax.random.PRNGKey(5), "gpt2")
+    m_bf16 = GPTLMHeadModel(GPTConfig(**kw, compute_dtype="bfloat16"),
+                            version="gpt2", params=params)
+    m_q = GPTLMHeadModel(GPTConfig(**kw, compute_dtype="bfloat16",
+                                   quantize_int8=True),
+                         version="gpt2", params=params)
+    rs = np.random.RandomState(0)
+    ids = jnp.asarray(rs.randint(0, 97, (2, 6)), jnp.int32)
+    gen = {"beam_size": 1, "max_gen_len": 16, "do_sample": False,
+           "end_ids": None, "pad_id": 0, "no_repeat_ngram_size": 0}
+    out_b = np.asarray(m_bf16.generate(ids, generation_configs=gen))
+    out_q = np.asarray(m_q.generate(ids, generation_configs=gen))
+    assert out_q.shape == out_b.shape
+    assert (out_q >= 0).all() and (out_q < 97).all()
+    agreement = (out_q == out_b).mean()
+    assert agreement > 0.5, f"agreement only {agreement}"
