@@ -139,6 +139,13 @@ def main():
         bench_decode(model, f"gpt2_124M_decode_b{batch}", batch, 32, 128, 50257)
     bench_prefill(model, cfg)
 
+    # int8 weight-only quantized decode
+    qcfg = GPTConfig(vocab_size=50257, n_embd=768, n_positions=1024, n_layer=12,
+                     n_head=12, n_ctx=1024, compute_dtype="bfloat16",
+                     decode_unroll=12, quantize_int8=True)
+    qmodel = GPTLMHeadModel(qcfg, version="gpt2", rng=jax.random.PRNGKey(0))
+    bench_decode(qmodel, "gpt2_124M_decode_b8_int8", 8, 32, 128, 50257)
+
     # Bloom-560m-class decode
     bcfg = BloomConfig(vocab_size=50432, hidden_size=1024, n_layer=24,
                        num_attention_heads=16, compute_dtype="bfloat16",
