@@ -144,12 +144,14 @@ def bloom_pipeline_loss_fn(config, mesh, num_microbatches):
         ids = batch["input_ids"].reshape(M, mb, S)
         mask = batch["attention_mask"].reshape(M, mb, S)
         labels = batch["labels"].reshape(M, mb, S)
-        from jax.experimental.shard_map import shard_map
+        shard_map = getattr(jax, "shard_map", None)
+        if shard_map is None:  # older jax
+            from jax.experimental.shard_map import shard_map
         fn = shard_map(
             stage_body, mesh=mesh,
             in_specs=(p_specs, P(), P(), P()),
             out_specs=P(),
-            check_rep=False)
+            check_vma=False)
         return fn(params, ids, mask, labels)
 
     return loss_fn
