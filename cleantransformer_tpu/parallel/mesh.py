@@ -20,6 +20,19 @@ import numpy as np
 _ACTIVE_MESH = None
 
 
+def compat_shard_map(f, mesh, in_specs, out_specs):
+    """shard_map across JAX versions: jax.shard_map (new, check_vma) or
+    jax.experimental.shard_map (old, check_rep) — replication checking is
+    disabled either way (our bodies mix replicated and sharded operands)."""
+    sm = getattr(jax, "shard_map", None)
+    if sm is not None:
+        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_vma=False)
+    from jax.experimental.shard_map import shard_map as sm_old
+    return sm_old(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_rep=False)
+
+
 def initialize_distributed(coordinator_address=None, num_processes=None,
                            process_id=None):
     """Multi-host bring-up — the jax analogue of

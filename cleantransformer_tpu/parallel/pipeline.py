@@ -67,7 +67,6 @@ def bloom_pipeline_loss_fn(config, mesh, num_microbatches):
     from cleantransformer_tpu.models.bloom import (
         _bloom_block, build_alibi_bias)
     from cleantransformer_tpu.ops.layers import layer_norm
-    from cleantransformer_tpu.ops.losses import shift_cross_entropy_loss
 
     P_stages = mesh.shape["pipe"]
     M = num_microbatches
@@ -101,7 +100,6 @@ def bloom_pipeline_loss_fn(config, mesh, num_microbatches):
             active = (t - s >= 0) & (t - s < M)
             ids_mb = jax.lax.dynamic_index_in_dim(ids, mb_idx, 0, False)
             mask_mb = jax.lax.dynamic_index_in_dim(mask, mb_idx, 0, False)
-            labels_mb = jax.lax.dynamic_index_in_dim(labels, mb_idx, 0, False)
 
             # stage 0 sources from the embeddings; others from the ring buffer
             emb = params["word_embeddings"][ids_mb].astype(config.compute_dtype)
@@ -114,23 +112,44 @@ def bloom_pipeline_loss_fn(config, mesh, num_microbatches):
             y = local_layers(x_in, alibi, bool_mask, mask_mb != 0)
             y = jnp.where(active, y, jnp.zeros_like(y))
 
-            # last stage: head + loss for its microbatch
-            h = layer_norm(y, params["ln_f"]["w"], params["ln_f"]["b"],
-                           config.layer_norm_epsilon)
-            lm = params.get("lm_head", params["word_embeddings"])
-            logits = jnp.matmul(h, lm.T.astype(h.dtype)).astype(jnp.float32)
-            loss_mb = shift_cross_entropy_loss(logits, labels_mb)
-            loss_out = jnp.where(active & (s == P_stages - 1), loss_mb, 0.0)
+            # stack last-stage outputs; the head runs ONCE after the scan so
+            # the expensive (mb*S, D)@(D, V) matmul stays off every tick's
+            # critical path
+            y_out = jnp.where(active & (s == P_stages - 1), y,
+                              jnp.zeros_like(y))
 
             # ring hop: stage i -> i+1 (the wraparound into stage 0 is unused)
             buf_next = jax.lax.ppermute(
                 y, "pipe", [(i, (i + 1) % P_stages) for i in range(P_stages)])
-            return buf_next, loss_out
+            return buf_next, y_out
 
         buf0 = jnp.zeros((mb, S, D), config.compute_dtype)
-        _, losses = jax.lax.scan(tick, buf0, jnp.arange(M + P_stages - 1))
-        total = jnp.sum(losses) / M
-        return jax.lax.psum(total, "pipe")
+        _, stacked = jax.lax.scan(tick, buf0, jnp.arange(M + P_stages - 1))
+        # microbatch m completed on the last stage at tick P-1+m
+        outs = jax.lax.dynamic_slice_in_dim(stacked, P_stages - 1, M, axis=0)
+        h = outs.reshape(M * mb, S, D)
+        h = layer_norm(h, params["ln_f"]["w"], params["ln_f"]["b"],
+                       config.layer_norm_epsilon)
+        lm = params.get("lm_head", params["word_embeddings"])
+        logits = jnp.matmul(h, lm.T.astype(h.dtype)).astype(jnp.float32)
+        # token-weighted global loss (equal-weighting microbatch MEANS would
+        # mis-weight when labels carry ignore_index): sum over all shifted
+        # tokens / count of valid tokens, matching bloom_lm_forward's mean
+        flat_labels = labels.reshape(M * mb, S)
+        shift_logits = logits[:, :-1].reshape(-1, logits.shape[-1])
+        shift_labels = flat_labels[:, 1:].reshape(-1)
+        valid = shift_labels != -100
+        tgt = jnp.where(valid, shift_labels, 0)
+        logp = jax.nn.log_softmax(shift_logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, tgt[:, None], axis=-1)[:, 0]
+        nll = jnp.where(valid, nll, 0.0)
+        # only the last stage holds real outputs; zero elsewhere, psum shares
+        total = jnp.where(s == P_stages - 1, jnp.sum(nll), 0.0)
+        count = jnp.where(s == P_stages - 1,
+                          jnp.sum(valid).astype(jnp.float32), 0.0)
+        total = jax.lax.psum(total, "pipe")
+        count = jax.lax.psum(count, "pipe")
+        return total / jnp.maximum(count, 1.0)
 
     p_specs = None
 
@@ -144,14 +163,11 @@ def bloom_pipeline_loss_fn(config, mesh, num_microbatches):
         ids = batch["input_ids"].reshape(M, mb, S)
         mask = batch["attention_mask"].reshape(M, mb, S)
         labels = batch["labels"].reshape(M, mb, S)
-        shard_map = getattr(jax, "shard_map", None)
-        if shard_map is None:  # older jax
-            from jax.experimental.shard_map import shard_map
-        fn = shard_map(
+        from cleantransformer_tpu.parallel.mesh import compat_shard_map
+        fn = compat_shard_map(
             stage_body, mesh=mesh,
             in_specs=(p_specs, P(), P(), P()),
-            out_specs=P(),
-            check_vma=False)
+            out_specs=P())
         return fn(params, ids, mask, labels)
 
     return loss_fn

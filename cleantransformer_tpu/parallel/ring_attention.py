@@ -82,15 +82,12 @@ def ring_attention(q, k, v, bias=None, mesh=None, causal=True, scale=1.0,
     mesh = mesh or make_seq_mesh()
     if bias is None:
         bias = jnp.zeros((q.shape[0], q.shape[1], q.shape[2]), jnp.float32)
-    shard_map = getattr(jax, "shard_map", None)
-    if shard_map is None:
-        from jax.experimental.shard_map import shard_map
-    fn = shard_map(
+    from cleantransformer_tpu.parallel.mesh import compat_shard_map
+    fn = compat_shard_map(
         functools.partial(_ring_attention_local, axis_name=axis_name,
                           causal=causal, scale=scale),
         mesh=mesh,
         in_specs=(P(None, None, axis_name, None), P(None, None, axis_name, None),
                   P(None, None, axis_name, None), P(None, None, axis_name)),
-        out_specs=P(None, None, axis_name, None),
-        check_vma=False)
+        out_specs=P(None, None, axis_name, None))
     return fn(q, k, v, bias)
