@@ -123,7 +123,9 @@ def bench_sft_step(use_flash, remat=True):
         times.append(time.perf_counter() - t0)
     dt = min(times)
     flops = transformer_flops(n_params, S, 1024, 24) * B * S
-    record(f"bloom560m_sft_step_time{'_flash' if use_flash else ''}",
+    suffix = ("_flash" if use_flash else "") + \
+        ("_dots" if remat == "dots" else "")
+    record(f"bloom560m_sft_step_time{suffix}",
            dt * 1e3, "ms (batch=8, seq=1024, bf16)",
            {"tokens_per_sec": round(B * S / dt, 1),
             "mfu": round(flops / dt / device_peak_flops(), 3),
@@ -154,6 +156,7 @@ def main():
     bmodel._tie_weight()
     bench_decode(bmodel, "bloom560m_decode_b8", 8, 32, 128, 50432)
 
+    bench_sft_step(use_flash=True, remat="dots")
     bench_sft_step(use_flash=True)
     bench_sft_step(use_flash=False)
 

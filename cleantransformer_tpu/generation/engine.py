@@ -190,13 +190,15 @@ def _select_token(scores, do_sample, rng):
 
 def _finish_update(step_output, unfinished, end_ids, pad_id):
     """Pad finished rows and update the unfinished flags
-    (generation_util.py:89-94)."""
+    (generation_util.py:89-94). With no end ids every row stays unfinished
+    forever, so the masking is the identity — skip the kernels."""
+    if end_ids is None:
+        return step_output, unfinished
     step_output = step_output * unfinished + pad_id * (1 - unfinished)
-    if end_ids is not None:
-        not_end = jnp.ones_like(unfinished)
-        for e in end_ids:
-            not_end = not_end * (step_output != e).astype(unfinished.dtype)
-        unfinished = unfinished * not_end
+    not_end = jnp.ones_like(unfinished)
+    for e in end_ids:
+        not_end = not_end * (step_output != e).astype(unfinished.dtype)
+    unfinished = unfinished * not_end
     return step_output, unfinished
 
 
@@ -226,15 +228,22 @@ def _postprocess_and_append(forward, config, params, scores, tokens_buf,
         scores = no_repeat_ngram(tokens_buf, cur_len, scores, ngram_size)
     wrapper = build_wrapper_chain(do_sample, temperature, top_k, top_p)
     scores = wrapper(scores)
-    rng, sub = jax.random.split(rng)
+    if do_sample:
+        rng, sub = jax.random.split(rng)
+    else:
+        sub = rng  # greedy never consumes randomness; skip the split kernel
     step_output = _select_token(scores, do_sample, sub)
     step_output, unfinished = _finish_update(step_output, unfinished, end_ids, pad_id)
     B = tokens_buf.shape[0]
     tokens_buf = jax.lax.dynamic_update_slice(
         tokens_buf, step_output[:, None], (0, cur_len))
-    extend_val = mask_buf[jnp.arange(B), jnp.maximum(cur_len - 1, 0)]
+    # the mask extension value is the prompt mask's last column, constant for
+    # the whole decode (generation_util.py:101) — precomputed, not re-gathered
+    ext = aux.get("ext")
+    if ext is None:
+        ext = mask_buf[jnp.arange(B), jnp.maximum(cur_len - 1, 0)]
     mask_buf = jax.lax.dynamic_update_slice(
-        mask_buf, extend_val[:, None], (0, cur_len))
+        mask_buf, ext[:, None], (0, cur_len))
     aux = _aux_extend(aux, cur_len, B)
     return tokens_buf, mask_buf, cache, aux, unfinished, rng, cur_len + 1
 
@@ -278,6 +287,46 @@ def _decode_loop(params, config, forward, tokens_buf, mask_buf, cache, aux,
     return state[0], state[-1]
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "forward", "config", "ngram_size", "do_sample", "temperature", "top_k",
+    "top_p", "end_ids", "pad_id", "total_len"))
+def _generate_fused(params, config, forward, tokens_buf, mask_buf, cache,
+                    input_ids, position_ids, segment_ids, aux, unfinished,
+                    rng, cur_len, ngram_size, do_sample, temperature, top_k,
+                    top_p, end_ids, pad_id, total_len):
+    """Prefill + full decode loop as ONE device program.
+
+    On a remotely-tunnelled TPU every executable launch that the host
+    synchronizes on costs a network round trip; splitting prefill and the
+    decode loop into two jits plus two host fetches added ~3 RTTs per
+    generate() call. Fusing them (and fetching the (tokens, length) tuple
+    with a single jax.device_get) leaves exactly one round trip."""
+    (logits, _), cache = forward(params, config, input_ids, mask_buf,
+                                 position_ids, segment_ids, cache,
+                                 last_only=True)
+    scores = logits[:, -1, :].astype(jnp.float32)
+    state = _postprocess_and_append(
+        forward, config, params, scores, tokens_buf, mask_buf, cache, aux,
+        unfinished, rng, ngram_size, do_sample, temperature, top_k, top_p,
+        end_ids, pad_id, cur_len)
+
+    def cond(state):
+        cur_len, unfinished = state[-1], state[-3]
+        if end_ids is None:  # unfinished is invariantly all-ones
+            return cur_len < total_len
+        return jnp.logical_and(cur_len < total_len, jnp.max(unfinished) > 0)
+
+    def body(state):
+        tokens_buf, mask_buf, cache, aux, unfinished, rng, cur_len = state
+        return _decode_one(forward, config, params, tokens_buf, mask_buf,
+                           cache, aux, unfinished, rng, cur_len, ngram_size,
+                           do_sample, temperature, top_k, top_p, end_ids,
+                           pad_id)
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state[0], state[-1]
+
+
 _decode_step_jit = None
 
 
@@ -304,24 +353,28 @@ def _greedy_search(model, params, input_ids, attention_mask, position_ids,
     total_len = S0 + max_gen_len + 2
     forward = model.forward_fn()
     cache = model.init_cache(B, total_len)
-    tokens_buf, mask_buf, _ = _make_buffers(input_ids, attention_mask, total_len, pad_id)
+    tokens_buf, mask_buf, extend_val = _make_buffers(input_ids, attention_mask,
+                                                     total_len, pad_id)
     aux = _make_aux_buffers(position_ids, segment_ids, B, total_len)
+    aux["ext"] = extend_val
     unfinished = jnp.ones((B,), dtype=jnp.int32)
 
     kw = dict(ngram_size=no_repeat_ngram_size, do_sample=do_sample,
               temperature=temperature, top_k=top_k, top_p=top_p,
               end_ids=end_ids, pad_id=pad_id)
+    if steamers is None:
+        tokens_buf, cur_len = _generate_fused(
+            params, model.config, forward, tokens_buf, mask_buf, cache,
+            input_ids, position_ids, segment_ids, aux, unfinished, rng,
+            cur_len=jnp.asarray(S0, jnp.int32), total_len=total_len, **kw)
+        tokens_np, n = jax.device_get((tokens_buf, cur_len))
+        n = int(n)
+        return tokens_np[:, :n].reshape(B, 1, n)
+
     tokens_buf, mask_buf, cache, aux, unfinished, rng, cur_len = _prefill_step(
         params, model.config, forward, tokens_buf, mask_buf, cache,
         input_ids, position_ids, segment_ids, aux, unfinished, rng,
         cur_len=jnp.asarray(S0, jnp.int32), **kw)
-
-    if steamers is None:
-        tokens_buf, cur_len = _decode_loop(
-            params, model.config, forward, tokens_buf, mask_buf, cache, aux,
-            unfinished, rng, cur_len, total_len=total_len, **kw)
-        n = int(cur_len)
-        return np.asarray(tokens_buf[:, :n]).reshape(B, 1, n)
 
     # streaming path: jitted single step driven from host so callbacks fire
     steamers = steamers if isinstance(steamers, list) else [steamers]

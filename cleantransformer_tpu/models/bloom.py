@@ -239,8 +239,13 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
         if remat:
             # per-layer rematerialization: the scan stores only each block's
             # input instead of all its intermediates (activation checkpointing
-            # — the ZeRO/gradient-checkpointing analogue, SURVEY §2.3)
-            run_block = jax.checkpoint(run_block)
+            # — the ZeRO/gradient-checkpointing analogue, SURVEY §2.3).
+            # remat="dots" additionally saves matmul outputs (XLA recomputes
+            # only cheap elementwise ops in the backward pass — less recompute
+            # FLOPs for slightly more activation memory than full remat).
+            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                      if remat == "dots" else None)
+            run_block = jax.checkpoint(run_block, policy=policy)
 
         def body(carry, block_params):
             return run_block(carry, block_params), None

@@ -274,7 +274,11 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
                                 deterministic, rng_l)
             return out
         if remat:
-            run_block = jax.checkpoint(run_block)  # per-layer remat
+            # per-layer remat; remat="dots" saves matmul outputs so the
+            # backward pass recomputes only elementwise ops (see bloom.py)
+            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                      if remat == "dots" else None)
+            run_block = jax.checkpoint(run_block, policy=policy)
 
         def body(carry, xs):
             h_in, li = carry

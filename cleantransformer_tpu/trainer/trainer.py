@@ -87,7 +87,10 @@ class TrainingArguments:
     # mesh_data=0 => all remaining devices on the data axis
     mesh_data: int = 1
     mesh_model: int = 1
-    remat: bool = False          # jax.checkpoint the loss fn (activation ckpt)
+    # per-layer activation checkpointing: False | True (save only block
+    # inputs) | "dots" (also save matmul outputs — cheaper recompute, a bit
+    # more memory)
+    remat: object = False
 
 
 # ---------------------------------------------------------------------------
