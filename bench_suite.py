@@ -156,6 +156,28 @@ def bench_sft_step(use_flash, remat=True):
             "params_millions": round(n_params / 1e6, 1)})
 
 
+def bench_serving(model, name, vocab, n_requests=24, max_slots=8,
+                  max_len=256, n_new=64):
+    """Continuous-batching throughput under a stream of variable-length
+    prompts (the serving engine keeps all slots busy; generate() would run
+    one batch at a time)."""
+    from cleantransformer_tpu.serving import ServingEngine
+    rs = np.random.RandomState(0)
+    prompts = [rs.randint(1, vocab, (int(n),)).tolist()
+               for n in rs.randint(8, 64, n_requests)]
+    eng = ServingEngine(model, max_slots=max_slots, max_len=max_len,
+                        prefill_buckets=(64,), chunk_size=16)
+    for p in prompts:
+        eng.submit(p, max_new_tokens=n_new)
+    t0 = time.perf_counter()
+    done = list(eng.run())
+    dt = time.perf_counter() - t0
+    gen_tokens = sum(len(t) - len(prompts[rid]) for rid, t in done)
+    record(name, gen_tokens / dt, "generated tokens/s",
+           {"requests": n_requests, "slots": max_slots,
+            "chunk": 16, "wall_s": round(dt, 2)})
+
+
 def main():
     # GPT-2 decode, batch sweep
     cfg = GPTConfig(vocab_size=50257, n_embd=768, n_positions=1024, n_layer=12,
@@ -164,13 +186,6 @@ def main():
     for batch in (8, 32):
         bench_decode(model, f"gpt2_124M_decode_b{batch}", batch, 32, 128, 50257)
     bench_prefill(model, cfg)
-
-    # fused-Pallas-MLP decode
-    fcfg = GPTConfig(vocab_size=50257, n_embd=768, n_positions=1024, n_layer=12,
-                     n_head=12, n_ctx=1024, compute_dtype="bfloat16",
-                     decode_unroll=12, use_fused_mlp=True)
-    fmodel = GPTLMHeadModel(fcfg, version="gpt2", rng=jax.random.PRNGKey(0))
-    bench_decode(fmodel, "gpt2_124M_decode_b8_fused_mlp", 8, 32, 128, 50257)
 
     # int8 weight-only quantized decode
     qcfg = GPTConfig(vocab_size=50257, n_embd=768, n_positions=1024, n_layer=12,
@@ -186,6 +201,8 @@ def main():
     bmodel = BloomForCausalLM(bcfg, rng=jax.random.PRNGKey(0))
     bmodel._tie_weight()
     bench_decode(bmodel, "bloom560m_decode_b8", 8, 32, 128, 50432)
+
+    bench_serving(model, "gpt2_124M_serving_tokens_per_sec", 50257)
 
     # (remat="dots" saves every matmul output — OOMs at b8/seq1024 on one
     # 16GB chip; the flag remains for smaller configs / bigger meshes)

@@ -115,12 +115,11 @@ def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
         new_k, new_v = None, None
     else:
         # token-sized in-place carry update on the full (L,B,H,T,hd) cache
-        # (see models/gpt.py attn for rationale)
+        # (see models/gpt.py attn for rationale); per-row offsets for serving
+        from cleantransformer_tpu.models.gpt import cache_write
         k_cache, v_cache, li = layer_kv
-        new_k = jax.lax.dynamic_update_slice(
-            k_cache, k[None].astype(k_cache.dtype), (li, 0, 0, cache_len, 0))
-        new_v = jax.lax.dynamic_update_slice(
-            v_cache, v[None].astype(v_cache.dtype), (li, 0, 0, cache_len, 0))
+        new_k = cache_write(k_cache, li, k, cache_len)
+        new_v = cache_write(v_cache, li, v, cache_len)
         T = k_cache.shape[3]
         k = jax.lax.dynamic_slice(new_k, (li, 0, 0, 0, 0),
                                   (1, B, num_heads, T, hd))[0]
@@ -225,9 +224,12 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
     # bool mask (True = masked): padding OR not-causal (modeling_bloom.py:176-185)
     row = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)
-    not_causal = col > (cache_len + row)
+    if jnp.ndim(cache_len) == 1:  # per-row offsets (serving)
+        not_causal = (col[None] > (cache_len[:, None, None] + row[None]))[:, None]
+    else:
+        not_causal = (col > (cache_len + row))[None, None]
     pad = (attention_mask == 0)[:, None, None, :]
-    bool_mask = pad | not_causal[None, None]
+    bool_mask = pad | not_causal
 
     pad_mask = attention_mask != 0  # (B, T) True = attendable, for flash bias
 

@@ -95,6 +95,20 @@ def init_kv_cache(config, batch_size, max_len, dtype=None):
 # forward
 # ---------------------------------------------------------------------------
 
+def cache_write(kv_cache, li, x, offset):
+    """Write S new-token keys/values x (B, H, S, hd) into the stacked cache
+    (L, B, H, T, hd) for layer ``li`` at ``offset``: a scalar (all rows at the
+    same position — the generate() engine) or a (B,) vector (per-row ragged
+    positions — the continuous-batching serving engine, S must be 1)."""
+    if jnp.ndim(offset) == 0:
+        return jax.lax.dynamic_update_slice(
+            kv_cache, x[None].astype(kv_cache.dtype), (li, 0, 0, offset, 0))
+    B, H, S, hd = x.shape
+    assert S == 1, "vector cache offsets are single-token (serving decode)"
+    return kv_cache.at[li, jnp.arange(B)[:, None], jnp.arange(H)[None, :],
+                       offset[:, None]].set(x[:, :, 0, :].astype(kv_cache.dtype))
+
+
 def _attend(q, k, v, cache_len, q_offset, key_padding_additive, scale, causal_fill,
             attn_drop=None):
     """Shared causal attention core for prefill/decode over a fixed key buffer.
@@ -102,6 +116,7 @@ def _attend(q, k, v, cache_len, q_offset, key_padding_additive, scale, causal_fi
     q: (B, H, S, hd); k, v: (B, H, T, hd) where only [0, cache_len+S) is valid.
     Query i has global position q_offset + i. Key j is attendable iff
     j <= q_offset + i (causal; also excludes unwritten buffer slots).
+    ``q_offset`` may be per-row (B,) for ragged serving batches.
     """
     B, H, S, hd = q.shape
     T = k.shape[2]
@@ -110,8 +125,12 @@ def _attend(q, k, v, cache_len, q_offset, key_padding_additive, scale, causal_fi
         scores = scores / math.sqrt(hd)
     row = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)
-    causal = col <= (q_offset + row)
-    scores = jnp.where(causal[None, None], scores, jnp.asarray(causal_fill, scores.dtype))
+    if jnp.ndim(q_offset) == 1:
+        causal = col[None] <= (q_offset[:, None, None] + row[None])  # (B, S, T)
+        causal = causal[:, None]
+    else:
+        causal = (col <= (q_offset + row))[None, None]
+    scores = jnp.where(causal, scores, jnp.asarray(causal_fill, scores.dtype))
     if key_padding_additive is not None:
         scores = scores + key_padding_additive.astype(scores.dtype)
     weights = jax.nn.softmax(scores, axis=-1)
@@ -165,10 +184,8 @@ def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_
             # stacked scan outputs (which forced a full cache copy per step)
             k_cache, v_cache, li = layer_kv
             B_, = (x.shape[0],)
-            new_k = jax.lax.dynamic_update_slice(
-                k_cache, k[None].astype(k_cache.dtype), (li, 0, 0, cache_len, 0))
-            new_v = jax.lax.dynamic_update_slice(
-                v_cache, v[None].astype(v_cache.dtype), (li, 0, 0, cache_len, 0))
+            new_k = cache_write(k_cache, li, k, cache_len)
+            new_v = cache_write(v_cache, li, v, cache_len)
             q_offset = cache_len
             T = k_cache.shape[3]
             hd = k.shape[-1]
@@ -231,6 +248,9 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
     cache_len = cache["length"] if cache is not None else jnp.zeros((), jnp.int32)
 
     if position_ids is None:
+        if jnp.ndim(cache_len) == 1:
+            raise ValueError("per-row cache offsets (serving) require "
+                             "explicit position_ids")
         if attention_mask is not None:
             # reference: cumsum(mask)-1 with pad positions set to 1, windowed to
             # the current inputs (modeling_gpt.py:171-174). With a cache, the

@@ -1,0 +1,132 @@
+"""Continuous-batching serving engine: parity vs generate() and slot reuse.
+
+The serving engine is a TPU-native extension beyond the reference (which
+serves one batch per generate() call); correctness bar: every request's
+greedy output must equal the standalone generate() greedy output for the
+same prompt.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cleantransformer_tpu.config import BloomConfig, GPTConfig
+from cleantransformer_tpu.models.bloom import BloomForCausalLM
+from cleantransformer_tpu.models.gpt import GPTLMHeadModel
+from cleantransformer_tpu.serving import ServingEngine
+
+GPT_SHAPE = dict(vocab_size=97, n_embd=64, n_positions=128, n_layer=2,
+                 n_head=4, n_ctx=128, embd_pdrop=0.0, attn_pdrop=0.0,
+                 resid_pdrop=0.0)
+BLOOM_SHAPE = dict(vocab_size=101, hidden_size=64, n_layer=2,
+                   num_attention_heads=4)
+
+
+@pytest.fixture(scope="module")
+def gpt():
+    return GPTLMHeadModel(GPTConfig(**GPT_SHAPE), version="gpt2",
+                          rng=jax.random.PRNGKey(11))
+
+
+@pytest.fixture(scope="module")
+def bloom():
+    return BloomForCausalLM(BloomConfig(**BLOOM_SHAPE),
+                            rng=jax.random.PRNGKey(12))
+
+
+def ref_greedy(model, prompt, n_new, end_ids=None):
+    """Standalone generate() greedy output truncated to prompt + n_new."""
+    ids = jnp.asarray(np.asarray(prompt, np.int32)[None])
+    out = model.generate(ids, generation_configs={
+        "beam_size": 1, "max_gen_len": n_new, "do_sample": False,
+        "end_ids": list(end_ids) if end_ids else None, "pad_id": 0})
+    out = np.asarray(out)[0, 0]
+    return out[: len(prompt) + n_new]
+
+
+def _prompts(vocab, seed=0):
+    rs = np.random.RandomState(seed)
+    return [rs.randint(1, vocab, (n,)).tolist() for n in (3, 7, 12, 5, 9, 14)]
+
+
+@pytest.mark.parametrize("model_fix", ["gpt", "bloom"])
+def test_greedy_parity_vs_generate(model_fix, request):
+    model = request.getfixturevalue(model_fix)
+    vocab = model.config.vocab_size
+    eng = ServingEngine(model, max_slots=2, max_len=64,
+                        prefill_buckets=(16,), chunk_size=4)
+    prompts = _prompts(vocab)
+    n_new = 10
+    rids = {eng.submit(p, max_new_tokens=n_new): p for p in prompts}
+    results = dict(eng.run())
+    assert set(results) == set(rids)
+    for rid, prompt in rids.items():
+        got = results[rid]
+        want = ref_greedy(model, prompt, n_new)
+        np.testing.assert_array_equal(got, want,
+                                      err_msg=f"prompt={prompt}")
+
+
+def test_end_ids_terminate_early(gpt):
+    vocab = gpt.config.vocab_size
+    prompts = _prompts(vocab, seed=3)[:3]
+    # pick the end id as the first generated token of one prompt so at least
+    # one request stops immediately
+    probe = ref_greedy(gpt, prompts[0], 1)
+    end_id = int(probe[len(prompts[0])])
+    eng = ServingEngine(gpt, max_slots=2, max_len=64, prefill_buckets=(16,),
+                        chunk_size=4, end_ids=[end_id])
+    rids = {eng.submit(p, max_new_tokens=12): p for p in prompts}
+    results = dict(eng.run())
+    for rid, prompt in rids.items():
+        got = results[rid]
+        want = ref_greedy(gpt, prompt, 12, end_ids=[end_id])
+        # generate() pads beyond the end token; serving stops at it
+        stop = len(prompt)
+        while stop < len(want) and (stop == len(prompt)
+                                    or want[stop - 1] != end_id):
+            stop += 1
+        np.testing.assert_array_equal(got, want[: len(got)])
+        if end_id in got[len(prompt):]:
+            assert got[-1] == end_id  # stopped AT the end token
+
+    # at least one of the requests must have early-stopped
+    assert any(len(results[r]) < len(p) + 12 for r, p in rids.items())
+
+
+def test_more_requests_than_slots_reuses_slots(bloom):
+    vocab = bloom.config.vocab_size
+    eng = ServingEngine(bloom, max_slots=2, max_len=48,
+                        prefill_buckets=(16,), chunk_size=3)
+    prompts = _prompts(vocab, seed=7)
+    rids = {eng.submit(p, max_new_tokens=6): p for p in prompts}
+    seen = []
+    for rid, toks in eng.run():
+        seen.append(rid)
+        want = ref_greedy(bloom, rids[rid], 6)
+        np.testing.assert_array_equal(toks, want)
+    assert sorted(seen) == sorted(rids)
+    # all slots free at the end
+    assert eng.utilization() == 0.0
+
+
+def test_sampling_smoke(gpt):
+    eng = ServingEngine(gpt, max_slots=2, max_len=48, prefill_buckets=(16,),
+                        chunk_size=4, do_sample=True, temperature=0.9,
+                        top_k=5, rng=jax.random.PRNGKey(5))
+    rid = eng.submit([1, 2, 3], max_new_tokens=8)
+    results = dict(eng.run())
+    assert len(results[rid]) == 3 + 8
+    assert (np.asarray(results[rid]) < gpt.config.vocab_size).all()
+
+
+def test_validation_errors(gpt):
+    eng = ServingEngine(gpt, max_slots=1, max_len=32, prefill_buckets=(8,))
+    with pytest.raises(ValueError):
+        eng.submit([])
+    with pytest.raises(ValueError):
+        eng.submit(list(range(9)))  # exceeds bucket
+    with pytest.raises(ValueError):
+        eng.submit([1, 2], max_new_tokens=64)  # exceeds max_len
