@@ -167,12 +167,14 @@ def bench_serving(model, name, vocab, n_requests=24, max_slots=8,
                for n in rs.randint(8, 64, n_requests)]
     eng = ServingEngine(model, max_slots=max_slots, max_len=max_len,
                         prefill_buckets=(64,), chunk_size=16)
-    for p in prompts:
-        eng.submit(p, max_new_tokens=n_new)
+    # warmup: compile the prefill + decode-chunk programs before timing
+    eng.submit(prompts[0], max_new_tokens=4)
+    list(eng.run())
+    plen = {eng.submit(p, max_new_tokens=n_new): len(p) for p in prompts}
     t0 = time.perf_counter()
     done = list(eng.run())
     dt = time.perf_counter() - t0
-    gen_tokens = sum(len(t) - len(prompts[rid]) for rid, t in done)
+    gen_tokens = sum(len(t) - plen[rid] for rid, t in done)
     record(name, gen_tokens / dt, "generated tokens/s",
            {"requests": n_requests, "slots": max_slots,
             "chunk": 16, "wall_s": round(dt, 2)})

@@ -33,10 +33,15 @@ from cleantransformer_tpu.generation.logits_process import build_wrapper_chain
 DEFAULT_BUCKETS = (16, 32, 64, 128, 256)
 
 
-@functools.partial(jax.jit, static_argnames=("forward", "config", "bucket"))
+@functools.partial(jax.jit, static_argnames=(
+    "forward", "config", "bucket", "do_sample", "temperature", "top_k",
+    "top_p", "end_ids"))
 def _prefill_slot(params, config, forward, state, ids_bucket, prompt_len,
-                  max_total, slot, rng, bucket):
-    """Run one request's prompt through the model into ``slot``.
+                  max_total, slot, bucket, do_sample, temperature, top_k,
+                  top_p, end_ids):
+    """Run one request's prompt through the model into ``slot`` and append
+    its first generated token — ONE device program per admission (host-side
+    eager ops are prohibitively slow through a remote-compile tunnel).
 
     ids_bucket: (1, bucket) prompt padded on the right; positions >=
     prompt_len are masked out of attention (their cache entries hold garbage
@@ -73,8 +78,16 @@ def _prefill_slot(params, config, forward, state, ids_bucket, prompt_len,
     state["prompt_len"] = state["prompt_len"].at[slot].set(prompt_len)
     state["limit"] = state["limit"].at[slot].set(max_total)
     state["active"] = state["active"].at[slot].set(1)
+
+    # first generated token, fused into the same program
+    rng, sub = jax.random.split(state["rng"])
     state["rng"] = rng
-    return state, first_scores
+    tok = _choose(first_scores[None], do_sample, temperature, top_k, top_p,
+                  sub)[0]
+    B = state["tokens"].shape[0]
+    keep = jnp.zeros((B,), jnp.int32).at[slot].set(1)
+    toks = jnp.zeros((B,), jnp.int32).at[slot].set(tok)
+    return _append_token(state, toks, keep, end_ids)
 
 
 def _choose(scores, do_sample, temperature, top_k, top_p, rng):
@@ -252,20 +265,13 @@ class ServingEngine:
             bucket = self._bucket_for(p)
             ids = np.zeros((1, bucket), np.int32)
             ids[0, :p] = req.prompt
-            rng, sub = jax.random.split(self.state["rng"])
-            self.state["rng"] = rng
-            self.state, first_scores = _prefill_slot(
+            self.state = _prefill_slot(
                 self.params, self.config, self.forward, self.state,
                 jnp.asarray(ids), jnp.asarray(p, jnp.int32),
                 jnp.asarray(p + req.max_new_tokens, jnp.int32),
-                jnp.asarray(slot, jnp.int32), rng, bucket=bucket)
-            # first generated token (host-side choose keeps prefill jit lean)
-            tok = _choose(first_scores[None], self.do_sample, self.temperature,
-                          self.top_k, self.top_p, sub)
-            keep = jnp.zeros((self.max_slots,), jnp.int32).at[slot].set(1)
-            toks = jnp.zeros((self.max_slots,), jnp.int32).at[slot].set(tok[0])
-            self.state = _append_token(dict(self.state), toks, keep,
-                                       self.end_ids)
+                jnp.asarray(slot, jnp.int32), bucket=bucket,
+                do_sample=self.do_sample, temperature=self.temperature,
+                top_k=self.top_k, top_p=self.top_p, end_ids=self.end_ids)
             self.slot_rid[slot] = req.rid
 
     def step(self):
