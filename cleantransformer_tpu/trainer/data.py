@@ -69,7 +69,7 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size, collate_fn, shuffle=True, seed=0,
                  drop_last=True, shard_index=0, num_shards=1,
-                 group_by_length=False, length_fn=None):
+                 group_by_length=False, length_fn=None, prefetch=2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -80,6 +80,7 @@ class DataLoader:
         self.num_shards = num_shards
         self.group_by_length = group_by_length
         self.length_fn = length_fn or (lambda s: len(s.get("prompt", "")))
+        self.prefetch = prefetch
         self.epoch = 0
 
     def set_epoch(self, epoch):
@@ -113,9 +114,45 @@ class DataLoader:
     def iter_skip(self, skip_batches):
         """Iterate from batch ``skip_batches`` of this epoch's order without
         collating the skipped ones (resume-from-checkpoint fast path —
-        skip_first_batches analogue, reference trainer.py:450-451)."""
+        skip_first_batches analogue, reference trainer.py:450-451).
+
+        With ``prefetch > 0`` the tokenize+collate work runs in a background
+        thread ``prefetch`` batches ahead, overlapping host-side input
+        preparation with the device step (the TPU analogue of torch
+        DataLoader workers — on TPU one producer thread suffices because the
+        collate output is plain numpy and the step consumes it directly)."""
         idx = self._indices()
         end = len(idx) - (len(idx) % self.batch_size) if self.drop_last else len(idx)
-        for s in range(skip_batches * self.batch_size, end, self.batch_size):
+        starts = range(skip_batches * self.batch_size, end, self.batch_size)
+
+        def produce(s):
             batch = [self.dataset[int(i)] for i in idx[s:s + self.batch_size]]
-            yield self.collate_fn(batch)
+            return self.collate_fn(batch)
+
+        if not self.prefetch:
+            for s in starts:
+                yield produce(s)
+            return
+
+        import queue
+        import threading
+        q = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+
+        def worker():
+            try:
+                for s in starts:
+                    q.put(produce(s))
+                q.put(_END)
+            except BaseException as e:  # surface collate errors to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
