@@ -180,6 +180,46 @@ def bench_serving(model, name, vocab, n_requests=24, max_slots=8,
             "chunk": 16, "wall_s": round(dt, 2)})
 
 
+def bench_speculative(model, draft, name, vocab, gen=128, K=4):
+    """Batch-1 latency with speculative decoding vs plain greedy. With an
+    untrained draft the acceptance rate has no meaning; the self-draft
+    (draft=target) run bounds the machinery: it shows the max tokens/s the
+    round structure can deliver at acceptance=1."""
+    from cleantransformer_tpu.generation.speculative import speculative_generate
+    rs = np.random.RandomState(0)
+    ids = rs.randint(1, vocab, (1, 16)).astype(np.int32)
+    gcfg = {"max_gen_len": gen}
+
+    out = model.generate(ids, generation_configs={
+        "beam_size": 1, "max_gen_len": gen, "do_sample": False, "pad_id": 0,
+        "end_ids": None, "no_repeat_ngram_size": 0})
+    n_new = out.shape[-1] - 16
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        model.generate(ids, generation_configs={
+            "beam_size": 1, "max_gen_len": gen, "do_sample": False,
+            "pad_id": 0, "end_ids": None, "no_repeat_ngram_size": 0})
+        times.append(time.perf_counter() - t0)
+    base = n_new / max(min(times) - host_rtt(), 1e-9)
+
+    out, stats = speculative_generate(model, draft, ids,
+                                      generation_configs=gcfg, draft_len=K,
+                                      return_stats=True)
+    n_new = out.shape[-1] - 16
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        speculative_generate(model, draft, ids, generation_configs=gcfg,
+                             draft_len=K)
+        times.append(time.perf_counter() - t0)
+    spec = n_new / max(min(times) - host_rtt(), 1e-9)
+    record(name, spec, "tokens/s (batch=1)",
+           {"plain_b1_tokens_per_sec": round(base, 1), "draft_len": K,
+            "tokens_per_round": round(stats["tokens_per_round"], 2),
+            "speedup": round(spec / base, 2)})
+
+
 def main():
     # GPT-2 decode, batch sweep
     cfg = GPTConfig(vocab_size=50257, n_embd=768, n_positions=1024, n_layer=12,
@@ -205,6 +245,11 @@ def main():
     bench_decode(bmodel, "bloom560m_decode_b8", 8, 32, 128, 50432)
 
     bench_serving(model, "gpt2_124M_serving_tokens_per_sec", 50257)
+
+    # speculative decoding: self-draft = acceptance-1 upper bound on the
+    # round machinery (a real trained draft lands between this and plain)
+    bench_speculative(model, model, "gpt2_124M_speculative_selfdraft_b1",
+                      50257)
 
     # (remat="dots" saves every matmul output — OOMs at b8/seq1024 on one
     # 16GB chip; the flag remains for smaller configs / bigger meshes)

@@ -42,6 +42,35 @@ from cleantransformer_tpu.generation.logits_process import (
 )
 
 
+def inference_params(model):
+    """Inference-precision cast: when the model's compute policy is bf16,
+    cast the fp32 master params once — decode is HBM-bandwidth-bound, and
+    bf16 weights halve the bytes every step must stream. With
+    ``quantize_int8`` the projections become int8 {"q","s"} pytrees
+    (ops/quant.py). Cached per params identity so repeated generate() calls
+    (chat REPL, serving) don't re-materialize the cast copy every turn."""
+    params = model.params
+    cdtype = getattr(model.config, "compute_dtype", jnp.float32)
+    quantize = getattr(model.config, "quantize_int8", False)
+    if not quantize and cdtype == jnp.float32:
+        return params
+    cached = getattr(model, "_cast_param_cache", None)
+    if cached is not None and cached[0] is model.params:
+        return cached[1]
+    if quantize:
+        from cleantransformer_tpu.ops.quant import quantize_params_for_inference
+        params = quantize_params_for_inference(
+            params, compute_dtype=cdtype if cdtype != jnp.float32
+            else jnp.bfloat16)
+    else:
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(cdtype)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+            params)
+    model._cast_param_cache = (model.params, params)
+    return params
+
+
 def bind_generation(model):
     """Attach .generate() to a model instance (the reference gets it by
     inheriting GenerationMixin; here it is bound explicitly)."""
@@ -79,31 +108,7 @@ def generate(model, input_ids, attention_mask=None, position_ids=None,
     if rng is None:
         rng = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
 
-    # Inference-precision cast: when the model's compute policy is bf16, cast
-    # the fp32 master params once — decode is HBM-bandwidth-bound, and bf16
-    # weights halve the bytes every step must stream. Cached per params
-    # identity so repeated generate() calls (chat REPL) don't re-materialize
-    # the cast copy every turn.
-    params = model.params
-    cdtype = getattr(model.config, "compute_dtype", jnp.float32)
-    quantize = getattr(model.config, "quantize_int8", False)
-    if quantize or cdtype != jnp.float32:
-        cached = getattr(model, "_cast_param_cache", None)
-        if cached is not None and cached[0] is model.params:
-            params = cached[1]
-        else:
-            if quantize:
-                from cleantransformer_tpu.ops.quant import (
-                    quantize_params_for_inference)
-                params = quantize_params_for_inference(
-                    params, compute_dtype=cdtype if cdtype != jnp.float32
-                    else jnp.bfloat16)
-            else:
-                params = jax.tree_util.tree_map(
-                    lambda x: x.astype(cdtype)
-                    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
-                    params)
-            model._cast_param_cache = (model.params, params)
+    params = inference_params(model)
 
     common = dict(
         max_gen_len=max_gen_len, end_ids=end_ids, pad_id=pad_id,

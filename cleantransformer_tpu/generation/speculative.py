@@ -1,0 +1,211 @@
+"""Speculative decoding (TPU-native extension beyond the reference).
+
+A small draft model proposes ``draft_len`` tokens autoregressively; the
+target model scores all of them in ONE multi-token cached forward (prefill-
+shaped work, which TPUs run near peak, instead of ``draft_len`` bandwidth-
+bound single-token steps); the longest prefix on which the target's greedy
+choices agree with the draft is committed, plus the target's own next token.
+Greedy speculative decoding is EXACT: the committed stream is bit-identical
+to the target model's plain greedy decode (asserted in tests/test_speculative.py).
+
+TPU-first mechanics:
+ - the whole search is one jitted program (lax.while_loop over speculation
+   rounds) with fixed shapes: a fixed ``draft_len`` per round, token buffers
+   padded with a draft_len margin, and the attention frontier expressed as
+   an iota-vs-scalar mask;
+ - rejected candidates need no cache rollback: keys written past the commit
+   point stay masked out (the frontier mask) and are overwritten in place by
+   later rounds' writes at the same offsets;
+ - the draft model re-syncs on tokens it did not itself commit (the target's
+   corrections) via an idempotent fixed-width catch-up window — the window's
+   last position doubles as the first draft proposal, so catch-up is free.
+
+Batch size 1, greedy only (the latency-bound serving case); sampling would
+need rejection sampling, batching needs per-row acceptance counts — both
+documented future work.
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "t_forward", "d_forward", "t_config", "d_config", "K", "end_ids",
+    "total_len"))
+def _speculative_loop(t_params, d_params, t_config, d_config, t_forward,
+                      d_forward, input_ids, tokens, t_cache, d_cache, K,
+                      end_ids, total_len):
+    """ONE device program: target+draft prefill, then the draft/verify
+    round while_loop. tokens: (1, T) with the prompt written (eager prefill
+    would dispatch two full forwards op-by-op through a remote tunnel — the
+    same pathology the generate() and serving engines avoid).
+    Returns (tokens, n_final, rounds)."""
+    T = tokens.shape[1]
+    S0 = input_ids.shape[1]
+    col = jnp.arange(T, dtype=jnp.int32)[None]  # (1, T)
+
+    def frontier_mask(upto):
+        return (col < upto).astype(jnp.int32)
+
+    # target prefill: commit the prompt and the target's first greedy token
+    pos0 = jnp.arange(S0, dtype=jnp.int32)[None]
+    mask0 = frontier_mask(S0)
+    (logits, _), t_cache = t_forward(t_params, t_config, input_ids, mask0,
+                                     pos0, None, t_cache, last_only=True)
+    first = jnp.argmax(logits[0, -1].astype(jnp.float32)).astype(jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, first[None, None], (0, S0))
+    n0 = jnp.asarray(S0 + 1, jnp.int32)
+
+    # draft prefill: warm the draft cache on the prompt (logits unused; the
+    # catch-up window only spans the last K+1 tokens, so earlier prompt keys
+    # must already be in the draft cache)
+    _, d_cache = d_forward(d_params, d_config, input_ids, mask0, pos0, None,
+                           d_cache, last_only=True)
+
+    done0 = jnp.zeros((), bool)
+    for e in end_ids:
+        done0 = done0 | (first == e)
+
+    def cond(state):
+        n, done = state[1], state[4]
+        return jnp.logical_and(n < total_len, jnp.logical_not(done))
+
+    def body(state):
+        tokens, n, t_cache, d_cache, done, rounds = state
+        W = K + 1
+
+        # --- draft catch-up + first proposal: feed the last W committed
+        # tokens (window ends at position n-1); idempotent re-writes for keys
+        # the draft cache already holds, fills the ones it missed (the
+        # target's corrections from previous rounds)
+        start = jnp.maximum(n - W, 0)
+        window = jax.lax.dynamic_slice(tokens, (0, start), (1, W))
+        pos_w = (start + jnp.arange(W, dtype=jnp.int32))[None]
+        d_cache = {**d_cache, "length": start}
+        (d_logits, _), d_cache = d_forward(
+            d_params, d_config, window, frontier_mask(n), pos_w, None, d_cache)
+        c = jnp.argmax(
+            d_logits[0, n - 1 - start].astype(jnp.float32)).astype(jnp.int32)
+        tokens = jax.lax.dynamic_update_slice(tokens, c[None, None], (0, n))
+
+        # --- remaining K-1 proposals, single-token draft steps
+        def draft_step(i, carry):
+            tokens, d_cache = carry
+            off = n + i - 1  # position of the candidate drafted last round
+            tok = jax.lax.dynamic_slice(tokens, (0, off), (1, 1))
+            d_cache = {**d_cache, "length": off}
+            (lg, _), d_cache = d_forward(
+                d_params, d_config, tok, frontier_mask(off + 1),
+                jnp.full((1, 1), off, jnp.int32), None, d_cache)
+            nxt = jnp.argmax(lg[0, -1].astype(jnp.float32)).astype(jnp.int32)
+            tokens = jax.lax.dynamic_update_slice(
+                tokens, nxt[None, None], (0, off + 1))
+            return tokens, d_cache
+
+        tokens, d_cache = jax.lax.fori_loop(1, K, draft_step,
+                                            (tokens, d_cache))
+
+        # --- target verifies all K candidates in one (K+1)-token forward:
+        # input [t_{n-1}, c_1..c_K] at offsets n-1..n+K-1 yields greedy
+        # choices g_0..g_K where g_i is the target's token after ...c_i
+        v_in = jax.lax.dynamic_slice(tokens, (0, n - 1), (1, W))
+        pos_v = (n - 1 + jnp.arange(W, dtype=jnp.int32))[None]
+        t_cache = {**t_cache, "length": n - 1}
+        (t_logits, _), t_cache = t_forward(
+            t_params, t_config, v_in, frontier_mask(n + K), pos_v, None,
+            t_cache)
+        g = jnp.argmax(t_logits[0].astype(jnp.float32), axis=-1).astype(
+            jnp.int32)  # (K+1,)
+
+        cand = jax.lax.dynamic_slice(tokens, (0, n), (1, K))[0]  # c_1..c_K
+        match = (g[:K] == cand)
+        a = jnp.sum(jnp.cumprod(match.astype(jnp.int32)))  # accepted prefix
+
+        # commit the target's own next token after the accepted prefix
+        # (correction on mismatch, bonus token on full acceptance)
+        tokens = jax.lax.dynamic_update_slice(tokens, g[a][None, None],
+                                              (0, n + a))
+        n_committed = a + 1
+
+        # end-id scan over the committed tokens (reference stops right after
+        # appending an end token, generation_util.py:89-94)
+        if end_ids:
+            j = jnp.arange(W, dtype=jnp.int32)
+            committed = jax.lax.dynamic_slice(tokens, (0, n), (1, W))[0]
+            is_end = jnp.zeros((W,), bool)
+            for e in end_ids:
+                is_end = is_end | (committed == e)
+            is_end = is_end & (j < n_committed)
+            any_end = jnp.any(is_end)
+            first = jnp.argmax(is_end)  # first True (0 if none, guarded)
+            n_committed = jnp.where(any_end, first + 1, n_committed)
+            done = done | any_end
+
+        n = n + n_committed
+        done = done | (n >= total_len)
+        return tokens, n, t_cache, d_cache, done, rounds + 1
+
+    state = (tokens, n0, t_cache, d_cache, done0, jnp.zeros((), jnp.int32))
+    tokens, n, _, _, _, rounds = jax.lax.while_loop(cond, body, state)
+    return tokens, jnp.minimum(n, total_len), rounds
+
+
+def speculative_generate(model, draft_model, input_ids, attention_mask=None,
+                         generation_configs=None, draft_len=4,
+                         return_stats=False):
+    """Greedy generation accelerated by a draft model; returns tokens of
+    shape (1, 1, n) exactly equal to ``model.generate`` with
+    ``do_sample=False, beam_size=1`` on the same configs.
+
+    ``generation_configs`` honors max_gen_len / end_ids / pad_id (greedy
+    semantics only: beam_size must be 1, do_sample False, no ngram ban)."""
+    cfg = generation_configs or {}
+    assert cfg.get("beam_size", 1) == 1, "speculative decoding is greedy-only"
+    assert not cfg.get("do_sample", False), "speculative decoding is greedy-only"
+    assert not cfg.get("no_repeat_ngram_size", 0), \
+        "ngram processors are unsupported in speculative decoding"
+    max_gen_len = cfg.get("max_gen_len", 100)
+    end_ids = cfg.get("end_ids", None)
+    if isinstance(end_ids, int):
+        end_ids = [end_ids]
+    end_ids = tuple(end_ids) if end_ids else ()
+
+    input_ids = jnp.asarray(input_ids)
+    assert input_ids.shape[0] == 1, "speculative decoding is batch-1"
+    if attention_mask is not None:
+        assert int(jnp.sum(jnp.asarray(attention_mask) == 0)) == 0, \
+            "padded prompts are unsupported in speculative decoding"
+    S0 = input_ids.shape[1]
+    K = int(draft_len)
+    assert K >= 1
+    total_len = S0 + max_gen_len + 2  # reference loop emits max_gen_len + 2
+    T = total_len + K + 1  # margin: a round may overshoot before clamping
+
+    from cleantransformer_tpu.generation.engine import inference_params
+    t_params = inference_params(model)
+    d_params = inference_params(draft_model)
+    t_forward = model.forward_fn()
+    d_forward = draft_model.forward_fn()
+
+    tokens = jnp.zeros((1, T), jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, input_ids.astype(jnp.int32),
+                                          (0, 0))
+    t_cache = model.init_cache(1, T)
+    d_cache = draft_model.init_cache(1, T)
+
+    tokens, n, rounds = _speculative_loop(
+        t_params, d_params, model.config, draft_model.config, t_forward,
+        d_forward, input_ids.astype(jnp.int32), tokens, t_cache, d_cache,
+        K=K, end_ids=end_ids, total_len=total_len)
+    tokens_np, n, rounds = jax.device_get((tokens, n, rounds))
+    n, rounds = int(n), int(rounds)
+    out = tokens_np[:, :n].reshape(1, 1, n)
+    if return_stats:
+        gen = max(n - S0 - 1, 0)  # tokens committed by speculation rounds
+        return out, {"rounds": rounds,
+                     "tokens_per_round": gen / max(rounds, 1)}
+    return out

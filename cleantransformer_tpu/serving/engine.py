@@ -189,22 +189,9 @@ class ServingEngine:
         self.end_ids = tuple(end_ids) if end_ids else ()
 
         # bf16/int8 inference cast, shared with generate() (engine.py)
-        from cleantransformer_tpu.generation.engine import generate  # noqa: F401
-        params = model.params
+        from cleantransformer_tpu.generation.engine import inference_params
         cdtype = getattr(self.config, "compute_dtype", jnp.float32)
-        if cdtype != jnp.float32 or getattr(self.config, "quantize_int8", False):
-            if getattr(self.config, "quantize_int8", False):
-                from cleantransformer_tpu.ops.quant import (
-                    quantize_params_for_inference)
-                params = quantize_params_for_inference(
-                    params, compute_dtype=cdtype if cdtype != jnp.float32
-                    else jnp.bfloat16)
-            else:
-                params = jax.tree_util.tree_map(
-                    lambda x: x.astype(cdtype)
-                    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
-                    params)
-        self.params = params
+        self.params = inference_params(model)
 
         cfg = self.config
         L = getattr(cfg, "n_layer", getattr(cfg, "num_hidden_layers", None))

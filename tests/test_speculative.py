@@ -1,0 +1,103 @@
+"""Speculative decoding: bit-exact equality with the target's plain greedy
+decode, for arbitrary (even adversarially bad) draft models."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cleantransformer_tpu.config import BloomConfig, GPTConfig
+from cleantransformer_tpu.models.bloom import BloomForCausalLM
+from cleantransformer_tpu.models.gpt import GPTLMHeadModel
+from cleantransformer_tpu.generation.speculative import speculative_generate
+
+GPT_T = dict(vocab_size=211, n_embd=64, n_positions=256, n_layer=3, n_head=4,
+             n_ctx=256, embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0)
+GPT_D = dict(GPT_T, n_layer=1)
+
+
+@pytest.fixture(scope="module")
+def gpt_pair():
+    target = GPTLMHeadModel(GPTConfig(**GPT_T), version="gpt2",
+                            rng=jax.random.PRNGKey(21))
+    draft = GPTLMHeadModel(GPTConfig(**GPT_D), version="gpt2",
+                           rng=jax.random.PRNGKey(22))
+    return target, draft
+
+
+def plain_greedy(model, prompt, max_gen_len, end_ids=None):
+    out = model.generate(jnp.asarray(np.asarray(prompt, np.int32)[None]),
+                         generation_configs={
+                             "beam_size": 1, "max_gen_len": max_gen_len,
+                             "do_sample": False, "pad_id": 0,
+                             "end_ids": list(end_ids) if end_ids else None})
+    return np.asarray(out)[0, 0]
+
+
+@pytest.mark.parametrize("K", [1, 3, 5])
+def test_gpt_bit_exact_vs_greedy(gpt_pair, K):
+    target, draft = gpt_pair
+    rs = np.random.RandomState(K)
+    for plen in (1, 4, 9):
+        prompt = rs.randint(1, 211, (plen,)).tolist()
+        want = plain_greedy(target, prompt, 16)
+        got = speculative_generate(
+            target, draft, np.asarray(prompt, np.int32)[None],
+            generation_configs={"max_gen_len": 16}, draft_len=K)[0, 0]
+        np.testing.assert_array_equal(got, want, err_msg=f"K={K} plen={plen}")
+
+
+def test_self_draft_full_acceptance(gpt_pair):
+    """Draft == target: every proposal accepted, output still exact."""
+    target, _ = gpt_pair
+    prompt = [5, 17, 42]
+    want = plain_greedy(target, prompt, 12)
+    got = speculative_generate(
+        target, target, np.asarray(prompt, np.int32)[None],
+        generation_configs={"max_gen_len": 12}, draft_len=4)[0, 0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_end_ids_stop(gpt_pair):
+    target, draft = gpt_pair
+    prompt = [3, 7, 11, 2]
+    probe = plain_greedy(target, prompt, 12)
+    end_id = int(probe[len(prompt) + 2])  # force a mid-stream stop
+    want = plain_greedy(target, prompt, 12, end_ids=[end_id])
+    got = speculative_generate(
+        target, draft, np.asarray(prompt, np.int32)[None],
+        generation_configs={"max_gen_len": 12, "end_ids": [end_id]},
+        draft_len=3)[0, 0]
+    # the reference keeps padding rows after the end token in batch mode; at
+    # batch 1 it stops right after appending it — compare up to that point
+    np.testing.assert_array_equal(got, want[: len(got)])
+    assert end_id in got[len(prompt):]
+    assert got[-1] == end_id
+
+
+def test_bloom_bit_exact(gpt_pair):
+    target = BloomForCausalLM(
+        BloomConfig(vocab_size=131, hidden_size=64, n_layer=3,
+                    num_attention_heads=4), rng=jax.random.PRNGKey(31))
+    draft = BloomForCausalLM(
+        BloomConfig(vocab_size=131, hidden_size=32, n_layer=1,
+                    num_attention_heads=4), rng=jax.random.PRNGKey(32))
+    rs = np.random.RandomState(0)
+    prompt = rs.randint(1, 131, (6,)).tolist()
+    want = plain_greedy(target, prompt, 14)
+    got = speculative_generate(
+        target, draft, np.asarray(prompt, np.int32)[None],
+        generation_configs={"max_gen_len": 14}, draft_len=4)[0, 0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_rejects_unsupported_configs(gpt_pair):
+    target, draft = gpt_pair
+    ids = np.asarray([[1, 2, 3]], np.int32)
+    with pytest.raises(AssertionError):
+        speculative_generate(target, draft, ids,
+                             generation_configs={"do_sample": True})
+    with pytest.raises(AssertionError):
+        speculative_generate(target, draft, ids,
+                             generation_configs={"beam_size": 2})
