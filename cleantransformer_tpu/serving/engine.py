@@ -172,7 +172,13 @@ class ServingEngine:
     def __init__(self, model, max_slots=8, max_len=512,
                  prefill_buckets=DEFAULT_BUCKETS, chunk_size=8,
                  do_sample=False, temperature=1.0, top_k=10, top_p=0.8,
-                 end_ids=None, rng=None):
+                 end_ids=None, rng=None, mesh=None):
+        # mesh: serve a tensor-parallel-sharded model — pass params already
+        # sharded (parallel.shard_params) and the mesh; the engine traces its
+        # programs under it so the in-model shard_hints partition attention
+        # heads / MLP columns over the 'model' axis (GSPMD inserts the ICI
+        # collectives)
+        self.mesh = mesh
         self.model = model
         self.config = model.config
         self.forward = model.forward_fn()
@@ -264,17 +270,22 @@ class ServingEngine:
     def step(self):
         """Admit what fits, run one decode chunk, harvest finished slots.
         Returns list of (rid, np tokens) finished this step."""
-        free = [i for i in range(self.max_slots) if self.slot_rid[i] is None]
-        if free:
-            self._admit(free)
-        if any(r is not None for r in self.slot_rid):
-            self.state = _decode_chunk(
-                self.params, self.config, self.forward, self.state,
-                n_steps=self.chunk_size, do_sample=self.do_sample,
-                temperature=self.temperature, top_k=self.top_k,
-                top_p=self.top_p, end_ids=self.end_ids,
-                needs_positions=self.needs_positions)
-            self.steps += self.chunk_size
+        import contextlib
+        from cleantransformer_tpu.parallel.mesh import use_mesh
+        ctx = use_mesh(self.mesh) if self.mesh is not None \
+            else contextlib.nullcontext()
+        with ctx:
+            free = [i for i in range(self.max_slots) if self.slot_rid[i] is None]
+            if free:
+                self._admit(free)
+            if any(r is not None for r in self.slot_rid):
+                self.state = _decode_chunk(
+                    self.params, self.config, self.forward, self.state,
+                    n_steps=self.chunk_size, do_sample=self.do_sample,
+                    temperature=self.temperature, top_k=self.top_k,
+                    top_p=self.top_p, end_ids=self.end_ids,
+                    needs_positions=self.needs_positions)
+                self.steps += self.chunk_size
         # ONE host sync per chunk
         tokens, lengths, active = jax.device_get(
             (self.state["tokens"], self.state["lengths"],

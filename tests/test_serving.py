@@ -130,3 +130,29 @@ def test_validation_errors(gpt):
         eng.submit(list(range(9)))  # exceeds bucket
     with pytest.raises(ValueError):
         eng.submit([1, 2], max_new_tokens=64)  # exceeds max_len
+
+
+def test_tensor_parallel_serving_matches_unsharded(bloom):
+    """Serve a TP-sharded model: same greedy outputs as the unsharded
+    engine (GSPMD partitions heads/MLP over the 'model' mesh axis)."""
+    from cleantransformer_tpu.parallel import (make_mesh, use_mesh,
+                                               shard_params)
+    vocab = bloom.config.vocab_size
+    prompts = _prompts(vocab, seed=13)[:4]
+
+    base = ServingEngine(bloom, max_slots=2, max_len=48,
+                         prefill_buckets=(16,), chunk_size=4)
+    rids_b = {base.submit(p, max_new_tokens=6): tuple(p) for p in prompts}
+    want = {rids_b[rid]: toks for rid, toks in base.run()}
+
+    mesh = make_mesh(data=2, model=4)
+    with use_mesh(mesh):
+        sharded = type(bloom)(bloom.config,
+                              params=shard_params(bloom.params, mesh, "bloom"))
+        eng = ServingEngine(sharded, max_slots=2, max_len=48,
+                            prefill_buckets=(16,), chunk_size=4, mesh=mesh)
+        rids = {eng.submit(p, max_new_tokens=6): tuple(p) for p in prompts}
+        got = {rids[rid]: toks for rid, toks in eng.run()}
+    assert set(got) == set(want)
+    for key in want:
+        np.testing.assert_array_equal(got[key], want[key])
