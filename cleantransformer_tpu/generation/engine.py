@@ -315,18 +315,25 @@ def _generate_fused(params, config, forward, tokens_buf, mask_buf, cache,
         unfinished, rng, ngram_size, do_sample, temperature, top_k, top_p,
         end_ids, pad_id, cur_len)
 
-    def cond(state):
-        cur_len, unfinished = state[-1], state[-3]
-        if end_ids is None:  # unfinished is invariantly all-ones
-            return cur_len < total_len
-        return jnp.logical_and(cur_len < total_len, jnp.max(unfinished) > 0)
-
     def body(state):
         tokens_buf, mask_buf, cache, aux, unfinished, rng, cur_len = state
         return _decode_one(forward, config, params, tokens_buf, mask_buf,
                            cache, aux, unfinished, rng, cur_len, ngram_size,
                            do_sample, temperature, top_k, top_p, end_ids,
                            pad_id)
+
+    if end_ids is None:
+        # no early exit possible (unfinished is invariantly all-ones) and the
+        # prompt length is static, so the trip count is static: a fori_loop
+        # with unrolling drops the while-cond evaluation from every token
+        trip = total_len - (input_ids.shape[1] + 1)
+        state = jax.lax.fori_loop(0, trip, lambda i, s: body(s), state,
+                                  unroll=min(4, max(trip, 1)))
+        return state[0], state[-1]
+
+    def cond(state):
+        cur_len, unfinished = state[-1], state[-3]
+        return jnp.logical_and(cur_len < total_len, jnp.max(unfinished) > 0)
 
     state = jax.lax.while_loop(cond, body, state)
     return state[0], state[-1]
