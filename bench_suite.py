@@ -247,8 +247,15 @@ def main():
     bench_serving(model, "gpt2_124M_serving_tokens_per_sec", 50257)
 
     # speculative decoding: self-draft = acceptance-1 upper bound on the
-    # round machinery (a real trained draft lands between this and plain)
+    # round machinery; an untrained 2-layer draft (acceptance ~0) measures
+    # the round-cost floor (a real trained draft lands between them)
     bench_speculative(model, model, "gpt2_124M_speculative_selfdraft_b1",
+                      50257)
+    dcfg = GPTConfig(vocab_size=50257, n_embd=768, n_positions=1024,
+                     n_layer=2, n_head=12, n_ctx=1024,
+                     compute_dtype="bfloat16")
+    draft2 = GPTLMHeadModel(dcfg, version="gpt2", rng=jax.random.PRNGKey(1))
+    bench_speculative(model, draft2, "gpt2_124M_speculative_2Ldraft_b1",
                       50257)
 
     # (remat="dots" saves every matmul output — OOMs at b8/seq1024 on one
@@ -258,7 +265,23 @@ def main():
 
     with open("/root/repo/BENCH_DETAILS.md", "w") as f:
         f.write("# Extended benchmarks (single chip)\n\n")
-        f.write(f"device: {jax.devices()[0].device_kind}\n\n")
+        f.write(f"device: {jax.devices()[0].device_kind} "
+                "(measured ground truth: ~194 bf16 TFLOP/s, ~704 GiB/s HBM; "
+                f"host tunnel RTT ~{host_rtt() * 1e3:.0f} ms is subtracted "
+                "from per-call timings)\n\n")
+        f.write("serving = 24 mixed-length requests (prompts 8-64, 64 new "
+                "tokens each)\nthrough 8 continuous-batching slots, "
+                "compile-warm.\n\n")
+        f.write("speculative = greedy, batch 1, draft_len 4, bit-exact vs "
+                "plain greedy.\nselfdraft (draft == target) bounds "
+                "round-machinery overhead at full acceptance;\n2Ldraft "
+                "(untrained 2-layer draft, ~0 acceptance) measures the "
+                "round-cost floor —\na TRAINED draft accepting ~4 "
+                "tokens/round projects to ~4x its tokens/s. (No\ntrained "
+                "draft checkpoint is downloadable in this zero-egress "
+                "environment; for\nGPT-2-small the 50k-vocab lm_head "
+                "dominates the draft cost, so speculation\npays off more "
+                "for larger targets.)\n\n")
         f.write("```\n")
         for r in RESULTS:
             f.write(json.dumps(r) + "\n")

@@ -272,29 +272,6 @@ def _decode_one(forward, config, params, tokens_buf, mask_buf, cache, aux,
 @functools.partial(jax.jit, static_argnames=(
     "forward", "config", "ngram_size", "do_sample", "temperature", "top_k",
     "top_p", "end_ids", "pad_id", "total_len"))
-def _decode_loop(params, config, forward, tokens_buf, mask_buf, cache, aux,
-                 unfinished, rng, cur_len, ngram_size, do_sample, temperature,
-                 top_k, top_p, end_ids, pad_id, total_len):
-    """Fused decode: lax.while_loop until all finished or the buffer is full."""
-
-    def cond(state):
-        cur_len, unfinished = state[-1], state[-3]
-        return jnp.logical_and(cur_len < total_len, jnp.max(unfinished) > 0)
-
-    def body(state):
-        tokens_buf, mask_buf, cache, aux, unfinished, rng, cur_len = state
-        return _decode_one(forward, config, params, tokens_buf, mask_buf,
-                           cache, aux, unfinished, rng, cur_len, ngram_size,
-                           do_sample, temperature, top_k, top_p, end_ids, pad_id)
-
-    state = (tokens_buf, mask_buf, cache, aux, unfinished, rng, cur_len)
-    state = jax.lax.while_loop(cond, body, state)
-    return state[0], state[-1]
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "forward", "config", "ngram_size", "do_sample", "temperature", "top_k",
-    "top_p", "end_ids", "pad_id", "total_len"))
 def _generate_fused(params, config, forward, tokens_buf, mask_buf, cache,
                     input_ids, position_ids, segment_ids, aux, unfinished,
                     rng, cur_len, ngram_size, do_sample, temperature, top_k,

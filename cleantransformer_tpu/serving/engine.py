@@ -35,7 +35,7 @@ DEFAULT_BUCKETS = (16, 32, 64, 128, 256)
 
 @functools.partial(jax.jit, static_argnames=(
     "forward", "config", "bucket", "do_sample", "temperature", "top_k",
-    "top_p", "end_ids"))
+    "top_p", "end_ids"), donate_argnames=("state",))
 def _prefill_slot(params, config, forward, state, ids_bucket, prompt_len,
                   max_total, slot, bucket, do_sample, temperature, top_k,
                   top_p, end_ids):
@@ -80,8 +80,11 @@ def _prefill_slot(params, config, forward, state, ids_bucket, prompt_len,
     state["active"] = state["active"].at[slot].set(1)
 
     # first generated token, fused into the same program
-    rng, sub = jax.random.split(state["rng"])
-    state["rng"] = rng
+    if do_sample:
+        rng, sub = jax.random.split(state["rng"])
+        state["rng"] = rng
+    else:
+        sub = state["rng"]  # greedy ignores it; skip the split kernel
     tok = _choose(first_scores[None], do_sample, temperature, top_k, top_p,
                   sub)[0]
     B = state["tokens"].shape[0]
@@ -124,7 +127,7 @@ def _append_token(state, slot_tokens, keep, end_ids):
 
 @functools.partial(jax.jit, static_argnames=(
     "forward", "config", "n_steps", "do_sample", "temperature", "top_k",
-    "top_p", "end_ids", "needs_positions"))
+    "top_p", "end_ids", "needs_positions"), donate_argnames=("state",))
 def _decode_chunk(params, config, forward, state, n_steps, do_sample,
                   temperature, top_k, top_p, end_ids, needs_positions):
     """Advance every active slot by up to n_steps tokens (ragged offsets)."""
@@ -142,8 +145,11 @@ def _decode_chunk(params, config, forward, state, n_steps, do_sample,
                                      pos, None, cache, last_only=True)
         state = dict(state)
         state["cache_k"], state["cache_v"] = cache["k"], cache["v"]
-        rng, sub = jax.random.split(state["rng"])
-        state["rng"] = rng
+        if do_sample:
+            rng, sub = jax.random.split(state["rng"])
+            state["rng"] = rng
+        else:
+            sub = state["rng"]  # greedy ignores it; skip the split kernel
         tok = _choose(logits[:, -1, :].astype(jnp.float32), do_sample,
                       temperature, top_k, top_p, sub)
         return _append_token(state, tok, keep.astype(jnp.int32), end_ids)
@@ -204,7 +210,10 @@ class ServingEngine:
         H = getattr(cfg, "n_head", getattr(cfg, "num_attention_heads", None))
         D = getattr(cfg, "n_embd", getattr(cfg, "hidden_size", None))
         hd = D // H
-        cache_dtype = cdtype if cdtype != jnp.float32 else jnp.float32
+        # int8 configs stream bf16 activations — keep the cache bf16 too
+        cache_dtype = jnp.bfloat16 if (
+            getattr(self.config, "quantize_int8", False)
+            and cdtype == jnp.float32) else cdtype
         B, T = max_slots, max_len
         self.state = {
             "tokens": jnp.zeros((B, T), jnp.int32),

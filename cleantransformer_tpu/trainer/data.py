@@ -137,22 +137,39 @@ class DataLoader:
         import queue
         import threading
         q = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
         _END = object()
+
+        def put(item):
+            # bounded puts re-check `stop` so an abandoned iterator (early
+            # break / exception in the training loop) releases the worker
+            # instead of leaking it blocked on a full queue
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for s in starts:
-                    q.put(produce(s))
-                q.put(_END)
+                    if stop.is_set() or not put(produce(s)):
+                        return
+                put(_END)
             except BaseException as e:  # surface collate errors to the consumer
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
