@@ -91,19 +91,27 @@ def bench_prefill(model, cfg, batch=8, seq=512):
         lambda x: x.astype(jnp.bfloat16)
         if jnp.issubdtype(x.dtype, jnp.floating) else x, model.params)
 
-    @jax.jit
-    def fwd(p, ids, mask):
-        (logits, _), _ = gpt_lm_forward(p, cfg, ids, mask, version="gpt2",
-                                        last_only=True)
-        return logits
+    # the single prefill is only a few ms — run N dependent prefills inside
+    # one program so the tunnel RTT amortizes instead of dominating the error
+    N = 16
 
-    np.asarray(fwd(params, ids, mask)[:, 0, 0])  # sync fetch (tiny slice)
+    @jax.jit
+    def fwd_n(p, ids, mask):
+        def body(i, carry):
+            ids = (ids0 + carry.astype(jnp.int32)) % cfg.vocab_size
+            (logits, _), _ = gpt_lm_forward(p, cfg, ids, mask,
+                                            version="gpt2", last_only=True)
+            return jnp.max(logits[:, -1, :1]).astype(jnp.float32)
+        ids0 = ids
+        return jax.lax.fori_loop(0, N, body, jnp.zeros((), jnp.float32))
+
+    np.asarray(fwd_n(params, ids, mask))
     times = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(fwd(params, ids, mask)[:, 0, 0])
+        np.asarray(fwd_n(params, ids, mask))
         times.append(time.perf_counter() - t0)
-    dt = max(min(times) - host_rtt(), 1e-9)
+    dt = max((min(times) - host_rtt()) / N, 1e-9)
     record("gpt2_124M_prefill_tokens_per_sec", batch * seq / dt, "tokens/s",
            {"seq": seq, "batch": batch})
 
@@ -257,6 +265,12 @@ def main():
     draft2 = GPTLMHeadModel(dcfg, version="gpt2", rng=jax.random.PRNGKey(1))
     bench_speculative(model, draft2, "gpt2_124M_speculative_2Ldraft_b1",
                       50257)
+
+    # free the inference models (params + cast caches) before the training
+    # benches — the 560M SFT step needs most of the chip's HBM
+    import gc
+    del model, qmodel, bmodel, draft2
+    gc.collect()
 
     # (remat="dots" saves every matmul output — OOMs at b8/seq1024 on one
     # 16GB chip; the flag remains for smaller configs / bigger meshes)
