@@ -79,11 +79,21 @@ def bind_generation(model):
 
 
 def generate(model, input_ids, attention_mask=None, position_ids=None,
-             segment_ids=None, generation_configs={}, steamers=None, rng=None):
+             segment_ids=None, generation_configs={}, steamers=None, rng=None,
+             draft_model=None, draft_len=4):
     """Mirror of GenerationMixin.generate (generation_util.py:19-55).
 
     Returns tokens of shape (bsz, beam_size, total_len) like the reference.
-    """
+
+    ``draft_model``: accelerate batch-1 greedy decoding with speculative
+    decoding (generation/speculative.py) — bit-identical output, the draft
+    proposes ``draft_len`` tokens per target verification."""
+    if draft_model is not None:
+        from cleantransformer_tpu.generation.speculative import (
+            speculative_generate)
+        return speculative_generate(model, draft_model, input_ids,
+                                    attention_mask, generation_configs,
+                                    draft_len=draft_len)
     cfg = generation_configs
     beam_size = cfg.get("beam_size", 1)
     max_gen_len = cfg.get("max_gen_len", 100)

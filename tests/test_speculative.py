@@ -101,3 +101,16 @@ def test_rejects_unsupported_configs(gpt_pair):
     with pytest.raises(AssertionError):
         speculative_generate(target, draft, ids,
                              generation_configs={"beam_size": 2})
+
+
+def test_generate_draft_model_dispatch(gpt_pair):
+    """model.generate(draft_model=...) routes to speculative decoding."""
+    target, draft = gpt_pair
+    ids = np.asarray([[4, 9, 2, 7]], np.int32)
+    want = np.asarray(target.generate(jnp.asarray(ids), generation_configs={
+        "beam_size": 1, "max_gen_len": 10, "do_sample": False, "pad_id": 0}))
+    got = np.asarray(target.generate(jnp.asarray(ids),
+                                     generation_configs={"max_gen_len": 10,
+                                                         "do_sample": False},
+                                     draft_model=draft, draft_len=3))
+    np.testing.assert_array_equal(got[0, 0], want[0, 0])
