@@ -233,11 +233,16 @@ class ServingEngine:
         self.slot_rid = [None] * max_slots  # rid occupying each slot
         self._next_rid = 0
         self.finished = {}  # rid -> np token array
+        self.streamers = {}  # rid -> callable(np generated-so-far)
         self.steps = 0
 
     # ------------------------------------------------------------------ API
 
-    def submit(self, prompt_ids, max_new_tokens=64):
+    def submit(self, prompt_ids, max_new_tokens=64, streamer=None):
+        """Queue a request. ``streamer``: optional callable invoked after
+        every decode chunk with the tokens generated so far for this request
+        (numpy 1-D, prompt excluded) — the serving analogue of the
+        reference's per-generate streamer callbacks (bloom_interactive.py)."""
         prompt_ids = list(map(int, prompt_ids))
         if not prompt_ids:
             raise ValueError("empty prompt")
@@ -249,6 +254,8 @@ class ServingEngine:
             raise ValueError("prompt + max_new_tokens exceeds max_len")
         rid = self._next_rid
         self._next_rid += 1
+        if streamer is not None:
+            self.streamers[rid] = streamer
         self.queue.append(Request(rid, prompt_ids, max_new_tokens))
         return rid
 
@@ -296,15 +303,21 @@ class ServingEngine:
                     needs_positions=self.needs_positions)
                 self.steps += self.chunk_size
         # ONE host sync per chunk
-        tokens, lengths, active = jax.device_get(
+        tokens, lengths, prompt_len, active = jax.device_get(
             (self.state["tokens"], self.state["lengths"],
-             self.state["active"]))
+             self.state["prompt_len"], self.state["active"]))
         out = []
         for slot, rid in enumerate(self.slot_rid):
-            if rid is not None and active[slot] == 0:
+            if rid is None:
+                continue
+            if rid in self.streamers:
+                self.streamers[rid](
+                    tokens[slot, prompt_len[slot]:lengths[slot]].copy())
+            if active[slot] == 0:
                 out.append((rid, tokens[slot, :lengths[slot]].copy()))
                 self.finished[rid] = out[-1][1]
                 self.slot_rid[slot] = None
+                self.streamers.pop(rid, None)
         return out
 
     def run(self):

@@ -156,3 +156,22 @@ def test_tensor_parallel_serving_matches_unsharded(bloom):
     assert set(got) == set(want)
     for key in want:
         np.testing.assert_array_equal(got[key], want[key])
+
+
+def test_per_request_streamer(gpt):
+    """Streamer callbacks fire once per chunk with the tokens generated so
+    far (prompt excluded), and the final callback sees the full output."""
+    seen = []
+    eng = ServingEngine(gpt, max_slots=2, max_len=48, prefill_buckets=(16,),
+                        chunk_size=3)
+    prompt = [4, 8, 15]
+    rid = eng.submit(prompt, max_new_tokens=7,
+                     streamer=lambda toks: seen.append(toks.copy()))
+    results = dict(eng.run())
+    assert len(seen) >= 2  # 7 tokens / chunk 3 -> at least 3 chunks
+    # monotone prefix growth
+    for a, b in zip(seen, seen[1:]):
+        assert len(b) >= len(a)
+        np.testing.assert_array_equal(b[: len(a)], a)
+    np.testing.assert_array_equal(seen[-1], results[rid][len(prompt):])
+    assert rid not in eng.streamers  # cleaned up
