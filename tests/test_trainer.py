@@ -243,3 +243,40 @@ def test_hf_export_roundtrip(tmp_path):
     a = np.asarray(model.params["blocks"]["self_attention"]["query_key_value"]["w"])
     b = np.asarray(params2["blocks"]["self_attention"]["query_key_value"]["w"])
     np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+class TestPrefetch:
+    def test_prefetch_yields_same_batches_as_unprefetched(self, belle_file):
+        ds = BelleDataset(belle_file)
+        collate = lambda b: [s["prompt"] for s in b]
+        plain = list(DataLoader(ds, 2, collate, seed=5, prefetch=0))
+        pref = list(DataLoader(ds, 2, collate, seed=5, prefetch=2))
+        assert plain == pref
+
+    def test_abandoned_iterator_releases_worker(self, belle_file):
+        """Breaking out of the loader mid-epoch (max_steps, exceptions) must
+        unblock and retire the producer thread, not leak it."""
+        import gc
+        import threading
+        import time as _time
+        ds = BelleDataset(belle_file)
+        dl = DataLoader(ds, 1, lambda b: b, seed=2, prefetch=1)
+        before = threading.active_count()
+        it = iter(dl)
+        next(it)  # worker started and blocked on the size-1 queue
+        del it  # abandon: GeneratorExit fires the finally -> stop event
+        gc.collect()
+        deadline = _time.time() + 5.0
+        while threading.active_count() > before and _time.time() < deadline:
+            _time.sleep(0.05)
+        assert threading.active_count() <= before
+
+    def test_collate_error_propagates(self, belle_file):
+        ds = BelleDataset(belle_file)
+
+        def bad_collate(b):
+            raise RuntimeError("boom")
+
+        dl = DataLoader(ds, 2, bad_collate, prefetch=2)
+        with pytest.raises(RuntimeError, match="boom"):
+            list(dl)
