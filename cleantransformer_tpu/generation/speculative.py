@@ -168,15 +168,8 @@ def speculative_generate(model, draft_model, input_ids, attention_mask=None,
     assert not cfg.get("do_sample", False), "speculative decoding is greedy-only"
     assert not cfg.get("no_repeat_ngram_size", 0), \
         "ngram processors are unsupported in speculative decoding"
-    for m, who in ((model, "target"), (draft_model, "draft")):
-        if getattr(m.config, "use_flash_attention", False):
-            # the flash kernel's causal iota is 0-based and only valid for
-            # cached multi-token forwards at cache offset 0 (prefill); the
-            # verify/catch-up windows here run at nonzero offsets
-            raise ValueError(
-                f"use_flash_attention on the {who} model is incompatible "
-                "with speculative decoding (multi-token forwards at nonzero "
-                "cache offsets)")
+    # flash attention is fine here: the kernel's causal iota takes the dynamic
+    # cache offset, so the verify/catch-up windows at nonzero offsets are exact
     max_gen_len = cfg.get("max_gen_len", 100)
     end_ids = cfg.get("end_ids", None)
     if isinstance(end_ids, int):

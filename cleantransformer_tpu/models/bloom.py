@@ -126,9 +126,9 @@ def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
         v = jax.lax.dynamic_slice(new_v, (li, 0, 0, 0, 0),
                                   (1, B, num_heads, T, hd))[0]
 
-    # Flash covers every multi-token forward: cache-less (training/parity) and
-    # cached prefill — the engine only does multi-token cached forwards at
-    # cache offset 0, so the kernel's 0-based causal iota is exact.
+    # Flash covers every multi-token forward: cache-less (training/parity),
+    # prefill, and nonzero-offset windows (speculative verify, chunked
+    # prefill) — the kernel's causal iota takes the dynamic cache offset.
     if use_flash and S > 1:
         from cleantransformer_tpu.ops.pallas_kernels import (
             flash_attention, should_interpret)
@@ -136,7 +136,8 @@ def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
         bias = alibi_bias[:, :, 0, :]
         if pad_mask is not None:
             bias = bias + jnp.where(pad_mask, 0.0, -jnp.inf)[:, None, :]
-        out = flash_attention(q, k, v, bias, scale=1.0 / math.sqrt(hd),
+        out = flash_attention(q, k, v, bias, cache_len,
+                              scale=1.0 / math.sqrt(hd),
                               causal=True, interpret=should_interpret())
         out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
         out = linear(out, attn_params["dense"]["w"], attn_params["dense"]["b"])

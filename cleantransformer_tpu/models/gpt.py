@@ -193,8 +193,9 @@ def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_
                 new_k, (li, 0, 0, 0, 0), (1, B_, H, T, hd))[0]
             v = jax.lax.dynamic_slice(
                 new_v, (li, 0, 0, 0, 0), (1, B_, H, T, hd))[0]
-        # multi-token cached forwards only happen at cache offset 0 (prefill),
-        # so the kernel's 0-based causal iota is exact there too
+        # the kernel's causal iota takes the dynamic cache offset, so flash is
+        # exact for any multi-token forward: prefill, chunked prefill, and
+        # speculative verify/catch-up windows at nonzero offsets
         use_flash = getattr(config, "use_flash_attention", False) and S > 1
         if use_flash:
             from cleantransformer_tpu.ops.pallas_kernels import (
@@ -203,7 +204,7 @@ def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_
                 bias = additive_mask[:, :, 0, :]  # (B,1,T) broadcast over heads
             else:
                 bias = jnp.zeros((x.shape[0], 1, k.shape[2]), jnp.float32)
-            out = flash_attention(q, k, v, bias,
+            out = flash_attention(q, k, v, bias, q_offset,
                                   scale=(1.0 / math.sqrt(q.shape[-1])) if scale else 1.0,
                                   causal=True, interpret=should_interpret())
         else:

@@ -11,9 +11,15 @@ online max/sum rescaling runs on the VPU.
 This is the *fast path* (training + prefill): exact softmax, but with -inf
 masking and a different accumulation order than the reference's dense
 ``w*b + -1e4*(1-b)`` path, so bit-parity mode keeps dense attention.
-Backward currently recomputes through the dense formulation (a fused flash
-backward kernel is planned); forward-only callers (inference prefill) never
-pay that cost.
+The backward pass is fused too: ``_flash_bwd_dq_kernel`` /
+``_flash_bwd_dkv_kernel`` below, wired via ``defvjp`` — no dense
+rematerialization anywhere.
+
+``q_offset`` (dynamic int32, scalar or per-batch-row vector, carried in SMEM)
+shifts the causal iota: query i attends keys <= q_offset + i. This makes the
+kernel exact for multi-token forwards at nonzero cache offsets — speculative
+decoding's verify/catch-up windows and chunked prefill — not just offset-0
+prefill.
 
 Also: ``fused_layer_norm`` — one-pass Welford-free LN kernel matching
 ops/layers.layer_norm numerics (eps inside sqrt).
@@ -31,17 +37,18 @@ DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 256
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref, *, scale,
-                  causal, block_k, seq_k):
+def _flash_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref, *,
+                  scale, causal, block_k, seq_k):
     """One (batch*head, q-block) program: loop key blocks with online softmax.
     Also emits the per-row logsumexp (for the backward kernels)."""
     q = q_ref[0].astype(jnp.float32)  # (BQ, hd)
     block_q = q.shape[0]
     qi = pl.program_id(1)
+    q_off = qoff_ref[0, 0]
     num_kb = pl.cdiv(seq_k, block_k)
     if causal:
         # only key blocks up to the causal frontier of this q block
-        last_row = qi * block_q + block_q - 1
+        last_row = q_off + qi * block_q + block_q - 1
         num_kb_eff = jnp.minimum(num_kb, (last_row + block_k) // block_k)
     else:
         num_kb_eff = num_kb
@@ -56,7 +63,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref, *, scale,
             s = s * scale
         s = s + bias_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :]
         if causal:
-            row = qi * block_q + jax.lax.broadcasted_iota(
+            row = q_off + qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
             col = kb * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
@@ -84,7 +91,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref, *, scale,
     lse_ref[0, 0, :] = lse
 
 
-def _flash_fwd_impl(q, k, v, bias, scale, causal, block_q, block_k, interpret):
+def _qoff_rows(q_offset, B, H):
+    """Normalize q_offset (python int, scalar array, or (B,) vector) to an
+    (B*H, 1) int32 array — one SMEM scalar per (batch, head) program."""
+    qo = jnp.asarray(q_offset, jnp.int32)
+    qo = jnp.broadcast_to(qo.reshape(-1, 1) if qo.ndim else qo, (B, H))
+    return qo.reshape(B * H, 1)
+
+
+def _flash_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q, block_k,
+                    interpret):
     B, H, Sq0, hd = q.shape
     Sk0 = k.shape[2]
     block_q = min(block_q, Sq0)
@@ -108,6 +124,7 @@ def _flash_fwd_impl(q, k, v, bias, scale, causal, block_q, block_k, interpret):
     # bias kept 3D: TPU tiling wants the block's trailing two dims to equal
     # the array's ((1, Sk) block on a (BH, Sk) array is rejected on hardware)
     bias_f = bias.reshape(B * H, 1, Sk)
+    qoff = _qoff_rows(q_offset, B, H)
 
     grid = (B * H, Sq // block_q)
     out, lse = pl.pallas_call(
@@ -117,6 +134,8 @@ def _flash_fwd_impl(q, k, v, bias, scale, causal, block_q, block_k, interpret):
                    jax.ShapeDtypeStruct((B * H, 1, Sq), jnp.float32)),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 1), lambda bh, qi: (bh, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Sk, hd), lambda bh, qi: (bh, 0, 0),
@@ -133,15 +152,15 @@ def _flash_fwd_impl(q, k, v, bias, scale, causal, block_q, block_k, interpret):
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(qf, kf, vf, bias_f)
+    )(qoff, qf, kf, vf, bias_f)
     out = out.reshape(B, H, Sq, hd)
     if pad_q:
         out = out[:, :, :Sq0]
     return out, lse  # lse stays padded (B*H, 1, Sq_padded) for the backward
 
 
-def _dense_reference(q, k, v, bias, scale, causal):
-    """Dense formulation used for the backward pass (exact same math)."""
+def _dense_reference(q, k, v, bias, scale, causal, q_offset=0):
+    """Dense formulation of the same math (used by tests as the oracle)."""
     scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
                         k.astype(jnp.float32))
     if scale != 1.0:
@@ -151,7 +170,13 @@ def _dense_reference(q, k, v, bias, scale, causal):
         Sq, Sk = scores.shape[-2], scores.shape[-1]
         row = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sk), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sk), 1)
-        scores = jnp.where((col <= row)[None, None], scores, -jnp.inf)
+        qo = jnp.asarray(q_offset, jnp.int32)
+        if qo.ndim:  # per-row offsets
+            keep = col[None] <= (qo[:, None, None] + row[None])  # (B, Sq, Sk)
+            keep = keep[:, None]
+        else:
+            keep = (col <= (qo + row))[None, None]
+        scores = jnp.where(keep, scores, -jnp.inf)
     weights = jax.nn.softmax(scores, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v.astype(jnp.float32)).astype(q.dtype)
 
@@ -161,14 +186,17 @@ def should_interpret():
     return jax.default_backend() not in ("tpu", "axon")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def flash_attention(q, k, v, bias, scale=1.0, causal=True,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def flash_attention(q, k, v, bias, q_offset=0, scale=1.0, causal=True,
                     block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
                     interpret=False):
     """q: (B,H,Sq,hd); k,v: (B,H,Sk,hd); bias: (B,H,Sk) or (B,1,Sk) additive
-    (ALiBi + padding, broadcast over queries). Returns (B,H,Sq,hd)."""
-    out, _ = _flash_fwd_impl(q, k, v, bias, scale, causal, block_q, block_k,
-                             interpret)
+    (ALiBi + padding, broadcast over queries). ``q_offset`` (dynamic int32
+    scalar or (B,) vector): query i has absolute position q_offset + i, so
+    causal attends keys <= q_offset + i (cache offset for speculative verify /
+    chunked prefill). Returns (B,H,Sq,hd)."""
+    out, _ = _flash_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q,
+                             block_k, interpret)
     return out
 
 
@@ -177,17 +205,19 @@ def flash_attention(q, k, v, bias, scale=1.0, causal=True,
 # over k-blocks, using the saved per-row logsumexp)
 # ---------------------------------------------------------------------------
 
-def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, d_ref,
-                         dq_ref, *, scale, causal, block_k, seq_k):
+def _flash_bwd_dq_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                         lse_ref, d_ref, dq_ref, *, scale, causal, block_k,
+                         seq_k):
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
     lse = lse_ref[0, 0, :][:, None]            # (BQ, 1)
     D = d_ref[0, 0, :][:, None]                # (BQ, 1)
     block_q = q.shape[0]
     qi = pl.program_id(1)
+    q_off = qoff_ref[0, 0]
     num_kb = pl.cdiv(seq_k, block_k)
     if causal:
-        last_row = qi * block_q + block_q - 1
+        last_row = q_off + qi * block_q + block_q - 1
         num_kb_eff = jnp.minimum(num_kb, (last_row + block_k) // block_k)
     else:
         num_kb_eff = num_kb
@@ -203,7 +233,7 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, d_ref,
             s = s * scale
         s = s + bias_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :]
         if causal:
-            row = qi * block_q + jax.lax.broadcasted_iota(
+            row = q_off + qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
             col = kb * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
@@ -223,16 +253,19 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, d_ref,
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
-                          d_ref, dk_ref, dv_ref, dbias_ref, *, scale, causal,
-                          block_q, seq_q):
+def _flash_bwd_dkv_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                          lse_ref, d_ref, dk_ref, dv_ref, dbias_ref, *, scale,
+                          causal, block_q, seq_q):
     k_blk = k_ref[0].astype(jnp.float32)       # (BK, hd)
     v_blk = v_ref[0].astype(jnp.float32)
     bias_blk = bias_ref[0, 0, :][None, :]      # (1, BK)
     block_k = k_blk.shape[0]
     kb = pl.program_id(1)
+    q_off = qoff_ref[0, 0]
     num_qb = pl.cdiv(seq_q, block_q)
-    qb_start = (kb * block_k) // block_q if causal else 0
+    # first q block whose causal frontier (q_off + row) reaches this key block
+    qb_start = (jnp.maximum(kb * block_k - q_off, 0) // block_q
+                if causal else 0)
 
     def body(qb, carry):
         dk, dv, dbias = carry
@@ -246,7 +279,7 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
             s = s * scale
         s = s + bias_blk
         if causal:
-            row = qb * block_q + jax.lax.broadcasted_iota(
+            row = q_off + qb * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
             col = kb * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
@@ -277,14 +310,15 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     dbias_ref[0, 0, :] = dbias
 
 
-def _flash_fwd(q, k, v, bias, scale, causal, block_q, block_k, interpret):
-    out, lse = _flash_fwd_impl(q, k, v, bias, scale, causal, block_q, block_k,
-                               interpret)
-    return out, (q, k, v, bias, out, lse)
+def _flash_fwd(q, k, v, bias, q_offset, scale, causal, block_q, block_k,
+               interpret):
+    out, lse = _flash_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q,
+                               block_k, interpret)
+    return out, (q, k, v, bias, q_offset, out, lse)
 
 
 def _flash_bwd(scale, causal, block_q, block_k, interpret, res, g):
-    q, k, v, bias, out, lse = res
+    q, k, v, bias, q_offset, out, lse = res
     B, H, Sq0, hd = q.shape
     Sk0 = k.shape[2]
     bias_shape_in = bias.shape
@@ -310,6 +344,7 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, res, g):
     dof = g.reshape(BH, Sq, hd)
     outf = out.reshape(BH, Sq, hd)
     bias_f = bias_b.reshape(BH, 1, Sk)
+    qoff = _qoff_rows(q_offset, B, H)
     # lse comes padded from the forward already
     Dval = jnp.sum(dof.astype(jnp.float32) * outf.astype(jnp.float32),
                    axis=-1).reshape(BH, 1, Sq)
@@ -318,6 +353,8 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, res, g):
                                         memory_space=pltpu.VMEM)
     full_vec = pl.BlockSpec((1, 1, Sq), lambda bh, i: (bh, 0, 0),
                             memory_space=pltpu.VMEM)
+    qoff_spec = pl.BlockSpec((1, 1), lambda bh, i: (bh, 0),
+                             memory_space=pltpu.SMEM)
 
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale=scale, causal=causal,
@@ -325,6 +362,7 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, res, g):
         out_shape=jax.ShapeDtypeStruct((BH, Sq, hd), q.dtype),
         grid=(BH, Sq // block_q),
         in_specs=[
+            qoff_spec,
             pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Sk, hd), lambda bh, qi: (bh, 0, 0),
@@ -341,7 +379,7 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, res, g):
         out_specs=pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(qf, kf, vf, bias_f, dof, lse, Dval)
+    )(qoff, qf, kf, vf, bias_f, dof, lse, Dval)
 
     dk, dv, dbias = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, scale=scale, causal=causal,
@@ -351,6 +389,7 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, res, g):
                    jax.ShapeDtypeStruct((BH, 1, Sk), jnp.float32)),
         grid=(BH, Sk // block_k),
         in_specs=[
+            qoff_spec,
             pl.BlockSpec((1, Sq, hd), lambda bh, kb: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, hd), lambda bh, kb: (bh, kb, 0),
@@ -373,7 +412,7 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, res, g):
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(qf, kf, vf, bias_f, dof, lse, Dval)
+    )(qoff, qf, kf, vf, bias_f, dof, lse, Dval)
 
     dq = dq.reshape(B, H, Sq, hd)[:, :, :Sq0]
     dk = dk.reshape(B, H, Sk, hd)[:, :, :Sk0]
@@ -385,8 +424,10 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, res, g):
                      if a != b)
         dbias = jnp.sum(dbias, axis=axes, keepdims=True)
         dbias = dbias.reshape(bias_shape_in)
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), \
-        dbias.astype(bias.dtype)
+    import numpy as np
+    dqoff = np.zeros(jnp.shape(q_offset), jax.dtypes.float0)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dbias.astype(bias.dtype), dqoff)
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)

@@ -74,6 +74,70 @@ class TestFlashAttention:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
 
+    def test_q_offset_scalar_matches_dense(self):
+        """Nonzero cache offset (speculative verify / chunked prefill): a
+        5-token query window against a 96-slot key buffer, offset 40."""
+        q, k, v = _qkv(B=2, H=2, Sq=8, Sk=96, hd=32, seed=10)
+        # keys past offset+Sq are "unwritten cache" — causal must exclude them
+        bias = jnp.zeros((2, 2, 96))
+        off = jnp.asarray(40, jnp.int32)
+        out = flash_attention(q, k, v, bias, off, scale=0.25, causal=True,
+                              block_q=8, block_k=32, interpret=True)
+        ref = _dense_reference(q, k, v, bias, 0.25, True, q_offset=off)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_q_offset_traced_under_jit(self):
+        """q_offset as a traced scalar inside jit (one compile serves every
+        offset — the speculative while_loop requirement)."""
+        q, k, v = _qkv(B=1, H=2, Sq=8, Sk=64, hd=16, seed=11)
+        bias = jnp.zeros((1, 2, 64))
+
+        @jax.jit
+        def run(off):
+            return flash_attention(q, k, v, bias, off, scale=0.3, causal=True,
+                                   block_q=8, block_k=32, interpret=True)
+
+        for off in (0, 17, 56):
+            ref = _dense_reference(q, k, v, bias, 0.3, True, q_offset=off)
+            np.testing.assert_allclose(np.asarray(run(jnp.asarray(off))),
+                                       np.asarray(ref), rtol=1e-4, atol=1e-5,
+                                       err_msg=f"offset={off}")
+
+    def test_q_offset_per_row_vector(self):
+        """Per-batch-row offsets (ragged serving batches)."""
+        q, k, v = _qkv(B=3, H=2, Sq=8, Sk=64, hd=16, seed=12)
+        bias = jnp.zeros((3, 2, 64))
+        off = jnp.asarray([0, 13, 50], jnp.int32)
+        out = flash_attention(q, k, v, bias, off, causal=True,
+                              block_q=8, block_k=32, interpret=True)
+        ref = _dense_reference(q, k, v, bias, 1.0, True, q_offset=off)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_q_offset_grads_match_dense(self):
+        q, k, v = _qkv(B=1, H=2, Sq=16, Sk=64, hd=16, seed=13)
+        bias = jnp.asarray(
+            np.random.RandomState(14).randn(1, 1, 64).astype(np.float32))
+        off = jnp.asarray(24, jnp.int32)
+
+        def loss(q, k, v, bias):
+            return jnp.sum(flash_attention(q, k, v, bias, off, scale=0.2,
+                                           causal=True, block_q=16,
+                                           block_k=32, interpret=True) ** 2)
+
+        def ref_loss(q, k, v, bias):
+            return jnp.sum(_dense_reference(
+                q, k, v, jnp.broadcast_to(bias, (1, 2, 64)), 0.2, True,
+                q_offset=off) ** 2)
+
+        g = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        rg = jax.grad(ref_loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for a, b, name in zip(g, rg, "q k v bias".split()):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=f"d{name}")
+
     def test_uneven_blocks(self):
         q, k, v = _qkv(B=1, H=1, Sq=96, Sk=96, hd=16, seed=4)
         bias = jnp.zeros((1, 1, 96))
