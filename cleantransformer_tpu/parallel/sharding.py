@@ -6,8 +6,14 @@
    (Megatron-style TP: qkv/h->4h column-sharded, proj/4h->h row-sharded
    over the 'model' axis — realizing Bloom's ``pretraining_tp`` stub,
    reference modeling_bloom.py:32-33,258-265).
- - optimizer-state sharding (ZeRO-1/3 analogue) falls out of pjit: optimizer
-   state pytrees reuse the param specs.
+ - ``zero_specs``: ZeRO-1-style optimizer-state sharding — each Adam m/v
+   leaf is additionally partitioned over the 'data' axis (largest divisible
+   dim not already sharded by TP), so Adam state costs 1/dp the HBM per
+   device instead of being replicated. This is the first-class equivalent of
+   the capability the reference delegates to DeepSpeed ZeRO stage 1
+   (scripts/ds_config_example.json:33-48, examples/ft_bloom_deepspeed.py:51-53):
+   XLA/GSPMD derives the reduce-scatter(grads) -> sharded update ->
+   all-gather(params) schedule from the annotations.
 """
 
 import jax
@@ -107,3 +113,62 @@ def shard_params(params, mesh, model_type="gpt"):
     specs = param_specs(params, model_type)
     shardings = named_sharding(mesh, specs)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def _zero_leaf_spec(spec, shape, dp, axis="data"):
+    """Add ``axis`` to a leaf's PartitionSpec on the largest dim that is
+    divisible by dp and not already sharded; unchanged if none qualifies."""
+    if dp <= 1 or not shape:
+        return spec
+    parts = list(spec) + [None] * (len(shape) - len(spec))
+    best, best_size = None, 0
+    for i, n in enumerate(shape):
+        if parts[i] is None and n % dp == 0 and n >= dp and n > best_size:
+            best, best_size = i, n
+    if best is None:
+        return spec
+    parts[best] = axis
+    return P(*parts)
+
+
+def zero_specs(params, mesh, model_type="gpt", axis="data"):
+    """ZeRO-1 PartitionSpecs for optimizer-state pytrees shaped like
+    ``params`` (Adam m/v): the TP param specs with ``axis`` added on the
+    largest free divisible dim of every leaf."""
+    dp = mesh.shape.get(axis, 1)
+    base = param_specs(params, model_type)
+    return jax.tree_util.tree_map(
+        lambda leaf, spec: _zero_leaf_spec(spec, leaf.shape, dp, axis),
+        params, base)
+
+
+def shard_opt_state(opt_state, params, mesh, model_type="gpt", axis="data"):
+    """Place an AdamState/SGDState-like pytree with ZeRO-1 shardings: every
+    leaf shaped like a param leaf gets its zero spec; scalars replicate.
+    Returns (sharded_state, spec_tree) — the spec tree is reused inside the
+    train step as a with_sharding_constraint so XLA keeps the update sharded."""
+    zspecs = zero_specs(params, mesh, model_type, axis)
+    # Map by structure: state fields that mirror the param tree (mu/nu) reuse
+    # the zero specs; anything else (step counters, flags) replicates.
+    params_treedef = jax.tree_util.tree_structure(params)
+
+    def spec_for_subtree(subtree):
+        if jax.tree_util.tree_structure(subtree) == params_treedef:
+            return zspecs
+        return jax.tree_util.tree_map(lambda x: P(), subtree)
+
+    spec_tree = type(opt_state)(*[spec_for_subtree(field)
+                                  for field in opt_state]) \
+        if hasattr(opt_state, "_fields") else jax.tree_util.tree_map(
+            lambda x: P(), opt_state)
+    shardings = named_sharding(mesh, spec_tree)
+    sharded = jax.tree_util.tree_map(jax.device_put, opt_state, shardings)
+    return sharded, spec_tree
+
+
+def constrain(tree, mesh, spec_tree):
+    """with_sharding_constraint over a pytree of PartitionSpecs (spec_tree
+    mirrors ``tree``'s structure with PartitionSpec at each leaf position)."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.lax.with_sharding_constraint(x, NamedSharding(mesh, s)),
+        tree, spec_tree)

@@ -87,6 +87,11 @@ class TrainingArguments:
     # mesh_data=0 => all remaining devices on the data axis
     mesh_data: int = 1
     mesh_model: int = 1
+    # ZeRO-1: shard Adam m/v over the 'data' axis (1/dp the optimizer HBM
+    # per device; XLA derives reduce-scatter/all-gather). No-op without a
+    # data-parallel mesh. Replaces DeepSpeed ZeRO stage 1
+    # (reference scripts/ds_config_example.json:33-48).
+    zero_optimizer: bool = True
     # per-layer activation checkpointing: False | True (save only block
     # inputs) | "dots" (also save matmul outputs — cheaper recompute, a bit
     # more memory)
@@ -152,6 +157,7 @@ class Trainer:
         self.optimizer = None
         self.opt_state = None
         self.lr_schedule = None
+        self._opt_spec_tree = None  # ZeRO-1 specs, set once sharded
 
     # -- loss ---------------------------------------------------------------
 
@@ -266,6 +272,13 @@ class Trainer:
                 grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
             new_params, new_opt_state = update_fn(grads, opt_state, params,
                                                   lr_override=lr)
+            if self._opt_spec_tree is not None:
+                # ZeRO-1: pin the updated Adam state to its data-sharded
+                # layout so XLA keeps the whole m/v update partitioned
+                # (reduce-scattered grads in, no all-gather of state)
+                from cleantransformer_tpu.parallel.sharding import constrain
+                new_opt_state = constrain(new_opt_state, self.mesh,
+                                          self._opt_spec_tree)
             return new_params, new_opt_state, loss, gnorm
 
         # With a mesh, input shardings are carried by the operands themselves:
@@ -330,9 +343,14 @@ class Trainer:
             start_step = self._load_from_checkpoint(resume_from_checkpoint)
 
         if self.mesh is not None:
-            from cleantransformer_tpu.parallel.sharding import shard_params
+            from cleantransformer_tpu.parallel.sharding import (
+                shard_params, shard_opt_state)
             self.model.params = shard_params(self.model.params, self.mesh,
                                              self._model_type())
+            if args.zero_optimizer and self.mesh.shape.get("data", 1) > 1:
+                self.opt_state, self._opt_spec_tree = shard_opt_state(
+                    self.opt_state, self.model.params, self.mesh,
+                    self._model_type())
 
         for cb in self.callbacks:
             cb.on_train_begin(self)

@@ -157,6 +157,95 @@ class TestShardedTraining:
         assert len(losses) >= 2 and losses[-1] < losses[0]
 
 
+class TestZeroOptimizer:
+    """ZeRO-1: Adam m/v sharded over the data axis (the capability the
+    reference delegates to DeepSpeed ZeRO stage 1,
+    scripts/ds_config_example.json:33-48)."""
+
+    def _train_steps(self, zero, n_steps=5):
+        from cleantransformer_tpu.optim import adamw_decoupled
+        from cleantransformer_tpu.parallel.sharding import (
+            shard_opt_state, constrain)
+        cfg, model = _bloom()
+        loss_fn = _loss_fn(cfg)
+        init_fn, update_fn = adamw_decoupled(lr=1e-3, weight_decay=0.01)
+        mesh = make_mesh(data=8, model=1)
+        spec_tree = None
+        with use_mesh(mesh):
+            params = shard_params(model.params, mesh, "bloom")
+            opt_state = init_fn(params)
+            if zero:
+                opt_state, spec_tree = shard_opt_state(opt_state, params,
+                                                       mesh, "bloom")
+
+            def step(params, opt_state, batch):
+                loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+                new_params, new_opt = update_fn(grads, opt_state, params)
+                if spec_tree is not None:
+                    new_opt = constrain(new_opt, mesh, spec_tree)
+                return new_params, new_opt, loss
+
+            jstep = jax.jit(step, donate_argnums=(0, 1))
+            losses = []
+            for i in range(n_steps):
+                batch = jax.tree_util.tree_map(
+                    jax.device_put, _batch(seed=i),
+                    named_sharding(mesh, data_specs(_batch(seed=i))))
+                params, opt_state, loss = jstep(params, opt_state, batch)
+                losses.append(float(loss))
+        return losses, params, opt_state
+
+    def test_zero_matches_replicated_step_for_step(self):
+        losses_rep, params_rep, _ = self._train_steps(zero=False)
+        losses_z, params_z, opt_z = self._train_steps(zero=True)
+        np.testing.assert_allclose(losses_z, losses_rep, rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(params_rep),
+                        jax.tree_util.tree_leaves(params_z)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+        # the Adam state must actually be partitioned over 'data'
+        emb_mu = opt_z.mu["word_embeddings"]
+        assert "data" in jax.tree_util.tree_flatten(
+            tuple(emb_mu.sharding.spec))[0], emb_mu.sharding
+        # per-device bytes = 1/8 of the leaf
+        shard_elems = emb_mu.addressable_shards[0].data.size
+        assert shard_elems == emb_mu.size // 8
+
+    def test_trainer_zero_flag(self, tmp_path):
+        """Trainer with zero_optimizer=True on a dp mesh trains and shards
+        its Adam state."""
+        from cleantransformer_tpu.trainer import (
+            Trainer, TrainingArguments, BelleDataset, belle_collate)
+        from cleantransformer_tpu.tokenizers import BPETokenizer
+        data_fn = str(tmp_path / "d.jsonl")
+        with open(data_fn, "w") as f:
+            for i in range(32):
+                f.write(json.dumps({"instruction": f"q {i}",
+                                    "output": str(i)}) + "\n")
+        tok = BPETokenizer(vocab_size=100)
+        tok.fit(["human assistant q 0123456789"])
+        cfg = BloomConfig(vocab_size=len(tok.vocab), hidden_size=32, n_layer=2,
+                          num_attention_heads=4)
+        model = BloomForCausalLM(cfg, rng=jax.random.PRNGKey(0))
+        model._tie_weight()
+        args = TrainingArguments(output_dir=str(tmp_path / "out"),
+                                 num_train_epochs=1,
+                                 per_device_train_batch_size=1,
+                                 learning_rate=1e-3, logging_steps=2,
+                                 save_steps=0, mesh_data=0, mesh_model=1,
+                                 zero_optimizer=True)
+        trainer = Trainer(model=model, args=args,
+                          train_dataset=BelleDataset(data_fn),
+                          data_collator=partial(belle_collate, tokenizer=tok,
+                                                max_length=16, pad_to_max=True,
+                                                eos_token=""),
+                          callbacks=[])
+        trainer.train()
+        assert trainer._opt_spec_tree is not None
+        mu_emb = trainer.opt_state.mu["word_embeddings"]
+        assert mu_emb.addressable_shards[0].data.size == mu_emb.size // 8
+
+
 class TestShardedGeneration:
     def test_tp_greedy_decode_matches_unsharded(self):
         """Tensor-parallel serving: generate() under a model-sharded mesh
