@@ -204,10 +204,14 @@ def _bloom_block(block_params, layer_kv, h, config, alibi_bias, bool_mask,
 
 
 def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=None,
-                  segment_ids=None, cache=None, head_mask=None, remat=False):
+                  segment_ids=None, cache=None, head_mask=None, remat=False,
+                  embed_noise=None):
     """BloomModel.forward (modeling_bloom.py:187-205). position_ids/segment_ids
     are accepted for engine-protocol uniformity and ignored (Bloom is
-    position-embedding-free). Returns (hidden, new_cache)."""
+    position-embedding-free). ``embed_noise``: optional (B, S, D) additive
+    noise on the word-embedding output, before the embedding LayerNorm (the
+    NEFTune hook point, reference trainer.py:867-898).
+    Returns (hidden, new_cache)."""
     del position_ids, segment_ids
     B, S = input_ids.shape
     if attention_mask is None:
@@ -216,6 +220,8 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
     T = cache["k"].shape[3] if cache is not None else S
 
     h = embed_lookup(params["word_embeddings"], input_ids).astype(config.compute_dtype)
+    if embed_noise is not None:
+        h = h + embed_noise.astype(h.dtype)
     h = layer_norm(h, params["word_embeddings_layernorm"]["w"],
                    params["word_embeddings_layernorm"]["b"], config.layer_norm_epsilon)
     h = shard_hint(h, ("data", None, None))
@@ -273,14 +279,15 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
 
 def bloom_lm_forward(params, config, input_ids, attention_mask=None,
                      position_ids=None, segment_ids=None, cache=None, labels=None,
-                     loss_mask=None, last_only=False, head_mask=None, remat=False):
+                     loss_mask=None, last_only=False, head_mask=None, remat=False,
+                     embed_noise=None):
     """BloomForCausalLM.forward (modeling_bloom.py:218-232): returns
     ((loss?, logits, hidden), cache) like the reference tuple convention —
     here as ((logits, hidden), cache), or ((loss, logits, hidden), cache)
     when labels are given (shift-by-1 CE, modeling_bloom.py:223-231)."""
     h, new_cache = bloom_forward(params, config, input_ids, attention_mask,
                                  position_ids, segment_ids, cache, head_mask,
-                                 remat=remat)
+                                 remat=remat, embed_noise=embed_noise)
     lm_head = params.get("lm_head", params["word_embeddings"])
     h_for_logits = h[:, -1:] if last_only else h
     logits = lm_head_matmul(h_for_logits, lm_head)

@@ -235,13 +235,16 @@ def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_
 
 def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=None,
                 segment_ids=None, cache=None, version="gpt", deterministic=True,
-                dropout_rng=None, remat=False):
+                dropout_rng=None, remat=False, embed_noise=None):
     """GPT forward. Returns (hidden_states, new_cache).
 
     - cache-less: ``attention_mask`` is (B, S) over the inputs (or None).
     - cached: ``input_ids`` are the S new tokens; ``attention_mask`` must be
       (B, T) over the *full cache buffer* (1 = attendable). Unwritten future
       slots are already excluded by the causal/window mask.
+    - ``embed_noise``: optional (B, S, D) additive noise on the token-embedding
+      output (the NEFTune hook point — reference trainer.py:867-898 hooks
+      get_input_embeddings(), i.e. before position embeddings are added).
     """
     compute_dtype = config.compute_dtype
     B, S = input_ids.shape
@@ -275,6 +278,8 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
         additive_mask = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * neg
 
     h = embed_lookup(params["tokens_embed"], input_ids)
+    if embed_noise is not None:
+        h = h + embed_noise.astype(h.dtype)
     h = h + params["position_embed"][position_ids].astype(h.dtype)
     if segment_ids is not None:
         h = h + embed_lookup(params["tokens_embed"], segment_ids).astype(h.dtype)
@@ -333,7 +338,8 @@ def gpt_lm_head(params, hidden_states):
 
 def gpt_lm_forward(params, config, input_ids, attention_mask=None, position_ids=None,
                    segment_ids=None, cache=None, version="gpt", last_only=False,
-                   deterministic=True, dropout_rng=None, remat=False):
+                   deterministic=True, dropout_rng=None, remat=False,
+                   embed_noise=None):
     """Mirror of GPTLMHeadModel.forward: returns ((lm_logits, hidden), cache).
 
     ``last_only``: compute logits for the final position only — the decode
@@ -341,7 +347,7 @@ def gpt_lm_forward(params, config, input_ids, attention_mask=None, position_ids=
     prefill matmul and only row -1 is consumed)."""
     h, new_cache = gpt_forward(params, config, input_ids, attention_mask,
                                position_ids, segment_ids, cache, version,
-                               deterministic, dropout_rng, remat)
+                               deterministic, dropout_rng, remat, embed_noise)
     logits = gpt_lm_head(params, h[:, -1:] if last_only else h)
     return (logits, h), new_cache
 

@@ -77,6 +77,9 @@ class TrainingArguments:
     save_total_limit: int = 0    # 0 = unlimited
     label_smoothing_factor: float = 0.0
     neftune_noise_alpha: float = 0.0
+    # drop dataset/collator columns the model forward can't accept
+    # (reference signature-column filtering, trainer.py:968-1003)
+    remove_unused_columns: bool = True
     seed: int = 42
     group_by_length: bool = False
     max_seq_length: int = 1024
@@ -102,12 +105,29 @@ class TrainingArguments:
 # callbacks (trainer.py:230-248 callback system)
 # ---------------------------------------------------------------------------
 
+@dataclass
+class TrainerControl:
+    """Loop control flags a callback may set (the reference's TrainerControl
+    state-control contract): each ``should_*`` is honored at the next check
+    point in the training loop, then reset."""
+    should_training_stop: bool = False
+    should_epoch_stop: bool = False
+    should_log: bool = False
+    should_evaluate: bool = False
+    should_save: bool = False
+
+
 class TrainerCallback:
+    def on_init_end(self, trainer): ...
     def on_train_begin(self, trainer): ...
     def on_epoch_begin(self, trainer, epoch): ...
+    def on_epoch_end(self, trainer, epoch): ...
+    def on_step_begin(self, trainer): ...
     def on_step_end(self, trainer): ...
     def on_log(self, trainer, logs): ...
     def on_evaluate(self, trainer, metrics): ...
+    def on_predict(self, trainer, metrics): ...
+    def on_prediction_step(self, trainer): ...
     def on_save(self, trainer, ckpt_dir): ...
     def on_train_end(self, trainer): ...
 
@@ -158,48 +178,64 @@ class Trainer:
         self.opt_state = None
         self.lr_schedule = None
         self._opt_spec_tree = None  # ZeRO-1 specs, set once sharded
+        self._eval_loss_jit = None  # compiled once, reused across evaluate()
+        self._pred_step_jit = None
+        self._sig_columns = None
+        self.control = TrainerControl()
+        for cb in self.callbacks:
+            cb.on_init_end(self)
 
     # -- loss ---------------------------------------------------------------
 
-    def _default_loss_fn(self, train=True):
+    def _default_loss_fn(self, train=True, with_logits=False):
         """Causal-LM loss with optional label smoothing (trainer.py:558-586)
         and NEFTune embedding noise (trainer.py:867-898).
 
-        ``train=False`` builds the evaluation variant: NEFTune noise OFF
-        (the reference hook is active only during training,
-        trainer.py:867-898). Note: noise is applied to the embedding table
-        (repeated tokens in a batch share noise) rather than per-position
-        embedding outputs — documented deviation, see PARITY.md."""
+        ``train=False`` builds the evaluation variant: NEFTune noise OFF (the
+        reference hook is active only during training). NEFTune matches the
+        reference hook exactly: per-position uniform noise on the embedding
+        *output*, magnitude alpha/sqrt(S*D) — two identical tokens in a batch
+        receive different noise.
+
+        Labels equal to -100 are excluded (the torch CrossEntropyLoss
+        ignore_index the reference's shift-CE inherits, modeling_bloom.py:228).
+
+        ``with_logits=True`` returns (loss, logits) — the prediction_step
+        variant."""
         model = self.model
         smoothing = self.args.label_smoothing_factor if self.args else 0.0
         neftune = (self.args.neftune_noise_alpha if (self.args and train) else 0.0)
 
         def loss_fn(params, batch, rng):
+            embed_noise = None
             if neftune > 0.0:
-                # NEFTune: uniform noise scaled by alpha/sqrt(L*d) on the
-                # input embeddings — implemented by noising the embedding
-                # table slice seen by this batch's tokens
-                emb_key = ("word_embeddings" if "word_embeddings" in params
-                           else "tokens_embed")
-                emb = params[emb_key]
-                L = batch["input_ids"].shape[1]
-                mag = neftune / math.sqrt(L * emb.shape[-1])
-                noise = jax.random.uniform(rng, emb.shape, emb.dtype, -mag, mag)
-                params = {**params, emb_key: emb + noise}
+                B, S = batch["input_ids"].shape
+                D = (params["word_embeddings"] if "word_embeddings" in params
+                     else params["tokens_embed"]).shape[-1]
+                mag = neftune / math.sqrt(S * D)
+                embed_noise = jax.random.uniform(rng, (B, S, D), jnp.float32,
+                                                 -mag, mag)
             (out), _ = model.forward_fn()(params, model.config,
                                           batch["input_ids"],
                                           batch["attention_mask"], None, None,
-                                          None, remat=self.args.remat)
+                                          None, remat=self.args.remat,
+                                          embed_noise=embed_noise)
             logits = out[0].astype(jnp.float32)
             labels = batch["labels"]
             shift_logits = logits[:, :-1]
             shift_labels = labels[:, 1:]
+            valid = shift_labels != -100
+            safe_labels = jnp.where(valid, shift_labels, 0)
             logp = jax.nn.log_softmax(shift_logits, axis=-1)
-            nll = -jnp.take_along_axis(logp, shift_labels[..., None], axis=-1)[..., 0]
+            nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
             if smoothing > 0.0:
                 smooth = -jnp.mean(logp, axis=-1)
                 nll = (1 - smoothing) * nll + smoothing * smooth
-            return jnp.mean(nll)
+            nll = jnp.where(valid, nll, 0.0)
+            loss = jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+            if with_logits:
+                return loss, logits
+            return loss
 
         return loss_fn
 
@@ -250,16 +286,22 @@ class Trainer:
 
         def train_step(params, opt_state, batch, rng, lr):
             if accum > 1:
-                def body(carry, micro):
+                def body(carry, xs):
+                    micro, i = xs
                     loss_sum, grads_sum = carry
-                    loss, grads = micro_grads(params, micro, rng)
+                    # distinct rng per micro-batch so NEFTune (and any
+                    # stochastic user loss) doesn't repeat noise within a step
+                    loss, grads = micro_grads(params, micro,
+                                              jax.random.fold_in(rng, i))
                     grads_sum = jax.tree_util.tree_map(jnp.add, grads_sum, grads)
                     return (loss_sum + loss, grads_sum), None
                 micro_batches = {
                     k: v.reshape(accum, v.shape[0] // accum, *v.shape[1:])
                     for k, v in batch.items()}
                 zero = jax.tree_util.tree_map(jnp.zeros_like, params)
-                (loss_sum, grads), _ = jax.lax.scan(body, (0.0, zero), micro_batches)
+                (loss_sum, grads), _ = jax.lax.scan(
+                    body, (0.0, zero),
+                    (micro_batches, jnp.arange(accum, dtype=jnp.uint32)))
                 loss = loss_sum / accum
                 grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
             else:
@@ -307,9 +349,27 @@ class Trainer:
                           seed=self.args.seed,
                           group_by_length=self.args.group_by_length)
 
+    def _signature_columns(self):
+        """Batch keys the model/loss can accept (the reference's
+        signature-column filtering, trainer.py:968-1003): the forward_fn
+        signature plus the label columns. None = don't filter (user loss
+        functions may consume arbitrary keys)."""
+        if self._user_loss or not self.args.remove_unused_columns:
+            return None
+        if self._sig_columns is None:
+            import inspect
+            try:
+                fwd = self.model.forward_fn()
+                cols = set(inspect.signature(fwd).parameters)
+            except (TypeError, ValueError, AttributeError):
+                return None
+            self._sig_columns = cols | {"labels", "label_ids", "loss_mask"}
+        return self._sig_columns
+
     def _device_batch(self, batch):
+        cols = self._signature_columns()
         arrays = {k: jnp.asarray(v) for k, v in batch.items()
-                  if isinstance(v, np.ndarray)}
+                  if isinstance(v, np.ndarray) and (cols is None or k in cols)}
         if self.mesh is not None:
             shardings = named_sharding(self.mesh, data_specs(arrays))
             arrays = jax.tree_util.tree_map(jax.device_put, arrays, shardings)
@@ -378,6 +438,8 @@ class Trainer:
                               if hasattr(loader, "iter_skip") and skip
                               else iter(loader))
                 for batch in batch_iter:
+                    for cb in self.callbacks:
+                        cb.on_step_begin(self)
                     db = self._device_batch(batch)
                     self._rng, step_rng = jax.random.split(self._rng)
                     lr = self.lr_schedule(self.state["global_step"])
@@ -395,7 +457,10 @@ class Trainer:
                     tokens_since_log += batch_tokens
                     self.state["total_flos"] += 6.0 * n_params * batch_tokens
 
-                    if args.logging_steps and self.state["global_step"] % args.logging_steps == 0:
+                    ctl = self.control
+                    if (args.logging_steps and self.state["global_step"]
+                            % args.logging_steps == 0) or ctl.should_log:
+                        ctl.should_log = False
                         dt = time.time() - t_log
                         logs = {"loss": round(float(np.mean([float(l) for l in loss_window])), 4),
                                 "grad_norm": round(float(gnorm), 4),
@@ -407,22 +472,32 @@ class Trainer:
                         loss_window, tokens_since_log, t_log = [], 0, time.time()
                         self.log(logs)
 
-                    if args.eval_steps and self.eval_dataset is not None and \
-                            self.state["global_step"] % args.eval_steps == 0:
+                    if self.eval_dataset is not None and (
+                            (args.eval_steps and self.state["global_step"]
+                             % args.eval_steps == 0) or ctl.should_evaluate):
+                        ctl.should_evaluate = False
                         self.evaluate()
 
                     # save after eval so a best metric at this step can mark
                     # this very checkpoint (trainer.py:1325-1338)
-                    if args.save_steps and self.state["global_step"] % args.save_steps == 0:
+                    if (args.save_steps and self.state["global_step"]
+                            % args.save_steps == 0) or ctl.should_save:
+                        ctl.should_save = False
                         self._save_checkpoint()
 
                     for cb in self.callbacks:
                         cb.on_step_end(self)
-                    if self.state["global_step"] >= max_steps:
+                    if self.state["global_step"] >= max_steps or \
+                            ctl.should_training_stop:
                         done = True
+                        break
+                    if ctl.should_epoch_stop:
                         break
                 if self.eval_dataset is not None and not args.eval_steps:
                     self.evaluate()
+                for cb in self.callbacks:
+                    cb.on_epoch_end(self, epoch)
+                self.control.should_epoch_stop = False
                 if done:
                     break
 
@@ -433,6 +508,99 @@ class Trainer:
 
     # -- evaluation (trainer.py:591-787) -------------------------------------
 
+    def _ensure_eval_fns(self):
+        """Build the jitted eval/prediction callables ONCE and reuse them —
+        re-jitting per evaluate() would repay a full (remote, on TPU)
+        compile on every eval trigger."""
+        if self._eval_loss_fn is None:
+            # user-supplied loss is used as-is; the default gets its
+            # eval variant (no NEFTune noise)
+            self._eval_loss_fn = (self.loss_fn if self._user_loss
+                                  else self._default_loss_fn(train=False))
+        if self._eval_loss_jit is None:
+            self._eval_loss_jit = jax.jit(self._eval_loss_fn)
+        if self._pred_step_jit is None:
+            if self.prediction_fn is not None:
+                self._pred_step_jit = jax.jit(self.prediction_fn)
+            elif not self._user_loss:
+                # default prediction: (loss, logits) from the default loss
+                self._pred_step_jit = jax.jit(
+                    self._default_loss_fn(train=False, with_logits=True))
+
+    def _eval_batches(self, loader):
+        """Yield (device_batch, host_batch, n_valid). On a data-parallel mesh
+        a batch whose row count does not divide the 'data' axis cannot be
+        data-sharded — replicate it instead (the pad_across_processes/
+        distributed_concat analogue, reference trainer.py:674-692; pjit
+        outputs are already global, so no explicit gather is needed)."""
+        dp = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
+        for batch in loader:
+            arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+            n = next(iter(arrays.values())).shape[0] if arrays else 0
+            if dp > 1 and n % dp != 0:
+                db = {k: jnp.asarray(v) for k, v in arrays.items()}
+                if self.mesh is not None:
+                    from cleantransformer_tpu.parallel.sharding import replicate
+                    db = replicate(db, self.mesh)
+            else:
+                db = self._device_batch(batch)
+            yield db, batch, n
+
+    def prediction_step(self, params, batch, prediction_loss_only=False):
+        """One eval batch -> (loss, logits, labels) — the reference's
+        prediction_step contract (trainer.py:741-787). ``logits`` is None
+        when only a user loss (no prediction_fn) is available or
+        ``prediction_loss_only``; ``labels`` is None when absent."""
+        self._ensure_eval_fns()
+        rng = jax.random.PRNGKey(0)
+        labels = batch.get("labels")
+        loss = None
+        logits = None
+        if self.prediction_fn is not None:
+            loss = self._eval_loss_jit(params, batch, rng)
+            if not prediction_loss_only:
+                logits = self._pred_step_jit(params, batch)
+        elif self._pred_step_jit is not None and not prediction_loss_only:
+            loss, logits = self._pred_step_jit(params, batch, rng)
+        else:
+            loss = self._eval_loss_jit(params, batch, rng)
+        for cb in self.callbacks:
+            cb.on_prediction_step(self)
+        return loss, logits, labels
+
+    def _evaluation_loop(self, loader, prediction_loss_only=False,
+                         metric_key_prefix="eval"):
+        """Shared core of evaluate()/predict() (reference evaluation_loop,
+        trainer.py:621-739)."""
+        losses, weights, preds, label_ids = [], [], [], []
+        for db, batch, n in self._eval_batches(loader):
+            loss, logits, labels = self.prediction_step(
+                self.model.params, db, prediction_loss_only)
+            if loss is not None:
+                losses.append(float(loss))
+                weights.append(n)
+            if logits is not None:
+                preds.append(np.asarray(logits)[:n])
+                if labels is not None:
+                    label_ids.append(np.asarray(labels)[:n])
+        metrics = {}
+        if losses:
+            metrics[f"{metric_key_prefix}_loss"] = float(
+                np.average(losses, weights=weights))
+        predictions = np.concatenate(preds) if preds else None
+        labels_all = np.concatenate(label_ids) if label_ids else None
+        if self.compute_metrics is not None:
+            if predictions is not None:
+                ep = {"predictions": predictions, "label_ids": labels_all}
+                extra = self.compute_metrics(ep)
+            else:
+                extra = self.compute_metrics(self)
+            for k, v in extra.items():
+                if not k.startswith(metric_key_prefix):
+                    k = f"{metric_key_prefix}_{k}"
+                metrics[k] = v
+        return predictions, labels_all, metrics
+
     def evaluate(self, eval_dataset=None):
         """Eval loop (trainer.py:591-787): per-batch loss, optional
         prediction gathering + user compute_metrics over
@@ -441,35 +609,32 @@ class Trainer:
         loader = ds if isinstance(ds, DataLoader) else DataLoader(
             ds, batch_size=self.args.per_device_eval_batch_size,
             collate_fn=self.data_collator, shuffle=False, drop_last=False)
-        losses, preds, label_ids = [], [], []
-        if self._eval_loss_fn is None:
-            # user-supplied loss is used as-is; the default gets its
-            # eval variant (no NEFTune noise)
-            self._eval_loss_fn = (self.loss_fn if self._user_loss
-                                  else self._default_loss_fn(train=False))
-        eval_loss = jax.jit(self._eval_loss_fn)
-        pred_step = jax.jit(self.prediction_fn) if self.prediction_fn else None
-        rng = jax.random.PRNGKey(0)
-        for batch in loader:
-            db = self._device_batch(batch)
-            losses.append(float(eval_loss(self.model.params, db, rng)))
-            if pred_step is not None:
-                preds.append(np.asarray(pred_step(self.model.params, db)))
-                if "labels" in batch:
-                    label_ids.append(np.asarray(batch["labels"]))
-        metrics = {"eval_loss": float(np.mean(losses)) if losses else float("nan")}
-        if self.compute_metrics is not None:
-            if preds:
-                ep = {"predictions": np.concatenate(preds),
-                      "label_ids": np.concatenate(label_ids) if label_ids else None}
-                metrics.update(self.compute_metrics(ep))
-            else:
-                metrics.update(self.compute_metrics(self))
+        # logits are only materialized when compute_metrics needs them
+        # (reference: prediction_loss_only = compute_metrics is None)
+        _, _, metrics = self._evaluation_loop(
+            loader, prediction_loss_only=self.compute_metrics is None,
+            metric_key_prefix="eval")
         self.log({**metrics, "step": self.state["global_step"]})
         for cb in self.callbacks:
             cb.on_evaluate(self, metrics)
         self._track_best(metrics)
         return metrics
+
+    def predict(self, test_dataset, metric_key_prefix="test"):
+        """Run inference over ``test_dataset`` and return
+        {'predictions', 'label_ids', 'metrics'} — the reference's
+        predict()/PredictionOutput contract (trainer.py:741-787)."""
+        loader = test_dataset if isinstance(test_dataset, DataLoader) else \
+            DataLoader(test_dataset,
+                       batch_size=self.args.per_device_eval_batch_size,
+                       collate_fn=self.data_collator, shuffle=False,
+                       drop_last=False)
+        predictions, label_ids, metrics = self._evaluation_loop(
+            loader, metric_key_prefix=metric_key_prefix)
+        for cb in self.callbacks:
+            cb.on_predict(self, metrics)
+        return {"predictions": predictions, "label_ids": label_ids,
+                "metrics": metrics}
 
     def _track_best(self, metrics):
         key = self.args.metric_for_best_model
@@ -481,10 +646,13 @@ class Trainer:
                   (val > best if self.args.greater_is_better else val < best))
         if better:
             self.state["best_metric"] = val
-            # record the step; the checkpoint path is only claimed when a
-            # checkpoint is actually written at this step (_save_checkpoint),
-            # so rotation never protects a dangling path
             self.state["best_step"] = self.state["global_step"]
+            # write a checkpoint NOW so the best model is always on disk and
+            # protected from rotation, even when the best metric lands off
+            # the save cadence (reference trainer.py:1325-1338, 1465-1511);
+            # a scheduled save at this same step dedupes (idempotence guard)
+            if self.args.save_steps:
+                self._save_checkpoint()
 
     # -- logging (trainer.py:1287-1298) --------------------------------------
 
@@ -497,10 +665,15 @@ class Trainer:
 
     def _save_checkpoint(self):
         os.makedirs(self.args.output_dir, exist_ok=True)
+        step_dir = os.path.join(
+            self.args.output_dir,
+            f"{ckpt_io.CKPT_PREFIX}{self.state['global_step']}")
         if self.state.get("best_step") == self.state["global_step"]:
-            self.state["best_model_checkpoint"] = os.path.join(
-                self.args.output_dir,
-                f"{ckpt_io.CKPT_PREFIX}{self.state['global_step']}")
+            self.state["best_model_checkpoint"] = step_dir
+        if os.path.isdir(step_dir):
+            # already written this step (best-metric save followed by the
+            # scheduled save) — don't rewrite
+            return step_dir
         trainer_state = {k: v for k, v in self.state.items()}
         ckpt = ckpt_io.save_checkpoint(
             self.args.output_dir, self.state["global_step"],
