@@ -118,6 +118,18 @@ def generate(model, input_ids, attention_mask=None, position_ids=None,
     if rng is None:
         rng = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
 
+    # models with learned position embeddings can't decode past n_positions:
+    # under jit the gather would silently clamp to the last position where
+    # the torch reference raises an index error — fail loudly instead
+    n_positions = getattr(model.config, "n_positions", None)
+    if n_positions is not None:
+        total_len = input_ids.shape[1] + max_gen_len + 2
+        if total_len > n_positions:
+            raise ValueError(
+                f"prompt ({input_ids.shape[1]}) + max_gen_len ({max_gen_len})"
+                f" + 2 = {total_len} exceeds the model's n_positions "
+                f"({n_positions})")
+
     params = inference_params(model)
 
     common = dict(

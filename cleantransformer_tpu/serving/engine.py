@@ -3,21 +3,28 @@ reference's capability set — the reference serves one batch per generate()
 call, examples/bloom_interactive.py).
 
 Design: a fixed pool of B decode slots over ONE fixed-shape KV cache
-(L, B, H, T, hd). Requests are admitted into free slots by a per-request
-jitted prefill (prompt lengths padded to a small set of static buckets);
-all active slots then advance together through a jitted multi-token decode
-chunk with PER-ROW cache offsets (ragged batching — each slot is at its own
-position). Finished slots are freed and refilled without ever stopping the
-others, so decode throughput stays at full batch utilization under a stream
-of variable-length requests.
+(L, B, H, T, hd). Requests are admitted into free slots by per-request
+jitted prefill programs (prompt lengths padded to a small set of static
+buckets); prompts longer than the largest bucket are prefilled in
+bucket-sized CHUNKS at nonzero cache offsets (the flash/dense causal iota
+takes the dynamic offset, so chunked prefill is exact). All active slots
+then advance together through a jitted multi-token decode chunk with
+PER-ROW cache offsets (ragged batching — each slot is at its own position).
+Finished slots are freed and refilled without ever stopping the others, so
+decode throughput stays at full batch utilization under a stream of
+variable-length requests.
+
+Sampling parameters (do_sample / temperature / top_k / top_p) are
+PER-REQUEST: they live in per-slot device arrays and the chunked decode
+applies them row-wise (dynamic — no recompile per distinct temperature).
+Greedy-only workloads keep the pure-argmax decode program; the first
+sampling request switches the engine to the row-wise sampling variant
+(one extra compile, then cached).
 
 Everything device-side is fixed-shape and compiles once per prefill bucket
-plus once for the decode chunk. The host syncs once per chunk (a single
-device_get of the small token/length/active buffers), never per token.
-
-Greedy and temperature/top-k/top-p sampling are supported engine-wide;
-per-request ``max_new_tokens`` and shared ``end_ids`` terminate slots
-device-side.
+(x greedy/sampling) plus once per decode variant. The host syncs once per
+chunk (a single device_get of the small token/length/active buffers),
+never per token. Admission is FIFO.
 """
 
 import functools
@@ -28,77 +35,126 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from cleantransformer_tpu.generation.logits_process import build_wrapper_chain
-
 DEFAULT_BUCKETS = (16, 32, 64, 128, 256)
 
 
+def _choose_rowwise(scores, do_sample_v, temp_v, top_k_v, top_p_v, rng):
+    """Per-row token choice with dynamic sampling params.
+
+    Reproduces the generate() wrapper chain semantics row-wise
+    (reference logits_processor.py: temperature floor 1e-2 L35-41; top-k
+    keep >= kth-largest L44-56; top-p ascending-cumsum mask L59-79), with
+    per-row do_sample selecting sampled vs argmax."""
+    B, V = scores.shape
+    greedy = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+
+    t = jnp.maximum(temp_v, 1e-2)[:, None]
+    s = scores / t
+    # top-k (0 = off): mask scores strictly below the kth largest
+    k = jnp.where(top_k_v > 0, jnp.minimum(top_k_v, V), V).astype(jnp.int32)
+    sorted_desc = jnp.sort(s, axis=-1)[:, ::-1]
+    kth = jnp.take_along_axis(sorted_desc, (k - 1)[:, None], axis=-1)
+    s = jnp.where(s < kth, -jnp.inf, s)
+    # top-p (>= 1.0 = off): ascending sort, drop the low-probability tail
+    # whose cumulative mass is <= 1 - p (always keeps the top token)
+    order = jnp.argsort(s, axis=-1)
+    asc = jnp.take_along_axis(s, order, axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(asc, axis=-1), axis=-1)
+    remove_sorted = cum <= (1.0 - top_p_v[:, None])
+    remove = jnp.zeros_like(remove_sorted).at[
+        jnp.arange(B)[:, None], order].set(remove_sorted)
+    s = jnp.where(remove, -jnp.inf, s)
+
+    sampled = jax.random.categorical(rng, s, axis=-1).astype(jnp.int32)
+    return jnp.where(do_sample_v.astype(bool), sampled, greedy)
+
+
+def _choose(state, rows_scores, row_ids, sampling):
+    """Pick tokens for the given rows. ``sampling`` is the static engine
+    variant flag: False = pure argmax (no wasted sort/softmax work),
+    True = row-wise dynamic sampling params from the slot state."""
+    if not sampling:
+        return state, jnp.argmax(rows_scores, axis=-1).astype(jnp.int32)
+    rng, sub = jax.random.split(state["rng"])
+    state = dict(state)
+    state["rng"] = rng
+    tok = _choose_rowwise(rows_scores,
+                          state["do_sample"][row_ids],
+                          state["temperature"][row_ids],
+                          state["top_k"][row_ids],
+                          state["top_p"][row_ids], sub)
+    return state, tok
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "forward", "config", "bucket", "do_sample", "temperature", "top_k",
-    "top_p", "end_ids"), donate_argnames=("state",))
-def _prefill_slot(params, config, forward, state, ids_bucket, prompt_len,
-                  max_total, slot, bucket, do_sample, temperature, top_k,
-                  top_p, end_ids):
-    """Run one request's prompt through the model into ``slot`` and append
-    its first generated token — ONE device program per admission (host-side
-    eager ops are prohibitively slow through a remote-compile tunnel).
+    "forward", "config", "bucket", "window", "final", "sampling", "end_ids",
+    "needs_positions"), donate_argnames=("state",))
+def _prefill_chunk(params, config, forward, state, ids_bucket, chunk_len,
+                   cache_off, prompt_total, max_total, slot, do_sample,
+                   temperature, top_k, top_p, bucket, window, final, sampling,
+                   end_ids, needs_positions):
+    """Prefill ONE chunk of one request's prompt into ``slot`` at cache
+    offset ``cache_off`` — ONE device program per chunk (host-side eager ops
+    are prohibitively slow through a remote-compile tunnel).
 
-    ids_bucket: (1, bucket) prompt padded on the right; positions >=
-    prompt_len are masked out of attention (their cache entries hold garbage
-    that the mask excludes, and generation overwrites them in order).
-    """
-    L = state["cache_k"].shape[0]
-    H = state["cache_k"].shape[2]
-    hd = state["cache_k"].shape[4]
-    mask1 = (jnp.arange(bucket, dtype=jnp.int32) < prompt_len)[None].astype(jnp.int32)
-    small_cache = {
-        "k": jnp.zeros((L, 1, H, bucket, hd), state["cache_k"].dtype),
-        "v": jnp.zeros((L, 1, H, bucket, hd), state["cache_k"].dtype),
-        "length": jnp.zeros((), jnp.int32),
-    }
-    (logits, _), small_cache = forward(params, config, ids_bucket, mask1,
-                                       None, None, small_cache)
-    first_scores = logits[0, prompt_len - 1, :].astype(jnp.float32)
+    ids_bucket: (1, bucket) chunk padded on the right; only the first
+    ``chunk_len`` positions are real. ``window`` (static, host-known:
+    covers cache_off + bucket) bounds the cache slice the chunk attends, so
+    short prompts never pay attention over the full max_len buffer.
+    ``final=True`` additionally samples the first generated token and
+    activates the slot (fused into the same program)."""
+    L, B, H, T, hd = state["cache_k"].shape
 
-    # scatter the prompt prefix into the slot
+    # the slot's cache slice carries the previous chunks' keys
+    ck = jax.lax.dynamic_slice(state["cache_k"], (0, slot, 0, 0, 0),
+                               (L, 1, H, window, hd))
+    cv = jax.lax.dynamic_slice(state["cache_v"], (0, slot, 0, 0, 0),
+                               (L, 1, H, window, hd))
+    cache = {"k": ck, "v": cv, "length": cache_off}
+    # attendable keys: everything before this chunk's valid frontier
+    mask1 = (jnp.arange(window, dtype=jnp.int32)
+             < cache_off + chunk_len)[None].astype(jnp.int32)
+    pos = (cache_off + jnp.arange(bucket, dtype=jnp.int32))[None] \
+        if needs_positions else None
+    (logits, _), cache = forward(params, config, ids_bucket, mask1, pos,
+                                 None, cache, last_only=not final)
+
     state = dict(state)
     state["cache_k"] = jax.lax.dynamic_update_slice(
-        state["cache_k"], small_cache["k"].astype(state["cache_k"].dtype),
+        state["cache_k"], cache["k"].astype(state["cache_k"].dtype),
         (0, slot, 0, 0, 0))
     state["cache_v"] = jax.lax.dynamic_update_slice(
-        state["cache_v"], small_cache["v"].astype(state["cache_v"].dtype),
+        state["cache_v"], cache["v"].astype(state["cache_v"].dtype),
         (0, slot, 0, 0, 0))
-    T = state["tokens"].shape[1]
-    row_tok = jnp.zeros((T,), jnp.int32)
-    row_tok = jax.lax.dynamic_update_slice(row_tok, ids_bucket[0], (0,))
-    row_mask = (jnp.arange(T, dtype=jnp.int32) < prompt_len).astype(jnp.int32)
-    state["tokens"] = state["tokens"].at[slot].set(row_tok)
-    state["mask"] = state["mask"].at[slot].set(row_mask)
-    state["lengths"] = state["lengths"].at[slot].set(prompt_len)
-    state["prompt_len"] = state["prompt_len"].at[slot].set(prompt_len)
+    # record the chunk's tokens at [cache_off, cache_off + chunk_len)
+    row_tok = state["tokens"][slot]
+    chunk_write = jax.lax.dynamic_update_slice(
+        jnp.zeros((T,), jnp.int32), ids_bucket[0], (cache_off,))
+    col = jnp.arange(T, dtype=jnp.int32)
+    in_chunk = (col >= cache_off) & (col < cache_off + chunk_len)
+    state["tokens"] = state["tokens"].at[slot].set(
+        jnp.where(in_chunk, chunk_write, row_tok))
+    if not final:
+        return state
+
+    # final chunk: activate the slot and fuse the first generated token
+    state["mask"] = state["mask"].at[slot].set(
+        (col < prompt_total).astype(jnp.int32))
+    state["lengths"] = state["lengths"].at[slot].set(prompt_total)
+    state["prompt_len"] = state["prompt_len"].at[slot].set(prompt_total)
     state["limit"] = state["limit"].at[slot].set(max_total)
     state["active"] = state["active"].at[slot].set(1)
+    state["do_sample"] = state["do_sample"].at[slot].set(do_sample)
+    state["temperature"] = state["temperature"].at[slot].set(temperature)
+    state["top_k"] = state["top_k"].at[slot].set(top_k)
+    state["top_p"] = state["top_p"].at[slot].set(top_p)
 
-    # first generated token, fused into the same program
-    if do_sample:
-        rng, sub = jax.random.split(state["rng"])
-        state["rng"] = rng
-    else:
-        sub = state["rng"]  # greedy ignores it; skip the split kernel
-    tok = _choose(first_scores[None], do_sample, temperature, top_k, top_p,
-                  sub)[0]
-    B = state["tokens"].shape[0]
+    first_scores = logits[0, chunk_len - 1, :].astype(jnp.float32)[None]
+    state, tok = _choose(state, first_scores, jnp.asarray(slot)[None],
+                         sampling)
     keep = jnp.zeros((B,), jnp.int32).at[slot].set(1)
-    toks = jnp.zeros((B,), jnp.int32).at[slot].set(tok)
+    toks = jnp.zeros((B,), jnp.int32).at[slot].set(tok[0])
     return _append_token(state, toks, keep, end_ids)
-
-
-def _choose(scores, do_sample, temperature, top_k, top_p, rng):
-    wrapper = build_wrapper_chain(do_sample, temperature, top_k, top_p)
-    scores = wrapper(scores)
-    if do_sample:
-        return jax.random.categorical(rng, scores, axis=-1).astype(jnp.int32)
-    return jnp.argmax(scores, axis=-1).astype(jnp.int32)
 
 
 def _append_token(state, slot_tokens, keep, end_ids):
@@ -126,10 +182,10 @@ def _append_token(state, slot_tokens, keep, end_ids):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "forward", "config", "n_steps", "do_sample", "temperature", "top_k",
-    "top_p", "end_ids", "needs_positions"), donate_argnames=("state",))
-def _decode_chunk(params, config, forward, state, n_steps, do_sample,
-                  temperature, top_k, top_p, end_ids, needs_positions):
+    "forward", "config", "n_steps", "sampling", "end_ids",
+    "needs_positions"), donate_argnames=("state",))
+def _decode_chunk(params, config, forward, state, n_steps, sampling,
+                  end_ids, needs_positions):
     """Advance every active slot by up to n_steps tokens (ragged offsets)."""
     B = state["tokens"].shape[0]
     rows = jnp.arange(B)
@@ -145,25 +201,26 @@ def _decode_chunk(params, config, forward, state, n_steps, do_sample,
                                      pos, None, cache, last_only=True)
         state = dict(state)
         state["cache_k"], state["cache_v"] = cache["k"], cache["v"]
-        if do_sample:
-            rng, sub = jax.random.split(state["rng"])
-            state["rng"] = rng
-        else:
-            sub = state["rng"]  # greedy ignores it; skip the split kernel
-        tok = _choose(logits[:, -1, :].astype(jnp.float32), do_sample,
-                      temperature, top_k, top_p, sub)
+        state, tok = _choose(state, logits[:, -1, :].astype(jnp.float32),
+                             rows, sampling)
         return _append_token(state, tok, keep.astype(jnp.int32), end_ids)
 
     return jax.lax.fori_loop(0, n_steps, body, state)
 
 
 class Request:
-    __slots__ = ("rid", "prompt", "max_new_tokens")
+    __slots__ = ("rid", "prompt", "max_new_tokens", "do_sample",
+                 "temperature", "top_k", "top_p")
 
-    def __init__(self, rid, prompt, max_new_tokens):
+    def __init__(self, rid, prompt, max_new_tokens, do_sample=False,
+                 temperature=1.0, top_k=0, top_p=1.0):
         self.rid = rid
         self.prompt = prompt
         self.max_new_tokens = max_new_tokens
+        self.do_sample = do_sample
+        self.temperature = temperature
+        self.top_k = top_k
+        self.top_p = top_p
 
 
 class ServingEngine:
@@ -190,8 +247,14 @@ class ServingEngine:
         self.forward = model.forward_fn()
         self.max_slots = max_slots
         self.max_len = max_len
-        self.prefill_buckets = tuple(sorted(prefill_buckets))
+        # buckets larger than max_len could never fit a request's cache
+        # (prompt + >=1 generated token must fit max_len)
+        self.prefill_buckets = tuple(
+            b for b in sorted(prefill_buckets) if b < max_len)
+        if not self.prefill_buckets:
+            self.prefill_buckets = (max(8, max_len // 2),)
         self.chunk_size = chunk_size
+        # engine-level DEFAULT sampling config; each request may override
         self.do_sample = do_sample
         self.temperature = float(temperature)
         self.top_k = top_k
@@ -199,6 +262,10 @@ class ServingEngine:
         if isinstance(end_ids, int):
             end_ids = [end_ids]
         self.end_ids = tuple(end_ids) if end_ids else ()
+        # static decode variant: flips (one recompile) on the first sampling
+        # request and stays on — greedy-only workloads never pay the
+        # sort/softmax sampling machinery
+        self._sampling_on = bool(do_sample)
 
         # bf16/int8 inference cast, shared with generate() (engine.py)
         from cleantransformer_tpu.generation.engine import inference_params
@@ -222,6 +289,11 @@ class ServingEngine:
             "prompt_len": jnp.zeros((B,), jnp.int32),
             "limit": jnp.zeros((B,), jnp.int32),
             "active": jnp.zeros((B,), jnp.int32),
+            # per-request sampling params (set at admission)
+            "do_sample": jnp.zeros((B,), jnp.int32),
+            "temperature": jnp.ones((B,), jnp.float32),
+            "top_k": jnp.zeros((B,), jnp.int32),
+            "top_p": jnp.ones((B,), jnp.float32),
             "cache_k": jnp.zeros((L, B, H, T, hd), cache_dtype),
             "cache_v": jnp.zeros((L, B, H, T, hd), cache_dtype),
             "rng": rng if rng is not None else jax.random.PRNGKey(0),
@@ -238,49 +310,83 @@ class ServingEngine:
 
     # ------------------------------------------------------------------ API
 
-    def submit(self, prompt_ids, max_new_tokens=64, streamer=None):
-        """Queue a request. ``streamer``: optional callable invoked after
-        every decode chunk with the tokens generated so far for this request
-        (numpy 1-D, prompt excluded) — the serving analogue of the
-        reference's per-generate streamer callbacks (bloom_interactive.py)."""
+    def submit(self, prompt_ids, max_new_tokens=64, streamer=None,
+               do_sample=None, temperature=None, top_k=None, top_p=None):
+        """Queue a request. Long prompts are fine: anything up to
+        ``max_len - max_new_tokens`` is prefilled in bucket-sized chunks.
+
+        ``do_sample``/``temperature``/``top_k``/``top_p``: per-request
+        sampling overrides (None = the engine default).
+        ``streamer``: optional callable invoked after every decode chunk with
+        the tokens generated so far for this request (numpy 1-D, prompt
+        excluded) — the serving analogue of the reference's per-generate
+        streamer callbacks (bloom_interactive.py)."""
         prompt_ids = list(map(int, prompt_ids))
         if not prompt_ids:
             raise ValueError("empty prompt")
-        if len(prompt_ids) > self.prefill_buckets[-1]:
-            raise ValueError(
-                f"prompt length {len(prompt_ids)} exceeds the largest prefill "
-                f"bucket {self.prefill_buckets[-1]}")
         if len(prompt_ids) + max_new_tokens > self.max_len:
-            raise ValueError("prompt + max_new_tokens exceeds max_len")
+            raise ValueError(
+                f"prompt ({len(prompt_ids)}) + max_new_tokens "
+                f"({max_new_tokens}) exceeds max_len ({self.max_len})")
         rid = self._next_rid
         self._next_rid += 1
         if streamer is not None:
             self.streamers[rid] = streamer
-        self.queue.append(Request(rid, prompt_ids, max_new_tokens))
+        req = Request(
+            rid, prompt_ids, max_new_tokens,
+            do_sample=self.do_sample if do_sample is None else do_sample,
+            temperature=self.temperature if temperature is None else temperature,
+            top_k=self.top_k if top_k is None else top_k,
+            top_p=self.top_p if top_p is None else top_p)
+        if req.do_sample:
+            self._sampling_on = True
+        self.queue.append(req)
         return rid
 
     def _bucket_for(self, n):
         for b in self.prefill_buckets:
             if n <= b:
                 return b
-        raise ValueError(n)
+        return self.prefill_buckets[-1]
 
     def _admit(self, free_slots):
-        """Prefill queued requests into free slots (one jit call each)."""
+        """Prefill queued requests into free slots — one jit call per
+        bucket-sized chunk (long prompts take several, at rising cache
+        offsets; the causal iota is offset-aware so this is exact)."""
         while self.queue and free_slots:
             req = self.queue.popleft()
             slot = free_slots.pop()
-            p = len(req.prompt)
-            bucket = self._bucket_for(p)
-            ids = np.zeros((1, bucket), np.int32)
-            ids[0, :p] = req.prompt
-            self.state = _prefill_slot(
-                self.params, self.config, self.forward, self.state,
-                jnp.asarray(ids), jnp.asarray(p, jnp.int32),
-                jnp.asarray(p + req.max_new_tokens, jnp.int32),
-                jnp.asarray(slot, jnp.int32), bucket=bucket,
-                do_sample=self.do_sample, temperature=self.temperature,
-                top_k=self.top_k, top_p=self.top_p, end_ids=self.end_ids)
+            prompt = req.prompt
+            total = len(prompt)
+            off = 0
+            while off < total:
+                chunk = prompt[off: off + self.prefill_buckets[-1]]
+                bucket = self._bucket_for(len(chunk))
+                chunk = chunk[:bucket]
+                # static cache window: smallest bucket multiple covering this
+                # chunk's frontier, capped at max_len (off is host-known, so
+                # compile variants stay bounded per (bucket, window) pair)
+                window = min(self.max_len,
+                             -((off + bucket) // -bucket) * bucket)
+                final = off + len(chunk) >= total
+                ids = np.zeros((1, bucket), np.int32)
+                ids[0, : len(chunk)] = chunk
+                self.state = _prefill_chunk(
+                    self.params, self.config, self.forward, self.state,
+                    jnp.asarray(ids), jnp.asarray(len(chunk), jnp.int32),
+                    jnp.asarray(off, jnp.int32),
+                    jnp.asarray(total, jnp.int32),
+                    jnp.asarray(total + req.max_new_tokens, jnp.int32),
+                    jnp.asarray(slot, jnp.int32),
+                    jnp.asarray(int(bool(req.do_sample)), jnp.int32),
+                    jnp.asarray(req.temperature, jnp.float32),
+                    jnp.asarray(int(req.top_k or 0), jnp.int32),
+                    jnp.asarray(float(req.top_p if req.top_p is not None
+                                      else 1.0), jnp.float32),
+                    bucket=bucket, window=window, final=final,
+                    sampling=self._sampling_on, end_ids=self.end_ids,
+                    needs_positions=self.needs_positions)
+                off += len(chunk)
             self.slot_rid[slot] = req.rid
 
     def step(self):
@@ -297,9 +403,8 @@ class ServingEngine:
             if any(r is not None for r in self.slot_rid):
                 self.state = _decode_chunk(
                     self.params, self.config, self.forward, self.state,
-                    n_steps=self.chunk_size, do_sample=self.do_sample,
-                    temperature=self.temperature, top_k=self.top_k,
-                    top_p=self.top_p, end_ids=self.end_ids,
+                    n_steps=self.chunk_size, sampling=self._sampling_on,
+                    end_ids=self.end_ids,
                     needs_positions=self.needs_positions)
                 self.steps += self.chunk_size
         # ONE host sync per chunk

@@ -81,3 +81,24 @@ def test_sampling_respects_top_k():
     allowed = np.asarray(jnp.argsort(-s, axis=-1)[:, :5])
     for b in range(4):
         assert set(np.asarray(toks)[:, b]).issubset(set(allowed[b]))
+
+
+def test_generate_rejects_beyond_n_positions():
+    """GPT (learned position embeddings) must fail loudly when prompt +
+    max_gen_len exceeds n_positions — the torch reference raises an index
+    error; under jit the gather would silently clamp."""
+    import jax
+    import pytest
+    from cleantransformer_tpu.config import GPTConfig
+    from cleantransformer_tpu.models.gpt import GPTLMHeadModel
+    cfg = GPTConfig(vocab_size=67, n_embd=32, n_positions=16, n_layer=1,
+                    n_head=4, n_ctx=16)
+    m = GPTLMHeadModel(cfg, version="gpt2", rng=jax.random.PRNGKey(0))
+    ids = jnp.ones((1, 8), jnp.int32)
+    with pytest.raises(ValueError, match="n_positions"):
+        m.generate(ids, generation_configs={"beam_size": 1, "max_gen_len": 20,
+                                            "do_sample": False})
+    # within bounds still works (8 + 6 + 2 = 16)
+    out = m.generate(ids, generation_configs={"beam_size": 1, "max_gen_len": 6,
+                                              "do_sample": False})
+    assert np.asarray(out).shape[-1] <= 16

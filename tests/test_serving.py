@@ -127,9 +127,67 @@ def test_validation_errors(gpt):
     with pytest.raises(ValueError):
         eng.submit([])
     with pytest.raises(ValueError):
-        eng.submit(list(range(9)))  # exceeds bucket
-    with pytest.raises(ValueError):
         eng.submit([1, 2], max_new_tokens=64)  # exceeds max_len
+    # buckets that can't fit inside max_len are dropped at construction
+    eng2 = ServingEngine(gpt, max_slots=1, max_len=32,
+                         prefill_buckets=(8, 64, 128))
+    assert eng2.prefill_buckets == (8,)
+
+
+def test_chunked_prefill_long_prompt_parity(gpt):
+    """Prompts LONGER than the largest prefill bucket are admitted via
+    bucket-sized chunks at rising cache offsets and still match generate()
+    exactly (round-2 VERDICT item 9)."""
+    vocab = gpt.config.vocab_size
+    rs = np.random.RandomState(21)
+    prompts = [rs.randint(1, vocab, (n,)).tolist() for n in (23, 37, 16, 5)]
+    eng = ServingEngine(gpt, max_slots=2, max_len=64,
+                        prefill_buckets=(8, 16), chunk_size=4)
+    rids = {eng.submit(p, max_new_tokens=8): p for p in prompts}
+    results = dict(eng.run())
+    for rid, prompt in rids.items():
+        want = ref_greedy(gpt, prompt, 8)
+        np.testing.assert_array_equal(results[rid], want,
+                                      err_msg=f"len={len(prompt)}")
+
+
+def test_chunked_prefill_long_prompt_parity_bloom_flash(bloom):
+    """Same with Bloom + flash attention on (offset-aware causal iota)."""
+    from cleantransformer_tpu.config import BloomConfig
+    cfg = BloomConfig(**BLOOM_SHAPE, use_flash_attention=True)
+    model = BloomForCausalLM(cfg, params=bloom.params)
+    vocab = cfg.vocab_size
+    rs = np.random.RandomState(22)
+    prompt = rs.randint(1, vocab, (29,)).tolist()
+    eng = ServingEngine(model, max_slots=2, max_len=64,
+                        prefill_buckets=(16,), chunk_size=4)
+    rid = eng.submit(prompt, max_new_tokens=6)
+    results = dict(eng.run())
+    want = ref_greedy(bloom, prompt, 6)
+    np.testing.assert_array_equal(results[rid], want)
+
+
+def test_per_request_sampling_mixed_batch(gpt):
+    """Greedy and sampling requests share the decode batch: sampling params
+    are per-request (round-2 VERDICT item 9); greedy rows stay bit-exact vs
+    generate() even while sampling rows are active."""
+    vocab = gpt.config.vocab_size
+    rs = np.random.RandomState(31)
+    greedy_prompt = rs.randint(1, vocab, (6,)).tolist()
+    sample_prompt = rs.randint(1, vocab, (5,)).tolist()
+    eng = ServingEngine(gpt, max_slots=2, max_len=48, prefill_buckets=(16,),
+                        chunk_size=4, rng=jax.random.PRNGKey(9))
+    rid_g = eng.submit(greedy_prompt, max_new_tokens=10)  # engine default greedy
+    rid_s = eng.submit(sample_prompt, max_new_tokens=10, do_sample=True,
+                       temperature=0.7, top_k=8, top_p=0.9)
+    results = dict(eng.run())
+    want = ref_greedy(gpt, greedy_prompt, 10)
+    np.testing.assert_array_equal(results[rid_g], want)
+    out_s = results[rid_s]
+    assert len(out_s) == 5 + 10
+    assert (np.asarray(out_s) < vocab).all()
+    # request-level overrides recorded
+    assert eng._sampling_on
 
 
 def test_tensor_parallel_serving_matches_unsharded(bloom):
