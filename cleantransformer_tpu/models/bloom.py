@@ -101,7 +101,8 @@ def init_bloom_cache(config, batch_size, max_len, dtype=None):
 
 def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
                      cache_len, num_heads, dropout_rate=0.0, deterministic=True,
-                     rng=None, use_flash=False, pad_mask=None, head_mask=None):
+                     rng=None, use_flash=False, pad_mask=None, head_mask=None,
+                     use_ring=False):
     B, S, D = h.shape
     hd = D // num_heads
     qkv = linear(h, attn_params["query_key_value"]["w"], attn_params["query_key_value"]["b"])
@@ -125,6 +126,27 @@ def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
                                   (1, B, num_heads, T, hd))[0]
         v = jax.lax.dynamic_slice(new_v, (li, 0, 0, 0, 0),
                                   (1, B, num_heads, T, hd))[0]
+
+    # Ring attention (sequence parallelism over an ICI 'seq' mesh axis):
+    # cache-less multi-token forwards only (training / full-context scoring).
+    # K/V/bias chunks rotate around the ring; context length scales linearly
+    # with the ring size (SURVEY §5 long-context extension).
+    if use_ring and S > 1 and layer_kv is None:
+        from cleantransformer_tpu.parallel.mesh import active_mesh
+        from cleantransformer_tpu.parallel.ring_attention import ring_attention
+        mesh = active_mesh()
+        if mesh is not None and "seq" not in mesh.axis_names:
+            raise ValueError("use_ring_attention requires a mesh with a "
+                             f"'seq' axis (active mesh has {mesh.axis_names})")
+        bias = alibi_bias[:, :, 0, :]
+        if pad_mask is not None:
+            bias = bias + jnp.where(pad_mask, 0.0, -jnp.inf)[:, None, :]
+        bias = jnp.broadcast_to(bias, (B, num_heads, S))
+        out = ring_attention(q, k, v, bias, mesh=mesh, causal=True,
+                             scale=1.0 / math.sqrt(hd))
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
+        out = linear(out, attn_params["dense"]["w"], attn_params["dense"]["b"])
+        return residual + out, (new_k, new_v)
 
     # Flash covers every multi-token forward: cache-less (training/parity),
     # prefill, and nonzero-offset windows (speculative verify, chunked
@@ -193,7 +215,8 @@ def _bloom_block(block_params, layer_kv, h, config, alibi_bias, bool_mask,
         block_params["self_attention"], ln_out, residual, alibi_bias, bool_mask,
         layer_kv, cache_len, config.n_head,
         use_flash=getattr(config, "use_flash_attention", False),
-        pad_mask=pad_mask, head_mask=head_mask)
+        pad_mask=pad_mask, head_mask=head_mask,
+        use_ring=getattr(config, "use_ring_attention", False))
     ln_out2 = layer_norm(attn_out, block_params["post_attention_layernorm"]["w"],
                          block_params["post_attention_layernorm"]["b"], eps)
     residual = ln_out2 if config.apply_residual_connection_post_layernorm else attn_out
@@ -228,15 +251,24 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
 
     alibi_bias = build_alibi_bias(attention_mask, config.n_head)  # (B, H, 1, T)
 
-    # bool mask (True = masked): padding OR not-causal (modeling_bloom.py:176-185)
-    row = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)
-    if jnp.ndim(cache_len) == 1:  # per-row offsets (serving)
-        not_causal = (col[None] > (cache_len[:, None, None] + row[None]))[:, None]
+    # bool mask (True = masked): padding OR not-causal (modeling_bloom.py:176-185).
+    # Only the dense path consumes it — flash/ring fold padding into a per-key
+    # bias, so skip the O(S*T) materialization there (long-context ring would
+    # otherwise defeat its own memory scaling).
+    dense_path = not (S > 1 and (
+        getattr(config, "use_flash_attention", False)
+        or (getattr(config, "use_ring_attention", False) and cache is None)))
+    if dense_path:
+        row = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)
+        if jnp.ndim(cache_len) == 1:  # per-row offsets (serving)
+            not_causal = (col[None] > (cache_len[:, None, None] + row[None]))[:, None]
+        else:
+            not_causal = (col > (cache_len + row))[None, None]
+        pad = (attention_mask == 0)[:, None, None, :]
+        bool_mask = pad | not_causal
     else:
-        not_causal = (col > (cache_len + row))[None, None]
-    pad = (attention_mask == 0)[:, None, None, :]
-    bool_mask = pad | not_causal
+        bool_mask = None
 
     pad_mask = attention_mask != 0  # (B, T) True = attendable, for flash bias
 

@@ -193,6 +193,33 @@ def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_
                 new_k, (li, 0, 0, 0, 0), (1, B_, H, T, hd))[0]
             v = jax.lax.dynamic_slice(
                 new_v, (li, 0, 0, 0, 0), (1, B_, H, T, hd))[0]
+        # ring attention: sequence parallelism over an ICI 'seq' mesh axis
+        # (cache-less multi-token forwards — training / full-context scoring)
+        if getattr(config, "use_ring_attention", False) and S > 1 \
+                and layer_kv is None:
+            from cleantransformer_tpu.parallel.mesh import active_mesh
+            from cleantransformer_tpu.parallel.ring_attention import (
+                ring_attention)
+            mesh = active_mesh()
+            if mesh is not None and "seq" not in mesh.axis_names:
+                raise ValueError(
+                    "use_ring_attention requires a mesh with a 'seq' axis "
+                    f"(active mesh has {mesh.axis_names})")
+            B_, H_, S_, hd_ = q.shape
+            if additive_mask is not None:
+                bias = jnp.broadcast_to(additive_mask[:, :, 0, :],
+                                        (B_, H_, k.shape[2]))
+            else:
+                bias = jnp.zeros((B_, H_, k.shape[2]), jnp.float32)
+            out = ring_attention(
+                q, k, v, bias, mesh=mesh, causal=True,
+                scale=(1.0 / math.sqrt(hd_)) if scale else 1.0)
+            out = _merge_heads(out)
+            out = linear(out, block_params["attn"]["c_proj"]["w"],
+                         block_params["attn"]["c_proj"]["b"])
+            return (_dropout(out, config.resid_pdrop, rngs[1], deterministic),
+                    (new_k, new_v))
+
         # the kernel's causal iota takes the dynamic cache offset, so flash is
         # exact for any multi-token forward: prefill, chunked prefill, and
         # speculative verify/catch-up windows at nonzero offsets

@@ -61,3 +61,118 @@ def test_gradients_flow_through_ring():
     for a, b in zip(g, rg):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+class TestModelIntegration:
+    """use_ring_attention config flag routes bloom/gpt attention through the
+    ring on a 'seq' mesh (round-2 VERDICT item 10: a capability, not a demo).
+    Loss and grads must match the dense model."""
+
+    def _loss_and_grads(self, model_cls, cfg, params, batch, mesh=None):
+        from cleantransformer_tpu.parallel.mesh import use_mesh
+
+        if model_cls == "bloom":
+            from cleantransformer_tpu.models.bloom import bloom_lm_forward
+
+            def loss_fn(p):
+                # mask pads out of the loss: dense's finfo.min fill attends
+                # ~uniformly on fully-masked pad-query rows where ring's exact
+                # -inf masking yields 0 — pad outputs are garbage either way
+                # and must not drive the comparison
+                (l, _, _), _ = bloom_lm_forward(p, cfg, batch["input_ids"],
+                                                batch["attention_mask"],
+                                                labels=batch["labels"],
+                                                loss_mask=batch["attention_mask"])
+                return l
+        else:
+            from cleantransformer_tpu.models.gpt import gpt_lm_forward
+            from cleantransformer_tpu.ops.losses import shift_cross_entropy_loss
+
+            def loss_fn(p):
+                (logits, _), _ = gpt_lm_forward(p, cfg, batch["input_ids"],
+                                                batch["attention_mask"],
+                                                version="gpt2")
+                return shift_cross_entropy_loss(logits.astype(jnp.float32),
+                                                batch["labels"])
+
+        import contextlib
+        ctx = use_mesh(mesh) if mesh is not None else contextlib.nullcontext()
+        with ctx:
+            loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+            return float(loss), jax.device_get(grads)
+
+    def _batch(self, vocab, B=2, S=16, seed=5):
+        rs = np.random.RandomState(seed)
+        ids = rs.randint(1, vocab, (B, S)).astype(np.int32)
+        mask = np.ones((B, S), np.int32)
+        mask[0, :3] = 0  # left padding exercises the bias fold
+        return {"input_ids": jnp.asarray(ids),
+                "attention_mask": jnp.asarray(mask),
+                "labels": jnp.asarray(ids)}
+
+    def test_bloom_ring_loss_and_grads_match_dense(self):
+        from cleantransformer_tpu.config import BloomConfig
+        from cleantransformer_tpu.models.bloom import BloomForCausalLM
+        shape = dict(vocab_size=64, hidden_size=32, n_layer=2,
+                     num_attention_heads=4)
+        dense_cfg = BloomConfig(**shape)
+        flash_cfg = BloomConfig(**shape, use_flash_attention=True)
+        ring_cfg = BloomConfig(**shape, use_ring_attention=True)
+        model = BloomForCausalLM(dense_cfg, rng=jax.random.PRNGKey(0))
+        model._tie_weight()
+        batch = self._batch(64)
+        want_loss, _ = self._loss_and_grads("bloom", dense_cfg,
+                                            model.params, batch)
+        _, flash_g = self._loss_and_grads("bloom", flash_cfg,
+                                          model.params, batch)
+        mesh = make_seq_mesh(8)
+        got_loss, got_g = self._loss_and_grads("bloom", ring_cfg,
+                                               model.params, batch, mesh)
+        # loss: matches the dense model (padding masked out of the loss)
+        np.testing.assert_allclose(got_loss, want_loss, rtol=2e-5)
+        # grads: the exact-masking oracle is the flash path (dense's
+        # finfo.min fill leaks ~0 attention — documented deviation,
+        # PARITY.md #4); ring must match it tightly
+        for a, b in zip(jax.tree_util.tree_leaves(flash_g),
+                        jax.tree_util.tree_leaves(got_g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_gpt_ring_loss_matches_dense(self):
+        from cleantransformer_tpu.config import GPTConfig
+        from cleantransformer_tpu.models.gpt import GPTLMHeadModel
+        shape = dict(vocab_size=64, n_embd=32, n_positions=64, n_layer=2,
+                     n_head=4, n_ctx=64)
+        dense_cfg = GPTConfig(**shape)
+        ring_cfg = GPTConfig(**shape, use_ring_attention=True)
+        model = GPTLMHeadModel(dense_cfg, version="gpt2",
+                               rng=jax.random.PRNGKey(1))
+        batch = self._batch(64)
+        want_loss, _ = self._loss_and_grads("gpt", dense_cfg, model.params,
+                                            batch)
+        mesh = make_seq_mesh(8)
+        got_loss, _ = self._loss_and_grads("gpt", ring_cfg, model.params,
+                                           batch, mesh)
+        np.testing.assert_allclose(got_loss, want_loss, rtol=2e-4)
+
+    def test_ring_flag_rejects_mesh_without_seq_axis(self):
+        from cleantransformer_tpu.config import BloomConfig
+        from cleantransformer_tpu.models.bloom import (BloomForCausalLM,
+                                                       bloom_lm_forward)
+        from cleantransformer_tpu.parallel import make_mesh, use_mesh
+        cfg = BloomConfig(vocab_size=64, hidden_size=32, n_layer=1,
+                          num_attention_heads=4, use_ring_attention=True)
+        model = BloomForCausalLM(cfg, rng=jax.random.PRNGKey(0))
+        model._tie_weight()
+        batch = self._batch(64)
+        mesh = make_mesh(data=4, model=2)
+
+        def loss(p):
+            (l, _, _), _ = bloom_lm_forward(p, cfg, batch["input_ids"],
+                                            batch["attention_mask"],
+                                            labels=batch["labels"])
+            return l
+
+        with use_mesh(mesh):
+            with pytest.raises(ValueError, match="seq"):
+                jax.jit(loss)(model.params)
