@@ -102,7 +102,7 @@ def init_bloom_cache(config, batch_size, max_len, dtype=None):
 def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
                      cache_len, num_heads, dropout_rate=0.0, deterministic=True,
                      rng=None, use_flash=False, pad_mask=None, head_mask=None,
-                     use_ring=False):
+                     use_ring=False, mask_additive=None):
     B, S, D = h.shape
     hd = D // num_heads
     qkv = linear(h, attn_params["query_key_value"]["w"], attn_params["query_key_value"]["b"])
@@ -169,7 +169,13 @@ def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
     scores = scores + alibi_bias.astype(scores.dtype)
     # fp32 upcast before masked softmax (modeling_bloom.py:106-110)
     scores = scores.astype(jnp.float32)
-    scores = jnp.where(bool_mask, jnp.finfo(jnp.float32).min, scores)
+    if mask_additive is not None:
+        # single-token decode: causal+padding folded into one fp32 additive
+        # bias computed once per step (shared by all layers) — post-softmax
+        # identical to the where-replace (masked scores underflow exp to 0)
+        scores = scores + mask_additive
+    else:
+        scores = jnp.where(bool_mask, jnp.finfo(jnp.float32).min, scores)
     weights = jax.nn.softmax(scores, axis=-1)
     if not deterministic and dropout_rate > 0.0:
         keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, weights.shape)
@@ -206,7 +212,7 @@ def _bloom_mlp(mlp_params, h, residual, pretraining_tp=1, slow_but_exact=False):
 
 
 def _bloom_block(block_params, layer_kv, h, config, alibi_bias, bool_mask,
-                 cache_len, pad_mask=None, head_mask=None):
+                 cache_len, pad_mask=None, head_mask=None, mask_additive=None):
     eps = config.layer_norm_epsilon
     ln_out = layer_norm(h, block_params["input_layernorm"]["w"],
                         block_params["input_layernorm"]["b"], eps)
@@ -216,7 +222,8 @@ def _bloom_block(block_params, layer_kv, h, config, alibi_bias, bool_mask,
         layer_kv, cache_len, config.n_head,
         use_flash=getattr(config, "use_flash_attention", False),
         pad_mask=pad_mask, head_mask=head_mask,
-        use_ring=getattr(config, "use_ring_attention", False))
+        use_ring=getattr(config, "use_ring_attention", False),
+        mask_additive=mask_additive)
     ln_out2 = layer_norm(attn_out, block_params["post_attention_layernorm"]["w"],
                          block_params["post_attention_layernorm"]["b"], eps)
     residual = ln_out2 if config.apply_residual_connection_post_layernorm else attn_out
@@ -258,6 +265,7 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
     dense_path = not (S > 1 and (
         getattr(config, "use_flash_attention", False)
         or (getattr(config, "use_ring_attention", False) and cache is None)))
+    mask_additive = None
     if dense_path:
         row = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)
@@ -267,6 +275,12 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
             not_causal = (col > (cache_len + row))[None, None]
         pad = (attention_mask == 0)[:, None, None, :]
         bool_mask = pad | not_causal
+        if cache is not None and S == 1:
+            # decode fast path: one fp32 additive bias per step instead of a
+            # per-layer where-replace (see _bloom_attention)
+            mask_additive = jnp.where(bool_mask, jnp.finfo(jnp.float32).min,
+                                      0.0)
+            bool_mask = None
     else:
         bool_mask = None
 
@@ -297,7 +311,8 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
             h_in, k_cache, v_cache, li = carry
             out, (nk, nv) = _bloom_block(block_params, (k_cache, v_cache, li),
                                          h_in, config, alibi_bias, bool_mask,
-                                         cache_len, pad_mask, head_mask)
+                                         cache_len, pad_mask, head_mask,
+                                         mask_additive=mask_additive)
             return (out, nk, nv, li + 1), None
         (h, new_k, new_v, _), _ = jax.lax.scan(
             body, (h, cache["k"], cache["v"], jnp.zeros((), jnp.int32)),

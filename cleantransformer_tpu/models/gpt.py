@@ -110,19 +110,28 @@ def cache_write(kv_cache, li, x, offset):
 
 
 def _attend(q, k, v, cache_len, q_offset, key_padding_additive, scale, causal_fill,
-            attn_drop=None):
+            attn_drop=None, mask_precombined=False):
     """Shared causal attention core for prefill/decode over a fixed key buffer.
 
     q: (B, H, S, hd); k, v: (B, H, T, hd) where only [0, cache_len+S) is valid.
     Query i has global position q_offset + i. Key j is attendable iff
     j <= q_offset + i (causal; also excludes unwritten buffer slots).
     ``q_offset`` may be per-row (B,) for ragged serving batches.
+
+    ``mask_precombined``: ``key_padding_additive`` already folds the causal
+    term (single-token decode computes it ONCE per step outside the layer
+    scan instead of re-deriving iota/where chains in every layer; the
+    additive form is post-softmax-identical to the reference's replace-with
+    -1e4 because masked scores underflow exp() to exactly 0 either way).
     """
     B, H, S, hd = q.shape
     T = k.shape[2]
     scores = jnp.matmul(q, k.swapaxes(-1, -2))
     if scale:
         scores = scores / math.sqrt(hd)
+    if mask_precombined:
+        return _softmax_av(scores + key_padding_additive.astype(scores.dtype),
+                           v, attn_drop)
     row = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)
     if jnp.ndim(q_offset) == 1:
@@ -133,6 +142,10 @@ def _attend(q, k, v, cache_len, q_offset, key_padding_additive, scale, causal_fi
     scores = jnp.where(causal, scores, jnp.asarray(causal_fill, scores.dtype))
     if key_padding_additive is not None:
         scores = scores + key_padding_additive.astype(scores.dtype)
+    return _softmax_av(scores, v, attn_drop)
+
+
+def _softmax_av(scores, v, attn_drop):
     weights = jax.nn.softmax(scores, axis=-1)
     if attn_drop is not None:
         rate, rng, deterministic = attn_drop
@@ -158,7 +171,7 @@ def _dropout(x, rate, rng, deterministic):
 
 
 def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_len,
-               scale=True, deterministic=True, rng=None):
+               scale=True, deterministic=True, rng=None, mask_precombined=False):
     """One transformer block. ``layer_kv`` is (k, v) buffers (B, H, T, hd) for
     this layer (or None when running cache-less), ``cache_len`` the number of
     already-cached tokens. Training mode (deterministic=False): attn/resid
@@ -236,7 +249,8 @@ def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_
                                   causal=True, interpret=should_interpret())
         else:
             out = _attend(q, k, v, cache_len, q_offset, additive_mask, scale, CAUSAL_NEG,
-                          attn_drop=(config.attn_pdrop, rngs[0], deterministic))
+                          attn_drop=(config.attn_pdrop, rngs[0], deterministic),
+                          mask_precombined=mask_precombined)
         out = _merge_heads(out)
         out = linear(out, block_params["attn"]["c_proj"]["w"], block_params["attn"]["c_proj"]["b"])
         return _dropout(out, config.resid_pdrop, rngs[1], deterministic), (new_k, new_v)
@@ -339,11 +353,33 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
         (h, _), _ = jax.lax.scan(body, (h, jnp.zeros((), jnp.int32)), params["blocks"])
         new_cache = None
     else:
+        mask_precombined = False
+        if S == 1:
+            # single-token decode: fold the causal term (key j attendable iff
+            # j <= cache_len, which also excludes unwritten buffer slots) into
+            # the additive key bias ONCE per step — every layer shares it, so
+            # per-layer attention is just matmul+add+softmax+matmul instead of
+            # re-deriving iota/where mask chains n_layer times per token.
+            # Post-softmax this is identical to the reference's replace-with
+            # -1e4: masked scores underflow exp() to exactly 0 either way.
+            T = cache["k"].shape[3]
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+            if jnp.ndim(cache_len) == 1:  # ragged serving rows
+                causal_add = jnp.where(col[None] <= cache_len[:, None, None],
+                                       0.0, CAUSAL_NEG)[:, None]  # (B,1,1,T)
+            else:
+                causal_add = jnp.where(col <= cache_len, 0.0,
+                                       CAUSAL_NEG)[None, None]  # (1,1,1,T)
+            additive_mask = (causal_add if additive_mask is None
+                             else additive_mask + causal_add)
+            mask_precombined = True
+
         def body(carry, block_params):
             h_in, k_cache, v_cache, li = carry
             out, (nk, nv) = _gpt_block(block_params, (k_cache, v_cache, li),
                                        h_in, config, version, additive_mask,
-                                       cache_len, scale)
+                                       cache_len, scale,
+                                       mask_precombined=mask_precombined)
             return (out, nk, nv, li + 1), None
         (h, new_k, new_v, _), _ = jax.lax.scan(
             body, (h, cache["k"], cache["v"], jnp.zeros((), jnp.int32)),
