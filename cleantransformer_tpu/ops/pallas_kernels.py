@@ -15,8 +15,9 @@ The backward pass is fused too: ``_flash_bwd_dq_kernel`` /
 ``_flash_bwd_dkv_kernel`` below, wired via ``defvjp`` — no dense
 rematerialization anywhere.
 
-``q_offset`` (dynamic int32, scalar or per-batch-row vector, carried in SMEM)
-shifts the causal iota: query i attends keys <= q_offset + i. This makes the
+``q_offset`` (dynamic int32, scalar or per-batch-row vector, carried as the
+scalar-prefetch operand) shifts the causal iota: query i attends keys
+<= q_offset + i. This makes the
 kernel exact for multi-token forwards at nonzero cache offsets — speculative
 decoding's verify/catch-up windows and chunked prefill — not just offset-0
 prefill.
@@ -40,11 +41,15 @@ DEFAULT_BLOCK_K = 256
 def _flash_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref, *,
                   scale, causal, block_k, seq_k):
     """One (batch*head, q-block) program: loop key blocks with online softmax.
-    Also emits the per-row logsumexp (for the backward kernels)."""
+    Also emits the per-row logsumexp (for the backward kernels).
+
+    ``qoff_ref`` is the scalar-prefetch operand: a flat (B*H,) int32 vector of
+    per-(batch,head) query offsets (TPU tiling rejects a (1,1)-blocked SMEM
+    array, so the offsets ride the PrefetchScalarGridSpec instead)."""
     q = q_ref[0].astype(jnp.float32)  # (BQ, hd)
     block_q = q.shape[0]
     qi = pl.program_id(1)
-    q_off = qoff_ref[0, 0]
+    q_off = qoff_ref[pl.program_id(0)]
     num_kb = pl.cdiv(seq_k, block_k)
     if causal:
         # only key blocks up to the causal frontier of this q block
@@ -92,11 +97,12 @@ def _flash_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref, *,
 
 
 def _qoff_rows(q_offset, B, H):
-    """Normalize q_offset (python int, scalar array, or (B,) vector) to an
-    (B*H, 1) int32 array — one SMEM scalar per (batch, head) program."""
+    """Normalize q_offset (python int, scalar array, or (B,) vector) to a
+    flat (B*H,) int32 vector — one scalar-prefetch entry per (batch, head)
+    program."""
     qo = jnp.asarray(q_offset, jnp.int32)
     qo = jnp.broadcast_to(qo.reshape(-1, 1) if qo.ndim else qo, (B, H))
-    return qo.reshape(B * H, 1)
+    return qo.reshape(B * H)
 
 
 def _flash_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q, block_k,
@@ -126,31 +132,26 @@ def _flash_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q, block_k,
     bias_f = bias.reshape(B * H, 1, Sk)
     qoff = _qoff_rows(q_offset, B, H)
 
-    grid = (B * H, Sq // block_q)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * H, Sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda bh, qi, s: (bh, qi, 0)),
+            pl.BlockSpec((1, Sk, hd), lambda bh, qi, s: (bh, 0, 0)),
+            pl.BlockSpec((1, Sk, hd), lambda bh, qi, s: (bh, 0, 0)),
+            pl.BlockSpec((1, 1, Sk), lambda bh, qi, s: (bh, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, hd), lambda bh, qi, s: (bh, qi, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bh, qi, s: (bh, 0, qi)),
+        ),
+    )
     out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, causal=causal,
                           block_k=block_k, seq_k=Sk),
         out_shape=(jax.ShapeDtypeStruct((B * H, Sq, hd), q.dtype),
                    jax.ShapeDtypeStruct((B * H, 1, Sq), jnp.float32)),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda bh, qi: (bh, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sk, hd), lambda bh, qi: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sk, hd), lambda bh, qi: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Sk), lambda bh, qi: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda bh, qi: (bh, 0, qi),
-                         memory_space=pltpu.VMEM),
-        ),
+        grid_spec=grid_spec,
         interpret=interpret,
     )(qoff, qf, kf, vf, bias_f)
     out = out.reshape(B, H, Sq, hd)
@@ -214,7 +215,7 @@ def _flash_bwd_dq_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     D = d_ref[0, 0, :][:, None]                # (BQ, 1)
     block_q = q.shape[0]
     qi = pl.program_id(1)
-    q_off = qoff_ref[0, 0]
+    q_off = qoff_ref[pl.program_id(0)]
     num_kb = pl.cdiv(seq_k, block_k)
     if causal:
         last_row = q_off + qi * block_q + block_q - 1
@@ -261,7 +262,7 @@ def _flash_bwd_dkv_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     bias_blk = bias_ref[0, 0, :][None, :]      # (1, BK)
     block_k = k_blk.shape[0]
     kb = pl.program_id(1)
-    q_off = qoff_ref[0, 0]
+    q_off = qoff_ref[pl.program_id(0)]
     num_qb = pl.cdiv(seq_q, block_q)
     # first q block whose causal frontier (q_off + row) reaches this key block
     qb_start = (jnp.maximum(kb * block_k - q_off, 0) // block_q
@@ -349,68 +350,58 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, res, g):
     Dval = jnp.sum(dof.astype(jnp.float32) * outf.astype(jnp.float32),
                    axis=-1).reshape(BH, 1, Sq)
 
-    vec_spec = lambda blk: pl.BlockSpec((1, 1, blk), lambda bh, i: (bh, 0, i),
-                                        memory_space=pltpu.VMEM)
-    full_vec = pl.BlockSpec((1, 1, Sq), lambda bh, i: (bh, 0, 0),
-                            memory_space=pltpu.VMEM)
-    qoff_spec = pl.BlockSpec((1, 1), lambda bh, i: (bh, 0),
-                             memory_space=pltpu.SMEM)
+    vec_spec = lambda blk: pl.BlockSpec((1, 1, blk),
+                                        lambda bh, i, s: (bh, 0, i))
+    full_vec = pl.BlockSpec((1, 1, Sq), lambda bh, i, s: (bh, 0, 0))
 
+    dq_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH, Sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda bh, qi, s: (bh, qi, 0)),
+            pl.BlockSpec((1, Sk, hd), lambda bh, qi, s: (bh, 0, 0)),
+            pl.BlockSpec((1, Sk, hd), lambda bh, qi, s: (bh, 0, 0)),
+            pl.BlockSpec((1, 1, Sk), lambda bh, qi, s: (bh, 0, 0)),
+            pl.BlockSpec((1, block_q, hd), lambda bh, qi, s: (bh, qi, 0)),
+            vec_spec(block_q),
+            vec_spec(block_q),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd),
+                               lambda bh, qi, s: (bh, qi, 0)),
+    )
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale=scale, causal=causal,
                           block_k=block_k, seq_k=Sk),
         out_shape=jax.ShapeDtypeStruct((BH, Sq, hd), q.dtype),
-        grid=(BH, Sq // block_q),
-        in_specs=[
-            qoff_spec,
-            pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sk, hd), lambda bh, qi: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sk, hd), lambda bh, qi: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Sk), lambda bh, qi: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0),
-                         memory_space=pltpu.VMEM),
-            vec_spec(block_q),
-            vec_spec(block_q),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=dq_grid,
         interpret=interpret,
     )(qoff, qf, kf, vf, bias_f, dof, lse, Dval)
 
+    dkv_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH, Sk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, Sq, hd), lambda bh, kb, s: (bh, 0, 0)),
+            pl.BlockSpec((1, block_k, hd), lambda bh, kb, s: (bh, kb, 0)),
+            pl.BlockSpec((1, block_k, hd), lambda bh, kb, s: (bh, kb, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda bh, kb, s: (bh, 0, kb)),
+            pl.BlockSpec((1, Sq, hd), lambda bh, kb, s: (bh, 0, 0)),
+            full_vec,
+            full_vec,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, hd), lambda bh, kb, s: (bh, kb, 0)),
+            pl.BlockSpec((1, block_k, hd), lambda bh, kb, s: (bh, kb, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda bh, kb, s: (bh, 0, kb)),
+        ),
+    )
     dk, dv, dbias = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, scale=scale, causal=causal,
                           block_q=block_q, seq_q=Sq),
         out_shape=(jax.ShapeDtypeStruct((BH, Sk, hd), k.dtype),
                    jax.ShapeDtypeStruct((BH, Sk, hd), v.dtype),
                    jax.ShapeDtypeStruct((BH, 1, Sk), jnp.float32)),
-        grid=(BH, Sk // block_k),
-        in_specs=[
-            qoff_spec,
-            pl.BlockSpec((1, Sq, hd), lambda bh, kb: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, hd), lambda bh, kb: (bh, kb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, hd), lambda bh, kb: (bh, kb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k), lambda bh, kb: (bh, 0, kb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sq, hd), lambda bh, kb: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            full_vec,
-            full_vec,
-        ],
-        out_specs=(
-            pl.BlockSpec((1, block_k, hd), lambda bh, kb: (bh, kb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, hd), lambda bh, kb: (bh, kb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k), lambda bh, kb: (bh, 0, kb),
-                         memory_space=pltpu.VMEM),
-        ),
+        grid_spec=dkv_grid,
         interpret=interpret,
     )(qoff, qf, kf, vf, bias_f, dof, lse, Dval)
 
