@@ -9,6 +9,7 @@ one-line headline). Measures on the current accelerator:
 Writes BENCH_DETAILS.md and prints one json line per metric.
 """
 
+import functools
 import json
 import sys
 import time
@@ -118,6 +119,10 @@ def bench_prefill(model, cfg, batch=8, seq=512):
 
 def bench_sft_step(use_flash, remat=True):
     # bloom-560m-class: 24 layers, hidden 1024, 16 heads; vocab cut to fit HBM
+    if use_flash and remat is True:
+        # pin the flash out/lse residuals so the backward never re-runs the
+        # forward attention kernel (models/bloom.py remat="attn")
+        remat = "attn"
     cfg = BloomConfig(vocab_size=50432, hidden_size=1024, n_layer=24,
                       num_attention_heads=16, compute_dtype="bfloat16",
                       use_flash_attention=use_flash)
@@ -138,7 +143,9 @@ def bench_sft_step(use_flash, remat=True):
                                            labels=b["labels"], remat=remat)
         return loss
 
-    @jax.jit
+    # donate: without input/output aliasing every step pays full param +
+    # opt-state copies (~13 ms at 560M fp32)
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, b):
         loss, grads = jax.value_and_grad(loss_fn)(params, b)
         params, opt_state = update_fn(grads, opt_state, params)
@@ -272,8 +279,6 @@ def main():
     del model, qmodel, bmodel, draft2
     gc.collect()
 
-    # (remat="dots" saves every matmul output — OOMs at b8/seq1024 on one
-    # 16GB chip; the flag remains for smaller configs / bigger meshes)
     bench_sft_step(use_flash=True)
     bench_sft_step(use_flash=False)
 

@@ -107,6 +107,27 @@ def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
     hd = D // num_heads
     qkv = linear(h, attn_params["query_key_value"]["w"], attn_params["query_key_value"]["b"])
     qkv = qkv.reshape(B, S, num_heads, 3, hd)
+
+    # training/full-forward fast path: keep q/k/v in head-major (B, S, D)
+    # for the packed kernel — no head transposes (at hd=64 those become
+    # slow relayout copies around the pallas custom-call)
+    if (use_flash and S > 1 and layer_kv is None and 128 % hd == 0
+            and not use_ring and head_mask is None):
+        from cleantransformer_tpu.ops.pallas_kernels import (
+            flash_attention_bsd, should_interpret)
+        q3 = qkv[..., 0, :].reshape(B, S, D)
+        k3 = qkv[..., 1, :].reshape(B, S, D)
+        v3 = qkv[..., 2, :].reshape(B, S, D)
+        bias = alibi_bias[:, :, 0, :]
+        if pad_mask is not None:
+            bias = bias + jnp.where(pad_mask, 0.0, -jnp.inf)[:, None, :]
+        out = flash_attention_bsd(q3, k3, v3, bias, cache_len,
+                                  n_head=num_heads,
+                                  scale=1.0 / math.sqrt(hd), causal=True,
+                                  interpret=should_interpret())
+        out = linear(out, attn_params["dense"]["w"], attn_params["dense"]["b"])
+        return residual + out, (None, None)
+
     q = qkv[..., 0, :].transpose(0, 2, 1, 3)  # (B, H, S, hd)
     k = qkv[..., 1, :].transpose(0, 2, 1, 3)
     v = qkv[..., 2, :].transpose(0, 2, 1, 3)
@@ -295,11 +316,26 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
             # per-layer rematerialization: the scan stores only each block's
             # input instead of all its intermediates (activation checkpointing
             # — the ZeRO/gradient-checkpointing analogue, SURVEY §2.3).
+            # remat="attn" saves the flash kernel's out+lse residuals so the
+            # backward never re-runs the forward attention kernel (the most
+            # expensive recompute; ~16MB/layer extra memory at b8 s1024).
             # remat="dots" additionally saves matmul outputs (XLA recomputes
             # only cheap elementwise ops in the backward pass — less recompute
             # FLOPs for slightly more activation memory than full remat).
-            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                      if remat == "dots" else None)
+            if remat == "dots":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            elif remat == "attn":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "flash_out", "flash_lse")
+            elif remat == "dots_attn":
+                # dots + pinned flash residuals: the backward recomputes only
+                # elementwise ops AND never re-runs the attention kernel
+                policy = jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                    jax.checkpoint_policies.save_only_these_names(
+                        "flash_out", "flash_lse"))
+            else:
+                policy = None
             run_block = jax.checkpoint(run_block, policy=policy)
 
         def body(carry, block_params):
@@ -336,6 +372,15 @@ def bloom_lm_forward(params, config, input_ids, attention_mask=None,
                                  position_ids, segment_ids, cache, head_mask,
                                  remat=remat, embed_noise=embed_noise)
     lm_head = params.get("lm_head", params["word_embeddings"])
+    if labels is not None and getattr(config, "fused_ce", False):
+        # training fast path: chunked lm_head+CE never materializes the
+        # (B, S, vocab) logits (ops/fused_ce.py) — fp32-rounding-equal to the
+        # dense loss below, so parity suites keep the dense default
+        from cleantransformer_tpu.ops.fused_ce import fused_shift_ce
+        loss = fused_shift_ce(h, lm_head, labels, mask=loss_mask,
+                              chunk_tokens=getattr(config, "fused_ce_chunk",
+                                                   2048))
+        return (loss, None, h), new_cache
     h_for_logits = h[:, -1:] if last_only else h
     logits = lm_head_matmul(h_for_logits, lm_head)
     if labels is not None:

@@ -185,6 +185,30 @@ def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_
     def attn(x):
         qkv = linear(x, block_params["attn"]["c_attn"]["w"], block_params["attn"]["c_attn"]["b"])
         q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        # training/full-forward fast path: the projection output is already
+        # head-major (B, S, D), exactly the packed kernel's layout — skip
+        # _split_heads/_merge_heads entirely (at hd=64 XLA materializes those
+        # transposes as slow relayout copies around the pallas custom-call)
+        hd_ = x.shape[-1] // H
+        if (getattr(config, "use_flash_attention", False) and S > 1
+                and layer_kv is None and 128 % hd_ == 0
+                and not getattr(config, "use_ring_attention", False)):
+            from cleantransformer_tpu.ops.pallas_kernels import (
+                flash_attention_bsd, should_interpret)
+            if additive_mask is not None:
+                bias = additive_mask[:, :, 0, :]  # (B,1,S)
+            else:
+                bias = jnp.zeros((x.shape[0], 1, S), jnp.float32)
+            out = flash_attention_bsd(
+                q, k, v, bias, 0, n_head=H,
+                scale=(1.0 / math.sqrt(hd_)) if scale else 1.0,
+                causal=True, interpret=should_interpret())
+            out = linear(out, block_params["attn"]["c_proj"]["w"],
+                         block_params["attn"]["c_proj"]["b"])
+            return (_dropout(out, config.resid_pdrop, rngs[1], deterministic),
+                    (None, None))
+
         q, k, v = _split_heads(q, H), _split_heads(k, H), _split_heads(v, H)
         k = shard_hint(k, ("data", "model", None, None))
         if layer_kv is None:
@@ -341,10 +365,24 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
                                 deterministic, rng_l)
             return out
         if remat:
-            # per-layer remat; remat="dots" saves matmul outputs so the
-            # backward pass recomputes only elementwise ops (see bloom.py)
-            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                      if remat == "dots" else None)
+            # per-layer remat; remat="attn" pins the flash out/lse residuals
+            # (no forward-kernel re-run in backward); remat="dots" saves
+            # matmul outputs so the backward recomputes only elementwise ops
+            # (see bloom.py)
+            if remat == "dots":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            elif remat == "attn":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "flash_out", "flash_lse")
+            elif remat == "dots_attn":
+                # dots + pinned flash residuals: the backward recomputes only
+                # elementwise ops AND never re-runs the attention kernel
+                policy = jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                    jax.checkpoint_policies.save_only_these_names(
+                        "flash_out", "flash_lse"))
+            else:
+                policy = None
             run_block = jax.checkpoint(run_block, policy=policy)
 
         def body(carry, xs):

@@ -30,12 +30,15 @@ import functools
 import math
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 256
+# 512 measured fastest on the v5-lite chip (256-blocks leave the kernel
+# grid-overhead-bound: 2x the programs for the same FLOPs)
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
 
 
 def _flash_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref, *,
@@ -45,8 +48,16 @@ def _flash_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref, *,
 
     ``qoff_ref`` is the scalar-prefetch operand: a flat (B*H,) int32 vector of
     per-(batch,head) query offsets (TPU tiling rejects a (1,1)-blocked SMEM
-    array, so the offsets ride the PrefetchScalarGridSpec instead)."""
-    q = q_ref[0].astype(jnp.float32)  # (BQ, hd)
+    array, so the offsets ride the PrefetchScalarGridSpec instead).
+
+    MXU dots take the native (bf16) operands with fp32 accumulation
+    (preferred_element_type) — upcasting operands to fp32 first would run
+    the MXU at a fraction of its bf16 rate for zero accuracy gain (the
+    inputs are bf16 to begin with). Softmax/rescaling stay fp32 on the VPU;
+    the probabilities are cast to the value dtype for the AV dot (standard
+    flash practice)."""
+    q = q_ref[0]  # (BQ, hd) native dtype
+
     block_q = q.shape[0]
     qi = pl.program_id(1)
     q_off = qoff_ref[pl.program_id(0)]
@@ -60,8 +71,8 @@ def _flash_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref, *,
 
     def body(kb, carry):
         acc, m, l = carry
-        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         if scale != 1.0:
@@ -81,7 +92,7 @@ def _flash_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref, *,
         corr = jnp.where(jnp.isfinite(m), jnp.exp(m - safe_m), 0.0)
         l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * corr + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())),
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return acc_new, m_new, l_new
 
@@ -209,8 +220,8 @@ def flash_attention(q, k, v, bias, q_offset=0, scale=1.0, causal=True,
 def _flash_bwd_dq_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
                          lse_ref, d_ref, dq_ref, *, scale, causal, block_k,
                          seq_k):
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]                               # native dtype (MXU bf16 rate)
+    do = do_ref[0]
     lse = lse_ref[0, 0, :][:, None]            # (BQ, 1)
     D = d_ref[0, 0, :][:, None]                # (BQ, 1)
     block_q = q.shape[0]
@@ -226,8 +237,8 @@ def _flash_bwd_dq_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     safe_lse = jnp.where(jnp.isfinite(lse), lse, 0.0)
 
     def body(kb, dq):
-        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         if scale != 1.0:
@@ -243,7 +254,7 @@ def _flash_bwd_dq_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
                       jnp.exp(s - safe_lse), 0.0)
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - D)
+        ds = (p * (dp - D)).astype(k_blk.dtype)
         return dq + jax.lax.dot_general(ds, k_blk, (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
 
@@ -257,8 +268,8 @@ def _flash_bwd_dq_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
 def _flash_bwd_dkv_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
                           lse_ref, d_ref, dk_ref, dv_ref, dbias_ref, *, scale,
                           causal, block_q, seq_q):
-    k_blk = k_ref[0].astype(jnp.float32)       # (BK, hd)
-    v_blk = v_ref[0].astype(jnp.float32)
+    k_blk = k_ref[0]                           # (BK, hd) native dtype
+    v_blk = v_ref[0]
     bias_blk = bias_ref[0, 0, :][None, :]      # (1, BK)
     block_k = k_blk.shape[0]
     kb = pl.program_id(1)
@@ -270,8 +281,8 @@ def _flash_bwd_dkv_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
 
     def body(qb, carry):
         dk, dv, dbias = carry
-        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :]
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
         D = d_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
@@ -288,12 +299,14 @@ def _flash_bwd_dkv_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
         safe_lse = jnp.where(jnp.isfinite(lse), lse, 0.0)
         p = jnp.where(jnp.isfinite(s) & jnp.isfinite(lse),
                       jnp.exp(s - safe_lse), 0.0)
-        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+        pc = p.astype(do.dtype)
+        dv = dv + jax.lax.dot_general(pc, do, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - D)
-        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+        dsc = ds.astype(q.dtype)
+        dk = dk + jax.lax.dot_general(dsc, q, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         dbias = dbias + jnp.sum(ds, axis=0)
         return dk, dv, dbias
@@ -315,6 +328,12 @@ def _flash_fwd(q, k, v, bias, q_offset, scale, causal, block_q, block_k,
                interpret):
     out, lse = _flash_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q,
                                block_k, interpret)
+    # named so a remat policy can pin the flash residuals
+    # (save_only_these_names('flash_out', 'flash_lse') == remat="attn" in the
+    # models): the backward then reuses them instead of re-running the
+    # forward kernel inside the rematerialized block
+    out = jax.ad_checkpoint.checkpoint_name(out, "flash_out")
+    lse = jax.ad_checkpoint.checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, bias, q_offset, out, lse)
 
 
@@ -422,6 +441,394 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, res, g):
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+# ---------------------------------------------------------------------------
+# packed (B, S, D) flash attention — no head transposes
+# ---------------------------------------------------------------------------
+#
+# The (B, H, S, hd) kernel above needs q/k/v transposed out of the
+# projection's natural (B, S, D) layout; at hd=64 XLA materializes those
+# transposes as ~28 GB/s relayout copies (64 lanes = half a 128-lane tile),
+# costing more than the kernel itself in the training step. This variant
+# consumes (B, S, D) directly: the grid blocks the LANE dimension in
+# 128-wide groups (= 128//hd heads per program) and the per-head math runs
+# on lane halves inside VMEM. Outputs are (B, S, D) too, so the attention
+# block needs no _split_heads/_merge_heads at all. Numerically identical to
+# flash_attention (same blocking, same fp32 online softmax).
+
+_MASK_NEG = -1e30  # masked-score fill: exp underflows to 0, no inf/nan paths
+
+
+def _heads_per_group(hd):
+    return 128 // hd if hd in (32, 64) else 1
+
+
+def _packed_fwd_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, out_ref,
+                       lse_ref, *, scale, causal, block_k, seq_k, hd, ppg):
+    qb = q_ref[0]                                  # (BQ, ppg*hd)
+    block_q = qb.shape[0]
+    qi = pl.program_id(2)
+    q_off = qoff_ref[pl.program_id(0)]
+    num_kb = pl.cdiv(seq_k, block_k)
+    if causal:
+        last_row = q_off + qi * block_q + block_q - 1
+        num_kb_eff = jnp.minimum(num_kb, (last_row + block_k) // block_k)
+    else:
+        num_kb_eff = num_kb
+
+    def body(kb, carry):
+        accs, ms, ls = carry
+        kb_ = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        vb = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        if causal:
+            row = q_off + qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            col = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            keep = col <= row
+        new_accs, new_ms, new_ls = [], [], []
+        for g in range(ppg):
+            lo = g * hd
+            s = jax.lax.dot_general(
+                qb[:, lo:lo + hd], kb_[:, lo:lo + hd],
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            if scale != 1.0:
+                s = s * scale
+            s = s + bias_ref[0, g, pl.ds(kb * block_k, block_k)][None, :]
+            if causal:
+                s = jnp.where(keep, s, _MASK_NEG)
+            m, l, acc = ms[g], ls[g], accs[g]
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            new_ls.append(l * corr + jnp.sum(p, axis=-1, keepdims=True))
+            new_accs.append(acc * corr + jax.lax.dot_general(
+                p.astype(vb.dtype), vb[:, lo:lo + hd],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32))
+            new_ms.append(m_new)
+        return tuple(new_accs), tuple(new_ms), tuple(new_ls)
+
+    accs0 = tuple(jnp.zeros((block_q, hd), jnp.float32) for _ in range(ppg))
+    ms0 = tuple(jnp.full((block_q, 1), _MASK_NEG, jnp.float32)
+                for _ in range(ppg))
+    ls0 = tuple(jnp.zeros((block_q, 1), jnp.float32) for _ in range(ppg))
+    accs, ms, ls = jax.lax.fori_loop(0, num_kb_eff, body, (accs0, ms0, ls0))
+    out_ref[0] = jnp.concatenate(
+        [(accs[g] / jnp.maximum(ls[g], 1e-30)) for g in range(ppg)],
+        axis=1).astype(out_ref.dtype)
+    for g in range(ppg):
+        # (block_q,) rows of this program's q block; fully-masked rows get a
+        # junk-but-finite lse (their cotangents are 0, so nothing propagates)
+        lse_ref[0, g, :] = ms[g][:, 0] + jnp.log(jnp.maximum(ls[g][:, 0],
+                                                             1e-30))
+
+
+def _packed_bwd_dq_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                          lse_ref, d_ref, dq_ref, *, scale, causal, block_k,
+                          seq_k, hd, ppg):
+    qb = q_ref[0]
+    do = do_ref[0]
+    block_q = qb.shape[0]
+    qi = pl.program_id(2)
+    q_off = qoff_ref[pl.program_id(0)]
+    num_kb = pl.cdiv(seq_k, block_k)
+    if causal:
+        last_row = q_off + qi * block_q + block_q - 1
+        num_kb_eff = jnp.minimum(num_kb, (last_row + block_k) // block_k)
+    else:
+        num_kb_eff = num_kb
+
+    def body(kb, dqs):
+        kb_ = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        vb = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        if causal:
+            row = q_off + qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            col = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            keep = col <= row
+        new_dqs = []
+        for g in range(ppg):
+            lo = g * hd
+            lse = lse_ref[0, g, pl.ds(qi * block_q, block_q)][:, None]
+            D = d_ref[0, g, pl.ds(qi * block_q, block_q)][:, None]
+            s = jax.lax.dot_general(
+                qb[:, lo:lo + hd], kb_[:, lo:lo + hd],
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            if scale != 1.0:
+                s = s * scale
+            s = s + bias_ref[0, g, pl.ds(kb * block_k, block_k)][None, :]
+            if causal:
+                s = jnp.where(keep, s, _MASK_NEG)
+            p = jnp.exp(s - lse)
+            dp = jax.lax.dot_general(
+                do[:, lo:lo + hd], vb[:, lo:lo + hd],
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            ds = (p * (dp - D)).astype(kb_.dtype)
+            new_dqs.append(dqs[g] + jax.lax.dot_general(
+                ds, kb_[:, lo:lo + hd], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        return tuple(new_dqs)
+
+    dqs0 = tuple(jnp.zeros((block_q, hd), jnp.float32) for _ in range(ppg))
+    dqs = jax.lax.fori_loop(0, num_kb_eff, body, dqs0)
+    dq = jnp.concatenate(list(dqs), axis=1)
+    if scale != 1.0:
+        dq = dq * scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _packed_bwd_dkv_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                           lse_ref, d_ref, dk_ref, dv_ref, dbias_ref, *,
+                           scale, causal, block_q, seq_q, hd, ppg):
+    kb_ = k_ref[0]                                  # (BK, ppg*hd)
+    vb = v_ref[0]
+    block_k = kb_.shape[0]
+    kb = pl.program_id(2)
+    q_off = qoff_ref[pl.program_id(0)]
+    num_qb = pl.cdiv(seq_q, block_q)
+    qb_start = (jnp.maximum(kb * block_k - q_off, 0) // block_q
+                if causal else 0)
+
+    def body(qb, carry):
+        dks, dvs, dbs = carry
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :]
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :]
+        if causal:
+            row = q_off + qb * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            col = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            keep = col <= row
+        new_dks, new_dvs, new_dbs = [], [], []
+        for g in range(ppg):
+            lo = g * hd
+            lse = lse_ref[0, g, pl.ds(qb * block_q, block_q)][:, None]
+            D = d_ref[0, g, pl.ds(qb * block_q, block_q)][:, None]
+            s = jax.lax.dot_general(
+                q[:, lo:lo + hd], kb_[:, lo:lo + hd],
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            if scale != 1.0:
+                s = s * scale
+            s = s + bias_ref[0, g, pl.ds(kb * block_k, block_k)][None, :]
+            if causal:
+                s = jnp.where(keep, s, _MASK_NEG)
+            p = jnp.exp(s - lse)
+            pc = p.astype(do.dtype)
+            new_dvs.append(dvs[g] + jax.lax.dot_general(
+                pc, do[:, lo:lo + hd], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            dp = jax.lax.dot_general(
+                do[:, lo:lo + hd], vb[:, lo:lo + hd],
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            ds = p * (dp - D)
+            dsc = ds.astype(q.dtype)
+            new_dks.append(dks[g] + jax.lax.dot_general(
+                dsc, q[:, lo:lo + hd], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            new_dbs.append(dbs[g] + jnp.sum(ds, axis=0))
+        return tuple(new_dks), tuple(new_dvs), tuple(new_dbs)
+
+    z = lambda shape: tuple(jnp.zeros(shape, jnp.float32) for _ in range(ppg))
+    dks, dvs, dbs = jax.lax.fori_loop(
+        qb_start, num_qb, body,
+        (z((block_k, hd)), z((block_k, hd)), z((block_k,))))
+    dk = jnp.concatenate(list(dks), axis=1)
+    if scale != 1.0:
+        dk = dk * scale
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = jnp.concatenate(list(dvs), axis=1).astype(dv_ref.dtype)
+    for g in range(ppg):
+        dbias_ref[0, g, :] = dbs[g]
+
+
+def _packed_prep(q, bias, n_head, block_q, block_k, Sq0, Sk0):
+    """Shared shape bookkeeping: group count, padded lengths, packed bias."""
+    B, _, D = q.shape
+    hd = D // n_head
+    ppg = _heads_per_group(hd)
+    lanes = ppg * hd
+    assert lanes == 128 or ppg == 1, (hd, ppg)
+    G = n_head // ppg
+    block_q = min(block_q, Sq0)
+    block_k = min(block_k, Sk0)
+    pad_q = (-Sq0) % block_q
+    pad_k = (-Sk0) % block_k
+    # clamp to -1e30: with no infinities in play, exp() underflows masked
+    # scores to exactly 0 and the kernels need no isfinite/where guard
+    # chains (measured 2x kernel time at hd=64)
+    bias_b = jnp.maximum(jnp.broadcast_to(bias.astype(jnp.float32),
+                                          (B, n_head, Sk0)), _MASK_NEG)
+    if pad_k:
+        bias_b = jnp.pad(bias_b, ((0, 0), (0, 0), (0, pad_k)),
+                         constant_values=_MASK_NEG)
+    # (B*G, ppg, Sk): per-group bias rows, block (1, ppg, Sk) is tiling-legal
+    bias_p = bias_b.reshape(B, G, ppg, Sk0 + pad_k).reshape(
+        B * G, ppg, Sk0 + pad_k)
+    return hd, ppg, G, block_q, block_k, pad_q, pad_k, bias_p
+
+
+def _qoff_batch(q_offset, B):
+    qo = jnp.asarray(q_offset, jnp.int32)
+    return jnp.broadcast_to(qo.reshape(-1), (B,)) if qo.ndim \
+        else jnp.broadcast_to(qo, (B,))
+
+
+def _packed_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q, block_k,
+                     interpret, n_head):
+    B, Sq0, D = q.shape
+    Sk0 = k.shape[1]
+    hd, ppg, G, block_q, block_k, pad_q, pad_k, bias_p = _packed_prep(
+        q, bias, n_head, block_q, block_k, Sq0, Sk0)
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0)))
+    Sq, Sk = Sq0 + pad_q, Sk0 + pad_k
+    qoff = _qoff_batch(q_offset, B)
+    lanes = ppg * hd
+
+    Gv = G
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, G, Sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, lanes), lambda b, g, qi, s: (b, qi, g)),
+            pl.BlockSpec((1, Sk, lanes), lambda b, g, qi, s: (b, 0, g)),
+            pl.BlockSpec((1, Sk, lanes), lambda b, g, qi, s: (b, 0, g)),
+            pl.BlockSpec((1, ppg, Sk),
+                         lambda b, g, qi, s, G=Gv: (b * G + g, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, lanes), lambda b, g, qi, s: (b, qi, g)),
+            pl.BlockSpec((1, ppg, block_q),
+                         lambda b, g, qi, s, G=Gv: (b * G + g, 0, qi)),
+        ),
+    )
+    out, lse = pl.pallas_call(
+        functools.partial(_packed_fwd_kernel, scale=scale, causal=causal,
+                          block_k=block_k, seq_k=Sk, hd=hd, ppg=ppg),
+        out_shape=(jax.ShapeDtypeStruct((B, Sq, D), q.dtype),
+                   jax.ShapeDtypeStruct((B * G, ppg, Sq), jnp.float32)),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(qoff, q, k, v, bias_p)
+    if pad_q:
+        out = out[:, :Sq0]
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def flash_attention_bsd(q, k, v, bias, q_offset=0, n_head=1, scale=1.0,
+                        causal=True, block_q=DEFAULT_BLOCK_Q,
+                        block_k=DEFAULT_BLOCK_K, interpret=False):
+    """Flash attention over head-major (B, S, D) tensors (D = n_head * hd).
+
+    Same math as ``flash_attention`` but the projection outputs feed in (and
+    the context feeds out) without any head transpose — the kernel grid
+    blocks the lane dimension in 128-wide head groups. ``bias``: additive
+    per-key (B, n_head, Sk) or (B, 1, Sk); ``q_offset``: scalar or (B,)
+    cache offsets for the causal iota."""
+    out, _ = _packed_fwd_impl(q, k, v, bias, q_offset, scale, causal,
+                              block_q, block_k, interpret, n_head)
+    return out
+
+
+def _packed_fwd(q, k, v, bias, q_offset, n_head, scale, causal, block_q,
+                block_k, interpret):
+    out, lse = _packed_fwd_impl(q, k, v, bias, q_offset, scale, causal,
+                                block_q, block_k, interpret, n_head)
+    out = jax.ad_checkpoint.checkpoint_name(out, "flash_out")
+    lse = jax.ad_checkpoint.checkpoint_name(lse, "flash_lse")
+    return out, (q, k, v, bias, q_offset, out, lse)
+
+
+def _packed_bwd(n_head, scale, causal, block_q, block_k, interpret, res, g):
+    q, k, v, bias, q_offset, out, lse = res
+    B, Sq0, D = q.shape
+    Sk0 = k.shape[1]
+    bias_shape_in = bias.shape
+    hd, ppg, G, block_q, block_k, pad_q, pad_k, bias_p = _packed_prep(
+        q, bias, n_head, block_q, block_k, Sq0, Sk0)
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, pad_q), (0, 0)))
+        out = jnp.pad(out, ((0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0)))
+    Sq, Sk = Sq0 + pad_q, Sk0 + pad_k
+    lanes = ppg * hd
+    qoff = _qoff_batch(q_offset, B)
+    # per-(head, row) sum(do * out) in the packed (B*G, ppg, Sq) layout
+    do_out = (g.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
+        B, Sq, G, ppg, hd)
+    Dval = jnp.sum(do_out, axis=-1).transpose(0, 2, 3, 1).reshape(
+        B * G, ppg, Sq)
+
+    Gv = G
+    qspec = pl.BlockSpec((1, block_q, lanes), lambda b, g_, qi, s: (b, qi, g_))
+    kfull = pl.BlockSpec((1, Sk, lanes), lambda b, g_, qi, s: (b, 0, g_))
+    qfull = pl.BlockSpec((1, Sq, lanes), lambda b, g_, kb, s: (b, 0, g_))
+    kspec = pl.BlockSpec((1, block_k, lanes), lambda b, g_, kb, s: (b, kb, g_))
+    bias_q = pl.BlockSpec((1, ppg, Sk), lambda b, g_, qi, s, G=Gv: (b * G + g_, 0, 0))
+    vec_q = pl.BlockSpec((1, ppg, Sq), lambda b, g_, qi, s, G=Gv: (b * G + g_, 0, 0))
+
+    dq_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, G, Sq // block_q),
+        in_specs=[qspec, kfull, kfull, bias_q, qspec, vec_q, vec_q],
+        out_specs=pl.BlockSpec((1, block_q, lanes),
+                               lambda b, g_, qi, s: (b, qi, g_)),
+    )
+    dq = pl.pallas_call(
+        functools.partial(_packed_bwd_dq_kernel, scale=scale, causal=causal,
+                          block_k=block_k, seq_k=Sk, hd=hd, ppg=ppg),
+        out_shape=jax.ShapeDtypeStruct((B, Sq, D), q.dtype),
+        grid_spec=dq_grid,
+        interpret=interpret,
+    )(qoff, q, k, v, bias_p, g, lse, Dval)
+
+    dkv_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, G, Sk // block_k),
+        in_specs=[qfull, kspec, kspec, bias_q, qfull, vec_q, vec_q],
+        out_specs=(
+            pl.BlockSpec((1, block_k, lanes), lambda b, g_, kb, s: (b, kb, g_)),
+            pl.BlockSpec((1, block_k, lanes), lambda b, g_, kb, s: (b, kb, g_)),
+            pl.BlockSpec((1, ppg, block_k),
+                         lambda b, g_, kb, s, G=Gv: (b * G + g_, 0, kb)),
+        ),
+    )
+    dk, dv, dbias = pl.pallas_call(
+        functools.partial(_packed_bwd_dkv_kernel, scale=scale, causal=causal,
+                          block_q=block_q, seq_q=Sq, hd=hd, ppg=ppg),
+        out_shape=(jax.ShapeDtypeStruct((B, Sk, D), k.dtype),
+                   jax.ShapeDtypeStruct((B, Sk, D), v.dtype),
+                   jax.ShapeDtypeStruct((B * G, ppg, Sk), jnp.float32)),
+        grid_spec=dkv_grid,
+        interpret=interpret,
+    )(qoff, q, k, v, bias_p, g, lse, Dval)
+
+    dq = dq[:, :Sq0]
+    dk = dk[:, :Sk0]
+    dv = dv[:, :Sk0]
+    dbias = dbias.reshape(B, G, ppg, Sk)[..., :Sk0].reshape(B, n_head, Sk0)
+    if bias_shape_in != (B, n_head, Sk0):
+        axes = tuple(i for i, (a, b) in enumerate(zip((B, n_head, Sk0),
+                                                      bias_shape_in))
+                     if a != b)
+        dbias = jnp.sum(dbias, axis=axes, keepdims=True)
+        dbias = dbias.reshape(bias_shape_in)
+    import numpy as np
+    dqoff = np.zeros(jnp.shape(q_offset), jax.dtypes.float0)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dbias.astype(bias.dtype), dqoff)
+
+
+flash_attention_bsd.defvjp(_packed_fwd, _packed_bwd)
 
 
 # ---------------------------------------------------------------------------
