@@ -92,6 +92,12 @@ def init_bloom_cache(config, batch_size, max_len, dtype=None):
     L, H = config.n_layer, config.n_head
     hd = config.hidden_size // H
     dtype = dtype or config.compute_dtype
+    if getattr(config, "kv_cache_int8", False):
+        # see models/gpt.py init_kv_cache: {"q": int8, "s": f32} per leaf
+        def buf():
+            return {"q": jnp.zeros((L, batch_size, H, max_len, hd), jnp.int8),
+                    "s": jnp.zeros((L, batch_size, H, max_len), jnp.float32)}
+        return {"k": buf(), "v": buf(), "length": jnp.zeros((), jnp.int32)}
     return {
         "k": jnp.zeros((L, batch_size, H, max_len, hd), dtype),
         "v": jnp.zeros((L, batch_size, H, max_len, hd), dtype),
@@ -133,20 +139,19 @@ def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
     v = qkv[..., 2, :].transpose(0, 2, 1, 3)
     k = shard_hint(k, ("data", "model", None, None))
 
+    k_scale = v_scale = None
     if layer_kv is None:
         new_k, new_v = None, None
     else:
         # token-sized in-place carry update on the full (L,B,H,T,hd) cache
         # (see models/gpt.py attn for rationale); per-row offsets for serving
-        from cleantransformer_tpu.models.gpt import cache_write
+        from cleantransformer_tpu.models.gpt import cache_write, cache_layer_kv
         k_cache, v_cache, li = layer_kv
         new_k = cache_write(k_cache, li, k, cache_len)
         new_v = cache_write(v_cache, li, v, cache_len)
-        T = k_cache.shape[3]
-        k = jax.lax.dynamic_slice(new_k, (li, 0, 0, 0, 0),
-                                  (1, B, num_heads, T, hd))[0]
-        v = jax.lax.dynamic_slice(new_v, (li, 0, 0, 0, 0),
-                                  (1, B, num_heads, T, hd))[0]
+        T = (k_cache["q"] if isinstance(k_cache, dict) else k_cache).shape[3]
+        k, k_scale = cache_layer_kv(new_k, li, B, num_heads, T, hd)
+        v, v_scale = cache_layer_kv(new_v, li, B, num_heads, T, hd)
 
     # Ring attention (sequence parallelism over an ICI 'seq' mesh axis):
     # cache-less multi-token forwards only (training / full-context scoring).
@@ -172,7 +177,8 @@ def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
     # Flash covers every multi-token forward: cache-less (training/parity),
     # prefill, and nonzero-offset windows (speculative verify, chunked
     # prefill) — the kernel's causal iota takes the dynamic cache offset.
-    if use_flash and S > 1:
+    # (dense path only for int8 caches — the kernels take float k/v)
+    if use_flash and S > 1 and k_scale is None:
         from cleantransformer_tpu.ops.pallas_kernels import (
             flash_attention, should_interpret)
         # fold ALiBi + padding into the per-key additive bias (B,H,T)
@@ -186,7 +192,14 @@ def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
         out = linear(out, attn_params["dense"]["w"], attn_params["dense"]["b"])
         return residual + out, (new_k, new_v)
 
-    scores = jnp.matmul(q, k.swapaxes(-1, -2)) * (1.0 / math.sqrt(hd))
+    if k_scale is not None:
+        # int8 cache: int8->float convert fuses into the dot; per-token
+        # dequant scales fold onto the score columns
+        scores = jnp.matmul(q, k.astype(q.dtype).swapaxes(-1, -2))
+        scores = scores * k_scale[:, :, None, :].astype(scores.dtype)
+        scores = scores * (1.0 / math.sqrt(hd))
+    else:
+        scores = jnp.matmul(q, k.swapaxes(-1, -2)) * (1.0 / math.sqrt(hd))
     scores = scores + alibi_bias.astype(scores.dtype)
     # fp32 upcast before masked softmax (modeling_bloom.py:106-110)
     scores = scores.astype(jnp.float32)
@@ -204,8 +217,13 @@ def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
     if head_mask is not None:
         # multiplicative, post-softmax (modeling_bloom.py:112-113)
         weights = weights * head_mask
-    weights = weights.astype(v.dtype)
-    out = jnp.matmul(weights, v)
+    if v_scale is not None:
+        weights = weights * v_scale[:, :, None, :].astype(weights.dtype)
+        out = jnp.matmul(weights.astype(h.dtype),
+                         v.astype(h.dtype))
+    else:
+        weights = weights.astype(v.dtype)
+        out = jnp.matmul(weights, v)
     out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
     out = linear(out, attn_params["dense"]["w"], attn_params["dense"]["b"])
     return residual + out, (new_k, new_v)
@@ -268,7 +286,11 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
     if attention_mask is None:
         attention_mask = jnp.ones((B, S), jnp.int32)
     cache_len = cache["length"] if cache is not None else jnp.zeros((), jnp.int32)
-    T = cache["k"].shape[3] if cache is not None else S
+    if cache is not None:
+        _kbuf = cache["k"]
+        T = (_kbuf["q"] if isinstance(_kbuf, dict) else _kbuf).shape[3]
+    else:
+        T = S
 
     h = embed_lookup(params["word_embeddings"], input_ids).astype(config.compute_dtype)
     if embed_noise is not None:

@@ -80,10 +80,21 @@ def init_gpt_params(config, rng, version="gpt"):
 
 
 def init_kv_cache(config, batch_size, max_len, dtype=None):
-    """Fixed-shape KV cache: {'k','v': (L, B, H, T, hd), 'length': ()}."""
+    """Fixed-shape KV cache: {'k','v': (L, B, H, T, hd), 'length': ()}.
+
+    With ``config.kv_cache_int8`` each of k/v becomes a
+    ``{"q": int8 (L,B,H,T,hd), "s": f32 (L,B,H,T)}`` pair (symmetric
+    per-token quantization at write time) — half the HBM footprint and
+    streaming bytes per decode step; scales are per key position so the
+    dequant folds into the score/AV matmuls as output column scaling."""
     L, H = config.n_layer, config.n_head
     hd = config.n_embd // H
     dtype = dtype or config.compute_dtype
+    if getattr(config, "kv_cache_int8", False):
+        def buf():
+            return {"q": jnp.zeros((L, batch_size, H, max_len, hd), jnp.int8),
+                    "s": jnp.zeros((L, batch_size, H, max_len), jnp.float32)}
+        return {"k": buf(), "v": buf(), "length": jnp.zeros((), jnp.int32)}
     return {
         "k": jnp.zeros((L, batch_size, H, max_len, hd), dtype),
         "v": jnp.zeros((L, batch_size, H, max_len, hd), dtype),
@@ -99,7 +110,18 @@ def cache_write(kv_cache, li, x, offset):
     """Write S new-token keys/values x (B, H, S, hd) into the stacked cache
     (L, B, H, T, hd) for layer ``li`` at ``offset``: a scalar (all rows at the
     same position — the generate() engine) or a (B,) vector (per-row ragged
-    positions — the continuous-batching serving engine, S must be 1)."""
+    positions — the continuous-batching serving engine, S must be 1).
+
+    An int8 cache leaf is the pytree {"q": int8, "s": f32 per-token scales}
+    (init_kv_cache with config.kv_cache_int8): x is quantized symmetrically
+    per (batch, head, position) before the write."""
+    if isinstance(kv_cache, dict):
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)  # (B,H,S)
+        s = jnp.maximum(amax / 127.0, 1e-8)
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / s[..., None]),
+                     -127, 127).astype(jnp.int8)
+        return {"q": cache_write(kv_cache["q"], li, q, offset),
+                "s": _scale_write(kv_cache["s"], li, s, offset)}
     if jnp.ndim(offset) == 0:
         return jax.lax.dynamic_update_slice(
             kv_cache, x[None].astype(kv_cache.dtype), (li, 0, 0, offset, 0))
@@ -109,8 +131,32 @@ def cache_write(kv_cache, li, x, offset):
                        offset[:, None]].set(x[:, :, 0, :].astype(kv_cache.dtype))
 
 
+def _scale_write(s_cache, li, s, offset):
+    """Write (B, H, S) per-token scales into the (L, B, H, T) scale buffer."""
+    if jnp.ndim(offset) == 0:
+        return jax.lax.dynamic_update_slice(
+            s_cache, s[None].astype(s_cache.dtype), (li, 0, 0, offset))
+    B, H, S = s.shape
+    assert S == 1
+    return s_cache.at[li, jnp.arange(B)[:, None], jnp.arange(H)[None, :],
+                      offset[:, None]].set(s[:, :, 0].astype(s_cache.dtype))
+
+
+def cache_layer_kv(buf, li, B, H, T, hd):
+    """Slice layer ``li``'s keys-or-values out of a stacked cache buffer.
+    Returns (data, scales) — scales is None for a dense (non-int8) cache."""
+    if isinstance(buf, dict):
+        data = jax.lax.dynamic_slice(buf["q"], (li, 0, 0, 0, 0),
+                                     (1, B, H, T, hd))[0]
+        scales = jax.lax.dynamic_slice(buf["s"], (li, 0, 0, 0),
+                                       (1, B, H, T))[0]
+        return data, scales
+    return jax.lax.dynamic_slice(buf, (li, 0, 0, 0, 0),
+                                 (1, B, H, T, hd))[0], None
+
+
 def _attend(q, k, v, cache_len, q_offset, key_padding_additive, scale, causal_fill,
-            attn_drop=None, mask_precombined=False):
+            attn_drop=None, mask_precombined=False, k_scale=None, v_scale=None):
     """Shared causal attention core for prefill/decode over a fixed key buffer.
 
     q: (B, H, S, hd); k, v: (B, H, T, hd) where only [0, cache_len+S) is valid.
@@ -126,12 +172,18 @@ def _attend(q, k, v, cache_len, q_offset, key_padding_additive, scale, causal_fi
     """
     B, H, S, hd = q.shape
     T = k.shape[2]
-    scores = jnp.matmul(q, k.swapaxes(-1, -2))
+    if k_scale is not None:
+        # int8 cache: the convert fuses into the dot (int8 streamed from
+        # HBM); per-token dequant scales fold onto the score columns
+        scores = jnp.matmul(q, k.astype(q.dtype).swapaxes(-1, -2))
+        scores = scores * k_scale[:, :, None, :].astype(scores.dtype)
+    else:
+        scores = jnp.matmul(q, k.swapaxes(-1, -2))
     if scale:
         scores = scores / math.sqrt(hd)
     if mask_precombined:
         return _softmax_av(scores + key_padding_additive.astype(scores.dtype),
-                           v, attn_drop)
+                           v, attn_drop, v_scale)
     row = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)
     if jnp.ndim(q_offset) == 1:
@@ -142,14 +194,19 @@ def _attend(q, k, v, cache_len, q_offset, key_padding_additive, scale, causal_fi
     scores = jnp.where(causal, scores, jnp.asarray(causal_fill, scores.dtype))
     if key_padding_additive is not None:
         scores = scores + key_padding_additive.astype(scores.dtype)
-    return _softmax_av(scores, v, attn_drop)
+    return _softmax_av(scores, v, attn_drop, v_scale)
 
 
-def _softmax_av(scores, v, attn_drop):
+def _softmax_av(scores, v, attn_drop, v_scale=None):
     weights = jax.nn.softmax(scores, axis=-1)
     if attn_drop is not None:
         rate, rng, deterministic = attn_drop
         weights = _dropout(weights, rate, rng, deterministic)
+    if v_scale is not None:
+        # int8 values: scale the weights per key instead of dequantizing v
+        # (the int8->float convert fuses into the dot operand)
+        weights = weights * v_scale[:, :, None, :].astype(weights.dtype)
+        return jnp.matmul(weights, v.astype(weights.dtype))
     return jnp.matmul(weights.astype(v.dtype), v)
 
 
@@ -211,6 +268,7 @@ def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_
 
         q, k, v = _split_heads(q, H), _split_heads(k, H), _split_heads(v, H)
         k = shard_hint(k, ("data", "model", None, None))
+        k_scale = v_scale = None
         if layer_kv is None:
             new_k, new_v = None, None
             q_offset = 0
@@ -224,12 +282,10 @@ def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_
             new_k = cache_write(k_cache, li, k, cache_len)
             new_v = cache_write(v_cache, li, v, cache_len)
             q_offset = cache_len
-            T = k_cache.shape[3]
+            T = (k_cache["q"] if isinstance(k_cache, dict) else k_cache).shape[3]
             hd = k.shape[-1]
-            k = jax.lax.dynamic_slice(
-                new_k, (li, 0, 0, 0, 0), (1, B_, H, T, hd))[0]
-            v = jax.lax.dynamic_slice(
-                new_v, (li, 0, 0, 0, 0), (1, B_, H, T, hd))[0]
+            k, k_scale = cache_layer_kv(new_k, li, B_, H, T, hd)
+            v, v_scale = cache_layer_kv(new_v, li, B_, H, T, hd)
         # ring attention: sequence parallelism over an ICI 'seq' mesh axis
         # (cache-less multi-token forwards — training / full-context scoring)
         if getattr(config, "use_ring_attention", False) and S > 1 \
@@ -259,8 +315,10 @@ def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_
 
         # the kernel's causal iota takes the dynamic cache offset, so flash is
         # exact for any multi-token forward: prefill, chunked prefill, and
-        # speculative verify/catch-up windows at nonzero offsets
-        use_flash = getattr(config, "use_flash_attention", False) and S > 1
+        # speculative verify/catch-up windows at nonzero offsets (dense path
+        # only for int8 caches — the kernels take float k/v)
+        use_flash = (getattr(config, "use_flash_attention", False) and S > 1
+                     and k_scale is None)
         if use_flash:
             from cleantransformer_tpu.ops.pallas_kernels import (
                 flash_attention, should_interpret)
@@ -274,7 +332,8 @@ def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_
         else:
             out = _attend(q, k, v, cache_len, q_offset, additive_mask, scale, CAUSAL_NEG,
                           attn_drop=(config.attn_pdrop, rngs[0], deterministic),
-                          mask_precombined=mask_precombined)
+                          mask_precombined=mask_precombined,
+                          k_scale=k_scale, v_scale=v_scale)
         out = _merge_heads(out)
         out = linear(out, block_params["attn"]["c_proj"]["w"], block_params["attn"]["c_proj"]["b"])
         return _dropout(out, config.resid_pdrop, rngs[1], deterministic), (new_k, new_v)
@@ -400,7 +459,8 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
             # re-deriving iota/where mask chains n_layer times per token.
             # Post-softmax this is identical to the reference's replace-with
             # -1e4: masked scores underflow exp() to exactly 0 either way.
-            T = cache["k"].shape[3]
+            kbuf = cache["k"]
+            T = (kbuf["q"] if isinstance(kbuf, dict) else kbuf).shape[3]
             col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
             if jnp.ndim(cache_len) == 1:  # ragged serving rows
                 causal_add = jnp.where(col[None] <= cache_len[:, None, None],

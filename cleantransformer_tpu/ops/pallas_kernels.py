@@ -514,14 +514,19 @@ def _packed_fwd_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, out_ref,
                 for _ in range(ppg))
     ls0 = tuple(jnp.zeros((block_q, 1), jnp.float32) for _ in range(ppg))
     accs, ms, ls = jax.lax.fori_loop(0, num_kb_eff, body, (accs0, ms0, ls0))
+    # fully-masked rows (running max never left the _MASK_NEG sentinel — all
+    # scores were clamp-masked and therefore exactly equal): zero the output
+    # (matching the 4D kernel's exact-masking semantics) and emit a +sentinel
+    # lse so the backward's exp(s - lse) underflows those rows to 0 too.
+    # Cheap: two wheres on (block_q, 1), not per-element guard chains.
     out_ref[0] = jnp.concatenate(
-        [(accs[g] / jnp.maximum(ls[g], 1e-30)) for g in range(ppg)],
-        axis=1).astype(out_ref.dtype)
+        [jnp.where(ms[g] > 0.5 * _MASK_NEG,
+                   accs[g] / jnp.maximum(ls[g], 1e-30), 0.0)
+         for g in range(ppg)], axis=1).astype(out_ref.dtype)
     for g in range(ppg):
-        # (block_q,) rows of this program's q block; fully-masked rows get a
-        # junk-but-finite lse (their cotangents are 0, so nothing propagates)
-        lse_ref[0, g, :] = ms[g][:, 0] + jnp.log(jnp.maximum(ls[g][:, 0],
-                                                             1e-30))
+        lse = ms[g][:, 0] + jnp.log(jnp.maximum(ls[g][:, 0], 1e-30))
+        lse_ref[0, g, :] = jnp.where(ms[g][:, 0] > 0.5 * _MASK_NEG,
+                                     lse, -_MASK_NEG)
 
 
 def _packed_bwd_dq_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,

@@ -86,6 +86,35 @@ def _choose(state, rows_scores, row_ids, sampling):
     return state, tok
 
 
+def _cache_dims(buf):
+    """(L, B, H, T, hd) of a cache buffer — dense array or int8 {"q","s"}."""
+    return (buf["q"] if isinstance(buf, dict) else buf).shape
+
+
+def _slot_slice(buf, slot, window):
+    """One slot's (L, 1, H, window, hd) cache slice (int8-cache aware)."""
+    L, _, H, _, hd = _cache_dims(buf)
+    if isinstance(buf, dict):
+        return {"q": jax.lax.dynamic_slice(buf["q"], (0, slot, 0, 0, 0),
+                                           (L, 1, H, window, hd)),
+                "s": jax.lax.dynamic_slice(buf["s"], (0, slot, 0, 0),
+                                           (L, 1, H, window))}
+    return jax.lax.dynamic_slice(buf, (0, slot, 0, 0, 0),
+                                 (L, 1, H, window, hd))
+
+
+def _slot_update(buf, new, slot):
+    """Write a slot slice back into the full cache (int8-cache aware)."""
+    if isinstance(buf, dict):
+        return {"q": jax.lax.dynamic_update_slice(
+                    buf["q"], new["q"], (0, slot, 0, 0, 0)),
+                "s": jax.lax.dynamic_update_slice(
+                    buf["s"], new["s"].astype(buf["s"].dtype),
+                    (0, slot, 0, 0))}
+    return jax.lax.dynamic_update_slice(buf, new.astype(buf.dtype),
+                                        (0, slot, 0, 0, 0))
+
+
 @functools.partial(jax.jit, static_argnames=(
     "forward", "config", "bucket", "window", "final", "sampling", "end_ids",
     "needs_positions"), donate_argnames=("state",))
@@ -103,13 +132,11 @@ def _prefill_chunk(params, config, forward, state, ids_bucket, chunk_len,
     short prompts never pay attention over the full max_len buffer.
     ``final=True`` additionally samples the first generated token and
     activates the slot (fused into the same program)."""
-    L, B, H, T, hd = state["cache_k"].shape
+    L, B, H, T, hd = _cache_dims(state["cache_k"])
 
     # the slot's cache slice carries the previous chunks' keys
-    ck = jax.lax.dynamic_slice(state["cache_k"], (0, slot, 0, 0, 0),
-                               (L, 1, H, window, hd))
-    cv = jax.lax.dynamic_slice(state["cache_v"], (0, slot, 0, 0, 0),
-                               (L, 1, H, window, hd))
+    ck = _slot_slice(state["cache_k"], slot, window)
+    cv = _slot_slice(state["cache_v"], slot, window)
     cache = {"k": ck, "v": cv, "length": cache_off}
     # attendable keys: everything before this chunk's valid frontier
     mask1 = (jnp.arange(window, dtype=jnp.int32)
@@ -120,12 +147,8 @@ def _prefill_chunk(params, config, forward, state, ids_bucket, chunk_len,
                                  None, cache, last_only=not final)
 
     state = dict(state)
-    state["cache_k"] = jax.lax.dynamic_update_slice(
-        state["cache_k"], cache["k"].astype(state["cache_k"].dtype),
-        (0, slot, 0, 0, 0))
-    state["cache_v"] = jax.lax.dynamic_update_slice(
-        state["cache_v"], cache["v"].astype(state["cache_v"].dtype),
-        (0, slot, 0, 0, 0))
+    state["cache_k"] = _slot_update(state["cache_k"], cache["k"], slot)
+    state["cache_v"] = _slot_update(state["cache_v"], cache["v"], slot)
     # record the chunk's tokens at [cache_off, cache_off + chunk_len)
     row_tok = state["tokens"][slot]
     chunk_write = jax.lax.dynamic_update_slice(
@@ -282,6 +305,13 @@ class ServingEngine:
             getattr(self.config, "quantize_int8", False)
             and cdtype == jnp.float32) else cdtype
         B, T = max_slots, max_len
+        if getattr(self.config, "kv_cache_int8", False):
+            def _cache_buf():
+                return {"q": jnp.zeros((L, B, H, T, hd), jnp.int8),
+                        "s": jnp.zeros((L, B, H, T), jnp.float32)}
+        else:
+            def _cache_buf():
+                return jnp.zeros((L, B, H, T, hd), cache_dtype)
         self.state = {
             "tokens": jnp.zeros((B, T), jnp.int32),
             "mask": jnp.zeros((B, T), jnp.int32),
@@ -294,8 +324,8 @@ class ServingEngine:
             "temperature": jnp.ones((B,), jnp.float32),
             "top_k": jnp.zeros((B,), jnp.int32),
             "top_p": jnp.ones((B,), jnp.float32),
-            "cache_k": jnp.zeros((L, B, H, T, hd), cache_dtype),
-            "cache_v": jnp.zeros((L, B, H, T, hd), cache_dtype),
+            "cache_k": _cache_buf(),
+            "cache_v": _cache_buf(),
             "rng": rng if rng is not None else jax.random.PRNGKey(0),
         }
         # GPT consumes positions; Bloom (ALiBi) ignores them
