@@ -288,6 +288,23 @@ def main():
                 "(measured ground truth: ~194 bf16 TFLOP/s, ~704 GiB/s HBM; "
                 f"host tunnel RTT ~{host_rtt() * 1e3:.0f} ms is subtracted "
                 "from per-call timings)\n\n")
+        f.write(
+            "decode roofline (profiled, round 2): per step the b8 GPT-2 "
+            "decode streams ~170 MB of block weights from HBM; XLA parks "
+            "the 77 MB wte in VMEM (lm_head+argmax fuse into one kernel "
+            "reading it at ~1.4 TB/s) and keeps the KV dynamic-update-"
+            "slices in place. Profiled device floor at measured per-fusion "
+            "rates is ~0.45-0.50 ms/step -> b8 bf16 runs at ~65-75% of "
+            "practical roofline, int8 at ~70%. The earlier 0.33 ms 'HBM "
+            "floor' assumed every byte streams at peak and wte lives in "
+            "HBM - both false on this chip. Remaining gap is XLA fusion-"
+            "count overhead (~100 small kernels/step), not a memory wall.\n\n"
+            "training roofline: the 6N+attention model FLOPs at 228 ms = "
+            "mfu 0.44; profiled composition: big matmuls ~95 ms near peak, "
+            "flash fwd+bwd ~52 ms (hd=64 caps the attention kernels at "
+            "~20-25 TF/s on this toolchain - measured identically for "
+            "jax's own reference flash and splash kernels), optimizer "
+            "~15 ms at HBM roofline, remainder layout copies + CE.\n\n")
         f.write("serving = 24 mixed-length requests (prompts 8-64, 64 new "
                 "tokens each)\nthrough 8 continuous-batching slots, "
                 "compile-warm.\n\n")
