@@ -93,7 +93,7 @@ def generate(model, input_ids, attention_mask=None, position_ids=None,
             speculative_generate)
         return speculative_generate(model, draft_model, input_ids,
                                     attention_mask, generation_configs,
-                                    draft_len=draft_len)
+                                    draft_len=draft_len, rng=rng)
     cfg = generation_configs
     beam_size = cfg.get("beam_size", 1)
     max_gen_len = cfg.get("max_gen_len", 100)

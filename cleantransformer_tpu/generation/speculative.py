@@ -20,9 +20,16 @@ TPU-first mechanics:
    corrections) via an idempotent fixed-width catch-up window — the window's
    last position doubles as the first draft proposal, so catch-up is free.
 
-Batch size 1, greedy only (the latency-bound serving case); sampling would
-need rejection sampling, batching needs per-row acceptance counts — both
-documented future work.
+Batch size 1. Greedy speculative decoding is EXACT (bit-identical tokens);
+sampling mode (``do_sample=True``) uses the standard rejection-sampling
+scheme (Leviathan et al.): the draft SAMPLES its proposals from its own
+processed distribution q, the target accepts proposal c_i with probability
+min(1, p_i(c_i) / q_i(c_i)), and the first rejection is replaced by a draw
+from the residual norm(max(p_i - q_i, 0)); full acceptance earns a bonus
+draw from p_{K+1}. The committed stream is distributed EXACTLY as the
+target's own (temperature/top-k/top-p processed) sampler — verified
+statistically in tests/test_speculative.py. Batching would need per-row
+acceptance counts — documented future work.
 """
 
 import functools
@@ -32,13 +39,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from cleantransformer_tpu.generation.logits_process import build_wrapper_chain
+
 
 @functools.partial(jax.jit, static_argnames=(
     "t_forward", "d_forward", "t_config", "d_config", "K", "end_ids",
-    "total_len"))
+    "total_len", "do_sample", "temperature", "top_k", "top_p"))
 def _speculative_loop(t_params, d_params, t_config, d_config, t_forward,
-                      d_forward, input_ids, tokens, t_cache, d_cache, K,
-                      end_ids, total_len):
+                      d_forward, input_ids, tokens, t_cache, d_cache, rng, K,
+                      end_ids, total_len, do_sample=False, temperature=1.0,
+                      top_k=0, top_p=1.0):
     """ONE device program: target+draft prefill, then the draft/verify
     round while_loop. tokens: (1, T) with the prompt written (eager prefill
     would dispatch two full forwards op-by-op through a remote tunnel — the
@@ -47,16 +57,26 @@ def _speculative_loop(t_params, d_params, t_config, d_config, t_forward,
     T = tokens.shape[1]
     S0 = input_ids.shape[1]
     col = jnp.arange(T, dtype=jnp.int32)[None]  # (1, T)
+    wrapper = build_wrapper_chain(do_sample, temperature, top_k, top_p)
 
     def frontier_mask(upto):
         return (col < upto).astype(jnp.int32)
 
-    # target prefill: commit the prompt and the target's first greedy token
+    def probs_of(logits_row):
+        """Processed target/draft distribution of one (V,) logits row."""
+        return jax.nn.softmax(wrapper(logits_row.astype(jnp.float32)[None])[0])
+
+    # target prefill: commit the prompt and the target's first token
     pos0 = jnp.arange(S0, dtype=jnp.int32)[None]
     mask0 = frontier_mask(S0)
     (logits, _), t_cache = t_forward(t_params, t_config, input_ids, mask0,
                                      pos0, None, t_cache, last_only=True)
-    first = jnp.argmax(logits[0, -1].astype(jnp.float32)).astype(jnp.int32)
+    if do_sample:
+        rng, sub = jax.random.split(rng)
+        first = jax.random.categorical(
+            sub, wrapper(logits[0, -1:].astype(jnp.float32))[0]).astype(jnp.int32)
+    else:
+        first = jnp.argmax(logits[0, -1].astype(jnp.float32)).astype(jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, first[None, None], (0, S0))
     n0 = jnp.asarray(S0 + 1, jnp.int32)
 
@@ -70,13 +90,24 @@ def _speculative_loop(t_params, d_params, t_config, d_config, t_forward,
     for e in end_ids:
         done0 = done0 | (first == e)
 
+    V = logits.shape[-1]
+
     def cond(state):
         n, done = state[1], state[4]
         return jnp.logical_and(n < total_len, jnp.logical_not(done))
 
     def body(state):
-        tokens, n, t_cache, d_cache, done, rounds = state
+        tokens, n, t_cache, d_cache, done, rounds, rng = state
         W = K + 1
+
+        def pick(lg_row, key):
+            """Draft/target token choice + the processed dist it came from."""
+            p = probs_of(lg_row)
+            if do_sample:
+                tok = jax.random.categorical(key, jnp.log(p + 1e-30))
+            else:
+                tok = jnp.argmax(lg_row.astype(jnp.float32))
+            return tok.astype(jnp.int32), p
 
         # --- draft catch-up + first proposal: feed the last W committed
         # tokens (window ends at position n-1); idempotent re-writes for keys
@@ -88,47 +119,71 @@ def _speculative_loop(t_params, d_params, t_config, d_config, t_forward,
         d_cache = {**d_cache, "length": start}
         (d_logits, _), d_cache = d_forward(
             d_params, d_config, window, frontier_mask(n), pos_w, None, d_cache)
-        c = jnp.argmax(
-            d_logits[0, n - 1 - start].astype(jnp.float32)).astype(jnp.int32)
+        rng, sub = jax.random.split(rng)
+        c, q0 = pick(d_logits[0, n - 1 - start], sub)
         tokens = jax.lax.dynamic_update_slice(tokens, c[None, None], (0, n))
+        # per-proposal draft distributions, consumed by rejection sampling
+        q_probs = jnp.zeros((K, V), jnp.float32).at[0].set(q0)
 
         # --- remaining K-1 proposals, single-token draft steps
         def draft_step(i, carry):
-            tokens, d_cache = carry
+            tokens, d_cache, q_probs, rng = carry
             off = n + i - 1  # position of the candidate drafted last round
             tok = jax.lax.dynamic_slice(tokens, (0, off), (1, 1))
             d_cache = {**d_cache, "length": off}
             (lg, _), d_cache = d_forward(
                 d_params, d_config, tok, frontier_mask(off + 1),
                 jnp.full((1, 1), off, jnp.int32), None, d_cache)
-            nxt = jnp.argmax(lg[0, -1].astype(jnp.float32)).astype(jnp.int32)
+            rng, sub = jax.random.split(rng)
+            nxt, qi = pick(lg[0, -1], sub)
+            q_probs = jax.lax.dynamic_update_slice(q_probs, qi[None], (i, 0))
             tokens = jax.lax.dynamic_update_slice(
                 tokens, nxt[None, None], (0, off + 1))
-            return tokens, d_cache
+            return tokens, d_cache, q_probs, rng
 
-        tokens, d_cache = jax.lax.fori_loop(1, K, draft_step,
-                                            (tokens, d_cache))
+        tokens, d_cache, q_probs, rng = jax.lax.fori_loop(
+            1, K, draft_step, (tokens, d_cache, q_probs, rng))
 
         # --- target verifies all K candidates in one (K+1)-token forward:
-        # input [t_{n-1}, c_1..c_K] at offsets n-1..n+K-1 yields greedy
-        # choices g_0..g_K where g_i is the target's token after ...c_i
+        # input [t_{n-1}, c_1..c_K] at offsets n-1..n+K-1 yields target
+        # distributions p_0..p_K where p_i conditions on ...c_i
         v_in = jax.lax.dynamic_slice(tokens, (0, n - 1), (1, W))
         pos_v = (n - 1 + jnp.arange(W, dtype=jnp.int32))[None]
         t_cache = {**t_cache, "length": n - 1}
         (t_logits, _), t_cache = t_forward(
             t_params, t_config, v_in, frontier_mask(n + K), pos_v, None,
             t_cache)
-        g = jnp.argmax(t_logits[0].astype(jnp.float32), axis=-1).astype(
-            jnp.int32)  # (K+1,)
-
         cand = jax.lax.dynamic_slice(tokens, (0, n), (1, K))[0]  # c_1..c_K
-        match = (g[:K] == cand)
-        a = jnp.sum(jnp.cumprod(match.astype(jnp.int32)))  # accepted prefix
 
-        # commit the target's own next token after the accepted prefix
-        # (correction on mismatch, bonus token on full acceptance)
-        tokens = jax.lax.dynamic_update_slice(tokens, g[a][None, None],
-                                              (0, n + a))
+        if do_sample:
+            # rejection sampling: accept c_i w.p. min(1, p_i(c_i)/q_i(c_i))
+            p_probs = jax.nn.softmax(
+                wrapper(t_logits[0].astype(jnp.float32)), axis=-1)  # (K+1, V)
+            p_c = jnp.take_along_axis(p_probs[:K], cand[:, None], 1)[:, 0]
+            q_c = jnp.take_along_axis(q_probs, cand[:, None], 1)[:, 0]
+            rng, sub = jax.random.split(rng)
+            u = jax.random.uniform(sub, (K,))
+            accept = u < jnp.minimum(1.0, p_c / jnp.maximum(q_c, 1e-30))
+            a = jnp.sum(jnp.cumprod(accept.astype(jnp.int32)))
+            # rejected at a (< K): draw from the residual norm((p_a - q_a)+);
+            # full acceptance (a == K): bonus draw from p_K
+            q_at_a = jnp.where(a < K, 1.0, 0.0) * q_probs[jnp.minimum(a, K - 1)]
+            resid = jnp.maximum(p_probs[a] - q_at_a, 0.0)
+            resid = resid / jnp.maximum(jnp.sum(resid), 1e-30)
+            rng, sub = jax.random.split(rng)
+            fix = jax.random.categorical(
+                sub, jnp.log(resid + 1e-30)).astype(jnp.int32)
+            tokens = jax.lax.dynamic_update_slice(tokens, fix[None, None],
+                                                  (0, n + a))
+        else:
+            g = jnp.argmax(t_logits[0].astype(jnp.float32), axis=-1).astype(
+                jnp.int32)  # (K+1,)
+            match = (g[:K] == cand)
+            a = jnp.sum(jnp.cumprod(match.astype(jnp.int32)))  # accepted prefix
+            # commit the target's own next token after the accepted prefix
+            # (correction on mismatch, bonus token on full acceptance)
+            tokens = jax.lax.dynamic_update_slice(tokens, g[a][None, None],
+                                                  (0, n + a))
         n_committed = a + 1
 
         # end-id scan over the committed tokens (reference stops right after
@@ -147,27 +202,34 @@ def _speculative_loop(t_params, d_params, t_config, d_config, t_forward,
 
         n = n + n_committed
         done = done | (n >= total_len)
-        return tokens, n, t_cache, d_cache, done, rounds + 1
+        return tokens, n, t_cache, d_cache, done, rounds + 1, rng
 
-    state = (tokens, n0, t_cache, d_cache, done0, jnp.zeros((), jnp.int32))
-    tokens, n, _, _, _, rounds = jax.lax.while_loop(cond, body, state)
+    state = (tokens, n0, t_cache, d_cache, done0, jnp.zeros((), jnp.int32),
+             rng)
+    tokens, n, _, _, _, rounds, _ = jax.lax.while_loop(cond, body, state)
     return tokens, jnp.minimum(n, total_len), rounds
 
 
 def speculative_generate(model, draft_model, input_ids, attention_mask=None,
                          generation_configs=None, draft_len=4,
-                         return_stats=False):
-    """Greedy generation accelerated by a draft model; returns tokens of
-    shape (1, 1, n) exactly equal to ``model.generate`` with
-    ``do_sample=False, beam_size=1`` on the same configs.
+                         return_stats=False, rng=None):
+    """Generation accelerated by a draft model; returns tokens of shape
+    (1, 1, n). Greedy (default) is bit-exact vs ``model.generate`` with
+    ``do_sample=False, beam_size=1``; ``do_sample=True`` commits a stream
+    distributed exactly as the target's temperature/top-k/top-p sampler
+    (rejection sampling — see the module docstring).
 
-    ``generation_configs`` honors max_gen_len / end_ids / pad_id (greedy
-    semantics only: beam_size must be 1, do_sample False, no ngram ban)."""
+    ``generation_configs`` honors max_gen_len / end_ids / pad_id /
+    do_sample / temperature / top_k / top_p (beam_size must be 1, no ngram
+    ban)."""
     cfg = generation_configs or {}
-    assert cfg.get("beam_size", 1) == 1, "speculative decoding is greedy-only"
-    assert not cfg.get("do_sample", False), "speculative decoding is greedy-only"
+    assert cfg.get("beam_size", 1) == 1, "speculative decoding is beam-free"
     assert not cfg.get("no_repeat_ngram_size", 0), \
         "ngram processors are unsupported in speculative decoding"
+    do_sample = bool(cfg.get("do_sample", False))
+    temperature = float(cfg.get("temperature", 1.0))
+    top_k = cfg.get("top_k", 10)
+    top_p = cfg.get("top_p", 0.8)
     # flash attention is fine here: the kernel's causal iota takes the dynamic
     # cache offset, so the verify/catch-up windows at nonzero offsets are exact
     max_gen_len = cfg.get("max_gen_len", 100)
@@ -198,11 +260,14 @@ def speculative_generate(model, draft_model, input_ids, attention_mask=None,
                                           (0, 0))
     t_cache = model.init_cache(1, T)
     d_cache = draft_model.init_cache(1, T)
+    if rng is None:
+        rng = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
 
     tokens, n, rounds = _speculative_loop(
         t_params, d_params, model.config, draft_model.config, t_forward,
-        d_forward, input_ids.astype(jnp.int32), tokens, t_cache, d_cache,
-        K=K, end_ids=end_ids, total_len=total_len)
+        d_forward, input_ids.astype(jnp.int32), tokens, t_cache, d_cache, rng,
+        K=K, end_ids=end_ids, total_len=total_len, do_sample=do_sample,
+        temperature=temperature, top_k=top_k, top_p=top_p)
     tokens_np, n, rounds = jax.device_get((tokens, n, rounds))
     n, rounds = int(n), int(rounds)
     out = tokens_np[:, :n].reshape(1, 1, n)

@@ -6,12 +6,20 @@ DeepSpeed's wall_clock_breakdown flag. TPU-native equivalents:
 
  - ``trace(logdir)``: context manager around jax.profiler for on-device
    traces viewable in TensorBoard/XProf.
+ - ``summarize_trace(logdir)``: parse the captured Chrome trace directly
+   (no TensorBoard needed) into per-op-type device-time totals — the tool
+   every round-2 kernel win was found with.
  - ``StepTimer``: host-side step timing with device sync, tokens/sec and
    MFU estimation.
  - ``transformer_flops``: analytic FLOs per token (the 6*N + attention rule).
 """
 
+import collections
 import contextlib
+import glob
+import gzip
+import json
+import re
 import time
 
 import jax
@@ -41,6 +49,38 @@ def trace(logdir="/tmp/jax-trace"):
         yield logdir
     finally:
         jax.profiler.stop_trace()
+
+
+def summarize_trace(logdir, top=25, per=1):
+    """Aggregate device-op time from the newest ``*.trace.json.gz`` under
+    ``logdir`` (written by ``trace``/jax.profiler).
+
+    Returns a list of {"op", "total_us", "count"} sorted by time, op names
+    collapsed by trailing instance numbers (``fusion.123`` -> ``fusion``).
+    ``per`` divides the totals (e.g. the number of steps captured) so the
+    rows read as per-step costs. For instance-level detail (HLO long_name
+    with shapes/layouts, bytes_accessed) grep the trace json for the
+    returned op names.
+    """
+    files = sorted(glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True))
+    if not files:
+        raise FileNotFoundError(f"no trace under {logdir}")
+    with gzip.open(files[-1], "rt") as fh:
+        data = json.load(fh)
+    events = data.get("traceEvents", [])
+    pids = {e["pid"]: e["args"].get("name", "")
+            for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev = {p for p, n in pids.items() if "TPU" in n}
+    tot, cnt = collections.Counter(), collections.Counter()
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in dev:
+            base = re.sub(r"[.\d]+$", "", e["name"])
+            tot[base] += e.get("dur", 0)
+            cnt[base] += 1
+    return [{"op": name, "total_us": round(us / per, 2),
+             "count": round(cnt[name] / per, 2)}
+            for name, us in tot.most_common(top)]
 
 
 def transformer_flops(num_params, seq_len, hidden, n_layer, fwd_only=False):

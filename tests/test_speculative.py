@@ -115,10 +115,84 @@ def test_rejects_unsupported_configs(gpt_pair):
     ids = np.asarray([[1, 2, 3]], np.int32)
     with pytest.raises(AssertionError):
         speculative_generate(target, draft, ids,
-                             generation_configs={"do_sample": True})
+                             generation_configs={"beam_size": 2})
     with pytest.raises(AssertionError):
         speculative_generate(target, draft, ids,
-                             generation_configs={"beam_size": 2})
+                             generation_configs={"no_repeat_ngram_size": 3})
+
+
+def test_sampling_selfdraft_runs_and_commits(gpt_pair):
+    """Rejection sampling with draft == target: p == q, so every proposal is
+    accepted (acceptance probability exactly 1) and each round commits
+    K + 1 tokens."""
+    target, _ = gpt_pair
+    prompt = [5, 17, 42]
+    max_gen_len = 38
+    out, stats = speculative_generate(
+        target, target, np.asarray(prompt, np.int32)[None],
+        generation_configs={"max_gen_len": max_gen_len, "do_sample": True,
+                            "temperature": 1.0, "top_k": 0, "top_p": 1.0},
+        draft_len=4, return_stats=True, rng=jax.random.PRNGKey(7))
+    assert out.shape[-1] >= len(prompt) + max_gen_len
+    # full acceptance commits K+1 = 5 per round; the final round is clipped
+    # by total_len, so the exact ceiling is gen/ceil(gen/5) = 40/8 = 5
+    assert stats["tokens_per_round"] > 4.5
+
+
+def test_sampling_matches_target_distribution(gpt_pair):
+    """The first sampled token's empirical distribution matches the plain
+    target sampler's processed distribution (rejection sampling is
+    distributionally exact)."""
+    import jax.numpy as jnp
+    target, draft = gpt_pair
+    prompt = np.asarray([[3, 11, 29]], np.int32)
+
+    # target's processed next-token distribution (temperature 1, no filters)
+    from cleantransformer_tpu.models.gpt import gpt_lm_forward
+    from cleantransformer_tpu.generation.engine import inference_params
+    (logits, _), _ = gpt_lm_forward(inference_params(target), target.config,
+                                    jnp.asarray(prompt),
+                                    jnp.ones_like(jnp.asarray(prompt)),
+                                    version="gpt2", last_only=True)
+    p = np.asarray(jax.nn.softmax(logits[0, -1].astype(jnp.float32)))
+
+    N = 600
+    firsts = np.zeros(N, np.int64)
+    for i in range(N):
+        out = speculative_generate(
+            target, draft, prompt,
+            generation_configs={"max_gen_len": 1, "do_sample": True,
+                                "temperature": 1.0, "top_k": 0, "top_p": 1.0},
+            draft_len=2, rng=jax.random.PRNGKey(i))
+        firsts[i] = out[0, 0, prompt.shape[1]]
+    emp = np.bincount(firsts, minlength=p.shape[0]) / N
+    tv = 0.5 * np.abs(emp - p).sum()
+    # TV distance of a 600-sample empirical distribution over ~200 tokens;
+    # sampling noise alone contributes ~sqrt(V/(2*pi*N)) ~ 0.19 here, a
+    # WRONG distribution (e.g. the draft's, 1 layer vs 3) lands far higher
+    assert tv < 0.35, tv
+
+
+def test_sampling_greedy_limit(gpt_pair):
+    """temperature -> 0 sampling equals greedy speculative decoding.
+
+    temperature_wrap clamps at 0.01 (reference parity), so positions whose
+    top-2 logit gap is below ~0.01 remain genuine coin flips even at
+    temperature 1e-7. This prompt's trajectory has robust gaps (verified
+    across seeds 0-2) AND rejection rounds (tokens_per_round < K+1), so it
+    exercises the accept/reject/correction path, not just full acceptance."""
+    target, draft = gpt_pair
+    prompt = np.asarray([[196, 104, 10, 22, 37]], np.int32)
+    want = speculative_generate(target, draft, prompt,
+                                generation_configs={"max_gen_len": 12},
+                                draft_len=3)[0, 0]
+    got, stats = speculative_generate(
+        target, draft, prompt,
+        generation_configs={"max_gen_len": 12, "do_sample": True,
+                            "temperature": 1e-7, "top_k": 0, "top_p": 1.0},
+        draft_len=3, rng=jax.random.PRNGKey(0), return_stats=True)
+    np.testing.assert_array_equal(got[0, 0], want)
+    assert stats["tokens_per_round"] < 3.9  # rejections actually occurred
 
 
 def test_generate_draft_model_dispatch(gpt_pair):
