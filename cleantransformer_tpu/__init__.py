@@ -6,10 +6,10 @@ re-designed TPU-first — functional pytree parameters, jitted fixed-shape decod
 loops, Pallas kernels for the hot ops, and jax.sharding meshes in place of
 NCCL/DDP. Public API stays parallel to the reference so users can switch:
 
-  - configs:    GPTConfig, BertConfig, BloomConfig          (config.py)
-  - ops:        layer_norm, attention, activations, losses  (ops/)
+  - configs:    GPTConfig, BertConfig, BloomConfig, LlamaConfig (config.py)
+  - ops:        layer_norm, rms_norm, attention, activations, losses (ops/)
   - models:     GPTModel/GPTLMHeadModel, BertModel/BertForSequenceClassification,
-                BloomModel/BloomForCausalLM                 (models/)
+                BloomModel/BloomForCausalLM, LlamaForCausalLM (models/)
   - generation: generate() with the reference's generation_configs keys (generation/)
   - tokenizers: BPETokenizer, WordPieceTokenizer, BertTokenizer (tokenizers/)
   - optim:      sgd, adamw (reference semantics) + decoupled adamw (optim.py)
@@ -19,4 +19,5 @@ NCCL/DDP. Public API stays parallel to the reference so users can switch:
 
 __version__ = "0.1.0"
 
-from cleantransformer_tpu.config import GPTConfig, BertConfig, BloomConfig  # noqa: F401
+from cleantransformer_tpu.config import (  # noqa: F401
+    GPTConfig, BertConfig, BloomConfig, LlamaConfig)

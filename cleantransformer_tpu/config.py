@@ -123,6 +123,47 @@ class BloomConfig(BaseConfig):
         super().__init__(**kwargs)
 
 
+class LlamaConfig(BaseConfig):
+    """Llama-family config (extension beyond the reference — the reference
+    stops at Bloom, but a user switching frameworks expects the modern
+    RoPE/RMSNorm/SwiGLU/GQA family). Field names match HF ``config.json``
+    for llama/llama-2/llama-3/mistral-style checkpoints, so the same files
+    load unchanged (the convention the reference sets for Bloom,
+    examples/inference_bloom.py:50-63)."""
+
+    def __init__(self, vocab_size=32000, hidden_size=4096,
+                 intermediate_size=11008, num_hidden_layers=32,
+                 num_attention_heads=32, num_key_value_heads=None,
+                 hidden_act="silu", max_position_embeddings=2048,
+                 initializer_range=0.02, rms_norm_eps=1e-6,
+                 rope_theta=10000.0, attention_bias=False, mlp_bias=False,
+                 tie_word_embeddings=False, bos_token_id=1, eos_token_id=2,
+                 head_dim=None, **kwargs):
+        self.vocab_size = vocab_size
+        self.hidden_size = hidden_size
+        self.intermediate_size = intermediate_size
+        self.n_layer = self.num_hidden_layers = num_hidden_layers
+        self.n_head = self.num_attention_heads = num_attention_heads
+        self.num_key_value_heads = (num_key_value_heads
+                                    if num_key_value_heads is not None
+                                    else num_attention_heads)
+        assert num_attention_heads % self.num_key_value_heads == 0, \
+            "num_attention_heads must be a multiple of num_key_value_heads"
+        self.hidden_act = hidden_act
+        self.max_position_embeddings = max_position_embeddings
+        self.initializer_range = initializer_range
+        self.rms_norm_eps = rms_norm_eps
+        self.rope_theta = rope_theta
+        self.attention_bias = attention_bias
+        self.mlp_bias = mlp_bias
+        self.tie_word_embeddings = tie_word_embeddings
+        self.bos_token_id = bos_token_id
+        self.eos_token_id = eos_token_id
+        self.head_dim = (head_dim if head_dim is not None
+                         else hidden_size // num_attention_heads)
+        super().__init__(**kwargs)
+
+
 def load_bloom_config(config_fn, **overrides):
     """Resolve the n_embed/hidden_size and n_head/num_attention_heads synonyms the
     same way the reference does (examples/inference_bloom.py:50-63)."""

@@ -36,10 +36,17 @@ def tanh(x):
     return jnp.tanh(x)
 
 
+def silu(x):
+    """SiLU / swish (Llama-family MLP gate; HF ``ACT2FN["silu"]``)."""
+    return x * jax.nn.sigmoid(x)
+
+
 ACT2FN = {
     "relu": relu,
     "gelu": gelu,
     "gelu_new": gelu_new,
     "bloom_gelu": bloom_gelu,
     "tanh": tanh,
+    "silu": silu,
+    "swish": silu,
 }

@@ -6,6 +6,7 @@ chains into the surrounding matmuls. A fused Pallas LayerNorm kernel lives in
 (switchable; numerics match this implementation).
 """
 
+import jax
 import jax.numpy as jnp
 
 
@@ -42,6 +43,20 @@ def layer_norm(x, weight, bias, eps=1e-5, exact_reference=True, upcast=True):
         out = centered * jnp.reciprocal(jnp.sqrt(var + eps))
     out = out.astype(orig_dtype)
     return weight.astype(orig_dtype) * out + bias.astype(orig_dtype)
+
+
+def rms_norm(x, weight, eps=1e-6):
+    """RMSNorm (Llama-family pre-norm): ``x * rsqrt(mean(x^2) + eps) * w``.
+
+    Statistics in fp32 regardless of input dtype, multiply by the weight
+    after casting back — matching HF ``LlamaRMSNorm`` exactly (variance over
+    the last dim only, no mean subtraction, no bias).
+    """
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    out = (xf * jax.lax.rsqrt(var + eps)).astype(orig_dtype)
+    return weight.astype(orig_dtype) * out
 
 
 def linear(x, weight, bias=None):

@@ -94,6 +94,25 @@ def bloom_param_specs(params):
     return _map_with_path(params, rule)
 
 
+def llama_param_specs(params):
+    """Megatron-TP specs for the Llama param tree: q/k/v and gate/up
+    column-parallel, o_proj/down_proj row-parallel. GQA note: k/v have
+    ``num_key_value_heads`` output heads — the model axis size must divide
+    Hkv*hd (same constraint HF TP sharding imposes)."""
+
+    def rule(path, leaf):
+        if "blocks" in path:
+            if any(n in path for n in ("q_proj", "k_proj", "v_proj",
+                                       "gate_proj", "up_proj")):
+                return P(None, None, "model") if leaf.ndim == 3 else P(None, "model")
+            if any(n in path for n in ("o_proj", "down_proj")) and leaf.ndim == 3:
+                return P(None, "model", None)
+            return P(*([None] * leaf.ndim))
+        return P(*([None] * leaf.ndim))
+
+    return _map_with_path(params, rule)
+
+
 def data_specs(batch_like):
     """Shard the leading batch dim of every leaf over 'data'."""
     return jax.tree_util.tree_map(
@@ -105,6 +124,8 @@ def param_specs(params, model_type="gpt"):
         return gpt_param_specs(params)
     if model_type == "bloom":
         return bloom_param_specs(params)
+    if model_type == "llama":
+        return llama_param_specs(params)
     # default: fully replicated
     return jax.tree_util.tree_map(lambda x: P(*([None] * x.ndim)), params)
 

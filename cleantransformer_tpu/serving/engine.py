@@ -299,7 +299,9 @@ class ServingEngine:
         L = getattr(cfg, "n_layer", getattr(cfg, "num_hidden_layers", None))
         H = getattr(cfg, "n_head", getattr(cfg, "num_attention_heads", None))
         D = getattr(cfg, "n_embd", getattr(cfg, "hidden_size", None))
-        hd = D // H
+        hd = getattr(cfg, "head_dim", D // H)
+        # GQA (llama-family): the cache holds num_key_value_heads heads
+        H = getattr(cfg, "num_key_value_heads", H)
         # int8 configs stream bf16 activations — keep the cache bf16 too
         cache_dtype = jnp.bfloat16 if (
             getattr(self.config, "quantize_int8", False)
@@ -328,8 +330,10 @@ class ServingEngine:
             "cache_v": _cache_buf(),
             "rng": rng if rng is not None else jax.random.PRNGKey(0),
         }
-        # GPT consumes positions; Bloom (ALiBi) ignores them
-        self.needs_positions = hasattr(cfg, "n_positions")
+        # GPT (learned positions) and llama-family (RoPE) consume positions;
+        # Bloom (ALiBi) ignores them
+        self.needs_positions = (hasattr(cfg, "n_positions")
+                                or hasattr(cfg, "rope_theta"))
 
         self.queue = deque()
         self.slot_rid = [None] * max_slots  # rid occupying each slot

@@ -210,8 +210,11 @@ class Trainer:
             embed_noise = None
             if neftune > 0.0:
                 B, S = batch["input_ids"].shape
-                D = (params["word_embeddings"] if "word_embeddings" in params
-                     else params["tokens_embed"]).shape[-1]
+                for emb_key in ("word_embeddings", "tokens_embed",
+                                "embed_tokens"):
+                    if emb_key in params:
+                        break
+                D = params[emb_key].shape[-1]
                 mag = neftune / math.sqrt(S * D)
                 embed_noise = jax.random.uniform(rng, (B, S, D), jnp.float32,
                                                  -mag, mag)

@@ -154,6 +154,50 @@ def bloom_params_from_state_dict(sd, config, dtype=np.float32):
     return _to_dtype(params, dtype)
 
 
+def llama_params_from_state_dict(sd, config, dtype=np.float32):
+    """HF llama layout (model.embed_tokens / model.layers.N.* / model.norm /
+    lm_head) -> stacked Llama pytree. torch Linear weights transposed to
+    (in, out); tied-lm_head fallback mirrors the Bloom loader."""
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):] if k.startswith("model.") else k: v
+              for k, v in sd.items()}
+    L = config.n_layer
+    l = "layers.{i}."
+
+    def lin(name, bias_flag):
+        p = {"w": _stack(sd, l + name + ".weight", L, transpose=True)}
+        if bias_flag and (l.format(i=0) + name + ".bias") in sd:
+            p["b"] = _stack(sd, l + name + ".bias", L)
+        return p
+
+    ab, mb = config.attention_bias, config.mlp_bias
+    params = {
+        "embed_tokens": _np(sd["embed_tokens.weight"]),
+        "blocks": {
+            "input_layernorm": {"w": _stack(sd, l + "input_layernorm.weight", L)},
+            "self_attn": {
+                "q_proj": lin("self_attn.q_proj", ab),
+                "k_proj": lin("self_attn.k_proj", ab),
+                "v_proj": lin("self_attn.v_proj", ab),
+                "o_proj": lin("self_attn.o_proj", ab),
+            },
+            "post_attention_layernorm": {
+                "w": _stack(sd, l + "post_attention_layernorm.weight", L)},
+            "mlp": {
+                "gate_proj": lin("mlp.gate_proj", mb),
+                "up_proj": lin("mlp.up_proj", mb),
+                "down_proj": lin("mlp.down_proj", mb),
+            },
+        },
+        "norm": {"w": _np(sd["norm.weight"])},
+    }
+    # tied configs keep ONE parameter (HF state dicts may still carry the
+    # duplicate lm_head.weight view — dropping it preserves the tie)
+    if "lm_head.weight" in sd and not config.tie_word_embeddings:
+        params["lm_head"] = _np(sd["lm_head.weight"])
+    return _to_dtype(params, dtype)
+
+
 def bert_params_from_state_dict(sd, config, dtype=np.float32, with_classifier=True):
     """HF bert layout (bert.embeddings/encoder.layer.N, inference_bert.py:16-40).
     All torch Linear weights transposed to (in, out)."""

@@ -1,0 +1,83 @@
+"""Llama-family inference example (extension — the reference stops at Bloom;
+same CLI shape as examples/inference_bloom.py so switching users feel at home).
+
+  python examples/inference_llama.py --model_dir checkpoints/llama-2-7b-hf
+  python examples/inference_llama.py --demo
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def load_config(config_fn, **overrides):
+    from cleantransformer_tpu.config import LlamaConfig
+    return LlamaConfig.from_json(config_fn, **overrides)
+
+
+def load_model(config, model_dir):
+    from cleantransformer_tpu.models.llama import LlamaForCausalLM
+    from cleantransformer_tpu.utils.hf_loader import (
+        load_checkpoint_dir, llama_params_from_state_dict)
+    sd = load_checkpoint_dir(model_dir)
+    params = llama_params_from_state_dict(sd, config)
+    return LlamaForCausalLM(config, params=params)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_dir", type=str, default=None)
+    parser.add_argument("--demo", action="store_true")
+    args, _ = parser.parse_known_args()
+
+    import jax
+    from cleantransformer_tpu.config import LlamaConfig
+
+    texts = ["when we talk about something for the first time,",
+             "New York City plans to"]
+
+    if args.demo or not args.model_dir:
+        config = LlamaConfig(vocab_size=4096, hidden_size=256,
+                             intermediate_size=688, num_hidden_layers=4,
+                             num_attention_heads=8, num_key_value_heads=4)
+        from cleantransformer_tpu.models.llama import LlamaForCausalLM
+        model = LlamaForCausalLM(config, rng=jax.random.PRNGKey(0))
+        tokenizer = None
+        rs = np.random.RandomState(0)
+        input_ids = rs.randint(0, config.vocab_size, (2, 8)).astype(np.int32)
+        attention_mask = np.ones_like(input_ids)
+        eos, pad = 2, 0
+    else:
+        config = load_config(os.path.join(args.model_dir, "config.json"))
+        model = load_model(config, args.model_dir)
+        from transformers import AutoTokenizer
+        tokenizer = AutoTokenizer.from_pretrained(args.model_dir,
+                                                  padding_side="left")
+        if tokenizer.pad_token_id is None:
+            tokenizer.pad_token = tokenizer.eos_token
+        enc = tokenizer(texts, return_tensors="np", padding=True)
+        input_ids = enc["input_ids"].astype(np.int32)
+        attention_mask = enc["attention_mask"].astype(np.int32)
+        eos, pad = tokenizer.eos_token_id, tokenizer.pad_token_id
+
+    generation_configs = {
+        "beam_size": 1, "max_gen_len": 100, "end_ids": eos, "pad_id": pad,
+        "early_stop": True, "do_sample": True,
+        "temperature": 0.8, "top_k": 10, "top_p": 0.8,
+    }
+    out = model.generate(input_ids, attention_mask,
+                         generation_configs=generation_configs)
+    print(np.asarray(out).tolist() if tokenizer is None else "")
+    if tokenizer is not None:
+        for beams in np.asarray(out):
+            for i, seq in enumerate(beams):
+                print("beam:", i, tokenizer.decode(seq.tolist(),
+                                                   skip_special_tokens=True))
+
+
+if __name__ == "__main__":
+    main()
