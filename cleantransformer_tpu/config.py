@@ -138,7 +138,9 @@ class LlamaConfig(BaseConfig):
                  initializer_range=0.02, rms_norm_eps=1e-6,
                  rope_theta=10000.0, attention_bias=False, mlp_bias=False,
                  tie_word_embeddings=False, bos_token_id=1, eos_token_id=2,
-                 head_dim=None, **kwargs):
+                 head_dim=None, num_local_experts=0, num_experts_per_tok=2,
+                 router_aux_loss_coef=0.001, output_router_logits=False,
+                 moe_capacity_factor=None, **kwargs):
         self.vocab_size = vocab_size
         self.hidden_size = hidden_size
         self.intermediate_size = intermediate_size
@@ -161,7 +163,20 @@ class LlamaConfig(BaseConfig):
         self.eos_token_id = eos_token_id
         self.head_dim = (head_dim if head_dim is not None
                          else hidden_size // num_attention_heads)
+        # sparse-MoE fields (HF Mixtral config.json names; 0 experts = dense
+        # MLP). moe_capacity_factor=None selects the dense-dispatch path;
+        # a float selects GShard capacity dispatch (ops/moe.py).
+        self.num_local_experts = num_local_experts
+        self.num_experts_per_tok = num_experts_per_tok
+        self.router_aux_loss_coef = router_aux_loss_coef
+        self.output_router_logits = output_router_logits
+        self.moe_capacity_factor = moe_capacity_factor
         super().__init__(**kwargs)
+
+
+# a Mixtral checkpoint's config.json is a LlamaConfig with num_local_experts
+# > 0 (plus fields the kwargs passthrough keeps, e.g. sliding_window)
+MixtralConfig = LlamaConfig
 
 
 def load_bloom_config(config_fn, **overrides):

@@ -75,6 +75,25 @@ def init_llama_params(config, rng):
         return p
 
     ab, mb = config.attention_bias, config.mlp_bias
+    E = getattr(config, "num_local_experts", 0)
+    if E and E > 0:
+        # sparse-MoE block (Mixtral): router + expert-stacked SwiGLU weights
+        mlp = {
+            "gate": {"w": norm(keys[5], L, D, E)},
+            "experts": {
+                "gate_proj": {"w": norm(keys[6], L, E, D, I)},
+                "up_proj": {"w": norm(keys[7], L, E, D, I)},
+                "down_proj": {"w": norm(keys[9], L, E, I, D)},
+            },
+        }
+        mlp_key = "block_sparse_moe"
+    else:
+        mlp = {
+            "gate_proj": proj(keys[5], D, I, mb),
+            "up_proj": proj(keys[6], D, I, mb),
+            "down_proj": proj(keys[7], I, D, mb),
+        }
+        mlp_key = "mlp"
     params = {
         "embed_tokens": norm(keys[0], V, D),
         "blocks": {
@@ -86,11 +105,7 @@ def init_llama_params(config, rng):
                 "o_proj": proj(keys[4], H * hd, D, ab),
             },
             "post_attention_layernorm": {"w": jnp.ones((L, D), dt)},
-            "mlp": {
-                "gate_proj": proj(keys[5], D, I, mb),
-                "up_proj": proj(keys[6], D, I, mb),
-                "down_proj": proj(keys[7], I, D, mb),
-            },
+            mlp_key: mlp,
         },
         "norm": {"w": jnp.ones((D,), dt)},
     }
@@ -243,21 +258,37 @@ def _llama_mlp(mlp_params, h, act):
 
 def _llama_block(block_params, layer_kv, h, cos, sin, additive_mask,
                  cache_len, config, act):
+    """Returns (h, kv, router_stats) — router_stats is None for dense MLPs,
+    else the (probs, top_i) pair from the MoE router (aux loss input)."""
     eps = config.rms_norm_eps
     attn_out, kv = _llama_attention(
         block_params["self_attn"],
         rms_norm(h, block_params["input_layernorm"]["w"], eps),
         cos, sin, additive_mask, layer_kv, cache_len, config)
     h = h + attn_out
-    h = h + _llama_mlp(
-        block_params["mlp"],
-        rms_norm(h, block_params["post_attention_layernorm"]["w"], eps), act)
-    return h, kv
+    mlp_in = rms_norm(h, block_params["post_attention_layernorm"]["w"], eps)
+    router_stats = None
+    if "block_sparse_moe" in block_params:
+        from cleantransformer_tpu.ops.moe import (
+            moe_mlp_dense, moe_mlp_capacity)
+        cf = getattr(config, "moe_capacity_factor", None)
+        if cf is None:
+            mlp_out, router_stats = moe_mlp_dense(
+                block_params["block_sparse_moe"], mlp_in,
+                config.num_experts_per_tok, act)
+        else:
+            mlp_out, router_stats = moe_mlp_capacity(
+                block_params["block_sparse_moe"], mlp_in,
+                config.num_experts_per_tok, act, capacity_factor=cf)
+    else:
+        mlp_out = _llama_mlp(block_params["mlp"], mlp_in, act)
+    h = h + mlp_out
+    return h, kv, router_stats
 
 
 def llama_forward(params, config, input_ids, attention_mask=None,
                   position_ids=None, segment_ids=None, cache=None,
-                  remat=False, embed_noise=None):
+                  remat=False, embed_noise=None, return_aux=False):
     """Returns (hidden, new_cache). Model protocol of models/gpt.py:
     cache-less masks cover the inputs; cached masks cover the full buffer.
     position_ids default to the GPT/HF convention cumsum(mask)-1 with pad
@@ -312,10 +343,23 @@ def llama_forward(params, config, input_ids, attention_mask=None,
             additive_mask = (causal_add if additive_mask is None
                              else additive_mask + causal_add)
 
+        moe = getattr(config, "num_local_experts", 0) > 0
+        k_tok = getattr(config, "num_experts_per_tok", 2)
+        E = getattr(config, "num_local_experts", 0)
+
         def run_block(h_in, block_params):
-            out, _ = _llama_block(block_params, None, h_in, cos, sin,
-                                  additive_mask, cache_len, config, act)
-            return out
+            out, _, stats = _llama_block(block_params, None, h_in, cos, sin,
+                                         additive_mask, cache_len, config,
+                                         act)
+            if not (moe and return_aux):
+                return out
+            # per-layer load-balancing pieces (ops/moe.py): averaged across
+            # layers AFTER the scan, matching HF's concatenated formulation
+            from cleantransformer_tpu.ops.moe import load_balancing_aux
+            probs, top_i = stats
+            t_e, p_e = load_balancing_aux(probs.reshape(-1, E),
+                                          top_i.reshape(-1, k_tok), E, k_tok)
+            return out, t_e, p_e
         if remat:
             if remat == "dots":
                 policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
@@ -331,9 +375,23 @@ def llama_forward(params, config, input_ids, attention_mask=None,
                 policy = None
             run_block = jax.checkpoint(run_block, policy=policy)
 
-        def body(carry, xs):
-            return run_block(carry, xs), None
-        h, _ = jax.lax.scan(body, h, params["blocks"])
+        aux = None
+        if moe and return_aux:
+            def body(carry, xs):
+                h_in, t_acc, p_acc = carry
+                out, t_e, p_e = run_block(h_in, xs)
+                return (out, t_acc + t_e, p_acc + p_e), None
+            L = config.n_layer
+            (h, t_sum, p_sum), _ = jax.lax.scan(
+                body, (h, jnp.zeros((k_tok, E), jnp.float32),
+                       jnp.zeros((E,), jnp.float32)), params["blocks"])
+            # HF load_balancing_loss_func: concat layers -> mean == mean of
+            # per-layer means (equal sizes); loss = E * sum(t * p)
+            aux = E * jnp.sum((t_sum / L) * (p_sum / L)[None, :])
+        else:
+            def body(carry, xs):
+                return run_block(carry, xs), None
+            h, _ = jax.lax.scan(body, h, params["blocks"])
         new_cache = None
     else:
         kbuf = cache["k"]
@@ -357,9 +415,11 @@ def llama_forward(params, config, input_ids, attention_mask=None,
             additive_mask = (causal_add if additive_mask is None
                              else additive_mask + causal_add)
 
+        aux = None
+
         def body(carry, block_params):
             h_in, k_cache, v_cache, li = carry
-            out, (nk, nv) = _llama_block(
+            out, (nk, nv), _ = _llama_block(
                 block_params, (k_cache, v_cache, li), h_in, cos, sin,
                 additive_mask, cache_len, config, act)
             return (out, nk, nv, li + 1), None
@@ -370,6 +430,8 @@ def llama_forward(params, config, input_ids, attention_mask=None,
         new_cache = {"k": new_k, "v": new_v, "length": cache_len + S}
 
     h = rms_norm(h, params["norm"]["w"], config.rms_norm_eps)
+    if return_aux:
+        return h, new_cache, aux
     return h, new_cache
 
 
@@ -378,22 +440,41 @@ def llama_lm_forward(params, config, input_ids, attention_mask=None,
                      labels=None, loss_mask=None, last_only=False,
                      remat=False, embed_noise=None):
     """Returns ((logits, hidden), cache) or ((loss, logits, hidden), cache)
-    with labels (shift-by-1 CE — the Bloom/HF causal-LM convention)."""
-    h, new_cache = llama_forward(params, config, input_ids, attention_mask,
-                                 position_ids, segment_ids, cache,
-                                 remat=remat, embed_noise=embed_noise)
+    with labels (shift-by-1 CE — the Bloom/HF causal-LM convention).
+    With ``config.output_router_logits`` (MoE training, HF Mixtral
+    convention) the labeled loss additionally includes
+    ``router_aux_loss_coef *`` the load-balancing aux loss."""
+    want_aux = (labels is not None
+                and getattr(config, "num_local_experts", 0) > 0
+                and getattr(config, "output_router_logits", False)
+                and cache is None)
+    if want_aux:
+        h, new_cache, aux = llama_forward(
+            params, config, input_ids, attention_mask, position_ids,
+            segment_ids, cache, remat=remat, embed_noise=embed_noise,
+            return_aux=True)
+    else:
+        h, new_cache = llama_forward(params, config, input_ids,
+                                     attention_mask, position_ids,
+                                     segment_ids, cache, remat=remat,
+                                     embed_noise=embed_noise)
+        aux = None
     lm_head = params.get("lm_head", params["embed_tokens"])
     if labels is not None and getattr(config, "fused_ce", False):
         from cleantransformer_tpu.ops.fused_ce import fused_shift_ce
         loss = fused_shift_ce(h, lm_head, labels, mask=loss_mask,
                               chunk_tokens=getattr(config, "fused_ce_chunk",
                                                    2048))
+        if aux is not None:
+            loss = loss + config.router_aux_loss_coef * aux
         return (loss, None, h), new_cache
     h_for_logits = h[:, -1:] if last_only else h
     logits = lm_head_matmul(h_for_logits, lm_head)
     if labels is not None:
         loss = shift_cross_entropy_loss(logits.astype(jnp.float32), labels,
                                         mask=loss_mask)
+        if aux is not None:
+            loss = loss + config.router_aux_loss_coef * aux
         return (loss, logits, h), new_cache
     return (logits, h), new_cache
 

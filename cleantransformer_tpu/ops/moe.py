@@ -1,0 +1,138 @@
+"""Sparse mixture-of-experts MLP (Mixtral-style) with expert parallelism.
+
+Extension beyond the reference (which has no MoE models): the behavioral
+spec is HF ``modeling_mixtral.py`` — a linear router, softmax in fp32,
+top-k expert choice with the chosen weights renormalized to sum 1, SwiGLU
+experts — asserted against the executed HF implementation in
+tests/test_moe.py.
+
+Two TPU-first compute paths, both jittable and exact when no token drops:
+
+ - ``moe_mlp_dense``: every expert processes every token; the top-k routing
+   enters as a (T, E) combine-weight matrix (zeros off the top-k). Exact
+   Mixtral semantics with no gather/scatter — the overcompute factor is
+   E/k, which is fine for parity tests, small expert counts, and decode
+   (where the matmuls are bandwidth-bound anyway). With the expert dim
+   sharded over an ``expert`` mesh axis each device runs only its local
+   E/ep experts and the combine einsum psums partial outputs over ICI.
+
+ - ``moe_mlp_capacity``: GShard/Switch-style dispatch — each expert gets a
+   fixed-capacity (E, C, D) token buffer built by a one-hot dispatch einsum,
+   runs its SwiGLU once, and a combine einsum scatters outputs back weighted
+   by the routing probabilities. Compute scales with k/E of the dense path;
+   tokens beyond an expert's capacity are DROPPED (their combine weight is
+   zero — the standard capacity-factor trade). Priority is slot-major then
+   token order, the GShard convention. With capacity >= the realized maximum
+   expert load the result equals ``moe_mlp_dense`` bit-for-near (fp
+   reassociation only) — asserted in tests.
+
+Expert parallelism = sharding annotations (the same stance as DP/TP/ZeRO in
+parallel/sharding.py): expert-stacked weights (E, D, I) and the (E, C, D)
+buffers carry an ``expert`` axis spec; GSPMD derives the all-to-all /
+reduce out of the dispatch/combine einsums.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from cleantransformer_tpu.parallel.sharding import shard_hint
+
+
+def router_topk(x, gate_w, num_experts_per_tok):
+    """x: (T, D) -> (router_logits (T,E), full softmax probs fp32 (T,E),
+    top-k weights renormalized (T,k) fp32, top-k indices (T,k) int32).
+
+    Matches HF Mixtral: logits in compute dtype, softmax in fp32, chosen
+    weights divided by their sum."""
+    logits = jnp.matmul(x, gate_w.astype(x.dtype))            # (T, E)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    top_w, top_i = jax.lax.top_k(probs, num_experts_per_tok)  # (T, k)
+    top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+    return logits, probs, top_w, top_i.astype(jnp.int32)
+
+
+def _expert_ffn(experts, x_e, act):
+    """Batched SwiGLU over the expert axis. x_e: (E, *, D) -> (E, *, D)."""
+    wg = experts["gate_proj"]["w"]  # (E, D, I)
+    wu = experts["up_proj"]["w"]
+    wd = experts["down_proj"]["w"]  # (E, I, D)
+    hidden = act(jnp.einsum("e...d,edi->e...i", x_e, wg.astype(x_e.dtype)))
+    hidden = hidden * jnp.einsum("e...d,edi->e...i", x_e, wu.astype(x_e.dtype))
+    hidden = shard_hint(hidden, ("expert", None, "model"))
+    return jnp.einsum("e...i,eid->e...d", hidden, wd.astype(x_e.dtype))
+
+
+def moe_mlp_dense(moe_params, h, num_experts_per_tok, act):
+    """Dense-dispatch MoE: (B, S, D) -> ((B, S, D), (probs, top_i)).
+
+    Every expert computes every token; the (T, E) combine matrix (top-k
+    routing weights, zero elsewhere) selects and mixes. Overcompute E/k."""
+    B, S, D = h.shape
+    T = B * S
+    x = h.reshape(T, D)
+    E = moe_params["gate"]["w"].shape[-1]
+    _, probs, top_w, top_i = router_topk(x, moe_params["gate"]["w"],
+                                         num_experts_per_tok)
+    comb = jnp.zeros((T, E), jnp.float32)
+    comb = comb.at[jnp.arange(T)[:, None], top_i].set(top_w)   # (T, E)
+
+    x_e = jnp.broadcast_to(x[None], (E, T, D))
+    x_e = shard_hint(x_e, ("expert", None, None))
+    out_e = _expert_ffn(moe_params["experts"], x_e, act)       # (E, T, D)
+    out = jnp.einsum("etd,te->td", out_e, comb.astype(h.dtype))
+    return out.reshape(B, S, D), (probs, top_i)
+
+
+def moe_mlp_capacity(moe_params, h, num_experts_per_tok, act,
+                     capacity_factor=1.25, capacity=None):
+    """Capacity-dispatch MoE (GShard): (B, S, D) -> ((B, S, D), stats).
+
+    ``capacity`` (per expert) defaults to ceil(k*T/E * capacity_factor),
+    rounded up to a multiple of 8 for TPU-friendly (8, 128) tiling. Tokens
+    past an expert's capacity are dropped (zero contribution) — pass
+    ``capacity >= k*T`` worst case (or just T) for guaranteed-no-drop."""
+    B, S, D = h.shape
+    T = B * S
+    k = num_experts_per_tok
+    x = h.reshape(T, D)
+    E = moe_params["gate"]["w"].shape[-1]
+    if capacity is None:
+        capacity = int((k * T + E - 1) // E * capacity_factor)
+        capacity = max(8, -(-capacity // 8) * 8)
+    C = min(capacity, T)
+
+    _, probs, top_w, top_i = router_topk(x, moe_params["gate"]["w"], k)
+
+    # slot-major positions: slot j's tokens queue behind slots < j (GShard)
+    disp = jnp.zeros((T, E, C), jnp.float32)   # one-hot dispatch
+    weight = jnp.zeros((T, E, C), jnp.float32)  # combine weights
+    counts = jnp.zeros((E,), jnp.int32)
+    for j in range(k):
+        oh = jax.nn.one_hot(top_i[:, j], E, dtype=jnp.int32)   # (T, E)
+        pos = jnp.cumsum(oh, axis=0) - oh + counts[None]        # (T, E)
+        pos_j = jnp.sum(pos * oh, axis=-1)                      # (T,)
+        keep = pos_j < C
+        slot_oh = (jax.nn.one_hot(pos_j, C, dtype=jnp.float32)
+                   * keep[:, None].astype(jnp.float32))         # (T, C)
+        d_j = oh.astype(jnp.float32)[:, :, None] * slot_oh[:, None, :]
+        disp = disp + d_j
+        weight = weight + d_j * top_w[:, j][:, None, None]
+        counts = counts + jnp.sum(oh, axis=0)
+
+    x_e = jnp.einsum("tec,td->ecd", disp.astype(h.dtype), x)    # (E, C, D)
+    x_e = shard_hint(x_e, ("expert", None, None))
+    out_e = _expert_ffn(moe_params["experts"], x_e, act)        # (E, C, D)
+    out = jnp.einsum("tec,ecd->td", weight.astype(h.dtype), out_e)
+    return out.reshape(B, S, D), (probs, top_i)
+
+
+def load_balancing_aux(probs, top_i, num_experts, num_experts_per_tok):
+    """Per-layer pieces of HF's ``load_balancing_loss_func``: returns
+    (tokens_per_expert (k, E), router_prob_per_expert (E,)) — means over the
+    token dim. The final loss (models/llama.py) averages these across layers
+    first, then takes E * sum(tokens * probs), exactly matching HF's
+    concatenate-layers-then-mean formulation."""
+    expert_mask = jax.nn.one_hot(top_i, num_experts, dtype=jnp.float32)
+    tokens_per_expert = jnp.mean(expert_mask, axis=0)     # (k, E)
+    router_prob_per_expert = jnp.mean(probs, axis=0)       # (E,)
+    return tokens_per_expert, router_prob_per_expert

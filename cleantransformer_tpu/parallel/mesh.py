@@ -64,6 +64,20 @@ def make_mesh(data=None, model=1, devices=None):
     return jax.sharding.Mesh(dev_array, ("data", "model"))
 
 
+def make_named_mesh(devices=None, **axes):
+    """Mesh with arbitrary named axes in kwarg order, e.g.
+    ``make_named_mesh(data=2, expert=4)`` — for parallelism strategies beyond
+    data x model (expert parallelism, sequence/'seq' rings, pipelines)."""
+    devices = devices if devices is not None else jax.devices()
+    names = tuple(axes)
+    sizes = tuple(axes[n] for n in names)
+    n = int(np.prod(sizes))
+    assert n == len(devices), (
+        f"axes {dict(axes)} need {n} devices, got {len(devices)}")
+    dev_array = np.asarray(devices).reshape(sizes)
+    return jax.sharding.Mesh(dev_array, names)
+
+
 def active_mesh():
     return _ACTIVE_MESH
 

@@ -102,6 +102,15 @@ def llama_param_specs(params):
 
     def rule(path, leaf):
         if "blocks" in path:
+            if "experts" in path:
+                # MoE expert stacks (L, E, in, out): expert-parallel over the
+                # 'expert' axis; within each expert, gate/up column-parallel
+                # and down row-parallel over 'model' (composable EP x TP)
+                if any(n in path for n in ("gate_proj", "up_proj")):
+                    return P(None, "expert", None, "model")
+                if "down_proj" in path:
+                    return P(None, "expert", "model", None)
+                return P(*([None] * leaf.ndim))
             if any(n in path for n in ("q_proj", "k_proj", "v_proj",
                                        "gate_proj", "up_proj")):
                 return P(None, None, "model") if leaf.ndim == 3 else P(None, "model")
@@ -130,8 +139,22 @@ def param_specs(params, model_type="gpt"):
     return jax.tree_util.tree_map(lambda x: P(*([None] * x.ndim)), params)
 
 
+def clean_specs(mesh, spec_tree):
+    """Drop axis names a mesh doesn't have (or has at size 1) from every
+    PartitionSpec leaf — llama specs carry an 'expert' axis that only
+    EP meshes define."""
+    names = set(mesh.axis_names)
+
+    def clean(spec):
+        return P(*[a if (a in names and mesh.shape[a] > 1) else None
+                   for a in spec])
+
+    return jax.tree_util.tree_map(
+        clean, spec_tree, is_leaf=lambda x: isinstance(x, P))
+
+
 def shard_params(params, mesh, model_type="gpt"):
-    specs = param_specs(params, model_type)
+    specs = clean_specs(mesh, param_specs(params, model_type))
     shardings = named_sharding(mesh, specs)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
 
@@ -157,7 +180,7 @@ def zero_specs(params, mesh, model_type="gpt", axis="data"):
     ``params`` (Adam m/v): the TP param specs with ``axis`` added on the
     largest free divisible dim of every leaf."""
     dp = mesh.shape.get(axis, 1)
-    base = param_specs(params, model_type)
+    base = clean_specs(mesh, param_specs(params, model_type))
     return jax.tree_util.tree_map(
         lambda leaf, spec: _zero_leaf_spec(spec, leaf.shape, dp, axis),
         params, base)

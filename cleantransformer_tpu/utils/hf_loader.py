@@ -171,6 +171,32 @@ def llama_params_from_state_dict(sd, config, dtype=np.float32):
         return p
 
     ab, mb = config.attention_bias, config.mlp_bias
+    E = getattr(config, "num_local_experts", 0)
+    if E and E > 0:
+        # Mixtral sparse-MoE layout: block_sparse_moe.gate + experts.M.w1/w2/w3
+        # (w1=gate_proj, w3=up_proj, w2=down_proj); stacked (L, E, in, out)
+        def experts(wname):
+            return np.stack([
+                np.stack([_np(sd[f"layers.{i}.block_sparse_moe.experts."
+                              f"{e}.{wname}.weight"]).T for e in range(E)])
+                for i in range(L)])
+        mlp = {
+            "gate": {"w": _stack(sd, l + "block_sparse_moe.gate.weight", L,
+                                 transpose=True)},
+            "experts": {
+                "gate_proj": {"w": experts("w1")},
+                "up_proj": {"w": experts("w3")},
+                "down_proj": {"w": experts("w2")},
+            },
+        }
+        mlp_key = "block_sparse_moe"
+    else:
+        mlp = {
+            "gate_proj": lin("mlp.gate_proj", mb),
+            "up_proj": lin("mlp.up_proj", mb),
+            "down_proj": lin("mlp.down_proj", mb),
+        }
+        mlp_key = "mlp"
     params = {
         "embed_tokens": _np(sd["embed_tokens.weight"]),
         "blocks": {
@@ -183,11 +209,7 @@ def llama_params_from_state_dict(sd, config, dtype=np.float32):
             },
             "post_attention_layernorm": {
                 "w": _stack(sd, l + "post_attention_layernorm.weight", L)},
-            "mlp": {
-                "gate_proj": lin("mlp.gate_proj", mb),
-                "up_proj": lin("mlp.up_proj", mb),
-                "down_proj": lin("mlp.down_proj", mb),
-            },
+            mlp_key: mlp,
         },
         "norm": {"w": _np(sd["norm.weight"])},
     }
