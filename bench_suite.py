@@ -259,6 +259,18 @@ def main():
     bmodel._tie_weight()
     bench_decode(bmodel, "bloom560m_decode_b8", 8, 32, 128, 50432)
 
+    # Llama-family decode (TinyLlama-1.1B-class: GQA 32q/4kv heads, SwiGLU,
+    # RoPE) — the GQA cache is 8x smaller than a full-head cache
+    from cleantransformer_tpu.config import LlamaConfig
+    from cleantransformer_tpu.models.llama import LlamaForCausalLM
+    lcfg = LlamaConfig(vocab_size=32000, hidden_size=2048,
+                       intermediate_size=5632, num_hidden_layers=22,
+                       num_attention_heads=32, num_key_value_heads=4,
+                       max_position_embeddings=2048,
+                       compute_dtype="bfloat16", decode_unroll=22)
+    lmodel = LlamaForCausalLM(lcfg, rng=jax.random.PRNGKey(0))
+    bench_decode(lmodel, "tinyllama_1.1B_decode_b8", 8, 32, 128, 32000)
+
     bench_serving(model, "gpt2_124M_serving_tokens_per_sec", 50257)
 
     # speculative decoding: self-draft = acceptance-1 upper bound on the
@@ -276,7 +288,7 @@ def main():
     # free the inference models (params + cast caches) before the training
     # benches — the 560M SFT step needs most of the chip's HBM
     import gc
-    del model, qmodel, bmodel, draft2
+    del model, qmodel, bmodel, lmodel, draft2
     gc.collect()
 
     bench_sft_step(use_flash=True)

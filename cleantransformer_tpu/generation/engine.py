@@ -110,13 +110,19 @@ def generate(model, input_ids, attention_mask=None, position_ids=None,
         end_ids = [end_ids]
     end_ids = tuple(end_ids) if end_ids is not None else None
 
-    input_ids = jnp.asarray(input_ids)
+    # keep prompt arrays host-side (numpy): the fused program takes them as
+    # arguments, so the transfer happens inside its single launch instead of
+    # as separate eager dispatches (each one is launch overhead on a
+    # remotely-tunnelled TPU)
+    input_ids = np.asarray(input_ids)
     if attention_mask is None:
-        attention_mask = jnp.ones_like(input_ids)
-    attention_mask = jnp.asarray(attention_mask)
+        attention_mask = np.ones_like(input_ids)
+    attention_mask = np.asarray(attention_mask)
 
     if rng is None:
-        rng = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+        # raw legacy uint32 key, built host-side — jax.random accepts it
+        # directly; PRNGKey() would dispatch a device op per generate() call
+        rng = np.asarray([0, np.random.randint(0, 2 ** 31 - 1)], np.uint32)
 
     # models with learned position embeddings can't decode past n_positions:
     # under jit the gather would silently clamp to the last position where
@@ -292,11 +298,11 @@ def _decode_one(forward, config, params, tokens_buf, mask_buf, cache, aux,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "forward", "config", "ngram_size", "do_sample", "temperature", "top_k",
-    "top_p", "end_ids", "pad_id", "total_len"))
-def _generate_fused(params, config, forward, tokens_buf, mask_buf, cache,
-                    input_ids, position_ids, segment_ids, aux, unfinished,
-                    rng, cur_len, ngram_size, do_sample, temperature, top_k,
+    "forward", "config", "init_cache", "ngram_size", "do_sample",
+    "temperature", "top_k", "top_p", "end_ids", "pad_id", "total_len"))
+def _generate_fused(params, config, forward, init_cache, input_ids,
+                    attention_mask, position_ids, segment_ids, rng,
+                    ngram_size, do_sample, temperature, top_k,
                     top_p, end_ids, pad_id, total_len):
     """Prefill + full decode loop as ONE device program.
 
@@ -304,7 +310,21 @@ def _generate_fused(params, config, forward, tokens_buf, mask_buf, cache,
     synchronizes on costs a network round trip; splitting prefill and the
     decode loop into two jits plus two host fetches added ~3 RTTs per
     generate() call. Fusing them (and fetching the (tokens, length) tuple
-    with a single jax.device_get) leaves exactly one round trip."""
+    with a single jax.device_get) leaves exactly one round trip.
+
+    The token/mask buffers and the zero KV cache are created INSIDE the
+    program (``init_cache`` is the model's static cache factory): eagerly
+    allocating them on the host dispatched ~8 extra device ops per
+    generate() call — pure per-call launch overhead on the tunnel — and
+    kept a dead zero-cache buffer alive in HBM between calls."""
+    B, S0 = input_ids.shape
+    cache = init_cache(B, total_len)
+    tokens_buf, mask_buf, extend_val = _make_buffers(
+        input_ids, attention_mask, total_len, pad_id)
+    aux = _make_aux_buffers(position_ids, segment_ids, B, total_len)
+    aux["ext"] = extend_val
+    unfinished = jnp.ones((B,), dtype=jnp.int32)
+    cur_len = jnp.asarray(S0, jnp.int32)
     (logits, _), cache = forward(params, config, input_ids, mask_buf,
                                  position_ids, segment_ids, cache,
                                  last_only=True)
@@ -363,24 +383,25 @@ def _greedy_search(model, params, input_ids, attention_mask, position_ids,
     # step > max_len check trips (generation_util.py:114-117).
     total_len = S0 + max_gen_len + 2
     forward = model.forward_fn()
-    cache = model.init_cache(B, total_len)
-    tokens_buf, mask_buf, extend_val = _make_buffers(input_ids, attention_mask,
-                                                     total_len, pad_id)
-    aux = _make_aux_buffers(position_ids, segment_ids, B, total_len)
-    aux["ext"] = extend_val
-    unfinished = jnp.ones((B,), dtype=jnp.int32)
 
     kw = dict(ngram_size=no_repeat_ngram_size, do_sample=do_sample,
               temperature=temperature, top_k=top_k, top_p=top_p,
               end_ids=end_ids, pad_id=pad_id)
     if steamers is None:
         tokens_buf, cur_len = _generate_fused(
-            params, model.config, forward, tokens_buf, mask_buf, cache,
-            input_ids, position_ids, segment_ids, aux, unfinished, rng,
-            cur_len=jnp.asarray(S0, jnp.int32), total_len=total_len, **kw)
+            params, model.config, forward, model.init_cache, input_ids,
+            attention_mask, position_ids, segment_ids, rng,
+            total_len=total_len, **kw)
         tokens_np, n = jax.device_get((tokens_buf, cur_len))
         n = int(n)
         return tokens_np[:, :n].reshape(B, 1, n)
+
+    cache = model.init_cache(B, total_len)
+    tokens_buf, mask_buf, extend_val = _make_buffers(input_ids, attention_mask,
+                                                     total_len, pad_id)
+    aux = _make_aux_buffers(position_ids, segment_ids, B, total_len)
+    aux["ext"] = extend_val
+    unfinished = jnp.ones((B,), dtype=jnp.int32)
 
     tokens_buf, mask_buf, cache, aux, unfinished, rng, cur_len = _prefill_step(
         params, model.config, forward, tokens_buf, mask_buf, cache,
