@@ -71,6 +71,25 @@ def inference_params(model):
     return params
 
 
+def cache_factory(model):
+    """The model's module-level cache factory fn(config, B, T) — preferred
+    over the bound ``model.init_cache`` wherever the factory becomes a
+    static jit argument (static args are held strongly; a bound method
+    would pin the whole model, params included, in the jit cache)."""
+    f = getattr(type(model), "cache_factory", None)
+    if f is not None:
+        return f
+    # duck-typed fallback: wrap the bound method (pins the model — fine for
+    # short-lived/experimental model classes). Memoized on the instance so
+    # repeated generate() calls hit the same jit cache entry.
+    cached = getattr(model, "_cache_factory_wrapper", None)
+    if cached is not None:
+        return cached
+    bound = model.init_cache
+    model._cache_factory_wrapper = lambda config, B, T: bound(B, T)
+    return model._cache_factory_wrapper
+
+
 def bind_generation(model):
     """Attach .generate() to a model instance (the reference gets it by
     inheriting GenerationMixin; here it is bound explicitly)."""
@@ -313,12 +332,15 @@ def _generate_fused(params, config, forward, init_cache, input_ids,
     with a single jax.device_get) leaves exactly one round trip.
 
     The token/mask buffers and the zero KV cache are created INSIDE the
-    program (``init_cache`` is the model's static cache factory): eagerly
-    allocating them on the host dispatched ~8 extra device ops per
-    generate() call — pure per-call launch overhead on the tunnel — and
-    kept a dead zero-cache buffer alive in HBM between calls."""
+    program (``init_cache`` is the model class's MODULE-LEVEL cache factory,
+    called as init_cache(config, B, T)): eagerly allocating them on the host
+    dispatched ~8 extra device ops per generate() call — pure per-call
+    launch overhead on the tunnel — and kept a dead zero-cache buffer alive
+    in HBM between calls. The factory must not be a bound method: static
+    jit args are held strongly, so a bound init_cache would pin the model
+    (and its params) in HBM for the life of the jit cache."""
     B, S0 = input_ids.shape
-    cache = init_cache(B, total_len)
+    cache = init_cache(config, B, total_len)
     tokens_buf, mask_buf, extend_val = _make_buffers(
         input_ids, attention_mask, total_len, pad_id)
     aux = _make_aux_buffers(position_ids, segment_ids, B, total_len)
@@ -389,7 +411,7 @@ def _greedy_search(model, params, input_ids, attention_mask, position_ids,
               end_ids=end_ids, pad_id=pad_id)
     if steamers is None:
         tokens_buf, cur_len = _generate_fused(
-            params, model.config, forward, model.init_cache, input_ids,
+            params, model.config, forward, cache_factory(model), input_ids,
             attention_mask, position_ids, segment_ids, rng,
             total_len=total_len, **kw)
         tokens_np, n = jax.device_get((tokens_buf, cur_len))

@@ -43,19 +43,26 @@ from cleantransformer_tpu.generation.logits_process import build_wrapper_chain
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "t_forward", "d_forward", "t_config", "d_config", "K", "end_ids",
-    "total_len", "do_sample", "temperature", "top_k", "top_p"))
+    "t_forward", "d_forward", "t_config", "d_config", "t_init_cache",
+    "d_init_cache", "K", "end_ids", "total_len", "do_sample", "temperature",
+    "top_k", "top_p"))
 def _speculative_loop(t_params, d_params, t_config, d_config, t_forward,
-                      d_forward, input_ids, tokens, t_cache, d_cache, rng, K,
-                      end_ids, total_len, do_sample=False, temperature=1.0,
+                      d_forward, t_init_cache, d_init_cache, input_ids, rng,
+                      K, end_ids, total_len, do_sample=False, temperature=1.0,
                       top_k=0, top_p=1.0):
-    """ONE device program: target+draft prefill, then the draft/verify
-    round while_loop. tokens: (1, T) with the prompt written (eager prefill
-    would dispatch two full forwards op-by-op through a remote tunnel — the
-    same pathology the generate() and serving engines avoid).
-    Returns (tokens, n_final, rounds)."""
-    T = tokens.shape[1]
+    """ONE device program: token buffer + cache creation, target+draft
+    prefill, then the draft/verify round while_loop (eager prefill would
+    dispatch two full forwards op-by-op through a remote tunnel — the same
+    pathology the generate() and serving engines avoid; eager buffer/cache
+    allocation costs ~6 launch dispatches per call, see engine.py
+    _generate_fused). Returns (tokens, n_final, rounds)."""
     S0 = input_ids.shape[1]
+    T = total_len + K + 1  # margin: a round may overshoot before clamping
+    tokens = jnp.zeros((1, T), jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, input_ids.astype(jnp.int32),
+                                          (0, 0))
+    t_cache = t_init_cache(t_config, 1, T)
+    d_cache = d_init_cache(d_config, 1, T)
     col = jnp.arange(T, dtype=jnp.int32)[None]  # (1, T)
     wrapper = build_wrapper_chain(do_sample, temperature, top_k, top_p)
 
@@ -247,7 +254,6 @@ def speculative_generate(model, draft_model, input_ids, attention_mask=None,
     K = int(draft_len)
     assert K >= 1
     total_len = S0 + max_gen_len + 2  # reference loop emits max_gen_len + 2
-    T = total_len + K + 1  # margin: a round may overshoot before clamping
 
     from cleantransformer_tpu.generation.engine import inference_params
     t_params = inference_params(model)
@@ -255,17 +261,15 @@ def speculative_generate(model, draft_model, input_ids, attention_mask=None,
     t_forward = model.forward_fn()
     d_forward = draft_model.forward_fn()
 
-    tokens = jnp.zeros((1, T), jnp.int32)
-    tokens = jax.lax.dynamic_update_slice(tokens, input_ids.astype(jnp.int32),
-                                          (0, 0))
-    t_cache = model.init_cache(1, T)
-    d_cache = draft_model.init_cache(1, T)
     if rng is None:
-        rng = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+        # raw legacy uint32 key, host-built (no eager device op)
+        rng = np.asarray([0, np.random.randint(0, 2 ** 31 - 1)], np.uint32)
 
+    from cleantransformer_tpu.generation.engine import cache_factory
     tokens, n, rounds = _speculative_loop(
         t_params, d_params, model.config, draft_model.config, t_forward,
-        d_forward, input_ids.astype(jnp.int32), tokens, t_cache, d_cache, rng,
+        d_forward, cache_factory(model), cache_factory(draft_model),
+        np.asarray(input_ids, np.int32), rng,
         K=K, end_ids=end_ids, total_len=total_len, do_sample=do_sample,
         temperature=temperature, top_k=top_k, top_p=top_p)
     tokens_np, n, rounds = jax.device_get((tokens, n, rounds))

@@ -436,6 +436,8 @@ class BloomForCausalLM:
         from cleantransformer_tpu.generation.engine import bind_generation
         bind_generation(self)
 
+    cache_factory = staticmethod(init_bloom_cache)  # see models/gpt.py
+
     def _tie_weight(self):
         """Tie lm_head to the word embeddings (modeling_bloom.py:215-216):
         dropping the separate leaf makes them ONE trainable parameter."""

@@ -548,6 +548,10 @@ class GPTLMHeadModel:
         from cleantransformer_tpu.generation.engine import bind_generation
         bind_generation(self)
 
+    # module-level factory consumed as a static jit arg by the generation
+    # engine (a bound init_cache there would pin the model in the jit cache)
+    cache_factory = staticmethod(init_kv_cache)
+
     @property
     def n_layer(self):
         return self.config.n_layer

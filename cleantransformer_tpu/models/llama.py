@@ -504,6 +504,8 @@ class LlamaForCausalLM:
         from cleantransformer_tpu.generation.engine import bind_generation
         bind_generation(self)
 
+    cache_factory = staticmethod(init_llama_cache)  # see models/gpt.py
+
     def _tie_weight(self):
         self.params.pop("lm_head", None)
 

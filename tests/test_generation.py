@@ -102,3 +102,19 @@ def test_generate_rejects_beyond_n_positions():
     out = m.generate(ids, generation_configs={"beam_size": 1, "max_gen_len": 6,
                                               "do_sample": False})
     assert np.asarray(out).shape[-1] <= 16
+
+
+def test_cache_factory_not_bound():
+    """The generation engine's static cache factory must be a module-level
+    function shared across instances — a bound method would (a) pin the
+    model's params in the jit cache (HBM leak: the round-2 bench OOMed on
+    exactly this) and (b) retrace per instance."""
+    from cleantransformer_tpu.generation.engine import cache_factory
+    from cleantransformer_tpu.config import GPTConfig
+    from cleantransformer_tpu.models.gpt import GPTLMHeadModel, init_kv_cache
+    cfg = dict(vocab_size=64, n_embd=32, n_positions=64, n_layer=2, n_head=2)
+    m1 = GPTLMHeadModel(GPTConfig(**cfg), version="gpt2", rng=jax.random.PRNGKey(0))
+    m2 = GPTLMHeadModel(GPTConfig(**cfg), version="gpt2", rng=jax.random.PRNGKey(1))
+    f1, f2 = cache_factory(m1), cache_factory(m2)
+    assert f1 is f2 is init_kv_cache
+    assert getattr(f1, "__self__", None) is None
