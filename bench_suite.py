@@ -171,6 +171,61 @@ def bench_sft_step(use_flash, remat=True):
             "params_millions": round(n_params / 1e6, 1)})
 
 
+def bench_llama_sft(use_flash=True):
+    """Llama-class SFT (360M: hidden 1280, hd 128, SwiGLU). hd=128 runs the
+    flash kernels at full lane utilization (Bloom's hd=64 caps them at
+    ~20-25 TF/s), so this measures the architecture-unconstrained MFU."""
+    from cleantransformer_tpu.config import LlamaConfig
+    from cleantransformer_tpu.models.llama import (
+        LlamaForCausalLM, llama_lm_forward)
+    cfg = LlamaConfig(vocab_size=32000, hidden_size=1280,
+                      intermediate_size=3456, num_hidden_layers=16,
+                      num_attention_heads=10, num_key_value_heads=10,
+                      max_position_embeddings=2048,
+                      compute_dtype="bfloat16",
+                      use_flash_attention=use_flash)
+    model = LlamaForCausalLM(cfg, rng=jax.random.PRNGKey(0))
+    model._tie_weight()
+    n_params = count_params(model.params)
+    init_fn, update_fn = adamw_decoupled(lr=1e-5)
+    opt_state = init_fn(model.params)
+    B, S = 8, 1024
+    rs = np.random.RandomState(0)
+    batch = {"input_ids": jnp.asarray(rs.randint(0, 32000, (B, S)), jnp.int32),
+             "attention_mask": jnp.ones((B, S), jnp.int32)}
+    batch["labels"] = batch["input_ids"]
+    remat = "attn" if use_flash else True
+
+    def loss_fn(params, b):
+        (loss, _, _), _ = llama_lm_forward(params, cfg, b["input_ids"],
+                                           b["attention_mask"],
+                                           labels=b["labels"], remat=remat)
+        return loss
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, b):
+        loss, grads = jax.value_and_grad(loss_fn)(params, b)
+        params, opt_state = update_fn(grads, opt_state, params)
+        return params, opt_state, loss
+
+    params = model.params
+    params, opt_state, loss = step(params, opt_state, batch)
+    float(loss)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        params, opt_state, loss = step(params, opt_state, batch)
+        float(loss)
+        times.append(time.perf_counter() - t0)
+    dt = max(min(times) - host_rtt(), 1e-9)
+    flops = transformer_flops(n_params, S, 1280, 16) * B * S
+    record("llama360m_sft_step_time" + ("_flash" if use_flash else ""),
+           dt * 1e3, "ms (batch=8, seq=1024, bf16)",
+           {"tokens_per_sec": round(B * S / dt, 1),
+            "mfu": round(flops / dt / device_peak_flops(), 3),
+            "params_millions": round(n_params / 1e6, 1)})
+
+
 def bench_serving(model, name, vocab, n_requests=24, max_slots=8,
                   max_len=256, n_new=64):
     """Continuous-batching throughput under a stream of variable-length
@@ -293,6 +348,7 @@ def main():
 
     bench_sft_step(use_flash=True)
     bench_sft_step(use_flash=False)
+    bench_llama_sft(use_flash=True)
 
     with open("/root/repo/BENCH_DETAILS.md", "w") as f:
         f.write("# Extended benchmarks (single chip)\n\n")

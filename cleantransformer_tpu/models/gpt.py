@@ -532,6 +532,18 @@ class GPTModel:
                            position_ids, segment_ids, k_v_pasts, self.version)
 
 
+_VERSION_FORWARDS = {}
+
+
+def _forward_for_version(version):
+    """One shared partial per GPT version: the forward fn is a static jit
+    argument in the generation engine, so per-instance partials (which hash
+    by identity) would retrace every program for every model instance."""
+    if version not in _VERSION_FORWARDS:
+        _VERSION_FORWARDS[version] = partial(gpt_lm_forward, version=version)
+    return _VERSION_FORWARDS[version]
+
+
 class GPTLMHeadModel:
     """API-compatible wrapper (reference GPTLMHeadModel, modeling_gpt.py:198-214).
 
@@ -543,8 +555,8 @@ class GPTLMHeadModel:
         self.version = version
         self.params = params if params is not None else init_gpt_params(
             config, rng if rng is not None else jax.random.PRNGKey(0), version)
-        # memoized so repeated generate() calls hit the same jit cache entry
-        self._forward = partial(gpt_lm_forward, version=self.version)
+        # shared per-version so every instance hits the same jit cache entry
+        self._forward = _forward_for_version(version)
         from cleantransformer_tpu.generation.engine import bind_generation
         bind_generation(self)
 

@@ -210,11 +210,15 @@ class Trainer:
             embed_noise = None
             if neftune > 0.0:
                 B, S = batch["input_ids"].shape
+                D = None
                 for emb_key in ("word_embeddings", "tokens_embed",
                                 "embed_tokens"):
                     if emb_key in params:
+                        D = params[emb_key].shape[-1]
                         break
-                D = params[emb_key].shape[-1]
+                if D is None:  # adapter-only trees (LoRA): fall back to config
+                    D = getattr(model.config, "hidden_size",
+                                getattr(model.config, "n_embd", None))
                 mag = neftune / math.sqrt(S * D)
                 embed_noise = jax.random.uniform(rng, (B, S, D), jnp.float32,
                                                  -mag, mag)

@@ -34,6 +34,11 @@ def init_args():
     parser.add_argument("--flash", action="store_true")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--demo", action="store_true")
+    parser.add_argument("--lora_rank", default=0, type=int,
+                        help="LoRA rank (0 = full fine-tune); trains only "
+                             "low-rank adapters on the QKV projections and "
+                             "saves <save_dir>/adapter.safetensors")
+    parser.add_argument("--lora_alpha", default=16, type=int)
     parser.add_argument("--check_determinism", action="store_true",
                         help="run the first-batch loss twice and assert "
                              "bitwise equality (the DDP grad-fingerprint "
@@ -86,6 +91,11 @@ def main():
         data_fn = args.data_fn
         eos = tokenizer.eos_token
 
+    if args.lora_rank > 0:
+        from cleantransformer_tpu.lora import LoraModel
+        model = LoraModel(model, rank=args.lora_rank, alpha=args.lora_alpha,
+                          rng=jax.random.PRNGKey(1))
+
     train_args = TrainingArguments(
         output_dir=args.save_dir, num_train_epochs=args.epochs,
         per_device_train_batch_size=args.batch_size,
@@ -109,8 +119,13 @@ def main():
         print(f"determinism check OK: loss {l1} reproduced bitwise")
 
     trainer.train(resume_from_checkpoint=True if args.resume else None)
-    trainer.save_model(args.save_dir)
-    print("done; saved to", args.save_dir)
+    if args.lora_rank > 0:
+        os.makedirs(args.save_dir, exist_ok=True)
+        model.save_adapter(os.path.join(args.save_dir, "adapter.safetensors"))
+        print("done; adapter saved to", args.save_dir)
+    else:
+        trainer.save_model(args.save_dir)
+        print("done; saved to", args.save_dir)
 
 
 if __name__ == "__main__":
