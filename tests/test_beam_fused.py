@@ -14,6 +14,8 @@ from ref_adapters import ref_gpt_to_hf
 SHAPE = dict(vocab_size=97, n_embd=32, n_positions=128, n_layer=2, n_head=4, n_ctx=128)
 
 
+pytestmark = pytest.mark.slow  # full tier; fast tier: -m 'not slow'
+
 @pytest.fixture(scope="module")
 def pair():
     from CleanTransformer.models.modeling_gpt import GPTLMHeadModel as RefGPT, GPTConfig as RefCfg

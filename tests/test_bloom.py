@@ -14,6 +14,8 @@ from ref_adapters import ref_bloom_to_hf
 SHAPE = dict(vocab_size=101, hidden_size=32, n_layer=2, num_attention_heads=4)
 
 
+pytestmark = pytest.mark.slow  # full tier; fast tier: -m 'not slow'
+
 @pytest.fixture(scope="module")
 def pair():
     from CleanTransformer.models.modeling_bloom import BloomForCausalLM as RefBloom, BloomConfig as RefCfg

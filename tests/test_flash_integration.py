@@ -11,6 +11,10 @@ from cleantransformer_tpu.models.bloom import BloomForCausalLM, init_bloom_param
 from cleantransformer_tpu.models.gpt import GPTLMHeadModel, init_gpt_params
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full tier; fast tier: -m 'not slow'
+
 def test_gpt_flash_matches_dense_forward():
     kw = dict(vocab_size=64, n_embd=32, n_positions=128, n_layer=2, n_head=4)
     dense_cfg = GPTConfig(**kw)

@@ -25,6 +25,8 @@ CFG = dict(vocab_size=128, hidden_size=64, intermediate_size=112,
            tie_word_embeddings=False, attention_bias=False)
 
 
+pytestmark = pytest.mark.slow  # full tier; fast tier: -m 'not slow'
+
 def _hf_pair(seed=0, **overrides):
     """(hf_model, our_model) with identical weights."""
     import torch

@@ -24,6 +24,8 @@ CFG = dict(vocab_size=128, hidden_size=64, intermediate_size=112,
            router_aux_loss_coef=0.01, tie_word_embeddings=False)
 
 
+pytestmark = pytest.mark.slow  # full tier; fast tier: -m 'not slow'
+
 @pytest.fixture(scope="module")
 def pair():
     import torch

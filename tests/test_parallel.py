@@ -19,8 +19,9 @@ from cleantransformer_tpu.parallel import (
 )
 from cleantransformer_tpu.parallel.sharding import param_specs, data_specs
 
-pytestmark = pytest.mark.skipif(jax.device_count() < 8,
-                                reason="needs 8 virtual devices")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(jax.device_count() < 8,
+                                 reason="needs 8 virtual devices")]
 
 
 def _bloom():

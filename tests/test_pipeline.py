@@ -14,8 +14,9 @@ from cleantransformer_tpu.parallel.pipeline import (
     make_pipeline_train_step,
 )
 
-pytestmark = pytest.mark.skipif(jax.device_count() < 4,
-                                reason="needs 4 virtual devices")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(jax.device_count() < 4,
+                                 reason="needs 4 virtual devices")]
 
 
 def _setup(n_layer=4, num_stages=4):

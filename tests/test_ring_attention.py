@@ -10,8 +10,9 @@ from cleantransformer_tpu.ops.pallas_kernels import _dense_reference
 from cleantransformer_tpu.parallel.ring_attention import (
     ring_attention, make_seq_mesh)
 
-pytestmark = pytest.mark.skipif(jax.device_count() < 4,
-                                reason="needs 4 virtual devices")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(jax.device_count() < 4,
+                                 reason="needs 4 virtual devices")]
 
 
 def _qkv(B=2, H=2, S=64, hd=16, seed=0):

@@ -24,6 +24,8 @@ BLOOM_SHAPE = dict(vocab_size=101, hidden_size=64, n_layer=2,
                    num_attention_heads=4)
 
 
+pytestmark = pytest.mark.slow  # full tier; fast tier: -m 'not slow'
+
 @pytest.fixture(scope="module")
 def gpt():
     return GPTLMHeadModel(GPTConfig(**GPT_SHAPE), version="gpt2",

@@ -17,6 +17,8 @@ GPT_T = dict(vocab_size=211, n_embd=64, n_positions=256, n_layer=3, n_head=4,
 GPT_D = dict(GPT_T, n_layer=1)
 
 
+pytestmark = pytest.mark.slow  # full tier; fast tier: -m 'not slow'
+
 @pytest.fixture(scope="module")
 def gpt_pair():
     target = GPTLMHeadModel(GPTConfig(**GPT_T), version="gpt2",

@@ -19,6 +19,8 @@ from cleantransformer_tpu.trainer import (
 from cleantransformer_tpu.utils import checkpoint as ckpt_io
 
 
+pytestmark = pytest.mark.slow  # full tier; fast tier: -m 'not slow'
+
 @pytest.fixture(scope="module")
 def belle_file(tmp_path_factory):
     p = tmp_path_factory.mktemp("data") / "train.jsonl"

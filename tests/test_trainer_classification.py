@@ -13,6 +13,10 @@ from cleantransformer_tpu.ops.losses import cross_entropy_loss
 from cleantransformer_tpu.trainer import Trainer, TrainingArguments, DataLoader
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full tier; fast tier: -m 'not slow'
+
 def test_bert_classification_finetune():
     cfg = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
                      num_attention_heads=4, intermediate_size=64, num_labels=2,

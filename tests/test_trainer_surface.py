@@ -22,6 +22,8 @@ from cleantransformer_tpu.trainer import (
 from cleantransformer_tpu.trainer.trainer import TrainerCallback
 
 
+pytestmark = pytest.mark.slow  # full tier; fast tier: -m 'not slow'
+
 @pytest.fixture(scope="module")
 def belle_file(tmp_path_factory):
     p = tmp_path_factory.mktemp("data") / "train.jsonl"
