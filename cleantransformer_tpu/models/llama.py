@@ -219,8 +219,11 @@ def _llama_attention(attn_params, h, cos, sin, additive_mask, layer_kv,
         v, v_scale = cache_layer_kv(new_v, li, B, Hkv, T, hd)
 
     scale = 1.0 / math.sqrt(hd)
+    # sliding-window attention (Mistral) rides the additive mask — the flash
+    # kernel's causal iota has no window notion, so SWA takes the dense path
     use_flash = (getattr(config, "use_flash_attention", False) and S > 1
-                 and k_scale is None)
+                 and k_scale is None
+                 and getattr(config, "sliding_window", None) is None)
     if use_flash:
         from cleantransformer_tpu.ops.pallas_kernels import (
             flash_attention, should_interpret)
@@ -333,13 +336,21 @@ def llama_forward(params, config, input_ids, attention_mask=None,
     h = shard_hint(h, ("data", None, None))
     act = ACT2FN[config.hidden_act]
 
+    window = getattr(config, "sliding_window", None)
+    flash_cfg = (getattr(config, "use_flash_attention", False)
+                 and window is None)
+
     if cache is None:
-        # cache-less multi-token: fold causal into the additive mask unless
-        # flash handles it (the kernel's causal iota)
-        if not getattr(config, "use_flash_attention", False) or S <= 1:
+        # cache-less multi-token: fold causal (+ sliding window, Mistral)
+        # into the additive mask unless flash handles it (the kernel's
+        # causal iota)
+        if not flash_cfg or S <= 1:
             row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-            causal_add = jnp.where(col <= row, 0.0, CAUSAL_NEG)[None, None]
+            keep = col <= row
+            if window is not None:
+                keep = keep & (row - col < window)
+            causal_add = jnp.where(keep, 0.0, CAUSAL_NEG)[None, None]
             additive_mask = (causal_add if additive_mask is None
                              else additive_mask + causal_add)
 
@@ -396,22 +407,26 @@ def llama_forward(params, config, input_ids, attention_mask=None,
     else:
         kbuf = cache["k"]
         T = (kbuf["q"] if isinstance(kbuf, dict) else kbuf).shape[3]
-        # fold causal (+ padding) into ONE fp32 additive bias shared by all
-        # layers (see models/gpt.py decode fast path); for S>1 windows the
-        # flash kernel's q_offset iota covers causal instead
-        use_flash_window = (getattr(config, "use_flash_attention", False)
-                            and S > 1
+        # fold causal (+ sliding window + padding) into ONE fp32 additive
+        # bias shared by all layers (see models/gpt.py decode fast path);
+        # for S>1 windows the flash kernel's q_offset iota covers causal
+        use_flash_window = (flash_cfg and S > 1
                             and not getattr(config, "kv_cache_int8", False))
         if not use_flash_window:
             row = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)
             if jnp.ndim(cache_len) == 1:
-                causal_add = jnp.where(
-                    col[None] <= (cache_len[:, None, None] + row[None]),
-                    0.0, CAUSAL_NEG)[:, None]
+                qpos = cache_len[:, None, None] + row[None]  # (B, S, T)
+                keep = col[None] <= qpos
+                if window is not None:
+                    keep = keep & (qpos - col[None] < window)
+                causal_add = jnp.where(keep, 0.0, CAUSAL_NEG)[:, None]
             else:
-                causal_add = jnp.where(col <= (cache_len + row), 0.0,
-                                       CAUSAL_NEG)[None, None]
+                qpos = cache_len + row
+                keep = col <= qpos
+                if window is not None:
+                    keep = keep & (qpos - col < window)
+                causal_add = jnp.where(keep, 0.0, CAUSAL_NEG)[None, None]
             additive_mask = (causal_add if additive_mask is None
                              else additive_mask + causal_add)
 

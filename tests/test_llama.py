@@ -244,3 +244,42 @@ def test_generate_rejects_over_length():
                      generation_configs={"beam_size": 1, "do_sample": False,
                                          "max_gen_len": 5})
     assert np.asarray(out).shape[-1] >= 7
+
+
+def test_mistral_sliding_window_parity():
+    """Sliding-window attention (Mistral): logits + greedy decode parity vs
+    executed HF MistralForCausalLM with window << seq (prefill masks old
+    keys; decode keeps masking them as the cache outgrows the window)."""
+    import torch
+    from transformers import MistralConfig as HFCfg
+    from transformers import MistralForCausalLM as HFM
+    d = dict(vocab_size=128, hidden_size=64, intermediate_size=112,
+             num_hidden_layers=2, num_attention_heads=4,
+             num_key_value_heads=2, max_position_embeddings=256,
+             rms_norm_eps=1e-6, rope_theta=10000.0, sliding_window=4,
+             tie_word_embeddings=False)
+    torch.manual_seed(0)
+    hf = HFM(HFCfg(**d)).eval()
+    cfg = LlamaConfig(**d)
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    ours = LlamaForCausalLM(cfg, params=llama_params_from_state_dict(sd, cfg))
+
+    ids = np.random.RandomState(0).randint(1, 128, (2, 12))  # seq >> window
+    with torch.no_grad():
+        want = hf(torch.tensor(ids)).logits.numpy()
+    (got, _), _ = ours(jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+    gen_hf = hf.generate(torch.tensor(ids), max_new_tokens=10,
+                         do_sample=False).numpy()
+    gen = ours.generate(jnp.asarray(ids), generation_configs={
+        "beam_size": 1, "do_sample": False, "max_gen_len": 10,
+        "end_ids": 2, "pad_id": 2})
+    np.testing.assert_array_equal(np.asarray(gen)[:, 0, :gen_hf.shape[1]],
+                                  gen_hf)
+
+    # the window actually bites: a no-window model diverges on this input
+    cfg_nw = LlamaConfig(**{**d, "sliding_window": None})
+    full = LlamaForCausalLM(cfg_nw, params=ours.params)
+    (full_logits, _), _ = full(jnp.asarray(ids))
+    assert np.abs(np.asarray(full_logits) - want).max() > 1e-3
