@@ -104,14 +104,19 @@ def generate(model, input_ids, attention_mask=None, position_ids=None,
 
     Returns tokens of shape (bsz, beam_size, total_len) like the reference.
 
-    ``draft_model``: accelerate batch-1 greedy decoding with speculative
-    decoding (generation/speculative.py) — bit-identical output, the draft
-    proposes ``draft_len`` tokens per target verification."""
+    ``draft_model``: accelerate batch-1 decoding with speculative decoding
+    (generation/speculative.py) — the draft proposes ``draft_len`` tokens per
+    target verification. Greedy output is bit-identical to the plain path;
+    sampling output is distributed exactly as the plain sampler (rejection
+    sampling). Defaults (incl. do_sample=True) are resolved HERE so adding
+    a draft model never silently changes the decoding mode."""
     if draft_model is not None:
         from cleantransformer_tpu.generation.speculative import (
             speculative_generate)
+        cfg_resolved = {**generation_configs,
+                        "do_sample": generation_configs.get("do_sample", True)}
         return speculative_generate(model, draft_model, input_ids,
-                                    attention_mask, generation_configs,
+                                    attention_mask, cfg_resolved,
                                     draft_len=draft_len, rng=rng)
     cfg = generation_configs
     beam_size = cfg.get("beam_size", 1)

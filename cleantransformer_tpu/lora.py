@@ -9,8 +9,10 @@ tree-map, and training them is the unmodified ``Trainer`` optimizing a
 
 Design:
 
- - ``init_lora_params(base, rng, rank, targets)`` builds ``{"a": (L, in, r),
-   "b": (L, r, out)}`` pairs for every targeted stacked projection
+ - ``init_lora_params(base, rng, rank, targets)`` builds ``{"lora_a": (L, in,
+   r), "lora_b": (L, r, out)}`` pairs (names chosen so the Trainer's
+   bias-exclusion decay rule, which matches leaves literally named "b",
+   never skips weight decay on the B matrices) for every targeted stacked projection
    (B zero-initialized, so step 0 is exactly the base model — the standard
    LoRA init).
  - ``merge_lora(base, lora, scaling)`` returns base-shaped params with
@@ -84,7 +86,8 @@ def init_lora_params(base_params, rng, rank, targets, dtype=jnp.float32):
         node = lora
         for k in path[:-1]:
             node = node.setdefault(k, {})
-        node[path[-1]] = {"a": a.astype(dtype), "b": b.astype(dtype)}
+        node[path[-1]] = {"lora_a": a.astype(dtype),
+                          "lora_b": b.astype(dtype)}
     if not lora:
         raise ValueError(f"no parameters matched LoRA targets {targets}")
     return lora
@@ -99,10 +102,10 @@ def merge_lora(base_params, lora_params, scaling):
             for k, v in base.items():
                 sub = lora.get(k) if isinstance(lora, dict) else None
                 if sub is not None and isinstance(sub, dict) \
-                        and set(sub) == {"a", "b"} and not isinstance(
-                            sub["a"], dict):
-                    delta = jnp.einsum("...ir,...ro->...io", sub["a"],
-                                       sub["b"]) * scaling
+                        and set(sub) == {"lora_a", "lora_b"} \
+                        and not isinstance(sub["lora_a"], dict):
+                    delta = jnp.einsum("...ir,...ro->...io", sub["lora_a"],
+                                       sub["lora_b"]) * scaling
                     out[k] = v + delta.astype(v.dtype)
                 else:
                     out[k] = walk(v, sub if sub is not None else {})

@@ -136,12 +136,46 @@ def init_llama_cache(config, batch_size, max_len, dtype=None):
 # rotary embeddings
 # ---------------------------------------------------------------------------
 
-def rope_cos_sin(position_ids, head_dim, theta):
+def rope_inv_freq(config):
+    """Inverse frequencies honoring ``config.rope_scaling`` (HF semantics).
+
+    Supported rope_type: None/"default", "linear" (inv_freq / factor), and
+    "llama3" (Llama-3.1 frequency-dependent smooth interpolation). Anything
+    else (dynamic NTK, yarn, ...) is REJECTED loudly — a config field that
+    changes the positional math must never be silently ignored."""
+    head_dim = config.head_dim
+    theta = config.rope_theta
+    inv_freq = 1.0 / (theta ** (
+        jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))  # (hd/2,)
+    scaling = getattr(config, "rope_scaling", None)
+    if scaling is None:
+        return inv_freq
+    rope_type = scaling.get("rope_type", scaling.get("type", "default"))
+    if rope_type == "default":
+        return inv_freq
+    if rope_type == "linear":
+        return inv_freq / float(scaling["factor"])
+    if rope_type == "llama3":
+        factor = float(scaling["factor"])
+        low = float(scaling["low_freq_factor"])
+        high = float(scaling["high_freq_factor"])
+        orig = float(scaling["original_max_position_embeddings"])
+        wavelen = 2.0 * math.pi / inv_freq
+        smooth = (orig / wavelen - low) / (high - low)
+        smooth = jnp.clip(smooth, 0.0, 1.0)
+        interp = (1.0 - smooth) * (inv_freq / factor) + smooth * inv_freq
+        return jnp.where(wavelen > orig / low, inv_freq / factor,
+                         jnp.where(wavelen < orig / high, inv_freq, interp))
+    raise ValueError(
+        f"unsupported rope_scaling type {rope_type!r} (supported: default, "
+        "linear, llama3)")
+
+
+def rope_cos_sin(position_ids, config):
     """cos/sin tables for the given positions (HF LlamaRotaryEmbedding):
     inv_freq over even dims, freqs duplicated into both halves. Computed in
     fp32; returns (B, S, hd) fp32 — callers cast at the multiply."""
-    inv_freq = 1.0 / (theta ** (
-        jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))  # (hd/2,)
+    inv_freq = rope_inv_freq(config)
     freqs = position_ids.astype(jnp.float32)[..., None] * inv_freq  # (B,S,hd/2)
     emb = jnp.concatenate([freqs, freqs], axis=-1)                  # (B,S,hd)
     return jnp.cos(emb), jnp.sin(emb)
@@ -183,8 +217,11 @@ def _gqa_attend(q, k, v, additive_mask, scale, k_scale=None, v_scale=None):
     weights = jax.nn.softmax(scores, axis=-1)
     wg = weights.reshape(B, Hkv, g * S, T)
     if v_scale is not None:
-        wg = wg * v_scale[:, :, None, :].astype(wg.dtype)
-        out = jnp.matmul(wg, v.astype(wg.dtype))
+        # int8 values: fold the per-token dequant scales onto the weights,
+        # then cast BOTH operands to the compute dtype — an fp32-operand AV
+        # dot runs the MXU 4-8x slower (CLAUDE.md pallas lesson 1)
+        wg = (wg * v_scale[:, :, None, :]).astype(q.dtype)
+        out = jnp.matmul(wg, v.astype(q.dtype))
     else:
         out = jnp.matmul(wg.astype(v.dtype), v)              # (B,Hkv,g*S,hd)
     return out.reshape(B, H, S, hd)
@@ -321,7 +358,7 @@ def llama_forward(params, config, input_ids, attention_mask=None,
             if cache is not None and jnp.ndim(cache_len) == 0:
                 position_ids = position_ids + cache_len
 
-    cos, sin = rope_cos_sin(position_ids, config.head_dim, config.rope_theta)
+    cos, sin = rope_cos_sin(position_ids, config)
 
     # additive padding mask over the key axis (fp32; scores are upcast)
     additive_mask = None
@@ -364,13 +401,17 @@ def llama_forward(params, config, input_ids, attention_mask=None,
                                          act)
             if not (moe and return_aux):
                 return out
-            # per-layer load-balancing pieces (ops/moe.py): averaged across
+            # per-layer load-balancing sums (ops/moe.py): normalized across
             # layers AFTER the scan, matching HF's concatenated formulation
+            # incl. its padding exclusion
             from cleantransformer_tpu.ops.moe import load_balancing_aux
             probs, top_i = stats
-            t_e, p_e = load_balancing_aux(probs.reshape(-1, E),
-                                          top_i.reshape(-1, k_tok), E, k_tok)
-            return out, t_e, p_e
+            tok_mask = (attention_mask.reshape(-1)
+                        if attention_mask is not None else None)
+            t_e, p_e, cnt = load_balancing_aux(
+                probs.reshape(-1, E), top_i.reshape(-1, k_tok), E, k_tok,
+                mask=tok_mask)
+            return out, t_e, p_e, cnt
         if remat:
             if remat == "dots":
                 policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
@@ -389,16 +430,18 @@ def llama_forward(params, config, input_ids, attention_mask=None,
         aux = None
         if moe and return_aux:
             def body(carry, xs):
-                h_in, t_acc, p_acc = carry
-                out, t_e, p_e = run_block(h_in, xs)
-                return (out, t_acc + t_e, p_acc + p_e), None
-            L = config.n_layer
-            (h, t_sum, p_sum), _ = jax.lax.scan(
+                h_in, t_acc, p_acc, c_acc = carry
+                out, t_e, p_e, cnt = run_block(h_in, xs)
+                return (out, t_acc + t_e, p_acc + p_e, c_acc + cnt), None
+            (h, t_sum, p_sum, c_sum), _ = jax.lax.scan(
                 body, (h, jnp.zeros((k_tok, E), jnp.float32),
-                       jnp.zeros((E,), jnp.float32)), params["blocks"])
-            # HF load_balancing_loss_func: concat layers -> mean == mean of
-            # per-layer means (equal sizes); loss = E * sum(t * p)
-            aux = E * jnp.sum((t_sum / L) * (p_sum / L)[None, :])
+                       jnp.zeros((E,), jnp.float32),
+                       jnp.zeros((), jnp.float32)), params["blocks"])
+            # HF load_balancing_loss_func over layer-concatenated stats with
+            # padding excluded: masked sums / total masked count (= L * per-
+            # layer count, the mask repeats per layer); loss = E * sum(t * p)
+            denom = jnp.maximum(c_sum, 1.0)
+            aux = E * jnp.sum((t_sum / denom) * (p_sum / denom)[None, :])
         else:
             def body(carry, xs):
                 return run_block(carry, xs), None

@@ -126,13 +126,22 @@ def moe_mlp_capacity(moe_params, h, num_experts_per_tok, act,
     return out.reshape(B, S, D), (probs, top_i)
 
 
-def load_balancing_aux(probs, top_i, num_experts, num_experts_per_tok):
-    """Per-layer pieces of HF's ``load_balancing_loss_func``: returns
-    (tokens_per_expert (k, E), router_prob_per_expert (E,)) — means over the
-    token dim. The final loss (models/llama.py) averages these across layers
-    first, then takes E * sum(tokens * probs), exactly matching HF's
-    concatenate-layers-then-mean formulation."""
+def load_balancing_aux(probs, top_i, num_experts, num_experts_per_tok,
+                       mask=None):
+    """Per-layer pieces of HF's ``load_balancing_loss_func``: returns token
+    SUMS ``(t_sum (k, E), p_sum (E,), count ())`` so the caller
+    (models/llama.py) can accumulate across layers and normalize once —
+    exactly matching HF's concatenate-layers-then-mean formulation,
+    including its padding handling: ``mask`` (T,) excludes attention_mask==0
+    tokens from both the routed-fraction and the mean router probability."""
     expert_mask = jax.nn.one_hot(top_i, num_experts, dtype=jnp.float32)
-    tokens_per_expert = jnp.mean(expert_mask, axis=0)     # (k, E)
-    router_prob_per_expert = jnp.mean(probs, axis=0)       # (E,)
-    return tokens_per_expert, router_prob_per_expert
+    if mask is not None:
+        m = mask.astype(jnp.float32)
+        t_sum = jnp.einsum("t,tke->ke", m, expert_mask)
+        p_sum = jnp.einsum("t,te->e", m, probs)
+        count = jnp.sum(m)
+    else:
+        t_sum = jnp.sum(expert_mask, axis=0)               # (k, E)
+        p_sum = jnp.sum(probs, axis=0)                     # (E,)
+        count = jnp.asarray(probs.shape[0], jnp.float32)
+    return t_sum, p_sum, count

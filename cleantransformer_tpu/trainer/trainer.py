@@ -205,6 +205,17 @@ class Trainer:
         model = self.model
         smoothing = self.args.label_smoothing_factor if self.args else 0.0
         neftune = (self.args.neftune_noise_alpha if (self.args and train) else 0.0)
+        # sparse-MoE with router aux loss: the load-balancing term only
+        # exists on the model's own labels path (models/llama.py), so the
+        # default loss must delegate there or the config knob would be
+        # silently ignored
+        moe_aux = (getattr(model.config, "num_local_experts", 0) > 0
+                   and getattr(model.config, "output_router_logits", False))
+        if moe_aux and smoothing > 0.0:
+            raise ValueError(
+                "label_smoothing_factor is unsupported with "
+                "output_router_logits (the router aux loss requires the "
+                "model's own labels path) — disable one of them")
 
         def loss_fn(params, batch, rng):
             embed_noise = None
@@ -222,6 +233,18 @@ class Trainer:
                 mag = neftune / math.sqrt(S * D)
                 embed_noise = jax.random.uniform(rng, (B, S, D), jnp.float32,
                                                  -mag, mag)
+            if moe_aux:
+                # model's labels path: shift-CE (same -100 exclusion as
+                # below) + router_aux_loss_coef * load-balancing aux
+                (loss, logits, _), _ = model.forward_fn()(
+                    params, model.config, batch["input_ids"],
+                    batch["attention_mask"], None, None, None,
+                    labels=batch["labels"], remat=self.args.remat,
+                    embed_noise=embed_noise)
+                if with_logits:
+                    return loss, (logits.astype(jnp.float32)
+                                  if logits is not None else None)
+                return loss
             (out), _ = model.forward_fn()(params, model.config,
                                           batch["input_ids"],
                                           batch["attention_mask"], None, None,

@@ -283,3 +283,36 @@ def test_mistral_sliding_window_parity():
     full = LlamaForCausalLM(cfg_nw, params=ours.params)
     (full_logits, _), _ = full(jnp.asarray(ids))
     assert np.abs(np.asarray(full_logits) - want).max() > 1e-3
+
+
+def test_rope_scaling_llama3_and_linear_parity():
+    """rope_scaling from config.json must be applied (Llama-3.1-style
+    'llama3' smooth interpolation and 'linear'), matching executed HF;
+    unknown types are rejected loudly rather than silently ignored."""
+    import torch
+    for scaling in (
+        {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+         "high_freq_factor": 4.0, "original_max_position_embeddings": 64},
+        {"rope_type": "linear", "factor": 2.0},
+    ):
+        hf, ours = _hf_pair(seed=5, rope_scaling=scaling)
+        ids = np.random.RandomState(11).randint(1, 128, (2, 40))
+        with torch.no_grad():
+            want = hf(torch.tensor(ids)).logits.numpy()
+        (got, _), _ = ours(jnp.asarray(ids))
+        np.testing.assert_allclose(np.asarray(got), want, atol=3e-5,
+                                   rtol=1e-4, err_msg=str(scaling))
+        gen_hf = hf.generate(torch.tensor(ids), max_new_tokens=8,
+                             do_sample=False).numpy()
+        gen = ours.generate(jnp.asarray(ids), generation_configs={
+            "beam_size": 1, "do_sample": False, "max_gen_len": 8,
+            "end_ids": 2, "pad_id": 2})
+        np.testing.assert_array_equal(
+            np.asarray(gen)[:, 0, :gen_hf.shape[1]], gen_hf,
+            err_msg=str(scaling))
+
+    cfg_bad = LlamaConfig(**CFG, rope_scaling={"rope_type": "yarn",
+                                               "factor": 4.0})
+    m = LlamaForCausalLM(cfg_bad, rng=jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="rope_scaling"):
+        m(jnp.asarray(np.asarray([[1, 2, 3]], np.int32)))

@@ -38,10 +38,20 @@ def test_adapter_tree_targets_q_v_only(llama):
                             ("q_proj", "v_proj"))
     attn = lora["blocks"]["self_attn"]
     assert set(attn) == {"q_proj", "v_proj"}
-    assert attn["q_proj"]["w"]["a"].shape == (2, 64, 4)
-    assert attn["q_proj"]["w"]["b"].shape == (2, 4, 64)
+    assert attn["q_proj"]["w"]["lora_a"].shape == (2, 64, 4)
+    assert attn["q_proj"]["w"]["lora_b"].shape == (2, 4, 64)
     # B zero-init
-    assert float(jnp.abs(attn["q_proj"]["w"]["b"]).max()) == 0.0
+    assert float(jnp.abs(attn["q_proj"]["w"]["lora_b"]).max()) == 0.0
+
+
+def test_decay_mask_covers_lora_b(llama):
+    """The adapter B matrices must NOT hit the Trainer's bias-exclusion
+    decay rule (leaves literally named 'b') — hence the lora_b name."""
+    from cleantransformer_tpu.trainer.trainer import Trainer
+    lm = LoraModel(llama, rank=4, alpha=8, rng=jax.random.PRNGKey(1))
+    mask = Trainer._decay_mask(lm.params)
+    leaves = jax.tree_util.tree_leaves(mask)
+    assert all(leaves), "every (L, in, r)/(L, r, out) adapter leaf is a weight"
 
 
 def test_gradients_flow_only_into_adapter(llama):

@@ -71,6 +71,36 @@ def test_loss_parity_plain_and_aux(pair):
     assert abs(float(l_aux) - with_aux) < 2e-5
 
 
+def test_aux_loss_excludes_padding(pair):
+    """HF's load_balancing_loss_func masks attention_mask==0 tokens out of
+    the router statistics — ours must match on a padded batch."""
+    import torch
+    hf, ours = pair
+    ids = np.random.RandomState(6).randint(3, 128, (2, 10))
+    mask = np.ones_like(ids)
+    mask[0, :4] = 0  # left padding
+    labels = np.where(mask == 1, ids, -100)
+    # exclude the boundary pair (pad-position logit -> first real label):
+    # a fully-masked pad query row's output is implementation-defined
+    # garbage in BOTH frameworks (HF's eager vs sdpa paths already disagree
+    # there), so its shifted CE term is not a meaningful parity target
+    labels[0, 4] = -100
+    t_ids, t_mask = torch.tensor(ids), torch.tensor(mask)
+    with torch.no_grad():
+        want = hf(t_ids, attention_mask=t_mask,
+                  labels=torch.tensor(labels),
+                  output_router_logits=True).loss.item()
+    cfg_aux = LlamaConfig(**CFG, output_router_logits=True)
+    # HF's plain forward uses arange position_ids even under padding (the
+    # mask-cumsum convention is generate()-only) — pass them explicitly so
+    # the comparison isolates the masked router statistics
+    pos = jnp.broadcast_to(jnp.arange(ids.shape[1])[None], ids.shape)
+    (got, _, _), _ = llama_lm_forward(
+        ours.params, cfg_aux, jnp.asarray(ids), jnp.asarray(mask),
+        position_ids=pos, labels=jnp.asarray(labels))
+    assert abs(float(got) - want) < 3e-5, (float(got), want)
+
+
 def test_greedy_generate_bit_exact(pair):
     import torch
     hf, ours = pair
@@ -171,7 +201,9 @@ def test_expert_parallel_grads_match(pair):
 
 
 def test_trainer_moe_smoke():
-    """Trainer trains a tiny MoE llama; aux loss path under grad-accum."""
+    """The Trainer's DEFAULT loss must include the router aux term for MoE
+    configs with output_router_logits (it delegates to the model's labels
+    path — a silently-dropped aux loss means router collapse)."""
     from cleantransformer_tpu.trainer.trainer import Trainer, TrainingArguments
     cfg = LlamaConfig(**dict(CFG, num_hidden_layers=1),
                       output_router_logits=True)
@@ -185,17 +217,25 @@ def test_trainer_moe_smoke():
     def collate(batch):
         return {k: np.stack([ex[k] for ex in batch]) for k in batch[0]}
 
-    def loss_fn(params, batch, rng):
-        (l, _, _), _ = llama_lm_forward(params, cfg, batch["input_ids"],
-                                        batch["attention_mask"],
-                                        labels=batch["labels"])
-        return l
-
     args = TrainingArguments(output_dir=None, num_train_epochs=1,
                              per_device_train_batch_size=4, logging_steps=1,
                              save_steps=0)
     tr = Trainer(model=model, args=args, train_dataset=data,
-                 data_collator=collate, loss_fn=loss_fn)
+                 data_collator=collate)
+    # the default loss == the model's labels-path loss (incl. aux term)
+    batch = collate(data[:4])
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    trainer_loss = float(tr.loss_fn(model.params, batch,
+                                    jax.random.PRNGKey(0)))
+    (want, _, _), _ = llama_lm_forward(model.params, cfg,
+                                       batch["input_ids"],
+                                       batch["attention_mask"],
+                                       labels=batch["labels"])
+    (no_aux, _, _), _ = llama_lm_forward(
+        model.params, LlamaConfig(**dict(CFG, num_hidden_layers=1)),
+        batch["input_ids"], batch["attention_mask"], labels=batch["labels"])
+    assert abs(trainer_loss - float(want)) < 1e-6
+    assert trainer_loss != pytest.approx(float(no_aux))  # aux really in
     state = tr.train()
     losses = [l["loss"] for l in state["log_history"] if "loss" in l]
     assert losses and np.isfinite(losses).all()

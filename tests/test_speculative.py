@@ -208,3 +208,16 @@ def test_generate_draft_model_dispatch(gpt_pair):
                                                          "do_sample": False},
                                      draft_model=draft, draft_len=3))
     np.testing.assert_array_equal(got[0, 0], want[0, 0])
+
+
+def test_generate_draft_model_default_is_sampling(gpt_pair):
+    """generate() defaults to do_sample=True (reference parity); adding
+    draft_model must NOT silently flip to greedy — the dispatch resolves the
+    default before handing off, so different rngs give different streams."""
+    target, draft = gpt_pair
+    ids = np.asarray([[4, 9, 2, 7]], np.int32)
+    outs = [np.asarray(target.generate(
+        jnp.asarray(ids), generation_configs={"max_gen_len": 20},
+        draft_model=draft, draft_len=3, rng=jax.random.PRNGKey(s)))[0, 0]
+        for s in (0, 1, 2)]
+    assert any(not np.array_equal(outs[0][:24], o[:24]) for o in outs[1:])
