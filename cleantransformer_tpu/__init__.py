@@ -20,4 +20,5 @@ NCCL/DDP. Public API stays parallel to the reference so users can switch:
 __version__ = "0.1.0"
 
 from cleantransformer_tpu.config import (  # noqa: F401
-    GPTConfig, BertConfig, BloomConfig, LlamaConfig)
+    GPTConfig, BertConfig, BloomConfig, LlamaConfig, MixtralConfig,
+    Qwen2Config)

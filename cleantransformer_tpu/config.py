@@ -140,7 +140,7 @@ class LlamaConfig(BaseConfig):
                  tie_word_embeddings=False, bos_token_id=1, eos_token_id=2,
                  head_dim=None, num_local_experts=0, num_experts_per_tok=2,
                  router_aux_loss_coef=0.001, output_router_logits=False,
-                 moe_capacity_factor=None, **kwargs):
+                 moe_capacity_factor=None, moe_impl=None, **kwargs):
         self.vocab_size = vocab_size
         self.hidden_size = hidden_size
         self.intermediate_size = intermediate_size
@@ -164,19 +164,48 @@ class LlamaConfig(BaseConfig):
         self.head_dim = (head_dim if head_dim is not None
                          else hidden_size // num_attention_heads)
         # sparse-MoE fields (HF Mixtral config.json names; 0 experts = dense
-        # MLP). moe_capacity_factor=None selects the dense-dispatch path;
-        # a float selects GShard capacity dispatch (ops/moe.py).
+        # MLP). moe_impl picks the compute path (ops/moe.py): "dense"
+        # (every expert runs every token — parity/EP baseline), "capacity"
+        # (GShard fixed-capacity dispatch, uses moe_capacity_factor),
+        # "ragged" (sorted grouped-matmul via lax.ragged_dot — the fast
+        # exact single-device path). None = "capacity" if
+        # moe_capacity_factor is set else "dense" (back-compat).
         self.num_local_experts = num_local_experts
         self.num_experts_per_tok = num_experts_per_tok
         self.router_aux_loss_coef = router_aux_loss_coef
         self.output_router_logits = output_router_logits
         self.moe_capacity_factor = moe_capacity_factor
+        self.moe_impl = moe_impl
         super().__init__(**kwargs)
 
 
 # a Mixtral checkpoint's config.json is a LlamaConfig with num_local_experts
 # > 0 (plus fields the kwargs passthrough keeps, e.g. sliding_window)
 MixtralConfig = LlamaConfig
+
+
+class Qwen2Config(LlamaConfig):
+    """Qwen2/Qwen2.5 (HF ``model_type: qwen2``): llama architecture with
+    biases on q/k/v but NOT o_proj, and a ``use_sliding_window`` gate —
+    Qwen2 config.json files carry ``sliding_window`` even when the gate is
+    off, so the raw field must not activate the Mistral window path."""
+
+    def __init__(self, use_sliding_window=False, max_window_layers=0,
+                 **kwargs):
+        kwargs.setdefault("attention_bias", True)
+        kwargs.setdefault("rope_theta", 1000000.0)
+        if not use_sliding_window:
+            kwargs.pop("sliding_window", None)
+        elif max_window_layers and max_window_layers > 0:
+            raise ValueError(
+                "per-layer sliding windows (use_sliding_window with "
+                "max_window_layers > 0) are not supported — all-layer "
+                "windows (max_window_layers=0) map onto the Mistral path")
+        super().__init__(**kwargs)
+        self.use_sliding_window = use_sliding_window
+        self.max_window_layers = max_window_layers
+        # HF Qwen2Attention: q/k/v Linear(bias=True), o_proj Linear(bias=False)
+        self.attention_out_bias = False
 
 
 def load_bloom_config(config_fn, **overrides):

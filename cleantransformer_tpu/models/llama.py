@@ -102,7 +102,9 @@ def init_llama_params(config, rng):
                 "q_proj": proj(keys[1], D, H * hd, ab),
                 "k_proj": proj(keys[2], D, Hkv * hd, ab),
                 "v_proj": proj(keys[3], D, Hkv * hd, ab),
-                "o_proj": proj(keys[4], H * hd, D, ab),
+                # Qwen2: qkv biased, o_proj not (attention_out_bias=False)
+                "o_proj": proj(keys[4], H * hd, D,
+                               getattr(config, "attention_out_bias", ab)),
             },
             "post_attention_layernorm": {"w": jnp.ones((L, D), dt)},
             mlp_key: mlp,
@@ -310,16 +312,27 @@ def _llama_block(block_params, layer_kv, h, cos, sin, additive_mask,
     router_stats = None
     if "block_sparse_moe" in block_params:
         from cleantransformer_tpu.ops.moe import (
-            moe_mlp_dense, moe_mlp_capacity)
+            moe_mlp_dense, moe_mlp_capacity, moe_mlp_ragged)
+        impl = getattr(config, "moe_impl", None)
         cf = getattr(config, "moe_capacity_factor", None)
-        if cf is None:
+        if impl is None:
+            impl = "dense" if cf is None else "capacity"
+        if impl == "ragged":
+            mlp_out, router_stats = moe_mlp_ragged(
+                block_params["block_sparse_moe"], mlp_in,
+                config.num_experts_per_tok, act)
+        elif impl == "capacity":
+            mlp_out, router_stats = moe_mlp_capacity(
+                block_params["block_sparse_moe"], mlp_in,
+                config.num_experts_per_tok, act,
+                capacity_factor=cf if cf is not None else 1.25)
+        elif impl == "dense":
             mlp_out, router_stats = moe_mlp_dense(
                 block_params["block_sparse_moe"], mlp_in,
                 config.num_experts_per_tok, act)
         else:
-            mlp_out, router_stats = moe_mlp_capacity(
-                block_params["block_sparse_moe"], mlp_in,
-                config.num_experts_per_tok, act, capacity_factor=cf)
+            raise ValueError(
+                f"unknown moe_impl {impl!r} (dense | capacity | ragged)")
     else:
         mlp_out = _llama_mlp(block_params["mlp"], mlp_in, act)
     h = h + mlp_out
@@ -582,3 +595,9 @@ class LlamaForCausalLM:
         return llama_lm_forward(self.params, self.config, input_ids,
                                 attention_mask, position_ids, cache=k_v_pasts,
                                 labels=labels)
+
+
+# Qwen2/Qwen2.5 is the llama architecture with qkv biases (config.Qwen2Config
+# carries the bias/window field differences); the HF state-dict layout is
+# identical, so the same loader and forward serve both families.
+Qwen2ForCausalLM = LlamaForCausalLM

@@ -21,7 +21,8 @@ _BUILD_FAILED = False
 
 def _build():
     subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+         _SRC, "-o", _SO],
         check=True, capture_output=True)
 
 
@@ -45,6 +46,13 @@ def load_library():
             lib.bpe_encode_words.argtypes = [
                 ctypes.c_void_p, ctypes.c_char_p,
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+            lib.bpe_encode_batch.restype = ctypes.c_int32
+            lib.bpe_encode_batch.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32)]
             lib.bpe_clear_cache.argtypes = [ctypes.c_void_p]
             lib.bpe_destroy.argtypes = [ctypes.c_void_p]
             _LIB = lib
@@ -83,6 +91,45 @@ class NativeBPEEncoder:
             n = self._lib.bpe_encode_words(self._handle, joined, self._buf,
                                            self._buf_len)
         return list(self._buf[:n])
+
+    def encode_batch(self, texts_words, max_length=None, pad_to_max=False,
+                     pad_id=0, n_threads=None):
+        """Multi-threaded batch encode + pack (bpe_encode_batch).
+
+        ``texts_words``: list of per-text pre-split word lists. Returns
+        {'input_ids', 'attention_mask'} int32 numpy arrays — padded to
+        max_length (pad_to_max) or to the longest row, with rows truncated
+        at max_length when given. One C call; rows fan out over a thread
+        pool with per-thread memo caches."""
+        import numpy as np
+        n = len(texts_words)
+        if n_threads is None:
+            n_threads = min(8, os.cpu_count() or 1)
+        joined = [" ".join(w).encode("utf-8") for w in texts_words]
+        arr = (ctypes.c_char_p * n)(*joined)
+        if max_length:
+            cap = max_length
+        else:
+            # tight upper bound, single pass: a word of c codepoints emits
+            # at most c + 1 ids (each element one token, worst case), and
+            # codepoints <= utf-8 bytes
+            cap = max((len(j) + len(w) + 1
+                       for j, w in zip(joined, texts_words)), default=1)
+        ids = np.empty((n, cap), np.int32)
+        mask = np.empty((n, cap), np.int32)
+        lens = np.empty((n,), np.int32)
+        p = ctypes.POINTER(ctypes.c_int32)
+        self._lib.bpe_encode_batch(
+            self._handle, arr, n, cap, pad_id, n_threads,
+            ids.ctypes.data_as(p), mask.ctypes.data_as(p),
+            lens.ctypes.data_as(p))
+        if max_length:
+            width = max_length if pad_to_max else min(
+                int(lens.max(initial=0)), max_length)
+        else:
+            width = int(lens.max(initial=0))
+        return {"input_ids": np.ascontiguousarray(ids[:, :width]),
+                "attention_mask": np.ascontiguousarray(mask[:, :width])}
 
     def __del__(self):
         try:

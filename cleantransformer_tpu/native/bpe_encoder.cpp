@@ -1,4 +1,4 @@
-// Native BPE/WordPiece encoder core.
+// Native BPE/WordPiece encoder core + multi-threaded batch packer.
 //
 // The greedy longest-match-first tokenize loop (spec:
 // CleanTransformer/tokenizers.py:97-129) is O(word_len^2) hash probes per
@@ -7,12 +7,20 @@
 // Python side keeps the basic (regex) pre-split and passes space-joined
 // words — words never contain spaces, so the contract is exact.
 //
-// C ABI (ctypes): create / encode_words / destroy. Thread-compatible
-// (one encoder per thread or external locking; the memo is per-encoder).
+// bpe_encode_batch is the data-pipeline entry point: N texts fan out over a
+// thread pool, each row is encoded (per-thread memo — the shared handle
+// stays untouched, so concurrent batch calls are safe), truncated to the
+// caller's cap, and written directly into the caller's preallocated
+// (N, cap) ids/mask matrices — the padded, jit-ready layout with no
+// intermediate Python lists.
+//
+// C ABI (ctypes): create / encode_words / encode_batch / destroy.
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -38,10 +46,13 @@ void utf8_offsets(const std::string& s, std::vector<size_t>* offs) {
   offs->push_back(s.size());
 }
 
-void encode_word(Encoder* e, const std::string& word,
-                 std::vector<int32_t>* out) {
-  auto it = e->memo.find(word);
-  if (it != e->memo.end()) {
+using Memo = std::unordered_map<std::string, std::vector<int32_t>>;
+
+void encode_word_with_memo(const Encoder* e, Memo* memo,
+                           const std::string& word,
+                           std::vector<int32_t>* out) {
+  auto it = memo->find(word);
+  if (it != memo->end()) {
     out->insert(out->end(), it->second.begin(), it->second.end());
     return;
   }
@@ -73,8 +84,25 @@ void encode_word(Encoder* e, const std::string& word,
       --end;
     }
   }
-  e->memo.emplace(word, ids);
+  memo->emplace(word, ids);
   out->insert(out->end(), ids.begin(), ids.end());
+}
+
+void encode_word(Encoder* e, const std::string& word,
+                 std::vector<int32_t>* out) {
+  encode_word_with_memo(e, &e->memo, word, out);
+}
+
+// encode one space-joined text into ids (thread-local memo)
+void encode_text(const Encoder* e, Memo* memo, const char* text,
+                 std::vector<int32_t>* ids) {
+  const char* p = text;
+  while (*p) {
+    const char* q = p;
+    while (*q && *q != ' ') ++q;
+    if (q > p) encode_word_with_memo(e, memo, std::string(p, q - p), ids);
+    p = (*q) ? q + 1 : q;
+  }
 }
 
 }  // namespace
@@ -112,6 +140,53 @@ int32_t bpe_encode_words(void* enc, const char* words, int32_t* out_ids,
   if (n > max_out) n = max_out;
   std::memcpy(out_ids, ids.data(), n * sizeof(int32_t));
   return n;
+}
+
+// Multi-threaded batch encode + pack. texts: n space-joined pre-split
+// texts. Writes row i's ids (truncated to cap) into out_ids[i*cap ...],
+// pad_id beyond, and 1/0 into out_mask likewise; out_lens[i] gets the
+// UNTRUNCATED length. Returns the max untruncated length over all rows
+// (callers with no fixed max_length re-call with a larger cap if it
+// exceeds cap). The shared handle is read-only here (per-thread memos), so
+// concurrent batch calls on one encoder are safe.
+int32_t bpe_encode_batch(void* enc, const char** texts, int32_t n,
+                         int32_t cap, int32_t pad_id, int32_t n_threads,
+                         int32_t* out_ids, int32_t* out_mask,
+                         int32_t* out_lens) {
+  const Encoder* e = static_cast<const Encoder*>(enc);
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n > 0 ? n : 1;
+  std::atomic<int32_t> next(0);
+  std::vector<int32_t> maxes(n_threads, 0);
+
+  auto worker = [&](int32_t tid) {
+    Memo memo;
+    std::vector<int32_t> ids;
+    int32_t i;
+    while ((i = next.fetch_add(1)) < n) {
+      ids.clear();
+      encode_text(e, &memo, texts[i], &ids);
+      int32_t len = static_cast<int32_t>(ids.size());
+      if (len > maxes[tid]) maxes[tid] = len;
+      out_lens[i] = len;
+      int32_t keep = len < cap ? len : cap;
+      int32_t* row = out_ids + static_cast<int64_t>(i) * cap;
+      int32_t* mrow = out_mask + static_cast<int64_t>(i) * cap;
+      if (keep > 0) std::memcpy(row, ids.data(), keep * sizeof(int32_t));
+      for (int32_t j = keep; j < cap; ++j) row[j] = pad_id;
+      for (int32_t j = 0; j < keep; ++j) mrow[j] = 1;
+      for (int32_t j = keep; j < cap; ++j) mrow[j] = 0;
+    }
+  };
+
+  std::vector<std::thread> threads;
+  for (int32_t t = 1; t < n_threads; ++t) threads.emplace_back(worker, t);
+  worker(0);
+  for (auto& th : threads) th.join();
+  int32_t mx = 0;
+  for (int32_t m : maxes)
+    if (m > mx) mx = m;
+  return mx;
 }
 
 void bpe_clear_cache(void* enc) {

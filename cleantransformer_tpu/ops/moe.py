@@ -26,6 +26,18 @@ Two TPU-first compute paths, both jittable and exact when no token drops:
    expert load the result equals ``moe_mlp_dense`` bit-for-near (fp
    reassociation only) — asserted in tests.
 
+ - ``moe_mlp_ragged``: sorted grouped-matmul dispatch — token replicas are
+   argsorted by expert id and the three SwiGLU projections run as ONE
+   ``lax.ragged_dot`` each over the contiguous per-expert groups (the MXU
+   sees one big (T*k, D) x per-group (D, I) matmul; XLA lowers the ragged
+   grouping natively on TPU). Exact: no capacity, no drops, compute k/E of
+   dense like the capacity path but with no one-hot dispatch/combine einsums
+   (those cost O(T*E*C) memory traffic) and no dropped-token deviation.
+   This is the preferred single-device / data-parallel training path; keep
+   dense or capacity dispatch when sharding experts over an ``expert`` mesh
+   axis (ragged group offsets are global, which defeats the EP all-to-all
+   GSPMD derives from the einsum forms).
+
 Expert parallelism = sharding annotations (the same stance as DP/TP/ZeRO in
 parallel/sharding.py): expert-stacked weights (E, D, I) and the (E, C, D)
 buffers carry an ``expert`` axis spec; GSPMD derives the all-to-all /
@@ -124,6 +136,40 @@ def moe_mlp_capacity(moe_params, h, num_experts_per_tok, act,
     out_e = _expert_ffn(moe_params["experts"], x_e, act)        # (E, C, D)
     out = jnp.einsum("tec,ecd->td", weight.astype(h.dtype), out_e)
     return out.reshape(B, S, D), (probs, top_i)
+
+
+def moe_mlp_ragged(moe_params, h, num_experts_per_tok, act):
+    """Grouped-matmul MoE via ``lax.ragged_dot``: (B,S,D) -> ((B,S,D), stats).
+
+    Token replicas sorted by expert id; each projection is a single ragged
+    dot over contiguous per-expert row groups. Same semantics as
+    ``moe_mlp_dense`` (exact top-k routing, no drops) at k/E of its FLOPs."""
+    B, S, D = h.shape
+    T = B * S
+    k = num_experts_per_tok
+    x = h.reshape(T, D)
+    E = moe_params["gate"]["w"].shape[-1]
+    _, probs, top_w, top_i = router_topk(x, moe_params["gate"]["w"], k)
+
+    flat_e = top_i.reshape(-1)                       # (T*k,) expert per replica
+    order = jnp.argsort(flat_e)                      # stable: ties in token order
+    tok = order // k                                 # source token per sorted row
+    group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+
+    xs = jnp.take(x, tok, axis=0)                    # (T*k, D) gathered rows
+    experts = moe_params["experts"]
+    wg = experts["gate_proj"]["w"].astype(xs.dtype)  # (E, D, I)
+    wu = experts["up_proj"]["w"].astype(xs.dtype)
+    wd = experts["down_proj"]["w"].astype(xs.dtype)  # (E, I, D)
+    hidden = act(jax.lax.ragged_dot(xs, wg, group_sizes)) \
+        * jax.lax.ragged_dot(xs, wu, group_sizes)    # (T*k, I)
+    ys = jax.lax.ragged_dot(hidden, wd, group_sizes)  # (T*k, D)
+
+    w_sorted = jnp.take(top_w.reshape(-1), order)    # fp32 routing weights
+    # combine in fp32 (k small): scatter-add replicas back to their token
+    out = jnp.zeros((T, D), jnp.float32).at[tok].add(
+        ys.astype(jnp.float32) * w_sorted[:, None])
+    return out.astype(h.dtype).reshape(B, S, D), (probs, top_i)
 
 
 def load_balancing_aux(probs, top_i, num_experts, num_experts_per_tok,

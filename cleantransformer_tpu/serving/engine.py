@@ -23,8 +23,11 @@ sampling request switches the engine to the row-wise sampling variant
 
 Everything device-side is fixed-shape and compiles once per prefill bucket
 (x greedy/sampling) plus once per decode variant. The host syncs once per
-chunk (a single device_get of the small token/length/active buffers),
-never per token. Admission is FIFO.
+chunk (a single device_get of one packed int32 results array), never per
+token — and PIPELINED: step() dispatches decode chunk N+1 before fetching
+chunk N's results, so the device computes while the host round-trips
+(results lag dispatch by one chunk; the tail dispatches one no-op chunk).
+Admission is FIFO.
 """
 
 import functools
@@ -209,7 +212,13 @@ def _append_token(state, slot_tokens, keep, end_ids):
     "needs_positions"), donate_argnames=("state",))
 def _decode_chunk(params, config, forward, state, n_steps, sampling,
                   end_ids, needs_positions):
-    """Advance every active slot by up to n_steps tokens (ragged offsets)."""
+    """Advance every active slot by up to n_steps tokens (ragged offsets).
+
+    Returns ``(state, results)`` where results is ONE packed int32 array
+    ``concat(lengths, prompt_len, active, tokens.ravel())`` — a fresh buffer
+    (a concatenation can never alias the donated state entries), so the host
+    may dispatch the NEXT chunk immediately and fetch these results while
+    the device computes it (ServingEngine.step pipelining)."""
     B = state["tokens"].shape[0]
     rows = jnp.arange(B)
 
@@ -228,7 +237,11 @@ def _decode_chunk(params, config, forward, state, n_steps, sampling,
                              rows, sampling)
         return _append_token(state, tok, keep.astype(jnp.int32), end_ids)
 
-    return jax.lax.fori_loop(0, n_steps, body, state)
+    state = jax.lax.fori_loop(0, n_steps, body, state)
+    results = jnp.concatenate([
+        state["lengths"], state["prompt_len"], state["active"],
+        state["tokens"].reshape(-1)])
+    return state, results
 
 
 class Request:
@@ -341,6 +354,12 @@ class ServingEngine:
         self.finished = {}  # rid -> np token array
         self.streamers = {}  # rid -> callable(np generated-so-far)
         self.steps = 0
+        # decode-chunk pipelining (step()): the packed results of the chunk
+        # in flight, the running chunk counter, and per-slot "first chunk
+        # that covers this request" admission stamps
+        self._pending = None        # (chunk_no, device results) or None
+        self._chunk_no = 0
+        self._slot_chunk = [0] * max_slots
 
     # ------------------------------------------------------------------ API
 
@@ -422,32 +441,27 @@ class ServingEngine:
                     needs_positions=self.needs_positions)
                 off += len(chunk)
             self.slot_rid[slot] = req.rid
+            # first decode chunk covering this slot is the NEXT one dispatched
+            self._slot_chunk[slot] = self._chunk_no + 1
 
-    def step(self):
-        """Admit what fits, run one decode chunk, harvest finished slots.
-        Returns list of (rid, np tokens) finished this step."""
-        import contextlib
-        from cleantransformer_tpu.parallel.mesh import use_mesh
-        ctx = use_mesh(self.mesh) if self.mesh is not None \
-            else contextlib.nullcontext()
-        with ctx:
-            free = [i for i in range(self.max_slots) if self.slot_rid[i] is None]
-            if free:
-                self._admit(free)
-            if any(r is not None for r in self.slot_rid):
-                self.state = _decode_chunk(
-                    self.params, self.config, self.forward, self.state,
-                    n_steps=self.chunk_size, sampling=self._sampling_on,
-                    end_ids=self.end_ids,
-                    needs_positions=self.needs_positions)
-                self.steps += self.chunk_size
-        # ONE host sync per chunk
-        tokens, lengths, prompt_len, active = jax.device_get(
-            (self.state["tokens"], self.state["lengths"],
-             self.state["prompt_len"], self.state["active"]))
+    def _harvest(self):
+        """Fetch and apply the PENDING decode chunk's packed results (one
+        device_get). Slots admitted after that chunk was dispatched are
+        skipped — their rows in the stale snapshot predate their prompts.
+        Returns list of (rid, np tokens) finished."""
+        if self._pending is None:
+            return []
+        chunk_no, results = self._pending
+        self._pending = None
+        res = np.asarray(jax.device_get(results))
+        B = self.max_slots
+        lengths, prompt_len, active = res[:B], res[B:2 * B], res[2 * B:3 * B]
+        tokens = res[3 * B:].reshape(B, self.max_len)
         out = []
         for slot, rid in enumerate(self.slot_rid):
-            if rid is None:
+            if rid is None or self._slot_chunk[slot] > chunk_no:
+                # admitted after that chunk was dispatched — the snapshot
+                # predates this request's prompt
                 continue
             if rid in self.streamers:
                 self.streamers[rid](
@@ -459,9 +473,38 @@ class ServingEngine:
                 self.streamers.pop(rid, None)
         return out
 
+    def step(self):
+        """One engine tick, PIPELINED: harvest the previous chunk's results
+        (its fetch overlapped the device computing the current chunk), admit
+        queued requests into freed slots, dispatch the next decode chunk, and
+        stash its results handle for the next tick. The device never idles
+        waiting on the host's result fetch; results (finished requests,
+        streamer callbacks) lag dispatch by exactly one chunk.
+        Returns list of (rid, np tokens) finished this tick."""
+        import contextlib
+        from cleantransformer_tpu.parallel.mesh import use_mesh
+        ctx = use_mesh(self.mesh) if self.mesh is not None \
+            else contextlib.nullcontext()
+        with ctx:
+            out = self._harvest()
+            free = [i for i in range(self.max_slots) if self.slot_rid[i] is None]
+            if free and self.queue:
+                self._admit(free)
+            if any(r is not None for r in self.slot_rid):
+                self.state, results = _decode_chunk(
+                    self.params, self.config, self.forward, self.state,
+                    n_steps=self.chunk_size, sampling=self._sampling_on,
+                    end_ids=self.end_ids,
+                    needs_positions=self.needs_positions)
+                self.steps += self.chunk_size
+                self._chunk_no += 1
+                self._pending = (self._chunk_no, results)
+        return out
+
     def run(self):
-        """Generator: drive step() until queue and slots drain."""
-        while self.queue or any(r is not None for r in self.slot_rid):
+        """Generator: drive step() until queue, slots, and pending drain."""
+        while (self.queue or self._pending is not None
+               or any(r is not None for r in self.slot_rid)):
             yield from self.step()
 
     def utilization(self):

@@ -225,9 +225,21 @@ class BPETokenizer:
             sentences.append("".join(toks).replace("</w>", " "))
         return sentences
 
-    def encode_batch(self, texts, max_length=None, pad_to_max=False):
+    def encode_batch(self, texts, max_length=None, pad_to_max=False,
+                     use_native=True):
         """Batched, padded frontend: returns {'input_ids','attention_mask'}
-        numpy int32 arrays ready for jit."""
+        numpy int32 arrays ready for jit. With the C++ core available the
+        whole batch runs through one multi-threaded native call (per-row
+        encode + truncate + pad packed directly into the output matrices);
+        the Python path below is the fallback and parity oracle."""
+        if use_native:
+            native = self._get_native()
+            if native is not None:
+                words = [self.basic_tokenizer(
+                    t.lower() if self.lowercase else t) for t in texts]
+                return native.encode_batch(
+                    words, max_length=max_length, pad_to_max=pad_to_max,
+                    pad_id=self._token2id(self.pad))
         seqs = [self.encode(t) for t in texts]
         if max_length is not None:
             seqs = [s[:max_length] for s in seqs]

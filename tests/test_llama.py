@@ -316,3 +316,62 @@ def test_rope_scaling_llama3_and_linear_parity():
     m = LlamaForCausalLM(cfg_bad, rng=jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="rope_scaling"):
         m(jnp.asarray(np.asarray([[1, 2, 3]], np.int32)))
+
+
+def test_qwen2_parity():
+    """Qwen2/Qwen2.5 (llama arch + qkv biases, no o_proj bias): logits and
+    greedy decode parity vs executed HF ``Qwen2ForCausalLM``; the unused
+    sliding_window field in Qwen2 config.json files (use_sliding_window
+    False) must NOT activate the Mistral window path."""
+    import torch
+    from transformers import Qwen2Config as HFQwen2Config
+    from transformers import Qwen2ForCausalLM as HFQwen2
+    from cleantransformer_tpu.config import Qwen2Config
+    from cleantransformer_tpu.models.llama import Qwen2ForCausalLM as Ours
+    d = dict(vocab_size=128, hidden_size=64, intermediate_size=112,
+             num_hidden_layers=2, num_attention_heads=4,
+             num_key_value_heads=2, max_position_embeddings=256,
+             rms_norm_eps=1e-6, rope_theta=10000.0,
+             tie_word_embeddings=False)
+    torch.manual_seed(7)
+    hf = HFQwen2(HFQwen2Config(**d, sliding_window=4,
+                               use_sliding_window=False)).eval()
+    cfg = Qwen2Config(**d, sliding_window=4, use_sliding_window=False)
+    assert getattr(cfg, "sliding_window", None) is None  # gate respected
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    ours = Ours(cfg, params=llama_params_from_state_dict(sd, cfg))
+    # the loader must pick up qkv biases and skip the absent o_proj bias
+    attn = ours.params["blocks"]["self_attn"]
+    assert "b" in attn["q_proj"] and "b" not in attn["o_proj"]
+
+    ids = np.random.RandomState(3).randint(1, 128, (2, 12))
+    with torch.no_grad():
+        want = hf(torch.tensor(ids)).logits.numpy()
+    (got, _), _ = ours(jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-5, rtol=1e-4)
+
+    gen_want = hf.generate(torch.tensor(ids), max_new_tokens=10,
+                           do_sample=False).numpy()
+    gen_got = ours.generate(jnp.asarray(ids),
+                            generation_configs={"beam_size": 1,
+                                                "do_sample": False,
+                                                "max_gen_len": 10})
+    np.testing.assert_array_equal(
+        np.asarray(gen_got)[:, 0, :gen_want.shape[1]], gen_want)
+
+
+def test_qwen2_init_respects_out_bias():
+    """Scratch init: q/k/v carry biases, o_proj does not."""
+    from cleantransformer_tpu.config import Qwen2Config
+    cfg = Qwen2Config(vocab_size=64, hidden_size=32, intermediate_size=48,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2)
+    p = init_llama_params(cfg, jax.random.PRNGKey(0))
+    attn = p["blocks"]["self_attn"]
+    assert "b" in attn["q_proj"] and "b" in attn["k_proj"] \
+        and "b" in attn["v_proj"] and "b" not in attn["o_proj"]
+    with pytest.raises(ValueError):
+        Qwen2Config(vocab_size=64, hidden_size=32, intermediate_size=48,
+                    num_hidden_layers=8, num_attention_heads=4,
+                    num_key_value_heads=2, sliding_window=8,
+                    use_sliding_window=True, max_window_layers=4)

@@ -152,6 +152,62 @@ def test_capacity_dispatch_drops_overflow():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_ragged_dispatch_matches_dense(pair):
+    """Grouped-matmul (lax.ragged_dot) path == dense path: same exact top-k
+    routing, no drops — only fp reassociation differs. Model-level HF parity
+    follows transitively from test_logits_parity."""
+    _, ours = pair
+    cfg_rag = LlamaConfig(**CFG, moe_impl="ragged")
+    rag = LlamaForCausalLM(cfg_rag, params=ours.params)
+    ids = np.random.RandomState(4).randint(1, 128, (2, 12))
+    (want, _), _ = ours(jnp.asarray(ids))
+    (got, _), _ = rag(jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_ragged_dispatch_grads_match_dense():
+    """d(loss)/d(params) through the ragged path == the dense path (both are
+    exact top-k routing; ragged_dot is differentiable)."""
+    from cleantransformer_tpu.ops.moe import moe_mlp_dense, moe_mlp_ragged
+    from cleantransformer_tpu.ops.activations import silu
+    rng = jax.random.PRNGKey(1)
+    E, D, I, T = 4, 16, 32, 48
+    ks = jax.random.split(rng, 4)
+    params = {"gate": {"w": jax.random.normal(ks[0], (D, E)) * 0.1},
+              "experts": {
+                  "gate_proj": {"w": jax.random.normal(ks[1], (E, D, I)) * 0.1},
+                  "up_proj": {"w": jax.random.normal(ks[2], (E, D, I)) * 0.1},
+                  "down_proj": {"w": jax.random.normal(ks[3], (E, I, D)) * 0.1}}}
+    h = jax.random.normal(jax.random.PRNGKey(8), (1, T, D))
+
+    def loss(fn, p):
+        out, _ = fn(p, h, 2, silu)
+        return jnp.sum(out ** 2)
+
+    g_dense = jax.grad(lambda p: loss(moe_mlp_dense, p))(params)
+    g_rag = jax.grad(lambda p: loss(moe_mlp_ragged, p))(params)
+    flat_d, _ = jax.tree_util.tree_flatten(g_dense)
+    flat_r, _ = jax.tree_util.tree_flatten(g_rag)
+    for a, b in zip(flat_d, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_ragged_greedy_generate_matches_dense(pair):
+    """Decode through the engine with moe_impl='ragged' == the dense path
+    (and hence HF, via test_greedy_generate_bit_exact)."""
+    _, ours = pair
+    cfg_rag = LlamaConfig(**CFG, moe_impl="ragged")
+    rag = LlamaForCausalLM(cfg_rag, params=ours.params)
+    ids = np.random.RandomState(5).randint(1, 128, (2, 6))
+    gc = {"beam_size": 1, "do_sample": False, "max_gen_len": 10}
+    want = np.asarray(ours.generate(jnp.asarray(ids),
+                                    generation_configs=gc))
+    got = np.asarray(rag.generate(jnp.asarray(ids), generation_configs=gc))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_expert_parallel_mesh_parity(pair):
     """Forward sharded over (data=2, expert=2, model=2) == single device —
     EP composed with TP, the full parallelism stack."""

@@ -235,3 +235,27 @@ def test_per_request_streamer(gpt):
         np.testing.assert_array_equal(b[: len(a)], a)
     np.testing.assert_array_equal(seen[-1], results[rid][len(prompt):])
     assert rid not in eng.streamers  # cleaned up
+
+
+def test_late_submission_while_chunks_in_flight(gpt):
+    """Pipelined step(): a request submitted BETWEEN steps (while a decode
+    chunk's results are still pending) must never be judged by the stale
+    snapshot — it decodes exactly like a standalone generate()."""
+    vocab = gpt.config.vocab_size
+    eng = ServingEngine(gpt, max_slots=2, max_len=64, prefill_buckets=(16,),
+                        chunk_size=4)
+    p0 = _prompts(vocab, seed=11)[0]
+    r0 = eng.submit(p0, max_new_tokens=12)
+    done = {}
+    done.update(eng.step())   # dispatches chunk 1, nothing harvested yet
+    assert done == {}
+    # late arrival: chunk 1's results handle is pending right now
+    p1 = _prompts(vocab, seed=12)[1]
+    r1 = eng.submit(p1, max_new_tokens=12)
+    for _ in range(40):
+        done.update(eng.step())
+        if r0 in done and r1 in done:
+            break
+    assert set(done) == {r0, r1}
+    np.testing.assert_array_equal(done[r0], ref_greedy(gpt, p0, 12))
+    np.testing.assert_array_equal(done[r1], ref_greedy(gpt, p1, 12))
