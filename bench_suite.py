@@ -226,6 +226,63 @@ def bench_llama_sft(use_flash=True):
             "params_millions": round(n_params / 1e6, 1)})
 
 
+def bench_moe_sft(moe_impl):
+    """Mixtral-class sparse-MoE SFT step (8 experts, top-2): dense dispatch
+    (every expert computes every token, E/k = 4x overcompute) vs the
+    grouped-matmul ragged_dot path (exact top-k compute). Same semantics,
+    same loss — the delta is pure dispatch efficiency."""
+    from cleantransformer_tpu.config import LlamaConfig
+    from cleantransformer_tpu.models.llama import (
+        LlamaForCausalLM, llama_lm_forward)
+    cfg = LlamaConfig(vocab_size=32000, hidden_size=768,
+                      intermediate_size=1536, num_hidden_layers=8,
+                      num_attention_heads=12, num_key_value_heads=12,
+                      max_position_embeddings=2048,
+                      num_local_experts=8, num_experts_per_tok=2,
+                      moe_impl=moe_impl, compute_dtype="bfloat16",
+                      use_flash_attention=True)
+    model = LlamaForCausalLM(cfg, rng=jax.random.PRNGKey(0))
+    model._tie_weight()
+    n_params = count_params(model.params)
+    init_fn, update_fn = adamw_decoupled(lr=1e-5)
+    opt_state = init_fn(model.params)
+    B, S = 8, 1024
+    rs = np.random.RandomState(0)
+    batch = {"input_ids": jnp.asarray(rs.randint(0, 32000, (B, S)), jnp.int32),
+             "attention_mask": jnp.ones((B, S), jnp.int32)}
+    batch["labels"] = batch["input_ids"]
+
+    def loss_fn(params, b):
+        (loss, _, _), _ = llama_lm_forward(params, cfg, b["input_ids"],
+                                           b["attention_mask"],
+                                           labels=b["labels"], remat="attn")
+        return loss
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, b):
+        loss, grads = jax.value_and_grad(loss_fn)(params, b)
+        params, opt_state = update_fn(grads, opt_state, params)
+        return params, opt_state, loss
+
+    params = model.params
+    params, opt_state, loss = step(params, opt_state, batch)
+    float(loss)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        params, opt_state, loss = step(params, opt_state, batch)
+        float(loss)
+        times.append(time.perf_counter() - t0)
+    dt = max(min(times) - host_rtt(), 1e-9)
+    record(f"mixtral_class_moe_sft_step_{moe_impl}", dt * 1e3,
+           "ms (batch=8, seq=1024, bf16, 8 experts top-2)",
+           {"tokens_per_sec": round(B * S / dt, 1),
+            "params_millions": round(n_params / 1e6, 1)})
+    del params, opt_state, model
+    import gc
+    gc.collect()
+
+
 def bench_serving(model, name, vocab, n_requests=24, max_slots=8,
                   max_len=256, n_new=64):
     """Continuous-batching throughput under a stream of variable-length
@@ -349,6 +406,8 @@ def main():
     bench_sft_step(use_flash=True)
     bench_sft_step(use_flash=False)
     bench_llama_sft(use_flash=True)
+    bench_moe_sft("ragged")
+    bench_moe_sft("dense")
 
     with open("/root/repo/BENCH_DETAILS.md", "w") as f:
         f.write("# Extended benchmarks (single chip)\n\n")
@@ -360,22 +419,35 @@ def main():
             "decode roofline (profiled, round 2): per step the b8 GPT-2 "
             "decode streams ~170 MB of block weights from HBM; XLA parks "
             "the 77 MB wte in VMEM (lm_head+argmax fuse into one kernel "
-            "reading it at ~1.4 TB/s) and keeps the KV dynamic-update-"
-            "slices in place. Profiled device floor at measured per-fusion "
-            "rates is ~0.45-0.50 ms/step -> b8 bf16 runs at ~65-75% of "
-            "practical roofline, int8 at ~70%. The earlier 0.33 ms 'HBM "
-            "floor' assumed every byte streams at peak and wte lives in "
-            "HBM - both false on this chip. Remaining gap is XLA fusion-"
-            "count overhead (~100 small kernels/step), not a memory wall.\n\n"
-            "training roofline: the 6N+attention model FLOPs at 228 ms = "
-            "mfu 0.44; profiled composition: big matmuls ~95 ms near peak, "
-            "flash fwd+bwd ~52 ms (hd=64 caps the attention kernels at "
-            "~20-25 TF/s on this toolchain - measured identically for "
-            "jax's own reference flash and splash kernels), optimizer "
-            "~15 ms at HBM roofline, remainder layout copies + CE.\n\n")
+            "reading it at ~1.4 TB/s, ~55 us/step) and keeps the KV "
+            "dynamic-update-slices in place. Profiled device floor at "
+            "measured per-fusion rates is ~0.45-0.50 ms/step -> b8 bf16 "
+            "runs at ~85-90% of practical roofline, int8 similar. "
+            "Buffers/cache/rng are all built inside the one fused program "
+            "(eager per-call dispatches were pure tunnel launch overhead). "
+            "Remaining device gap is XLA fusion-count overhead (~125 small "
+            "kernels/step x ~2 us fixed cost), not a memory wall.\n\n"
+            "tinyllama 1.1B decode b8 streams 2.2 GB of bf16 weights/step "
+            "at ~91% of the measured HBM bandwidth - large-model decode "
+            "sits on the memory roofline.\n\n"
+            "training roofline: bloom-560m (hd=64) profiled composition: "
+            "big matmuls ~95 ms near peak, flash fwd+bwd ~52 ms (hd=64 "
+            "caps the attention kernels at ~20-25 TF/s on this toolchain "
+            "- measured identically for jax's own reference flash and "
+            "splash kernels), optimizer ~15 ms at HBM roofline, remainder "
+            "layout copies + CE. The llama-class run (hd=128, SwiGLU) "
+            "runs the flash kernels at full lane utilization - the bloom "
+            "number is architecture-bound, not framework-bound.\n\n"
+            "moe sft = same training recipe on a Mixtral-class sparse-MoE "
+            "(8 experts, top-2): moe_impl='ragged' sorts token replicas "
+            "by expert and runs each SwiGLU projection as ONE "
+            "lax.ragged_dot grouped matmul (exact top-k compute); "
+            "'dense' runs every expert on every token (E/k = 4x "
+            "overcompute) - the parity/EP baseline.\n\n")
         f.write("serving = 24 mixed-length requests (prompts 8-64, 64 new "
                 "tokens each)\nthrough 8 continuous-batching slots, "
-                "compile-warm.\n\n")
+                "compile-warm, PIPELINED host/device\noverlap (chunk N+1 "
+                "dispatches before chunk N's results are fetched).\n\n")
         f.write("speculative = greedy, batch 1, draft_len 4, bit-exact vs "
                 "plain greedy.\nselfdraft (draft == target) bounds "
                 "round-machinery overhead at full acceptance;\n2Ldraft "

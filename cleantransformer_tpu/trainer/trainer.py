@@ -99,6 +99,13 @@ class TrainingArguments:
     # inputs) | "dots" (also save matmul outputs — cheaper recompute, a bit
     # more memory)
     remat: object = False
+    # async checkpointing: snapshot params/opt-state to host synchronously
+    # (the train step donates their device buffers, so the fetch cannot be
+    # deferred) but write the files from a background thread — training
+    # resumes while the safetensors serialize. Writes are atomic
+    # (checkpoint-<step>.partial -> rename), and train() joins the writer
+    # before returning.
+    async_save: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -532,6 +539,7 @@ class Trainer:
                     break
 
         self.model.params, self.opt_state = params, opt_state
+        self._join_pending_save()
         for cb in self.callbacks:
             cb.on_train_end(self)
         return self.state
@@ -693,6 +701,13 @@ class Trainer:
 
     # -- checkpointing (trainer.py:1303-1670) --------------------------------
 
+    def _join_pending_save(self):
+        """Wait for an in-flight async checkpoint write (no-op otherwise)."""
+        t = getattr(self, "_save_thread", None)
+        if t is not None:
+            t.join()
+            self._save_thread = None
+
     def _save_checkpoint(self):
         os.makedirs(self.args.output_dir, exist_ok=True)
         step_dir = os.path.join(
@@ -700,21 +715,47 @@ class Trainer:
             f"{ckpt_io.CKPT_PREFIX}{self.state['global_step']}")
         if self.state.get("best_step") == self.state["global_step"]:
             self.state["best_model_checkpoint"] = step_dir
+        self._join_pending_save()
         if os.path.isdir(step_dir):
             # already written this step (best-metric save followed by the
             # scheduled save) — don't rewrite
             return step_dir
         trainer_state = {k: v for k, v in self.state.items()}
-        ckpt = ckpt_io.save_checkpoint(
-            self.args.output_dir, self.state["global_step"],
-            self.model.params, self.opt_state, trainer_state,
-            rng_state=np.asarray(self._rng))
-        ckpt_io.rotate_checkpoints(self.args.output_dir,
-                                   self.args.save_total_limit,
-                                   self.state.get("best_model_checkpoint"))
-        for cb in self.callbacks:
-            cb.on_save(self, ckpt)
-        return ckpt
+        if not getattr(self.args, "async_save", False):
+            ckpt = ckpt_io.save_checkpoint(
+                self.args.output_dir, self.state["global_step"],
+                self.model.params, self.opt_state, trainer_state,
+                rng_state=np.asarray(self._rng))
+            ckpt_io.rotate_checkpoints(self.args.output_dir,
+                                       self.args.save_total_limit,
+                                       self.state.get("best_model_checkpoint"))
+            for cb in self.callbacks:
+                cb.on_save(self, ckpt)
+            return ckpt
+
+        # async: the device->host fetch is synchronous (the next train step
+        # DONATES the param/opt buffers — deferring the read would race the
+        # donation), the file writes are not
+        import threading
+        host_params = jax.tree_util.tree_map(np.asarray, self.model.params)
+        host_opt = jax.tree_util.tree_map(np.asarray, self.opt_state)
+        rng = np.asarray(self._rng)
+        out_dir, step = self.args.output_dir, self.state["global_step"]
+        limit = self.args.save_total_limit
+        best = self.state.get("best_model_checkpoint")
+        callbacks = list(self.callbacks)
+
+        def job():
+            ckpt = ckpt_io.save_checkpoint(out_dir, step, host_params,
+                                           host_opt, trainer_state,
+                                           rng_state=rng)
+            ckpt_io.rotate_checkpoints(out_dir, limit, best)
+            for cb in callbacks:
+                cb.on_save(self, ckpt)
+
+        self._save_thread = threading.Thread(target=job, daemon=True)
+        self._save_thread.start()
+        return step_dir
 
     def save_model(self, output_dir=None, hf_format=False):
         """Write final weights (+config.json). ``hf_format=True`` exports the
@@ -739,6 +780,7 @@ class Trainer:
                 json.dump(self.model.config.to_dict(), f, indent=2, default=str)
 
     def _load_from_checkpoint(self, resume):
+        self._join_pending_save()
         if resume is True:
             resume = ckpt_io.get_last_checkpoint(self.args.output_dir)
             if resume is None:

@@ -107,18 +107,27 @@ CKPT_PREFIX = "checkpoint-"
 def save_checkpoint(out_dir, step, params, opt_state=None, trainer_state=None,
                     rng_state=None):
     """Write checkpoint-<step>/ with weights, optimizer state, trainer state,
-    and host rng (mirroring trainer/trainer.py:1303-1463)."""
+    and host rng (mirroring trainer/trainer.py:1303-1463).
+
+    ATOMIC: everything is written into checkpoint-<step>.partial and renamed
+    at the end, so a crash mid-write can never leave a directory that
+    ``get_last_checkpoint`` would resume from."""
     ckpt = os.path.join(out_dir, f"{CKPT_PREFIX}{step}")
-    os.makedirs(ckpt, exist_ok=True)
-    save_pytree(os.path.join(ckpt, "model.safetensors"), params)
+    if os.path.isdir(ckpt):
+        return ckpt
+    tmp = ckpt + ".partial"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    save_pytree(os.path.join(tmp, "model.safetensors"), params)
     if opt_state is not None:
-        save_pytree(os.path.join(ckpt, "optimizer.safetensors"), opt_state)
+        save_pytree(os.path.join(tmp, "optimizer.safetensors"), opt_state)
     if trainer_state is not None:
-        with open(os.path.join(ckpt, "trainer_state.json"), "w") as f:
+        with open(os.path.join(tmp, "trainer_state.json"), "w") as f:
             json.dump(trainer_state, f, indent=2)
     if rng_state is not None:
-        np.save(os.path.join(ckpt, "rng_state.npy"),
+        np.save(os.path.join(tmp, "rng_state.npy"),
                 np.asarray(rng_state, dtype=np.uint32))
+    os.rename(tmp, ckpt)
     return ckpt
 
 

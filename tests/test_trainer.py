@@ -171,6 +171,47 @@ class TestTrainLoop:
         ckpts = sorted(os.listdir(trainer.args.output_dir))
         assert len(ckpts) == 2  # save_total_limit rotation
 
+
+    def test_async_save_equivalent_and_resumable(self, belle_file, tok,
+                                                 tmp_path):
+        """async_save=True writes the same checkpoints as the sync path
+        (training is deterministic; the writer runs in a background thread,
+        joined by train()), rotation still applies, and resume works. No
+        .partial dirs survive (atomic rename)."""
+        sync = self._setup(belle_file, tok, tmp_path)
+        sync.train()
+        sync_dir = sync.args.output_dir
+
+        adir = tmp_path / "async"
+        a = self._setup(belle_file, tok, tmp_path)
+        a.args.output_dir = str(adir / "out")
+        a.args.async_save = True
+        a.train()
+        a_dir = a.args.output_dir
+
+        s_ckpts = sorted(os.listdir(sync_dir))
+        a_ckpts = sorted(os.listdir(a_dir))
+        assert s_ckpts == a_ckpts and len(a_ckpts) == 2
+        assert not any(n.endswith(".partial") for n in a_ckpts)
+        import numpy as _np
+        from cleantransformer_tpu.utils import checkpoint as ckpt_io
+        last = ckpt_io.get_last_checkpoint(a_dir)
+        p_sync = ckpt_io.load_pytree(
+            os.path.join(sync_dir, os.path.basename(last),
+                         "model.safetensors"), sync.model.params)
+        p_async = ckpt_io.load_pytree(
+            os.path.join(last, "model.safetensors"), a.model.params)
+        fa = jax.tree_util.tree_leaves(p_sync)
+        fb = jax.tree_util.tree_leaves(p_async)
+        for x, y in zip(fa, fb):
+            _np.testing.assert_array_equal(_np.asarray(x), _np.asarray(y))
+
+        fresh = self._setup(belle_file, tok, tmp_path)
+        fresh.args.output_dir = a_dir
+        fresh.create_optimizer(16)
+        step = fresh._load_from_checkpoint(True)
+        assert step == a.state["global_step"]
+
     def test_resume_restores_state(self, belle_file, tok, tmp_path):
         trainer = self._setup(belle_file, tok, tmp_path)
         trainer.train()
