@@ -447,7 +447,10 @@ def main():
         f.write("serving = 24 mixed-length requests (prompts 8-64, 64 new "
                 "tokens each)\nthrough 8 continuous-batching slots, "
                 "compile-warm, PIPELINED host/device\noverlap (chunk N+1 "
-                "dispatches before chunk N's results are fetched).\n\n")
+                "dispatches before chunk N's results are fetched). On THIS\n"
+                "tunnel the result fetch serializes behind enqueued "
+                "compute, so pipelining\nshows no wall-clock gain here; it "
+                "targets hosts with concurrent transfer.\n\n")
         f.write("speculative = greedy, batch 1, draft_len 4, bit-exact vs "
                 "plain greedy.\nselfdraft (draft == target) bounds "
                 "round-machinery overhead at full acceptance;\n2Ldraft "

@@ -193,7 +193,6 @@ class Qwen2Config(LlamaConfig):
     def __init__(self, use_sliding_window=False, max_window_layers=0,
                  **kwargs):
         kwargs.setdefault("attention_bias", True)
-        kwargs.setdefault("rope_theta", 1000000.0)
         if not use_sliding_window:
             kwargs.pop("sliding_window", None)
         elif max_window_layers and max_window_layers > 0:

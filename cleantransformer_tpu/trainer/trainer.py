@@ -372,6 +372,9 @@ class Trainer:
             return "bloom"
         if "gpt" in name:
             return "gpt"
+        if "llama" in name or "qwen" in name or "mixtral" in name \
+                or hasattr(self.model.config, "rope_theta"):
+            return "llama"
         return "other"
 
     # -- data ---------------------------------------------------------------
@@ -770,6 +773,9 @@ class Trainer:
             elif mt == "gpt":
                 ckpt_io.export_hf_gpt2(os.path.join(out, "model.safetensors"),
                                        self.model.params)
+            elif mt == "llama":
+                ckpt_io.export_hf_llama(
+                    os.path.join(out, "model.safetensors"), self.model.params)
             else:
                 raise ValueError(f"no HF export for model type {mt}")
         else:

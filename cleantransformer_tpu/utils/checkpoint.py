@@ -236,3 +236,45 @@ def export_hf_bloom(path, params):
             blocks["mlp"]["dense_4h_to_h"]["w"][i]).T
         sd[f"h.{i}.mlp.dense_4h_to_h.bias"] = blocks["mlp"]["dense_4h_to_h"]["b"][i]
     save_safetensors(path, {k: np.asarray(v) for k, v in sd.items()})
+
+
+def export_hf_llama(path, params):
+    """Our stacked Llama-family pytree -> HF llama-layout safetensors
+    (model.* prefixes, Linear weights transposed back to (out, in); Qwen2's
+    qkv biases ride along, MoE experts back to block_sparse_moe.experts.N.w*
+    — the inverse of hf_loader.llama_params_from_state_dict)."""
+    sd = {"model.embed_tokens.weight": params["embed_tokens"],
+          "model.norm.weight": params["norm"]["w"]}
+    if "lm_head" in params:  # absent when weight-tied
+        sd["lm_head.weight"] = params["lm_head"]
+    blocks = params["blocks"]
+    L = np.asarray(blocks["input_layernorm"]["w"]).shape[0]
+
+    def put_lin(name, p, i):
+        sd[name + ".weight"] = np.asarray(p["w"][i]).T
+        if "b" in p:
+            sd[name + ".bias"] = p["b"][i]
+
+    for i in range(L):
+        pre = f"model.layers.{i}."
+        sd[pre + "input_layernorm.weight"] = blocks["input_layernorm"]["w"][i]
+        sd[pre + "post_attention_layernorm.weight"] = \
+            blocks["post_attention_layernorm"]["w"][i]
+        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            put_lin(pre + "self_attn." + proj,
+                    blocks["self_attn"][proj], i)
+        if "mlp" in blocks:
+            for proj in ("gate_proj", "up_proj", "down_proj"):
+                put_lin(pre + "mlp." + proj, blocks["mlp"][proj], i)
+        else:
+            moe = blocks["block_sparse_moe"]
+            sd[pre + "block_sparse_moe.gate.weight"] = \
+                np.asarray(moe["gate"]["w"][i]).T
+            E = np.asarray(moe["experts"]["gate_proj"]["w"]).shape[1]
+            hf_names = {"gate_proj": "w1", "down_proj": "w2", "up_proj": "w3"}
+            for ours, hf in hf_names.items():
+                w = np.asarray(moe["experts"][ours]["w"][i])  # (E, in, out)
+                for e in range(E):
+                    sd[pre + f"block_sparse_moe.experts.{e}.{hf}.weight"] = \
+                        w[e].T
+    save_safetensors(path, {k: np.asarray(v) for k, v in sd.items()})

@@ -323,3 +323,54 @@ class TestPrefetch:
         dl = DataLoader(ds, 2, bad_collate, prefetch=2)
         with pytest.raises(RuntimeError, match="boom"):
             list(dl)
+
+
+def test_hf_export_roundtrip_llama_qwen2_mixtral(tmp_path):
+    """export_hf_llama covers the whole family: plain llama, Qwen2 (qkv
+    biases), Mixtral (expert-stacked MoE). Executed HF transformers loads
+    the exported file and produces identical logits."""
+    import torch
+    from cleantransformer_tpu.config import LlamaConfig, Qwen2Config
+    from cleantransformer_tpu.models.llama import LlamaForCausalLM
+    from cleantransformer_tpu.utils.hf_loader import load_state_dict
+
+    base = dict(vocab_size=64, hidden_size=32, intermediate_size=48,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=2, max_position_embeddings=64,
+                rope_theta=10000.0, rms_norm_eps=1e-6,
+                tie_word_embeddings=False)
+    cases = [
+        ("llama", LlamaConfig(**base), "LlamaForCausalLM", "LlamaConfig"),
+        ("qwen2", Qwen2Config(**base), "Qwen2ForCausalLM", "Qwen2Config"),
+        ("mixtral", LlamaConfig(**base, num_local_experts=4,
+                                num_experts_per_tok=2),
+         "MixtralForCausalLM", "MixtralConfig"),
+    ]
+    ids = np.random.RandomState(0).randint(1, 64, (2, 7))
+    for name, cfg, hf_cls, hf_cfg_cls in cases:
+        model = LlamaForCausalLM(cfg, rng=jax.random.PRNGKey(3))
+        out = tmp_path / name
+        tr = Trainer(model=model,
+                     args=TrainingArguments(output_dir=str(out)),
+                     callbacks=[])
+        tr.save_model(str(out), hf_format=True)
+        sd = load_state_dict(str(out / "model.safetensors"))
+        import transformers
+        hf_cfg_kwargs = dict(base)
+        if name == "mixtral":
+            hf_cfg_kwargs.update(num_local_experts=4, num_experts_per_tok=2,
+                                 sliding_window=None)
+        hf = getattr(transformers, hf_cls)(
+            getattr(transformers, hf_cfg_cls)(**hf_cfg_kwargs)).eval()
+        missing, unexpected = hf.load_state_dict(
+            {k: torch.tensor(np.asarray(v, np.float32)) for k, v in sd.items()},
+            strict=False)
+        assert not unexpected, (name, unexpected)
+        assert all("rotary" in m or "inv_freq" in m for m in missing), \
+            (name, missing)
+        import jax.numpy as jnp
+        with torch.no_grad():
+            want = hf(torch.tensor(ids)).logits.numpy()
+        (got, _), _ = model(jnp.asarray(ids))
+        np.testing.assert_allclose(np.asarray(got), want, atol=3e-5,
+                                   rtol=1e-4, err_msg=name)
