@@ -226,6 +226,43 @@ def bench_llama_sft(use_flash=True):
             "params_millions": round(n_params / 1e6, 1)})
 
 
+def bench_prompt_lookup(model, name, vocab, gen=128, K=8):
+    """Draft-free (ngram) speculation vs plain greedy, batch 1. Untrained
+    GPT-2-class greedy typically falls into repetition cycles, which is
+    exactly the regime prompt-lookup accelerates — real models hit it on
+    extraction/code/quoting workloads."""
+    from cleantransformer_tpu.generation.speculative import (
+        prompt_lookup_generate)
+    rs = np.random.RandomState(0)
+    ids = rs.randint(1, vocab, (1, 16)).astype(np.int32)
+    plain_cfg = {"beam_size": 1, "max_gen_len": gen, "do_sample": False,
+                 "pad_id": 0, "end_ids": None, "no_repeat_ngram_size": 0}
+    out = model.generate(ids, generation_configs=plain_cfg)
+    n_new = out.shape[-1] - 16
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        model.generate(ids, generation_configs=plain_cfg)
+        times.append(time.perf_counter() - t0)
+    base = n_new / max(min(times) - host_rtt(), 1e-9)
+
+    cfg = {"max_gen_len": gen, "do_sample": False}
+    out, stats = prompt_lookup_generate(model, ids, generation_configs=cfg,
+                                        draft_len=K, return_stats=True)
+    n_new = out.shape[-1] - 16
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        prompt_lookup_generate(model, ids, generation_configs=cfg,
+                               draft_len=K)
+        times.append(time.perf_counter() - t0)
+    spec = n_new / max(min(times) - host_rtt(), 1e-9)
+    record(name, spec, "tokens/s (batch=1)",
+           {"plain_b1_tokens_per_sec": round(base, 1), "draft_len": K,
+            "tokens_per_round": round(stats["tokens_per_round"], 2),
+            "speedup": round(spec / base, 2)})
+
+
 def bench_moe_sft(moe_impl):
     """Mixtral-class sparse-MoE SFT step (8 experts, top-2): dense dispatch
     (every expert computes every token, E/k = 4x overcompute) vs the
@@ -396,6 +433,7 @@ def main():
     draft2 = GPTLMHeadModel(dcfg, version="gpt2", rng=jax.random.PRNGKey(1))
     bench_speculative(model, draft2, "gpt2_124M_speculative_2Ldraft_b1",
                       50257)
+    bench_prompt_lookup(model, "gpt2_124M_prompt_lookup_b1", 50257)
 
     # free the inference models (params + cast caches) before the training
     # benches — the 560M SFT step needs most of the chip's HBM

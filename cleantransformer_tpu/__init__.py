@@ -21,4 +21,4 @@ __version__ = "0.1.0"
 
 from cleantransformer_tpu.config import (  # noqa: F401
     GPTConfig, BertConfig, BloomConfig, LlamaConfig, MixtralConfig,
-    Qwen2Config)
+    Qwen2Config, auto_config)

@@ -218,3 +218,25 @@ def load_bloom_config(config_fn, **overrides):
                 d[k] = d[source_k]
     d.update(overrides)
     return BloomConfig(**d)
+
+
+def auto_config(config_fn, **overrides):
+    """AutoConfig-style dispatch: read ``model_type`` from an HF config.json
+    and build the matching config class (the transformers AutoConfig
+    convention; unknown types are rejected loudly rather than guessed)."""
+    mt = json.load(open(config_fn, "r")).get("model_type", None)
+    dispatch = {
+        "llama": LlamaConfig,
+        "mistral": LlamaConfig,   # sliding_window passes through kwargs
+        "mixtral": MixtralConfig,
+        "qwen2": Qwen2Config,
+        "gpt2": GPTConfig,
+        "bert": BertConfig,
+    }
+    if mt == "bloom":
+        return load_bloom_config(config_fn, **overrides)
+    if mt in dispatch:
+        return dispatch[mt].from_json(config_fn, **overrides)
+    raise ValueError(
+        f"unknown model_type {mt!r} in {config_fn} "
+        f"(supported: bloom, {', '.join(dispatch)})")

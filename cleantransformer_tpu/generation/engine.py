@@ -109,10 +109,25 @@ def generate(model, input_ids, attention_mask=None, position_ids=None,
     target verification. Greedy output is bit-identical to the plain path;
     sampling output is distributed exactly as the plain sampler (rejection
     sampling). Defaults (incl. do_sample=True) are resolved HERE so adding
-    a draft model never silently changes the decoding mode."""
+    a draft model never silently changes the decoding mode. The string
+    ``"ngram"`` selects DRAFT-FREE prompt-lookup speculation (greedy only:
+    pass do_sample=False) — proposals come from n-gram matches in the
+    committed context instead of a second model."""
     if draft_model is not None:
         from cleantransformer_tpu.generation.speculative import (
-            speculative_generate)
+            prompt_lookup_generate, speculative_generate)
+        if isinstance(draft_model, str):
+            if draft_model != "ngram":
+                raise ValueError(f"unknown draft mode {draft_model!r} "
+                                 "(model instance or 'ngram')")
+            # resolve the do_sample default (True, reference parity) so an
+            # unset flag raises the clear greedy-only error instead of
+            # silently flipping the decoding mode
+            cfg_resolved = {**generation_configs,
+                            "do_sample": generation_configs.get("do_sample",
+                                                                True)}
+            return prompt_lookup_generate(model, input_ids, attention_mask,
+                                          cfg_resolved, draft_len=draft_len)
         cfg_resolved = {**generation_configs,
                         "do_sample": generation_configs.get("do_sample", True)}
         return speculative_generate(model, draft_model, input_ids,

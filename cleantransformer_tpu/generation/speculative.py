@@ -217,6 +217,151 @@ def _speculative_loop(t_params, d_params, t_config, d_config, t_forward,
     return tokens, jnp.minimum(n, total_len), rounds
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "t_forward", "t_config", "t_init_cache", "K", "ngram", "end_ids",
+    "total_len"))
+def _prompt_lookup_loop(t_params, t_config, t_forward, t_init_cache,
+                        input_ids, K, ngram, end_ids, total_len):
+    """Draft-FREE speculation (prompt-lookup / n-gram decoding): each round
+    proposes the K tokens that followed the most recent earlier occurrence
+    of the last ``ngram`` committed tokens, then verifies all K with one
+    multi-token target forward — the draft model is replaced by a
+    vectorized window match over the committed buffer. Greedy bit-exactness
+    holds for ANY proposal source, so this accelerates repetitive
+    continuations (code, extraction, chat echoes) with zero extra HBM for
+    draft weights. Returns (tokens, n_final, rounds)."""
+    S0 = input_ids.shape[1]
+    T = total_len + K + 1
+    tokens = jnp.zeros((1, T), jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, input_ids.astype(jnp.int32),
+                                          (0, 0))
+    t_cache = t_init_cache(t_config, 1, T)
+    col = jnp.arange(T, dtype=jnp.int32)[None]
+
+    def frontier_mask(upto):
+        return (col < upto).astype(jnp.int32)
+
+    pos0 = jnp.arange(S0, dtype=jnp.int32)[None]
+    (logits, _), t_cache = t_forward(t_params, t_config, input_ids,
+                                     frontier_mask(S0), pos0, None, t_cache,
+                                     last_only=True)
+    first = jnp.argmax(logits[0, -1].astype(jnp.float32)).astype(jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, first[None, None], (0, S0))
+    n0 = jnp.asarray(S0 + 1, jnp.int32)
+
+    done0 = jnp.zeros((), bool)
+    for e in end_ids:
+        done0 = done0 | (first == e)
+
+    def cond(state):
+        n, done = state[1], state[3]
+        return jnp.logical_and(n < total_len, jnp.logical_not(done))
+
+    def body(state):
+        tokens, n, t_cache, done, rounds = state
+        W = K + 1
+        row = tokens[0]
+
+        # --- propose: last position j < n-ngram where row[j:j+ngram] equals
+        # row[n-ngram:n]; candidates are row[j+ngram : j+ngram+K]
+        pattern = jax.lax.dynamic_slice(row, (n - ngram,), (ngram,))
+        j = jnp.arange(T, dtype=jnp.int32)
+        match = j + ngram < n  # window fully inside committed text, not self
+        for g in range(ngram):
+            shifted = jnp.roll(row, -g)  # row[j+g] for j+g < T
+            match = match & (shifted == pattern[g])
+        any_match = jnp.any(match)
+        idx = jnp.where(any_match,
+                        (T - 1) - jnp.argmax(match[::-1]),  # LAST match
+                        0)
+        src = jnp.where(any_match, idx + ngram, jnp.maximum(n - 1, 0))
+        cand = jax.lax.dynamic_slice(row, (src,), (K,))
+        # proposals past the committed frontier (src + K > n) are stale
+        # buffer contents — fine: mismatches just bound the accepted prefix
+        tokens = jax.lax.dynamic_update_slice(tokens, cand[None], (0, n))
+
+        # --- verify all K in one forward (identical to _speculative_loop)
+        v_in = jax.lax.dynamic_slice(tokens, (0, n - 1), (1, W))
+        pos_v = (n - 1 + jnp.arange(W, dtype=jnp.int32))[None]
+        t_cache = {**t_cache, "length": n - 1}
+        (t_logits, _), t_cache = t_forward(
+            t_params, t_config, v_in, frontier_mask(n + K), pos_v, None,
+            t_cache)
+        g = jnp.argmax(t_logits[0].astype(jnp.float32), axis=-1).astype(
+            jnp.int32)
+        match_c = (g[:K] == cand)
+        a = jnp.sum(jnp.cumprod(match_c.astype(jnp.int32)))
+        tokens = jax.lax.dynamic_update_slice(tokens, g[a][None, None],
+                                              (0, n + a))
+        n_committed = a + 1
+
+        if end_ids:
+            jj = jnp.arange(W, dtype=jnp.int32)
+            committed = jax.lax.dynamic_slice(tokens, (0, n), (1, W))[0]
+            is_end = jnp.zeros((W,), bool)
+            for e in end_ids:
+                is_end = is_end | (committed == e)
+            is_end = is_end & (jj < n_committed)
+            any_end = jnp.any(is_end)
+            first_e = jnp.argmax(is_end)
+            n_committed = jnp.where(any_end, first_e + 1, n_committed)
+            done = done | any_end
+
+        n = n + n_committed
+        done = done | (n >= total_len)
+        return tokens, n, t_cache, done, rounds + 1
+
+    state = (tokens, n0, t_cache, done0, jnp.zeros((), jnp.int32))
+    tokens, n, _, _, rounds = jax.lax.while_loop(cond, body, state)
+    return tokens, jnp.minimum(n, total_len), rounds
+
+
+def prompt_lookup_generate(model, input_ids, attention_mask=None,
+                           generation_configs=None, draft_len=8, ngram=2,
+                           return_stats=False):
+    """Draft-free speculative decoding (prompt-lookup): greedy only,
+    bit-exact vs ``model.generate(do_sample=False, beam_size=1)``. Shines
+    when the continuation repeats earlier context (extraction, code,
+    chat-with-quoting); on non-repetitive text it degrades gracefully to
+    ~one committed token per verify forward."""
+    cfg = generation_configs or {}
+    assert cfg.get("beam_size", 1) == 1, "prompt-lookup is beam-free"
+    assert not cfg.get("do_sample", False), \
+        "prompt-lookup speculation is greedy-only (deterministic proposals)"
+    assert not cfg.get("no_repeat_ngram_size", 0), \
+        "ngram processors are unsupported in speculative decoding"
+    max_gen_len = cfg.get("max_gen_len", 100)
+    end_ids = cfg.get("end_ids", None)
+    if isinstance(end_ids, int):
+        end_ids = [end_ids]
+    end_ids = tuple(end_ids) if end_ids else ()
+
+    input_ids = jnp.asarray(input_ids)
+    assert input_ids.shape[0] == 1, "prompt-lookup is batch-1"
+    if attention_mask is not None:
+        assert int(jnp.sum(jnp.asarray(attention_mask) == 0)) == 0, \
+            "padded prompts are unsupported in speculative decoding"
+    S0 = input_ids.shape[1]
+    assert S0 >= int(ngram), "prompt shorter than the lookup ngram"
+    total_len = S0 + max_gen_len + 2
+
+    from cleantransformer_tpu.generation.engine import (inference_params,
+                                                        cache_factory)
+    tokens, n, rounds = _prompt_lookup_loop(
+        inference_params(model), model.config, model.forward_fn(),
+        cache_factory(model), np.asarray(input_ids, np.int32),
+        K=int(draft_len), ngram=int(ngram), end_ids=end_ids,
+        total_len=total_len)
+    tokens_np, n, rounds = jax.device_get((tokens, n, rounds))
+    n, rounds = int(n), int(rounds)
+    out = tokens_np[:, :n].reshape(1, 1, n)
+    if return_stats:
+        gen = max(n - S0 - 1, 0)
+        return out, {"rounds": rounds,
+                     "tokens_per_round": gen / max(rounds, 1)}
+    return out
+
+
 def speculative_generate(model, draft_model, input_ids, attention_mask=None,
                          generation_configs=None, draft_len=4,
                          return_stats=False, rng=None):

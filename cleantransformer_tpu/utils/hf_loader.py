@@ -165,8 +165,12 @@ def llama_params_from_state_dict(sd, config, dtype=np.float32):
     l = "layers.{i}."
 
     def lin(name, bias_flag):
+        # presence-driven: a checkpoint that carries biases (Qwen2 qkv)
+        # loads them regardless of the config flag — silently dropping
+        # weights that exist in the file would corrupt the model
+        del bias_flag
         p = {"w": _stack(sd, l + name + ".weight", L, transpose=True)}
-        if bias_flag and (l.format(i=0) + name + ".bias") in sd:
+        if (l.format(i=0) + name + ".bias") in sd:
             p["b"] = _stack(sd, l + name + ".bias", L)
         return p
 

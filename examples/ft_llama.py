@@ -72,7 +72,8 @@ def main():
         args.max_len, args.batch_size, args.epochs = 32, 8, 2
         eos = ""
     else:
-        config = LlamaConfig.from_json(
+        from cleantransformer_tpu.config import auto_config
+        config = auto_config(
             os.path.join(args.model_dir, "config.json"), **overrides)
         from cleantransformer_tpu.utils.hf_loader import (
             load_checkpoint_dir, llama_params_from_state_dict)

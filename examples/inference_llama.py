@@ -15,8 +15,10 @@ import numpy as np
 
 
 def load_config(config_fn, **overrides):
-    from cleantransformer_tpu.config import LlamaConfig
-    return LlamaConfig.from_json(config_fn, **overrides)
+    # model_type dispatch: llama / mistral / mixtral / qwen2 checkpoints all
+    # load here (qwen2 needs its bias/window field handling)
+    from cleantransformer_tpu.config import auto_config
+    return auto_config(config_fn, **overrides)
 
 
 def load_model(config, model_dir):

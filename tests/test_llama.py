@@ -375,3 +375,48 @@ def test_qwen2_init_respects_out_bias():
                     num_hidden_layers=8, num_attention_heads=4,
                     num_key_value_heads=2, sliding_window=8,
                     use_sliding_window=True, max_window_layers=4)
+
+
+def test_auto_config_dispatch(tmp_path):
+    """auto_config reads model_type and builds the right class: qwen2 gets
+    bias/window handling, mistral keeps sliding_window, unknown types raise."""
+    import json
+    from cleantransformer_tpu.config import (auto_config, LlamaConfig,
+                                             Qwen2Config)
+    base = dict(vocab_size=64, hidden_size=32, intermediate_size=48,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=2)
+    q = dict(base, model_type="qwen2", sliding_window=4096,
+             use_sliding_window=False)
+    fn = tmp_path / "config.json"
+    fn.write_text(json.dumps(q))
+    cfg = auto_config(str(fn))
+    assert isinstance(cfg, Qwen2Config)
+    assert cfg.attention_bias and not cfg.attention_out_bias
+    assert getattr(cfg, "sliding_window", None) is None
+
+    m = dict(base, model_type="mistral", sliding_window=8)
+    fn.write_text(json.dumps(m))
+    cfg = auto_config(str(fn))
+    assert isinstance(cfg, LlamaConfig) and cfg.sliding_window == 8
+
+    fn.write_text(json.dumps(dict(base, model_type="falcon")))
+    with pytest.raises(ValueError, match="unknown model_type"):
+        auto_config(str(fn))
+
+
+def test_loader_is_bias_presence_driven():
+    """A checkpoint carrying projection biases loads them even if the config
+    flag says no bias — silently dropping file weights corrupts the model."""
+    import torch
+    from transformers import Qwen2Config as HFQwen2Config
+    from transformers import Qwen2ForCausalLM as HFQwen2
+    torch.manual_seed(1)
+    d = dict(vocab_size=64, hidden_size=32, intermediate_size=48,
+             num_hidden_layers=2, num_attention_heads=4,
+             num_key_value_heads=2, tie_word_embeddings=False)
+    hf = HFQwen2(HFQwen2Config(**d)).eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    cfg = LlamaConfig(**d, attention_bias=False)  # flag says no bias
+    params = llama_params_from_state_dict(sd, cfg)
+    assert "b" in params["blocks"]["self_attn"]["q_proj"]

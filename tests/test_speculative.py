@@ -221,3 +221,93 @@ def test_generate_draft_model_default_is_sampling(gpt_pair):
         draft_model=draft, draft_len=3, rng=jax.random.PRNGKey(s)))[0, 0]
         for s in (0, 1, 2)]
     assert any(not np.array_equal(outs[0][:24], o[:24]) for o in outs[1:])
+
+
+# ---------------------------------------------------------------------------
+# prompt-lookup (draft-free ngram) speculation
+# ---------------------------------------------------------------------------
+
+from cleantransformer_tpu.generation.speculative import prompt_lookup_generate
+
+
+@pytest.mark.parametrize("K", [2, 4, 8])
+def test_prompt_lookup_bit_exact_vs_greedy(gpt_pair, K):
+    """Greedy exactness holds for ANY proposal source — incl. ngram lookup
+    on arbitrary prompts where acceptance is ~0."""
+    target, _ = gpt_pair
+    rs = np.random.RandomState(K)
+    for plen in (2, 5, 12):
+        prompt = rs.randint(1, 211, (plen,)).tolist()
+        want = plain_greedy(target, prompt, 16)
+        got = prompt_lookup_generate(
+            target, np.asarray(prompt, np.int32)[None],
+            generation_configs={"max_gen_len": 16, "do_sample": False},
+            draft_len=K)[0, 0]
+        np.testing.assert_array_equal(got, want, err_msg=f"K={K} plen={plen}")
+
+
+def test_prompt_lookup_accepts_on_repetitive_continuation(gpt_pair):
+    """When plain greedy falls into a repetition cycle (typical for these
+    random-weight models), ngram lookup must commit >1 token per round —
+    the feature's whole point. We FIND such a prompt by probing greedy
+    outputs, then assert acceptance and exactness."""
+    target, _ = gpt_pair
+    rs = np.random.RandomState(0)
+    chosen = None
+    for _ in range(20):
+        prompt = rs.randint(1, 211, (4,)).tolist()
+        out = plain_greedy(target, prompt, 40)
+        gen = out[len(prompt):]
+        # repetition: some token appears following the same predecessor twice
+        pairs = set(zip(gen[:-1], gen[1:]))
+        if len(pairs) < len(gen) - 4:  # enough repeated bigrams
+            chosen = prompt
+            break
+    assert chosen is not None, "no cycling prompt found (model too varied)"
+    want = plain_greedy(target, chosen, 40)
+    got, stats = prompt_lookup_generate(
+        target, np.asarray(chosen, np.int32)[None],
+        generation_configs={"max_gen_len": 40, "do_sample": False},
+        draft_len=8, return_stats=True)
+    np.testing.assert_array_equal(got[0, 0], want)
+    assert stats["tokens_per_round"] > 1.5, stats
+
+
+def test_prompt_lookup_end_ids(gpt_pair):
+    target, _ = gpt_pair
+    prompt = [7, 3, 7, 3]
+    ref = plain_greedy(target, prompt, 20)
+    end = int(ref[len(prompt) + 3])  # some token greedy emits
+    want = plain_greedy(target, prompt, 20, end_ids=[end])
+    got = prompt_lookup_generate(
+        target, np.asarray(prompt, np.int32)[None],
+        generation_configs={"max_gen_len": 20, "do_sample": False,
+                            "end_ids": end}, draft_len=4)[0, 0]
+    stop = len(prompt)
+    while stop < len(want) and want[stop - 1] != end:
+        stop += 1
+    np.testing.assert_array_equal(got[: stop + 1], want[: stop + 1])
+    assert end in got
+
+
+def test_generate_ngram_dispatch(gpt_pair):
+    """generate(draft_model='ngram') routes to prompt-lookup; unset
+    do_sample resolves to the reference default (True) and raises the
+    greedy-only error instead of silently flipping modes."""
+    target, _ = gpt_pair
+    ids = np.asarray([[4, 9, 2, 7]], np.int32)
+    want = plain_greedy(target, [4, 9, 2, 7], 12)
+    got = np.asarray(target.generate(
+        jnp.asarray(ids), generation_configs={"max_gen_len": 12,
+                                              "do_sample": False},
+        draft_model="ngram", draft_len=4))
+    np.testing.assert_array_equal(got[0, 0], want)
+    with pytest.raises(AssertionError, match="greedy-only"):
+        target.generate(jnp.asarray(ids),
+                        generation_configs={"max_gen_len": 12},
+                        draft_model="ngram")
+    with pytest.raises(ValueError, match="unknown draft mode"):
+        target.generate(jnp.asarray(ids),
+                        generation_configs={"max_gen_len": 12,
+                                            "do_sample": False},
+                        draft_model="lookahead")
