@@ -270,14 +270,20 @@ def _prompt_lookup_loop(t_params, t_config, t_forward, t_init_cache,
         for g in range(ngram):
             shifted = jnp.roll(row, -g)  # row[j+g] for j+g < T
             match = match & (shifted == pattern[g])
+        # prefer the last match whose K-token continuation is fully
+        # committed (proposals past the frontier are stale buffer junk that
+        # caps acceptance); fall back to the very last match, then to
+        # repeating the final token
+        full = match & (j + ngram + K <= n)
+
+        def last_true(m):
+            return (T - 1) - jnp.argmax(m[::-1])
+
         any_match = jnp.any(match)
-        idx = jnp.where(any_match,
-                        (T - 1) - jnp.argmax(match[::-1]),  # LAST match
-                        0)
+        idx = jnp.where(jnp.any(full), last_true(full),
+                        jnp.where(any_match, last_true(match), 0))
         src = jnp.where(any_match, idx + ngram, jnp.maximum(n - 1, 0))
         cand = jax.lax.dynamic_slice(row, (src,), (K,))
-        # proposals past the committed frontier (src + K > n) are stale
-        # buffer contents — fine: mismatches just bound the accepted prefix
         tokens = jax.lax.dynamic_update_slice(tokens, cand[None], (0, n))
 
         # --- verify all K in one forward (identical to _speculative_loop)
