@@ -230,7 +230,7 @@ def _gqa_attend(q, k, v, additive_mask, scale, k_scale=None, v_scale=None):
 
 
 def _llama_attention(attn_params, h, cos, sin, additive_mask, layer_kv,
-                     cache_len, config):
+                     cache_len, config, segments=None):
     B, S, D = h.shape
     H, Hkv, hd = (config.num_attention_heads, config.num_key_value_heads,
                   config.head_dim)
@@ -276,11 +276,14 @@ def _llama_attention(attn_params, h, cos, sin, additive_mask, layer_kv,
         else:
             k_f, v_f = k, v
         # per-key padding bias: additive_mask is (B,1,S,T) or (B,1,1,T);
-        # the causal part is handled by the kernel's q_offset iota
+        # the causal part is handled by the kernel's q_offset iota (packed
+        # rows instead pass segment ids — block-diagonal in-kernel)
         bias = additive_mask[:, :, 0, :] if additive_mask is not None else \
             jnp.zeros((B, 1, k_f.shape[2]), jnp.float32)
-        out = flash_attention(q, k_f, v_f, bias, cache_len, scale=scale,
-                              causal=True, interpret=should_interpret())
+        out = flash_attention(q, k_f, v_f, bias, cache_len,
+                              q_segments=segments, k_segments=segments,
+                              scale=scale, causal=True,
+                              interpret=should_interpret())
     else:
         out = _gqa_attend(q, k, v, additive_mask, scale,
                           k_scale=k_scale, v_scale=v_scale)
@@ -299,14 +302,15 @@ def _llama_mlp(mlp_params, h, act):
 
 
 def _llama_block(block_params, layer_kv, h, cos, sin, additive_mask,
-                 cache_len, config, act):
+                 cache_len, config, act, segments=None):
     """Returns (h, kv, router_stats) — router_stats is None for dense MLPs,
     else the (probs, top_i) pair from the MoE router (aux loss input)."""
     eps = config.rms_norm_eps
     attn_out, kv = _llama_attention(
         block_params["self_attn"],
         rms_norm(h, block_params["input_layernorm"]["w"], eps),
-        cos, sin, additive_mask, layer_kv, cache_len, config)
+        cos, sin, additive_mask, layer_kv, cache_len, config,
+        segments=segments)
     h = h + attn_out
     mlp_in = rms_norm(h, block_params["post_attention_layernorm"]["w"], eps)
     router_stats = None
@@ -346,11 +350,31 @@ def llama_forward(params, config, input_ids, attention_mask=None,
     cache-less masks cover the inputs; cached masks cover the full buffer.
     position_ids default to the GPT/HF convention cumsum(mask)-1 with pad
     positions forced to 1 (modeling_gpt.py:171-174 — HF llama's
-    prepare_inputs_for_generation builds the same)."""
-    del segment_ids
+    prepare_inputs_for_generation builds the same).
+
+    ``segment_ids`` (B, S) int, 0 = pad: PACKED-SEQUENCE training — several
+    examples share one row, attention is block-diagonal-causal (no token
+    sees another segment), RoPE positions restart per segment. Training
+    path only (no cache); see trainer/data.packed_collate."""
     B, S = input_ids.shape
     compute_dtype = config.compute_dtype
     cache_len = cache["length"] if cache is not None else jnp.zeros((), jnp.int32)
+
+    packed = segment_ids is not None
+    if packed:
+        if cache is not None:
+            raise ValueError("segment_ids (packed sequences) are a "
+                             "cache-less training feature")
+        seg = segment_ids.astype(jnp.int32)
+        if position_ids is None:
+            # within-segment positions: idx - index of the segment's start
+            # (segments are contiguous runs in a packed row)
+            idx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None],
+                                   (B, S))
+            new_seg = jnp.concatenate(
+                [jnp.ones((B, 1), bool), seg[:, 1:] != seg[:, :-1]], axis=1)
+            seg_start = jax.lax.cummax(jnp.where(new_seg, idx, 0), axis=1)
+            position_ids = idx - seg_start
 
     if position_ids is None:
         if jnp.ndim(cache_len) == 1 and cache is not None:
@@ -375,7 +399,20 @@ def llama_forward(params, config, input_ids, attention_mask=None,
 
     # additive padding mask over the key axis (fp32; scores are upcast)
     additive_mask = None
-    if attention_mask is not None:
+    packed_flash = (packed and S > 1
+                    and getattr(config, "use_flash_attention", False)
+                    and getattr(config, "sliding_window", None) is None)
+    if packed_flash:
+        # flash kernel takes the segment ids directly (in-kernel block-
+        # diagonal masking); the additive bias only needs the key pads
+        additive_mask = (1.0 - (seg != 0)[:, None, None, :].astype(
+            jnp.float32)) * CAUSAL_NEG
+    elif packed:
+        # dense path: full (B,1,S,S) block-diagonal — same nonzero segment
+        # only (subsumes padding: segment-0 keys are masked for every query)
+        keep = (seg[:, :, None] == seg[:, None, :]) & (seg[:, None, :] != 0)
+        additive_mask = jnp.where(keep, 0.0, CAUSAL_NEG)[:, None]  # (B,1,S,S)
+    elif attention_mask is not None:
         additive_mask = (1.0 - attention_mask[:, None, None, :].astype(
             jnp.float32)) * CAUSAL_NEG
 
@@ -411,7 +448,9 @@ def llama_forward(params, config, input_ids, attention_mask=None,
         def run_block(h_in, block_params):
             out, _, stats = _llama_block(block_params, None, h_in, cos, sin,
                                          additive_mask, cache_len, config,
-                                         act)
+                                         act,
+                                         segments=seg if packed_flash
+                                         else None)
             if not (moe and return_aux):
                 return out
             # per-layer load-balancing sums (ops/moe.py): normalized across

@@ -41,8 +41,7 @@ DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
 
 
-def _flash_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref, *,
-                  scale, causal, block_k, seq_k):
+def _flash_kernel(qoff_ref, *refs, scale, causal, segmented, block_k, seq_k):
     """One (batch*head, q-block) program: loop key blocks with online softmax.
     Also emits the per-row logsumexp (for the backward kernels).
 
@@ -55,7 +54,16 @@ def _flash_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref, *,
     the MXU at a fraction of its bf16 rate for zero accuracy gain (the
     inputs are bf16 to begin with). Softmax/rescaling stay fp32 on the VPU;
     the probabilities are cast to the value dtype for the AV dot (standard
-    flash practice)."""
+    flash practice).
+
+    ``segmented`` (static): two extra int32 refs carry per-query /
+    per-key segment ids — scores where they differ are masked (packed-
+    sequence block-diagonal attention, the splash-attention convention)."""
+    if segmented:
+        (q_ref, k_ref, v_ref, bias_ref, qseg_ref, kseg_ref,
+         out_ref, lse_ref) = refs
+    else:
+        q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref = refs
     q = q_ref[0]  # (BQ, hd) native dtype
 
     block_q = q.shape[0]
@@ -78,6 +86,10 @@ def _flash_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref, *,
         if scale != 1.0:
             s = s * scale
         s = s + bias_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :]
+        if segmented:
+            qs = qseg_ref[0, 0, :][:, None]                     # (BQ, 1)
+            ks = kseg_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :]
+            s = jnp.where(qs == ks, s, -jnp.inf)
         if causal:
             row = q_off + qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
@@ -116,8 +128,17 @@ def _qoff_rows(q_offset, B, H):
     return qo.reshape(B * H)
 
 
+def _seg_flat(seg, B, H, S0, pad):
+    """(B, S0) segment ids -> (B*H, 1, S_padded) int32 (bias layout); pads
+    get -1, which matches no real segment."""
+    s = jnp.broadcast_to(seg.astype(jnp.int32)[:, None, :], (B, H, S0))
+    if pad:
+        s = jnp.pad(s, ((0, 0), (0, 0), (0, pad)), constant_values=-1)
+    return s.reshape(B * H, 1, S0 + pad)
+
+
 def _flash_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q, block_k,
-                    interpret):
+                    interpret, q_segments=None, k_segments=None):
     B, H, Sq0, hd = q.shape
     Sk0 = k.shape[2]
     block_q = min(block_q, Sq0)
@@ -143,6 +164,16 @@ def _flash_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q, block_k,
     bias_f = bias.reshape(B * H, 1, Sk)
     qoff = _qoff_rows(q_offset, B, H)
 
+    segmented = q_segments is not None
+    seg_ops, seg_specs = [], []
+    if segmented:
+        seg_ops = [_seg_flat(q_segments, B, H, Sq0, pad_q),
+                   _seg_flat(k_segments, B, H, Sk0, pad_k)]
+        seg_specs = [
+            pl.BlockSpec((1, 1, block_q), lambda bh, qi, s: (bh, 0, qi)),
+            pl.BlockSpec((1, 1, Sk), lambda bh, qi, s: (bh, 0, 0)),
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B * H, Sq // block_q),
@@ -151,7 +182,7 @@ def _flash_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q, block_k,
             pl.BlockSpec((1, Sk, hd), lambda bh, qi, s: (bh, 0, 0)),
             pl.BlockSpec((1, Sk, hd), lambda bh, qi, s: (bh, 0, 0)),
             pl.BlockSpec((1, 1, Sk), lambda bh, qi, s: (bh, 0, 0)),
-        ],
+        ] + seg_specs,
         out_specs=(
             pl.BlockSpec((1, block_q, hd), lambda bh, qi, s: (bh, qi, 0)),
             pl.BlockSpec((1, 1, block_q), lambda bh, qi, s: (bh, 0, qi)),
@@ -159,12 +190,12 @@ def _flash_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q, block_k,
     )
     out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, causal=causal,
-                          block_k=block_k, seq_k=Sk),
+                          segmented=segmented, block_k=block_k, seq_k=Sk),
         out_shape=(jax.ShapeDtypeStruct((B * H, Sq, hd), q.dtype),
                    jax.ShapeDtypeStruct((B * H, 1, Sq), jnp.float32)),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(qoff, qf, kf, vf, bias_f)
+    )(qoff, qf, kf, vf, bias_f, *seg_ops)
     out = out.reshape(B, H, Sq, hd)
     if pad_q:
         out = out[:, :, :Sq0]
@@ -198,17 +229,20 @@ def should_interpret():
     return jax.default_backend() not in ("tpu", "axon")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def flash_attention(q, k, v, bias, q_offset=0, scale=1.0, causal=True,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def flash_attention(q, k, v, bias, q_offset=0, q_segments=None,
+                    k_segments=None, scale=1.0, causal=True,
                     block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
                     interpret=False):
     """q: (B,H,Sq,hd); k,v: (B,H,Sk,hd); bias: (B,H,Sk) or (B,1,Sk) additive
     (ALiBi + padding, broadcast over queries). ``q_offset`` (dynamic int32
     scalar or (B,) vector): query i has absolute position q_offset + i, so
     causal attends keys <= q_offset + i (cache offset for speculative verify /
-    chunked prefill). Returns (B,H,Sq,hd)."""
+    chunked prefill). ``q_segments``/``k_segments`` (B, S) int32: packed-
+    sequence block-diagonal masking — scores with differing segment ids are
+    -inf (pass both or neither). Returns (B,H,Sq,hd)."""
     out, _ = _flash_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q,
-                             block_k, interpret)
+                             block_k, interpret, q_segments, k_segments)
     return out
 
 
@@ -217,9 +251,14 @@ def flash_attention(q, k, v, bias, q_offset=0, scale=1.0, causal=True,
 # over k-blocks, using the saved per-row logsumexp)
 # ---------------------------------------------------------------------------
 
-def _flash_bwd_dq_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
-                         lse_ref, d_ref, dq_ref, *, scale, causal, block_k,
+def _flash_bwd_dq_kernel(qoff_ref, *refs, scale, causal, segmented, block_k,
                          seq_k):
+    if segmented:
+        (q_ref, k_ref, v_ref, bias_ref, qseg_ref, kseg_ref, do_ref,
+         lse_ref, d_ref, dq_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, d_ref,
+         dq_ref) = refs
     q = q_ref[0]                               # native dtype (MXU bf16 rate)
     do = do_ref[0]
     lse = lse_ref[0, 0, :][:, None]            # (BQ, 1)
@@ -244,6 +283,10 @@ def _flash_bwd_dq_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
         if scale != 1.0:
             s = s * scale
         s = s + bias_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :]
+        if segmented:
+            qs = qseg_ref[0, 0, :][:, None]
+            ks = kseg_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :]
+            s = jnp.where(qs == ks, s, -jnp.inf)
         if causal:
             row = q_off + qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
@@ -265,9 +308,14 @@ def _flash_bwd_dq_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-def _flash_bwd_dkv_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
-                          lse_ref, d_ref, dk_ref, dv_ref, dbias_ref, *, scale,
-                          causal, block_q, seq_q):
+def _flash_bwd_dkv_kernel(qoff_ref, *refs, scale, causal, segmented, block_q,
+                          seq_q):
+    if segmented:
+        (q_ref, k_ref, v_ref, bias_ref, qseg_ref, kseg_ref, do_ref,
+         lse_ref, d_ref, dk_ref, dv_ref, dbias_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, d_ref,
+         dk_ref, dv_ref, dbias_ref) = refs
     k_blk = k_ref[0]                           # (BK, hd) native dtype
     v_blk = v_ref[0]
     bias_blk = bias_ref[0, 0, :][None, :]      # (1, BK)
@@ -290,6 +338,10 @@ def _flash_bwd_dkv_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
         if scale != 1.0:
             s = s * scale
         s = s + bias_blk
+        if segmented:
+            qs = qseg_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
+            ks = kseg_ref[0, 0, :][None, :]
+            s = jnp.where(qs == ks, s, -jnp.inf)
         if causal:
             row = q_off + qb * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
@@ -324,21 +376,22 @@ def _flash_bwd_dkv_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     dbias_ref[0, 0, :] = dbias
 
 
-def _flash_fwd(q, k, v, bias, q_offset, scale, causal, block_q, block_k,
-               interpret):
+def _flash_fwd(q, k, v, bias, q_offset, q_segments, k_segments, scale, causal,
+               block_q, block_k, interpret):
     out, lse = _flash_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q,
-                               block_k, interpret)
+                               block_k, interpret, q_segments, k_segments)
     # named so a remat policy can pin the flash residuals
     # (save_only_these_names('flash_out', 'flash_lse') == remat="attn" in the
     # models): the backward then reuses them instead of re-running the
     # forward kernel inside the rematerialized block
     out = jax.ad_checkpoint.checkpoint_name(out, "flash_out")
     lse = jax.ad_checkpoint.checkpoint_name(lse, "flash_lse")
-    return out, (q, k, v, bias, q_offset, out, lse)
+    return out, (q, k, v, bias, q_offset, q_segments, k_segments, out, lse)
 
 
 def _flash_bwd(scale, causal, block_q, block_k, interpret, res, g):
-    q, k, v, bias, q_offset, out, lse = res
+    q, k, v, bias, q_offset, q_segments, k_segments, out, lse = res
+    segmented = q_segments is not None
     B, H, Sq0, hd = q.shape
     Sk0 = k.shape[2]
     bias_shape_in = bias.shape
@@ -372,6 +425,17 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, res, g):
     vec_spec = lambda blk: pl.BlockSpec((1, 1, blk),
                                         lambda bh, i, s: (bh, 0, i))
     full_vec = pl.BlockSpec((1, 1, Sq), lambda bh, i, s: (bh, 0, 0))
+    full_vec_k = pl.BlockSpec((1, 1, Sk), lambda bh, i, s: (bh, 0, 0))
+    kvec_spec = pl.BlockSpec((1, 1, block_k), lambda bh, kb, s: (bh, 0, kb))
+
+    seg_ops, dq_seg_specs, dkv_seg_specs = [], [], []
+    if segmented:
+        seg_ops = [_seg_flat(q_segments, B, H, Sq0, pad_q),
+                   _seg_flat(k_segments, B, H, Sk0, pad_k)]
+        # dq grid iterates q blocks: qseg per block, kseg full
+        dq_seg_specs = [vec_spec(block_q), full_vec_k]
+        # dkv grid iterates k blocks: qseg full, kseg per block
+        dkv_seg_specs = [full_vec, kvec_spec]
 
     dq_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -381,6 +445,7 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, res, g):
             pl.BlockSpec((1, Sk, hd), lambda bh, qi, s: (bh, 0, 0)),
             pl.BlockSpec((1, Sk, hd), lambda bh, qi, s: (bh, 0, 0)),
             pl.BlockSpec((1, 1, Sk), lambda bh, qi, s: (bh, 0, 0)),
+        ] + dq_seg_specs + [
             pl.BlockSpec((1, block_q, hd), lambda bh, qi, s: (bh, qi, 0)),
             vec_spec(block_q),
             vec_spec(block_q),
@@ -390,11 +455,11 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, res, g):
     )
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale=scale, causal=causal,
-                          block_k=block_k, seq_k=Sk),
+                          segmented=segmented, block_k=block_k, seq_k=Sk),
         out_shape=jax.ShapeDtypeStruct((BH, Sq, hd), q.dtype),
         grid_spec=dq_grid,
         interpret=interpret,
-    )(qoff, qf, kf, vf, bias_f, dof, lse, Dval)
+    )(qoff, qf, kf, vf, bias_f, *seg_ops, dof, lse, Dval)
 
     dkv_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -404,6 +469,7 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, res, g):
             pl.BlockSpec((1, block_k, hd), lambda bh, kb, s: (bh, kb, 0)),
             pl.BlockSpec((1, block_k, hd), lambda bh, kb, s: (bh, kb, 0)),
             pl.BlockSpec((1, 1, block_k), lambda bh, kb, s: (bh, 0, kb)),
+        ] + dkv_seg_specs + [
             pl.BlockSpec((1, Sq, hd), lambda bh, kb, s: (bh, 0, 0)),
             full_vec,
             full_vec,
@@ -416,13 +482,13 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, res, g):
     )
     dk, dv, dbias = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, scale=scale, causal=causal,
-                          block_q=block_q, seq_q=Sq),
+                          segmented=segmented, block_q=block_q, seq_q=Sq),
         out_shape=(jax.ShapeDtypeStruct((BH, Sk, hd), k.dtype),
                    jax.ShapeDtypeStruct((BH, Sk, hd), v.dtype),
                    jax.ShapeDtypeStruct((BH, 1, Sk), jnp.float32)),
         grid_spec=dkv_grid,
         interpret=interpret,
-    )(qoff, qf, kf, vf, bias_f, dof, lse, Dval)
+    )(qoff, qf, kf, vf, bias_f, *seg_ops, dof, lse, Dval)
 
     dq = dq.reshape(B, H, Sq, hd)[:, :, :Sq0]
     dk = dk.reshape(B, H, Sk, hd)[:, :, :Sk0]
@@ -436,8 +502,12 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, res, g):
         dbias = dbias.reshape(bias_shape_in)
     import numpy as np
     dqoff = np.zeros(jnp.shape(q_offset), jax.dtypes.float0)
+    dqseg = (None if q_segments is None
+             else np.zeros(jnp.shape(q_segments), jax.dtypes.float0))
+    dkseg = (None if k_segments is None
+             else np.zeros(jnp.shape(k_segments), jax.dtypes.float0))
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-            dbias.astype(bias.dtype), dqoff)
+            dbias.astype(bias.dtype), dqoff, dqseg, dkseg)
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)

@@ -240,12 +240,20 @@ class Trainer:
                 mag = neftune / math.sqrt(S * D)
                 embed_noise = jax.random.uniform(rng, (B, S, D), jnp.float32,
                                                  -mag, mag)
+            seg = batch.get("segment_ids")  # packed rows (packed_collate)
+            if seg is not None and not hasattr(model.config, "rope_theta"):
+                # GPT consumes segment_ids as token-TYPE embeddings
+                # (reference semantics) and Bloom ignores them — silently
+                # mis-training packed rows is worse than refusing
+                raise ValueError(
+                    "packed batches (segment_ids) require a llama-family "
+                    "model (block-diagonal attention; models/llama.py)")
             if moe_aux:
                 # model's labels path: shift-CE (same -100 exclusion as
                 # below) + router_aux_loss_coef * load-balancing aux
                 (loss, logits, _), _ = model.forward_fn()(
                     params, model.config, batch["input_ids"],
-                    batch["attention_mask"], None, None, None,
+                    batch["attention_mask"], None, seg, None,
                     labels=batch["labels"], remat=self.args.remat,
                     embed_noise=embed_noise)
                 if with_logits:
@@ -254,7 +262,7 @@ class Trainer:
                 return loss
             (out), _ = model.forward_fn()(params, model.config,
                                           batch["input_ids"],
-                                          batch["attention_mask"], None, None,
+                                          batch["attention_mask"], None, seg,
                                           None, remat=self.args.remat,
                                           embed_noise=embed_noise)
             logits = out[0].astype(jnp.float32)

@@ -32,6 +32,10 @@ def init_args():
     parser.add_argument("--tp", default=1, type=int)
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--flash", action="store_true")
+    parser.add_argument("--packed", action="store_true",
+                        help="sequence packing: fill rows with whole "
+                             "examples (block-diagonal attention; no pad "
+                             "FLOPs) — trainer/data.packed_collate")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--demo", action="store_true")
     parser.add_argument("--lora_rank", default=0, type=int)
@@ -47,6 +51,7 @@ def main():
     from cleantransformer_tpu.models.llama import LlamaForCausalLM
     from cleantransformer_tpu.trainer import (
         Trainer, TrainingArguments, BelleDataset, belle_collate)
+    from cleantransformer_tpu.trainer.data import packed_collate
 
     overrides = {}
     if args.bf16:
@@ -101,9 +106,13 @@ def main():
         mesh_model=args.tp, max_seq_length=args.max_len)
     trainer = Trainer(
         model=model, args=train_args, train_dataset=BelleDataset(data_fn),
-        data_collator=partial(belle_collate, tokenizer=tokenizer,
-                              max_length=args.max_len, pad_to_max=True,
-                              eos_token=eos))
+        data_collator=(partial(packed_collate, tokenizer=tokenizer,
+                               max_length=args.max_len, eos_token=eos,
+                               num_rows=args.batch_size)
+                       if args.packed else
+                       partial(belle_collate, tokenizer=tokenizer,
+                               max_length=args.max_len, pad_to_max=True,
+                               eos_token=eos)))
     trainer.train(resume_from_checkpoint=True if args.resume else None)
     if args.lora_rank > 0:
         os.makedirs(args.save_dir, exist_ok=True)

@@ -1,0 +1,190 @@
+"""Sequence packing (packed_collate + segment-aware llama attention):
+packed rows must train EXACTLY like the same examples unpacked — block-
+diagonal attention, per-segment RoPE restart, boundary label exclusion."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cleantransformer_tpu.config import LlamaConfig
+from cleantransformer_tpu.models.llama import LlamaForCausalLM, llama_lm_forward
+from cleantransformer_tpu.trainer.data import packed_collate
+
+CFG = dict(vocab_size=128, hidden_size=64, intermediate_size=112,
+           num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+           max_position_embeddings=256, tie_word_embeddings=False)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return LlamaForCausalLM(LlamaConfig(**CFG), rng=jax.random.PRNGKey(0))
+
+
+class _IdTok:
+    """Tokenizer stub: prompt is a space-joined id list."""
+    eos_token = ""
+
+    def encode(self, text):
+        return [int(x) for x in text.split()]
+
+
+def _examples(lengths, seed=0):
+    rs = np.random.RandomState(seed)
+    return [rs.randint(1, 128, (n,)).tolist() for n in lengths]
+
+
+def test_packed_logits_match_unpacked(model):
+    """Each example's logits inside a packed row == its standalone logits
+    (same weights, no cross-segment leakage, positions restart)."""
+    exs = _examples([5, 7, 4])
+    batch = packed_collate([{"prompt": " ".join(map(str, e))} for e in exs],
+                           _IdTok(), max_length=16)
+    assert batch["input_ids"].shape[0] == 1  # all three fit one row
+    (packed_logits, _), _ = llama_lm_forward(
+        model.params, model.config, jnp.asarray(batch["input_ids"]),
+        jnp.asarray(batch["attention_mask"]),
+        segment_ids=jnp.asarray(batch["segment_ids"]))
+    off = 0
+    for e in exs:
+        (solo, _), _ = llama_lm_forward(
+            model.params, model.config, jnp.asarray([e]),
+            jnp.ones((1, len(e)), jnp.int32))
+        got = np.asarray(packed_logits)[0, off: off + len(e)]
+        np.testing.assert_allclose(got, np.asarray(solo)[0], atol=2e-5,
+                                   rtol=1e-4)
+        off += len(e)
+
+
+def test_packed_loss_equals_weighted_unpacked(model):
+    """Packed shift-CE == sum of per-example shift-CE sums / total valid
+    targets (each example contributes len-1 targets)."""
+    exs = _examples([6, 9, 5, 8, 7], seed=1)
+    batch = packed_collate([{"prompt": " ".join(map(str, e))} for e in exs],
+                           _IdTok(), max_length=16)
+    (packed_loss, _, _), _ = llama_lm_forward(
+        model.params, model.config, jnp.asarray(batch["input_ids"]),
+        jnp.asarray(batch["attention_mask"]),
+        segment_ids=jnp.asarray(batch["segment_ids"]),
+        labels=jnp.asarray(batch["labels"]))
+    tot, cnt = 0.0, 0
+    for e in exs:
+        (l, _, _), _ = llama_lm_forward(
+            model.params, model.config, jnp.asarray([e]),
+            jnp.ones((1, len(e)), jnp.int32), labels=jnp.asarray([e]))
+        tot += float(l) * (len(e) - 1)
+        cnt += len(e) - 1
+    assert abs(float(packed_loss) - tot / cnt) < 3e-5
+
+
+def test_packed_collate_shapes_and_boundaries():
+    exs = _examples([4, 5, 10, 3], seed=2)
+    batch = packed_collate([{"prompt": " ".join(map(str, e))} for e in exs],
+                           _IdTok(), max_length=12)
+    ids, seg, lab = (batch["input_ids"], batch["segment_ids"],
+                     batch["labels"])
+    assert ids.shape == seg.shape == lab.shape
+    for r in range(ids.shape[0]):
+        # each segment's first token has label -100; pads are -100
+        prev = 0
+        for i in range(ids.shape[1]):
+            if seg[r, i] != prev and seg[r, i] != 0:
+                assert lab[r, i] == -100
+            if seg[r, i] == 0:
+                assert lab[r, i] == -100
+            prev = seg[r, i]
+    # every example present exactly once
+    all_ids = [int(x) for r in range(ids.shape[0])
+               for x in ids[r][seg[r] > 0]]
+    assert all_ids == [x for e in exs for x in e]
+
+
+def test_trainer_packed_smoke_and_guard(model):
+    from cleantransformer_tpu.trainer.trainer import (Trainer,
+                                                      TrainingArguments)
+    from cleantransformer_tpu.models.gpt import GPTLMHeadModel
+    from cleantransformer_tpu.config import GPTConfig
+    data = [{"prompt": " ".join(map(str, e))}
+            for e in _examples([5, 7, 9, 4, 6, 8], seed=3)]
+
+    def collate(b):
+        return packed_collate(b, _IdTok(), max_length=24)
+
+    args = TrainingArguments(output_dir=None, num_train_epochs=1,
+                             per_device_train_batch_size=3, logging_steps=1,
+                             save_steps=0)
+    tr = Trainer(model=model, args=args, train_dataset=data,
+                 data_collator=collate)
+    state = tr.train()
+    losses = [l["loss"] for l in state["log_history"] if "loss" in l]
+    assert losses and np.isfinite(losses).all()
+
+    gpt = GPTLMHeadModel(GPTConfig(vocab_size=128, n_embd=32,
+                                   n_positions=64, n_layer=1, n_head=2),
+                         version="gpt2", rng=jax.random.PRNGKey(1))
+    tr2 = Trainer(model=gpt, args=args, train_dataset=data,
+                  data_collator=collate)
+    with pytest.raises(ValueError, match="llama-family"):
+        tr2.train()
+
+
+def test_packed_collate_num_rows_static_shape():
+    exs = _examples([4, 5, 6], seed=4)
+    b = packed_collate([{"prompt": " ".join(map(str, e))} for e in exs],
+                       _IdTok(), max_length=8, num_rows=4)
+    assert b["input_ids"].shape == (4, 8)
+    # padded rows are fully ignored: seg 0, labels -100
+    assert (b["segment_ids"][-1] == 0).all()
+    assert (b["labels"][-1] == -100).all()
+    with pytest.raises(ValueError, match="num_rows"):
+        packed_collate([{"prompt": " ".join(map(str, e))} for e in exs],
+                       _IdTok(), max_length=8, num_rows=1)
+
+
+def test_packed_empty_row_loss_is_finite(model):
+    """A fully padded row (num_rows over-provisioning) must not NaN the
+    loss: every query still attends its own (finite-min) diagonal."""
+    exs = _examples([5, 6], seed=5)
+    b = packed_collate([{"prompt": " ".join(map(str, e))} for e in exs],
+                       _IdTok(), max_length=8, num_rows=3)
+    (loss, _, _), _ = llama_lm_forward(
+        model.params, model.config, jnp.asarray(b["input_ids"]),
+        jnp.asarray(b["attention_mask"]),
+        segment_ids=jnp.asarray(b["segment_ids"]),
+        labels=jnp.asarray(b["labels"]))
+    assert np.isfinite(float(loss))
+
+
+def test_packed_flash_matches_packed_dense(model):
+    """use_flash_attention + segment_ids: the segmented flash kernel must
+    match the dense block-diagonal path — logits (real positions) AND
+    grads."""
+    cfg_f = LlamaConfig(**CFG, use_flash_attention=True)
+    flash = LlamaForCausalLM(cfg_f, params=model.params)
+    exs = _examples([6, 9, 5, 8, 7], seed=6)
+    b = packed_collate([{"prompt": " ".join(map(str, e))} for e in exs],
+                       _IdTok(), max_length=16)
+    args = (jnp.asarray(b["input_ids"]), jnp.asarray(b["attention_mask"]))
+    seg = jnp.asarray(b["segment_ids"])
+    lab = jnp.asarray(b["labels"])
+    (want, _), _ = llama_lm_forward(model.params, model.config, *args,
+                                    segment_ids=seg)
+    (got, _), _ = llama_lm_forward(model.params, cfg_f, *args,
+                                   segment_ids=seg)
+    real = (np.asarray(seg) != 0)[:, :, None]
+    np.testing.assert_allclose(np.asarray(got) * real,
+                               np.asarray(want) * real, atol=3e-5, rtol=1e-4)
+
+    def loss(cfg):
+        def f(params):
+            (l, _, _), _ = llama_lm_forward(params, cfg, *args,
+                                            segment_ids=seg, labels=lab)
+            return l
+        return f
+    gd = jax.grad(loss(model.config))(model.params)
+    gf = jax.grad(loss(cfg_f))(model.params)
+    for a, b2 in zip(jax.tree_util.tree_leaves(gd),
+                     jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2), atol=3e-5,
+                                   rtol=2e-3)
