@@ -437,8 +437,12 @@ def bench_serving(model, name, vocab, n_requests=24, max_slots=8,
     rs = np.random.RandomState(0)
     prompts = [rs.randint(1, vocab, (int(n),)).tolist()
                for n in rs.randint(8, 64, n_requests)]
+    # this tunnel serializes host<->device transfers behind enqueued
+    # programs, so the serial schedule beats overlap here (see
+    # serving/engine.py pipeline param; real hosts want the default)
     eng = ServingEngine(model, max_slots=max_slots, max_len=max_len,
-                        prefill_buckets=(64,), chunk_size=16)
+                        prefill_buckets=(64,), chunk_size=16,
+                        pipeline="serial")
     # warmup: compile the prefill + decode-chunk programs before timing
     eng.submit(prompts[0], max_new_tokens=4)
     list(eng.run())

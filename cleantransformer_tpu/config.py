@@ -50,7 +50,12 @@ class BaseConfig:
         return cls(**d)
 
     def to_dict(self):
-        return {k: (str(v) if k.endswith("dtype") else v) for k, v in self.__dict__.items()}
+        # dtype fields serialize as their NAME ("float32"), which
+        # _resolve_dtype accepts back — str(jnp.float32) would emit
+        # "<class 'jax.numpy.float32'>" and break the round-trip
+        return {k: (getattr(v, "__name__", str(v)) if k.endswith("dtype")
+                    else v)
+                for k, v in self.__dict__.items()}
 
 
 class GPTConfig(BaseConfig):
@@ -176,6 +181,9 @@ class LlamaConfig(BaseConfig):
         self.output_router_logits = output_router_logits
         self.moe_capacity_factor = moe_capacity_factor
         self.moe_impl = moe_impl
+        # stamped so saved config.json files round-trip through auto_config
+        kwargs.setdefault("model_type",
+                          "mixtral" if num_local_experts else "llama")
         super().__init__(**kwargs)
 
 
@@ -193,6 +201,7 @@ class Qwen2Config(LlamaConfig):
     def __init__(self, use_sliding_window=False, max_window_layers=0,
                  **kwargs):
         kwargs.setdefault("attention_bias", True)
+        kwargs.setdefault("model_type", "qwen2")
         if not use_sliding_window:
             kwargs.pop("sliding_window", None)
         elif max_window_layers and max_window_layers > 0:
@@ -237,6 +246,11 @@ def auto_config(config_fn, **overrides):
         return load_bloom_config(config_fn, **overrides)
     if mt in dispatch:
         return dispatch[mt].from_json(config_fn, **overrides)
+    if mt is None:
+        # config.json without a model_type (e.g. written before the field
+        # existed): the llama family is the only one whose loaders route
+        # through auto_config, so that's the safe default
+        return LlamaConfig.from_json(config_fn, **overrides)
     raise ValueError(
         f"unknown model_type {mt!r} in {config_fn} "
         f"(supported: bloom, {', '.join(dispatch)})")

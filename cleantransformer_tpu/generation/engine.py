@@ -116,20 +116,17 @@ def generate(model, input_ids, attention_mask=None, position_ids=None,
     if draft_model is not None:
         from cleantransformer_tpu.generation.speculative import (
             prompt_lookup_generate, speculative_generate)
+        # resolve the do_sample default (True, reference parity) up front so
+        # dispatching never silently changes the decoding mode — for "ngram"
+        # an unset flag raises the clear greedy-only error instead
+        cfg_resolved = {**generation_configs,
+                        "do_sample": generation_configs.get("do_sample", True)}
         if isinstance(draft_model, str):
             if draft_model != "ngram":
                 raise ValueError(f"unknown draft mode {draft_model!r} "
                                  "(model instance or 'ngram')")
-            # resolve the do_sample default (True, reference parity) so an
-            # unset flag raises the clear greedy-only error instead of
-            # silently flipping the decoding mode
-            cfg_resolved = {**generation_configs,
-                            "do_sample": generation_configs.get("do_sample",
-                                                                True)}
             return prompt_lookup_generate(model, input_ids, attention_mask,
                                           cfg_resolved, draft_len=draft_len)
-        cfg_resolved = {**generation_configs,
-                        "do_sample": generation_configs.get("do_sample", True)}
         return speculative_generate(model, draft_model, input_ids,
                                     attention_mask, cfg_resolved,
                                     draft_len=draft_len, rng=rng)

@@ -119,10 +119,13 @@ class NativeBPEEncoder:
         mask = np.empty((n, cap), np.int32)
         lens = np.empty((n,), np.int32)
         p = ctypes.POINTER(ctypes.c_int32)
-        self._lib.bpe_encode_batch(
+        mx = self._lib.bpe_encode_batch(
             self._handle, arr, n, cap, pad_id, n_threads,
             ids.ctypes.data_as(p), mask.ctypes.data_as(p),
             lens.ctypes.data_as(p))
+        # the codepoints+1-per-word bound above must hold — silent
+        # truncation behind a valid-looking mask would corrupt training data
+        assert max_length or mx <= cap, (mx, cap)
         if max_length:
             width = max_length if pad_to_max else min(
                 int(lens.max(initial=0)), max_length)

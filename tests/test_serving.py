@@ -259,3 +259,19 @@ def test_late_submission_while_chunks_in_flight(gpt):
     assert set(done) == {r0, r1}
     np.testing.assert_array_equal(done[r0], ref_greedy(gpt, p0, 12))
     np.testing.assert_array_equal(done[r1], ref_greedy(gpt, p1, 12))
+
+
+def test_pipeline_serial_matches_overlap(gpt):
+    """Both pipeline schedules produce identical per-request outputs."""
+    vocab = gpt.config.vocab_size
+    prompts = _prompts(vocab, seed=21)
+    results = {}
+    for mode in ("overlap", "serial"):
+        eng = ServingEngine(gpt, max_slots=2, max_len=64,
+                            prefill_buckets=(16,), chunk_size=4,
+                            pipeline=mode)
+        rids = {eng.submit(p, max_new_tokens=8): tuple(p) for p in prompts}
+        results[mode] = {rids[r]: tuple(t) for r, t in eng.run()}
+    assert results["overlap"] == results["serial"]
+    with pytest.raises(ValueError, match="pipeline"):
+        ServingEngine(gpt, max_slots=2, max_len=64, pipeline="bogus")
