@@ -36,3 +36,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The suite compiles hundreds of distinct XLA:CPU programs; keeping every
+    jitted executable alive for the whole run eventually segfaults the
+    compiler on this toolchain (deterministically, deep into the run, inside
+    backend_compile_and_load — standalone the same tests pass). Bounding the
+    live-executable count per module avoids the threshold; cross-module
+    fixtures only pay a recompile."""
+    yield
+    import jax
+    jax.clear_caches()
