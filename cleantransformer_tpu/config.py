@@ -73,6 +73,7 @@ class GPTConfig(BaseConfig):
         self.embd_pdrop, self.attn_pdrop, self.resid_pdrop = embd_pdrop, attn_pdrop, resid_pdrop
         self.layer_norm_epsilon = layer_norm_epsilon
         self.afn = afn
+        kwargs.setdefault("model_type", "gpt2")  # HF family of this layout
         super().__init__(**kwargs)
 
 
@@ -97,6 +98,7 @@ class BertConfig(BaseConfig):
         self.initializer_range = initializer_range
         self.layer_norm_eps = layer_norm_eps
         self.pad_token_id = pad_token_id
+        kwargs.setdefault("model_type", "bert")
         super().__init__(**kwargs)
 
 
@@ -125,6 +127,7 @@ class BloomConfig(BaseConfig):
         self.eos_token_id = eos_token_id
         self.slow_but_exact = slow_but_exact
         self.num_hidden_layers = self.n_layer
+        kwargs.setdefault("model_type", "bloom")
         super().__init__(**kwargs)
 
 
