@@ -188,3 +188,40 @@ def test_packed_flash_matches_packed_dense(model):
                      jax.tree_util.tree_leaves(gf)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b2), atol=3e-5,
                                    rtol=2e-3)
+
+
+def test_packed_dp_mesh_loss_and_grads_match_single_device(model):
+    """Packed training composes with data parallelism: rows (and their
+    segment ids) shard over the 'data' axis; loss and grads equal the
+    single-device values."""
+    from cleantransformer_tpu.parallel import (
+        make_mesh, use_mesh, replicate, named_sharding)
+    from cleantransformer_tpu.parallel.sharding import data_specs
+    exs = _examples([6, 9, 5, 8, 7, 4, 6, 5, 9, 3, 7, 8], seed=9)
+    batch = packed_collate([{"prompt": " ".join(map(str, e))} for e in exs],
+                           _IdTok(), max_length=16, num_rows=8)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    assert batch["input_ids"].shape[0] == 8
+
+    def loss_fn(params, b):
+        (l, _, _), _ = llama_lm_forward(
+            params, model.config, b["input_ids"], b["attention_mask"],
+            segment_ids=b["segment_ids"], labels=b["labels"])
+        return l
+
+    single = float(jax.jit(loss_fn)(model.params, batch))
+    g_single = jax.jit(jax.grad(loss_fn))(model.params, batch)
+
+    mesh = make_mesh(data=8, model=1)
+    with use_mesh(mesh):
+        p = replicate(model.params, mesh)
+        b = jax.tree_util.tree_map(
+            jax.device_put, batch,
+            named_sharding(mesh, data_specs(batch)))
+        sharded = float(jax.jit(loss_fn)(p, b))
+        g_sharded = jax.jit(jax.grad(loss_fn))(p, b)
+    assert abs(single - sharded) < 1e-5
+    for a, c in zip(jax.tree_util.tree_leaves(g_single),
+                    jax.tree_util.tree_leaves(g_sharded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-5,
+                                   rtol=1e-4)
