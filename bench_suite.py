@@ -294,7 +294,7 @@ def bench_packed_sft():
     lens = np.clip(rs.lognormal(4.7, 0.6, 400).astype(int), 16, S)
     seqs = [rs.randint(1, 32000, (n,)).astype(np.int32) for n in lens]
 
-    def step_time(batch, segmented):
+    def step_time(batch):
         def loss_fn(params, b):
             (loss, _, _), _ = llama_lm_forward(
                 params, cfg, b["input_ids"], b["attention_mask"],
@@ -333,7 +333,7 @@ def bench_packed_sft():
     padded = {"input_ids": jnp.asarray(ids),
               "attention_mask": jnp.asarray(mask),
               "labels": jnp.asarray(labels)}
-    t_pad = step_time(padded, False)
+    t_pad = step_time(padded)
     real_pad = int(mask.sum())
 
     # packed: fill B rows back-to-back with whole examples
@@ -357,7 +357,7 @@ def bench_packed_sft():
               "attention_mask": jnp.asarray(mask),
               "segment_ids": jnp.asarray(seg),
               "labels": jnp.asarray(labels)}
-    t_pack = step_time(packed, True)
+    t_pack = step_time(packed)
     real_pack = int(mask.sum())
 
     record("llama360m_sft_packed_real_tokens_per_sec", real_pack / t_pack,

@@ -250,10 +250,19 @@ def auto_config(config_fn, **overrides):
     if mt in dispatch:
         return dispatch[mt].from_json(config_fn, **overrides)
     if mt is None:
-        # config.json without a model_type (e.g. written before the field
-        # existed): the llama family is the only one whose loaders route
-        # through auto_config, so that's the safe default
-        return LlamaConfig.from_json(config_fn, **overrides)
+        # config.json without a model_type (written before the classes
+        # stamped one): disambiguate by the fields actually present —
+        # guessing llama for a bloom save would crash deep in the loader
+        d = json.load(open(config_fn, "r"))
+        if "rope_theta" in d or "rms_norm_eps" in d:
+            return LlamaConfig.from_json(config_fn, **overrides)
+        if "n_embd" in d or "afn" in d or "n_positions" in d:
+            return GPTConfig.from_json(config_fn, **overrides)
+        if "type_vocab_size" in d:
+            return BertConfig.from_json(config_fn, **overrides)
+        if ("n_embed" in d or "pretraining_tp" in d
+                or "apply_residual_connection_post_layernorm" in d):
+            return load_bloom_config(config_fn, **overrides)
     raise ValueError(
         f"unknown model_type {mt!r} in {config_fn} "
         f"(supported: bloom, {', '.join(dispatch)})")

@@ -124,8 +124,11 @@ class NativeBPEEncoder:
             ids.ctypes.data_as(p), mask.ctypes.data_as(p),
             lens.ctypes.data_as(p))
         # the codepoints+1-per-word bound above must hold — silent
-        # truncation behind a valid-looking mask would corrupt training data
-        assert max_length or mx <= cap, (mx, cap)
+        # truncation behind a valid-looking mask would corrupt training
+        # data (not an assert: python -O would strip it)
+        if not max_length and mx > cap:
+            raise RuntimeError(
+                f"bpe_encode_batch cap bound violated: {mx} > {cap}")
         if max_length:
             width = max_length if pad_to_max else min(
                 int(lens.max(initial=0)), max_length)

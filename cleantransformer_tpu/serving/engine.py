@@ -498,47 +498,42 @@ class ServingEngine:
             if self.pipeline == "serial":
                 # no transfer/compute concurrency on this link: admit,
                 # dispatch, fetch the SAME chunk (zero result lag)
-                free = [i for i in range(self.max_slots)
-                        if self.slot_rid[i] is None]
-                if free and self.queue:
-                    self._admit(free)
+                self._admit_free()
                 out = []
-                if any(r is not None for r in self.slot_rid):
-                    self.state, results = _decode_chunk(
-                        self.params, self.config, self.forward, self.state,
-                        n_steps=self.chunk_size, sampling=self._sampling_on,
-                        end_ids=self.end_ids,
-                        needs_positions=self.needs_positions)
-                    self.steps += self.chunk_size
-                    self._chunk_no += 1
-                    out = self._harvest((self._chunk_no, results))
+                pending = self._dispatch()
+                if pending is not None:
+                    out = self._harvest(pending)
                 return out
 
             prev, self._pending = self._pending, None
             if prev is None:
                 # cold tick (startup or fully drained): admit before the
                 # dispatch so the first chunk has work
-                free = [i for i in range(self.max_slots)
-                        if self.slot_rid[i] is None]
-                if free and self.queue:
-                    self._admit(free)
-            if any(r is not None for r in self.slot_rid):
-                self.state, results = _decode_chunk(
-                    self.params, self.config, self.forward, self.state,
-                    n_steps=self.chunk_size, sampling=self._sampling_on,
-                    end_ids=self.end_ids,
-                    needs_positions=self.needs_positions)
-                self.steps += self.chunk_size
-                self._chunk_no += 1
-                self._pending = (self._chunk_no, results)
+                self._admit_free()
+            self._pending = self._dispatch()
             # blocking fetch of the PREVIOUS chunk — overlaps the chunk
             # dispatched above
             out = self._harvest(prev)
-            free = [i for i in range(self.max_slots)
-                    if self.slot_rid[i] is None]
-            if free and self.queue:
-                self._admit(free)
+            self._admit_free()
         return out
+
+    def _admit_free(self):
+        free = [i for i in range(self.max_slots) if self.slot_rid[i] is None]
+        if free and self.queue:
+            self._admit(free)
+
+    def _dispatch(self):
+        """Enqueue one decode chunk for the occupied slots; returns the
+        (chunk_no, packed results) handle, or None with nothing to run."""
+        if not any(r is not None for r in self.slot_rid):
+            return None
+        self.state, results = _decode_chunk(
+            self.params, self.config, self.forward, self.state,
+            n_steps=self.chunk_size, sampling=self._sampling_on,
+            end_ids=self.end_ids, needs_positions=self.needs_positions)
+        self.steps += self.chunk_size
+        self._chunk_no += 1
+        return (self._chunk_no, results)
 
     def run(self):
         """Generator: drive step() until queue, slots, and pending drain."""

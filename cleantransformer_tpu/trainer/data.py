@@ -217,6 +217,8 @@ def packed_collate(batch, tokenizer, max_length, eos_token=None,
 
     rows, cur = [], []
     for s in seqs:
+        if not len(s):
+            continue  # empty tokenization: nothing to supervise, no slot
         if cur and sum(len(x) for x in cur) + len(s) > max_length:
             rows.append(cur)
             cur = []

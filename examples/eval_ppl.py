@@ -119,10 +119,12 @@ def main():
     ds = BelleDataset(data_fn)
     total_nll, total_tok = 0.0, 0
     B = args.batch_size
-    for i in range(0, len(ds) - len(ds) % B, B):
-        batch = belle_collate([ds[j] for j in range(i, i + B)], tokenizer,
-                              max_length=args.max_len, pad_to_max=True,
-                              eos_token=eos)
+    # the final partial batch is evaluated too (one extra compile at its
+    # smaller shape) — silently dropping the tail would bias the metric
+    for i in range(0, len(ds), B):
+        batch = belle_collate(
+            [ds[j] for j in range(i, min(i + B, len(ds)))], tokenizer,
+            max_length=args.max_len, pad_to_max=True, eos_token=eos)
         labels = np.where(batch["attention_mask"] == 1,
                           batch["input_ids"], -100)
         s, n = jax.device_get(batch_nll(

@@ -99,6 +99,10 @@ def main():
                           rng=jax.random.PRNGKey(1))
 
     dataset = BelleDataset(data_fn)
+    # the Trainer's loader batches per_device_batch x dp examples per step,
+    # and the collator sees them all at once — rows must scale with dp
+    dp = args.dp if args.dp >= 1 else max(
+        1, jax.device_count() // max(args.tp, 1))
     examples_per_step = args.batch_size
     if args.packed:
         # packing pays off only when each step carries ~num_rows * max_len /
@@ -128,7 +132,7 @@ def main():
         model=model, args=train_args, train_dataset=dataset,
         data_collator=(partial(packed_collate, tokenizer=tokenizer,
                                max_length=args.max_len, eos_token=eos,
-                               num_rows=args.batch_size,
+                               num_rows=args.batch_size * dp,
                                on_overflow="drop")
                        if args.packed else
                        partial(belle_collate, tokenizer=tokenizer,
