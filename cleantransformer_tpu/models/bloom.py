@@ -108,7 +108,7 @@ def init_bloom_cache(config, batch_size, max_len, dtype=None):
 def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
                      cache_len, num_heads, dropout_rate=0.0, deterministic=True,
                      rng=None, use_flash=False, pad_mask=None, head_mask=None,
-                     use_ring=False, mask_additive=None):
+                     use_ring=False, mask_additive=None, segments=None):
     B, S, D = h.shape
     hd = D // num_heads
     qkv = linear(h, attn_params["query_key_value"]["w"], attn_params["query_key_value"]["b"])
@@ -116,9 +116,11 @@ def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
 
     # training/full-forward fast path: keep q/k/v in head-major (B, S, D)
     # for the packed kernel — no head transposes (at hd=64 those become
-    # slow relayout copies around the pallas custom-call)
+    # slow relayout copies around the pallas custom-call). Packed rows
+    # (segments) take the 4D kernel below — the bsd variant has no segment
+    # refs.
     if (use_flash and S > 1 and layer_kv is None and 128 % hd == 0
-            and not use_ring and head_mask is None):
+            and not use_ring and head_mask is None and segments is None):
         from cleantransformer_tpu.ops.pallas_kernels import (
             flash_attention_bsd, should_interpret)
         q3 = qkv[..., 0, :].reshape(B, S, D)
@@ -186,6 +188,7 @@ def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
         if pad_mask is not None:
             bias = bias + jnp.where(pad_mask, 0.0, -jnp.inf)[:, None, :]
         out = flash_attention(q, k, v, bias, cache_len,
+                              q_segments=segments, k_segments=segments,
                               scale=1.0 / math.sqrt(hd),
                               causal=True, interpret=should_interpret())
         out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
@@ -251,7 +254,8 @@ def _bloom_mlp(mlp_params, h, residual, pretraining_tp=1, slow_but_exact=False):
 
 
 def _bloom_block(block_params, layer_kv, h, config, alibi_bias, bool_mask,
-                 cache_len, pad_mask=None, head_mask=None, mask_additive=None):
+                 cache_len, pad_mask=None, head_mask=None, mask_additive=None,
+                 segments=None):
     eps = config.layer_norm_epsilon
     ln_out = layer_norm(h, block_params["input_layernorm"]["w"],
                         block_params["input_layernorm"]["b"], eps)
@@ -262,7 +266,7 @@ def _bloom_block(block_params, layer_kv, h, config, alibi_bias, bool_mask,
         use_flash=getattr(config, "use_flash_attention", False),
         pad_mask=pad_mask, head_mask=head_mask,
         use_ring=getattr(config, "use_ring_attention", False),
-        mask_additive=mask_additive)
+        mask_additive=mask_additive, segments=segments)
     ln_out2 = layer_norm(attn_out, block_params["post_attention_layernorm"]["w"],
                          block_params["post_attention_layernorm"]["b"], eps)
     residual = ln_out2 if config.apply_residual_connection_post_layernorm else attn_out
@@ -275,14 +279,27 @@ def _bloom_block(block_params, layer_kv, h, config, alibi_bias, bool_mask,
 def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=None,
                   segment_ids=None, cache=None, head_mask=None, remat=False,
                   embed_noise=None):
-    """BloomModel.forward (modeling_bloom.py:187-205). position_ids/segment_ids
-    are accepted for engine-protocol uniformity and ignored (Bloom is
-    position-embedding-free). ``embed_noise``: optional (B, S, D) additive
-    noise on the word-embedding output, before the embedding LayerNorm (the
-    NEFTune hook point, reference trainer.py:867-898).
-    Returns (hidden, new_cache)."""
-    del position_ids, segment_ids
+    """BloomModel.forward (modeling_bloom.py:187-205). position_ids are
+    accepted for engine-protocol uniformity and ignored (Bloom is
+    position-embedding-free). ``segment_ids`` (B, S) int, 0 = pad: PACKED-
+    SEQUENCE training — block-diagonal-causal attention and per-segment
+    ALiBi position restart (trainer/data.packed_collate); cache-less only.
+    ``embed_noise``: optional (B, S, D) additive noise on the
+    word-embedding output, before the embedding LayerNorm (the NEFTune hook
+    point, reference trainer.py:867-898). Returns (hidden, new_cache)."""
+    del position_ids
     B, S = input_ids.shape
+    packed = segment_ids is not None
+    if packed:
+        if cache is not None:
+            raise ValueError("segment_ids (packed sequences) are a "
+                             "cache-less training feature")
+        if getattr(config, "use_ring_attention", False):
+            raise ValueError("packed sequences are unsupported with ring "
+                             "attention (no segment refs in the ring op)")
+        seg = segment_ids.astype(jnp.int32)
+        if attention_mask is None:
+            attention_mask = (seg != 0).astype(jnp.int32)
     if attention_mask is None:
         attention_mask = jnp.ones((B, S), jnp.int32)
     cache_len = cache["length"] if cache is not None else jnp.zeros((), jnp.int32)
@@ -299,7 +316,19 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
                    params["word_embeddings_layernorm"]["b"], config.layer_norm_epsilon)
     h = shard_hint(h, ("data", None, None))
 
-    alibi_bias = build_alibi_bias(attention_mask, config.n_head)  # (B, H, 1, T)
+    if packed:
+        # ALiBi key positions restart per packed example (segments are
+        # contiguous runs): position = index - segment start, zero on pads —
+        # exactly what build_alibi_bias' mask-cumsum gives a lone example
+        idx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+        new_seg = jnp.concatenate(
+            [jnp.ones((B, 1), bool), seg[:, 1:] != seg[:, :-1]], axis=1)
+        seg_start = jax.lax.cummax(jnp.where(new_seg, idx, 0), axis=1)
+        positions = ((idx - seg_start) * (seg != 0)).astype(jnp.float32)
+        alibi_bias = (alibi_slopes(config.n_head)[None, :, None, None]
+                      * positions[:, None, None, :]).astype(jnp.float32)
+    else:
+        alibi_bias = build_alibi_bias(attention_mask, config.n_head)  # (B, H, 1, T)
 
     # bool mask (True = masked): padding OR not-causal (modeling_bloom.py:176-185).
     # Only the dense path consumes it — flash/ring fold padding into a per-key
@@ -318,6 +347,10 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
             not_causal = (col > (cache_len + row))[None, None]
         pad = (attention_mask == 0)[:, None, None, :]
         bool_mask = pad | not_causal
+        if packed:
+            # block-diagonal: no token attends another segment
+            bool_mask = bool_mask | (seg[:, :, None]
+                                     != seg[:, None, :])[:, None]
         if cache is not None and S == 1:
             # decode fast path: one fp32 additive bias per step instead of a
             # per-layer where-replace (see _bloom_attention)
@@ -332,7 +365,8 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
     if cache is None:
         def run_block(h_in, block_params):
             out, _ = _bloom_block(block_params, None, h_in, config, alibi_bias,
-                                  bool_mask, cache_len, pad_mask, head_mask)
+                                  bool_mask, cache_len, pad_mask, head_mask,
+                                  segments=seg if packed else None)
             return out
         if remat:
             # per-layer rematerialization: the scan stores only each block's

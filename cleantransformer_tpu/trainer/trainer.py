@@ -241,13 +241,15 @@ class Trainer:
                 embed_noise = jax.random.uniform(rng, (B, S, D), jnp.float32,
                                                  -mag, mag)
             seg = batch.get("segment_ids")  # packed rows (packed_collate)
-            if seg is not None and not hasattr(model.config, "rope_theta"):
+            if seg is not None and not (
+                    hasattr(model.config, "rope_theta")       # llama family
+                    or hasattr(model.config, "slow_but_exact")):  # bloom
                 # GPT consumes segment_ids as token-TYPE embeddings
-                # (reference semantics) and Bloom ignores them — silently
-                # mis-training packed rows is worse than refusing
+                # (reference semantics) — silently mis-training packed rows
+                # is worse than refusing
                 raise ValueError(
-                    "packed batches (segment_ids) require a llama-family "
-                    "model (block-diagonal attention; models/llama.py)")
+                    "packed batches (segment_ids) require a llama-family or "
+                    "Bloom model (block-diagonal attention)")
             if moe_aux:
                 # model's labels path: shift-CE (same -100 exclusion as
                 # below) + router_aux_loss_coef * load-balancing aux

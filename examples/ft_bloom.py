@@ -32,6 +32,10 @@ def init_args():
     parser.add_argument("--tp", default=1, type=int, help="tensor-parallel size")
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--flash", action="store_true")
+    parser.add_argument("--packed", action="store_true",
+                        help="sequence packing (trainer/data.packed_collate):"
+                             " whole examples fill rows, block-diagonal"
+                             " attention + per-segment ALiBi restart")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--demo", action="store_true")
     parser.add_argument("--lora_rank", default=0, type=int,
@@ -96,17 +100,43 @@ def main():
         model = LoraModel(model, rank=args.lora_rank, alpha=args.lora_alpha,
                           rng=jax.random.PRNGKey(1))
 
+    dataset = BelleDataset(data_fn)
+    dp = args.dp if args.dp >= 1 else max(
+        1, jax.device_count() // max(args.tp, 1))
+    examples_per_step = args.batch_size
+    if args.packed:
+        # see examples/ft_llama.py: rows must carry ~num_rows * max_len /
+        # avg_len examples for packing to pay off; estimate from a sample
+        from cleantransformer_tpu.trainer.data import packed_collate
+        probe = [dataset[i]["prompt"] + eos
+                 for i in range(0, len(dataset), max(1, len(dataset) // 64))]
+        if hasattr(tokenizer, "encode"):
+            avg = sum(min(len(tokenizer.encode(t)), args.max_len)
+                      for t in probe) / len(probe)
+        else:
+            avg = sum(min(len(tokenizer(t)["input_ids"]), args.max_len)
+                      for t in probe) / len(probe)
+        examples_per_step = max(args.batch_size, int(
+            args.batch_size * args.max_len / (avg * 1.25)))
+        print(f"packing: ~{avg:.0f} tokens/example -> {examples_per_step} "
+              f"examples per step into {args.batch_size} rows")
+        collator = partial(packed_collate, tokenizer=tokenizer,
+                           max_length=args.max_len, eos_token=eos,
+                           num_rows=args.batch_size * dp, on_overflow="drop")
+    else:
+        collator = partial(belle_collate, tokenizer=tokenizer,
+                           max_length=args.max_len, pad_to_max=True,
+                           eos_token=eos)
+
     train_args = TrainingArguments(
         output_dir=args.save_dir, num_train_epochs=args.epochs,
-        per_device_train_batch_size=args.batch_size,
+        per_device_train_batch_size=examples_per_step,
         gradient_accumulation_steps=args.accum, learning_rate=args.lr,
         logging_steps=10, save_steps=1000, mesh_data=args.dp, mesh_model=args.tp,
         max_seq_length=args.max_len)
     trainer = Trainer(
-        model=model, args=train_args, train_dataset=BelleDataset(data_fn),
-        data_collator=partial(belle_collate, tokenizer=tokenizer,
-                              max_length=args.max_len, pad_to_max=True,
-                              eos_token=eos))
+        model=model, args=train_args, train_dataset=dataset,
+        data_collator=collator)
 
     if args.check_determinism:
         loader = trainer.get_train_dataloader()
