@@ -14,6 +14,14 @@
    (scripts/ds_config_example.json:33-48, examples/ft_bloom_deepspeed.py:51-53):
    XLA/GSPMD derives the reduce-scatter(grads) -> sharded update ->
    all-gather(params) schedule from the annotations.
+ - ``shard_params_zero``: ZeRO-3/FSDP-style PARAMETER sharding — the same
+   largest-free-dim partition applied to the params themselves, so each
+   device holds 1/dp of every weight (the reference reaches this via
+   ``deepspeed.zero.Init()``, examples/ft_bloom_deepspeed.py:51-53). Under
+   jit, GSPMD derives the all-gather-on-use in the forward/backward and the
+   reduce-scatter of the gradients; the train step re-constrains the updated
+   params (and Adam state) to the sharded layout so nothing stays gathered
+   between steps.
 """
 
 import jax
@@ -184,6 +192,22 @@ def zero_specs(params, mesh, model_type="gpt", axis="data"):
     return jax.tree_util.tree_map(
         lambda leaf, spec: _zero_leaf_spec(spec, leaf.shape, dp, axis),
         params, base)
+
+
+def shard_params_zero(params, mesh, model_type="gpt", axis="data"):
+    """ZeRO-3/FSDP parameter sharding: place ``params`` with the TP specs
+    PLUS ``axis`` on the largest free divisible dim of every leaf (the same
+    partition rule as ``zero_specs``), so each device stores ~1/dp of the
+    model. Returns (sharded_params, spec_tree); the spec tree is re-applied
+    inside the train step (``constrain``) so the updated params leave the
+    step sharded — XLA then schedules all-gather-on-use per layer in the
+    forward/backward instead of keeping a gathered copy alive.
+
+    Replaces the reference's ``deepspeed.zero.Init()`` + ZeRO stage-3 config
+    (examples/ft_bloom_deepspeed.py:51-53, scripts/ds_config_example.json)."""
+    specs = zero_specs(params, mesh, model_type, axis)
+    shardings = named_sharding(mesh, specs)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings), specs
 
 
 def shard_opt_state(opt_state, params, mesh, model_type="gpt", axis="data"):

@@ -95,6 +95,17 @@ class TrainingArguments:
     # data-parallel mesh. Replaces DeepSpeed ZeRO stage 1
     # (reference scripts/ds_config_example.json:33-48).
     zero_optimizer: bool = True
+    # explicit ZeRO stage (overrides zero_optimizer when >= 0):
+    #   0 = replicated params + replicated Adam state
+    #   1 = Adam m/v sharded over 'data' (== zero_optimizer=True)
+    #   3 = FSDP-style: params AND Adam state sharded over 'data' — each
+    #       device stores ~1/dp of the model; GSPMD all-gathers weights on
+    #       use and reduce-scatters grads (the reference's
+    #       deepspeed.zero.Init() path, examples/ft_bloom_deepspeed.py:51-53).
+    # -1 = derive from zero_optimizer. Stage 2 behaves as stage 1 (grads are
+    # never persisted between steps here — the jit step consumes them
+    # in-place, so there is no stage-2 gradient buffer to shard).
+    zero_stage: int = -1
     # per-layer activation checkpointing: False | True (save only block
     # inputs) | "dots" (also save matmul outputs — cheaper recompute, a bit
     # more memory)
@@ -184,7 +195,8 @@ class Trainer:
         self.optimizer = None
         self.opt_state = None
         self.lr_schedule = None
-        self._opt_spec_tree = None  # ZeRO-1 specs, set once sharded
+        self._opt_spec_tree = None  # ZeRO-1/3 Adam-state specs, set once sharded
+        self._param_spec_tree = None  # ZeRO-3 param specs, set once sharded
         self._eval_loss_jit = None  # compiled once, reused across evaluate()
         self._pred_step_jit = None
         self._sig_columns = None
@@ -368,6 +380,13 @@ class Trainer:
                 from cleantransformer_tpu.parallel.sharding import constrain
                 new_opt_state = constrain(new_opt_state, self.mesh,
                                           self._opt_spec_tree)
+            if self._param_spec_tree is not None:
+                # ZeRO-3: the updated params leave the step data-sharded —
+                # XLA all-gathers each weight at its use sites in the next
+                # forward/backward instead of keeping a gathered copy
+                from cleantransformer_tpu.parallel.sharding import constrain
+                new_params = constrain(new_params, self.mesh,
+                                       self._param_spec_tree)
             return new_params, new_opt_state, loss, gnorm
 
         # With a mesh, input shardings are carried by the operands themselves:
@@ -454,10 +473,17 @@ class Trainer:
 
         if self.mesh is not None:
             from cleantransformer_tpu.parallel.sharding import (
-                shard_params, shard_opt_state)
-            self.model.params = shard_params(self.model.params, self.mesh,
-                                             self._model_type())
-            if args.zero_optimizer and self.mesh.shape.get("data", 1) > 1:
+                shard_params, shard_params_zero, shard_opt_state)
+            stage = args.zero_stage if args.zero_stage >= 0 else \
+                (1 if args.zero_optimizer else 0)
+            dp = self.mesh.shape.get("data", 1)
+            if stage >= 3 and dp > 1:
+                self.model.params, self._param_spec_tree = shard_params_zero(
+                    self.model.params, self.mesh, self._model_type())
+            else:
+                self.model.params = shard_params(self.model.params, self.mesh,
+                                                 self._model_type())
+            if stage >= 1 and dp > 1:
                 self.opt_state, self._opt_spec_tree = shard_opt_state(
                     self.opt_state, self.model.params, self.mesh,
                     self._model_type())

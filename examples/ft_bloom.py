@@ -30,6 +30,10 @@ def init_args():
     parser.add_argument("--max_len", default=1024, type=int)
     parser.add_argument("--dp", default=1, type=int, help="data-parallel size (0=all devices)")
     parser.add_argument("--tp", default=1, type=int, help="tensor-parallel size")
+    parser.add_argument("--zero_stage", default=-1, type=int,
+                        help="ZeRO stage on the dp axis: 0 off, 1 Adam-state "
+                             "sharding, 3 FSDP-style param sharding "
+                             "(-1 = default, stage 1 when dp > 1)")
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--flash", action="store_true")
     parser.add_argument("--packed", action="store_true",
@@ -133,7 +137,7 @@ def main():
         per_device_train_batch_size=examples_per_step,
         gradient_accumulation_steps=args.accum, learning_rate=args.lr,
         logging_steps=10, save_steps=1000, mesh_data=args.dp, mesh_model=args.tp,
-        max_seq_length=args.max_len)
+        zero_stage=args.zero_stage, max_seq_length=args.max_len)
     trainer = Trainer(
         model=model, args=train_args, train_dataset=dataset,
         data_collator=collator)

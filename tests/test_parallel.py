@@ -247,6 +247,108 @@ class TestZeroOptimizer:
         assert mu_emb.addressable_shards[0].data.size == mu_emb.size // 8
 
 
+class TestZero3:
+    """ZeRO-3/FSDP parameter sharding: params themselves partitioned over
+    the 'data' axis (the reference's deepspeed.zero.Init() capability,
+    examples/ft_bloom_deepspeed.py:51-53) — GSPMD all-gathers on use and
+    reduce-scatters grads; numerics must equal the replicated path."""
+
+    def _train_steps(self, zero3, n_steps=5):
+        from cleantransformer_tpu.optim import adamw_decoupled
+        from cleantransformer_tpu.parallel.sharding import (
+            shard_params_zero, shard_opt_state, constrain)
+        cfg, model = _bloom()
+        loss_fn = _loss_fn(cfg)
+        init_fn, update_fn = adamw_decoupled(lr=1e-3, weight_decay=0.01)
+        mesh = make_mesh(data=8, model=1)
+        p_specs, o_specs = None, None
+        with use_mesh(mesh):
+            if zero3:
+                params, p_specs = shard_params_zero(model.params, mesh,
+                                                    "bloom")
+            else:
+                params = shard_params(model.params, mesh, "bloom")
+            opt_state = init_fn(params)
+            if zero3:
+                opt_state, o_specs = shard_opt_state(opt_state, params,
+                                                     mesh, "bloom")
+
+            def step(params, opt_state, batch):
+                loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+                new_params, new_opt = update_fn(grads, opt_state, params)
+                if o_specs is not None:
+                    new_opt = constrain(new_opt, mesh, o_specs)
+                if p_specs is not None:
+                    new_params = constrain(new_params, mesh, p_specs)
+                return new_params, new_opt, loss
+
+            jstep = jax.jit(step, donate_argnums=(0, 1))
+            losses = []
+            for i in range(n_steps):
+                batch = jax.tree_util.tree_map(
+                    jax.device_put, _batch(seed=i),
+                    named_sharding(mesh, data_specs(_batch(seed=i))))
+                params, opt_state, loss = jstep(params, opt_state, batch)
+                losses.append(float(loss))
+        return losses, params, opt_state
+
+    def test_zero3_matches_replicated_step_for_step(self):
+        losses_rep, params_rep, _ = self._train_steps(zero3=False)
+        losses_z, params_z, opt_z = self._train_steps(zero3=True)
+        np.testing.assert_allclose(losses_z, losses_rep, rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(params_rep),
+                        jax.tree_util.tree_leaves(params_z)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+        # every param leaf holds 1/8 of its elements per device
+        for leaf in jax.tree_util.tree_leaves(params_z):
+            assert leaf.addressable_shards[0].data.size == leaf.size // 8, \
+                (leaf.shape, leaf.sharding)
+        # total per-device param bytes = total/8
+        total = sum(l.size * l.dtype.itemsize
+                    for l in jax.tree_util.tree_leaves(params_z))
+        per_dev = sum(l.addressable_shards[0].data.size * l.dtype.itemsize
+                      for l in jax.tree_util.tree_leaves(params_z))
+        assert per_dev == total // 8
+        # Adam state sharded too
+        mu_emb = opt_z.mu["word_embeddings"]
+        assert mu_emb.addressable_shards[0].data.size == mu_emb.size // 8
+
+    def test_trainer_zero3_flag(self, tmp_path):
+        from cleantransformer_tpu.trainer import (
+            Trainer, TrainingArguments, BelleDataset, belle_collate)
+        from cleantransformer_tpu.tokenizers import BPETokenizer
+        data_fn = str(tmp_path / "d.jsonl")
+        with open(data_fn, "w") as f:
+            for i in range(32):
+                f.write(json.dumps({"instruction": f"q {i}",
+                                    "output": str(i)}) + "\n")
+        tok = BPETokenizer(vocab_size=100)
+        tok.fit(["human assistant q 0123456789"])
+        cfg = BloomConfig(vocab_size=len(tok.vocab), hidden_size=32, n_layer=2,
+                          num_attention_heads=4)
+        model = BloomForCausalLM(cfg, rng=jax.random.PRNGKey(0))
+        model._tie_weight()
+        args = TrainingArguments(output_dir=str(tmp_path / "out"),
+                                 num_train_epochs=1,
+                                 per_device_train_batch_size=1,
+                                 learning_rate=1e-3, logging_steps=2,
+                                 save_steps=0, mesh_data=0, mesh_model=1,
+                                 zero_stage=3)
+        trainer = Trainer(model=model, args=args,
+                          train_dataset=BelleDataset(data_fn),
+                          data_collator=partial(belle_collate, tokenizer=tok,
+                                                max_length=16, pad_to_max=True,
+                                                eos_token=""),
+                          callbacks=[])
+        state = trainer.train()
+        assert trainer._param_spec_tree is not None
+        losses = [l["loss"] for l in state["log_history"] if "loss" in l]
+        assert losses and losses[-1] < losses[0]
+        emb = trainer.model.params["word_embeddings"]
+        assert emb.addressable_shards[0].data.size == emb.size // 8
+
+
 class TestShardedGeneration:
     def test_tp_greedy_decode_matches_unsharded(self):
         """Tensor-parallel serving: generate() under a model-sharded mesh
