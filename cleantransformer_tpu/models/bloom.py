@@ -117,10 +117,10 @@ def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
     # training/full-forward fast path: keep q/k/v in head-major (B, S, D)
     # for the packed kernel — no head transposes (at hd=64 those become
     # slow relayout copies around the pallas custom-call). Packed rows
-    # (segments) take the 4D kernel below — the bsd variant has no segment
-    # refs.
+    # pass their segment ids straight into the kernel (block-diagonal
+    # masking), so sequence packing stays on this no-transpose path too.
     if (use_flash and S > 1 and layer_kv is None and 128 % hd == 0
-            and not use_ring and head_mask is None and segments is None):
+            and not use_ring and head_mask is None):
         from cleantransformer_tpu.ops.pallas_kernels import (
             flash_attention_bsd, should_interpret)
         q3 = qkv[..., 0, :].reshape(B, S, D)
@@ -130,6 +130,7 @@ def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
         if pad_mask is not None:
             bias = bias + jnp.where(pad_mask, 0.0, -jnp.inf)[:, None, :]
         out = flash_attention_bsd(q3, k3, v3, bias, cache_len,
+                                  q_segments=segments, k_segments=segments,
                                   n_head=num_heads,
                                   scale=1.0 / math.sqrt(hd), causal=True,
                                   interpret=should_interpret())

@@ -534,8 +534,13 @@ def _heads_per_group(hd):
     return 128 // hd if hd in (32, 64) else 1
 
 
-def _packed_fwd_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, out_ref,
-                       lse_ref, *, scale, causal, block_k, seq_k, hd, ppg):
+def _packed_fwd_kernel(qoff_ref, *refs, scale, causal, segmented, block_k,
+                       seq_k, hd, ppg):
+    if segmented:
+        (q_ref, k_ref, v_ref, bias_ref, qseg_ref, kseg_ref,
+         out_ref, lse_ref) = refs
+    else:
+        q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref = refs
     qb = q_ref[0]                                  # (BQ, ppg*hd)
     block_q = qb.shape[0]
     qi = pl.program_id(2)
@@ -551,12 +556,20 @@ def _packed_fwd_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, out_ref,
         accs, ms, ls = carry
         kb_ = k_ref[0, pl.ds(kb * block_k, block_k), :]
         vb = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        keep = None
         if causal:
             row = q_off + qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
             col = kb * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
             keep = col <= row
+        if segmented:
+            # segments are per batch row (head-independent): one (BQ, BK)
+            # block-diagonal mask shared by all ppg head groups
+            qs = qseg_ref[0, 0, :][:, None]
+            ks = kseg_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :]
+            seg_keep = qs == ks
+            keep = seg_keep if keep is None else (keep & seg_keep)
         new_accs, new_ms, new_ls = [], [], []
         for g in range(ppg):
             lo = g * hd
@@ -566,7 +579,7 @@ def _packed_fwd_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, out_ref,
             if scale != 1.0:
                 s = s * scale
             s = s + bias_ref[0, g, pl.ds(kb * block_k, block_k)][None, :]
-            if causal:
+            if keep is not None:
                 s = jnp.where(keep, s, _MASK_NEG)
             m, l, acc = ms[g], ls[g], accs[g]
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -599,9 +612,14 @@ def _packed_fwd_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, out_ref,
                                      lse, -_MASK_NEG)
 
 
-def _packed_bwd_dq_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
-                          lse_ref, d_ref, dq_ref, *, scale, causal, block_k,
+def _packed_bwd_dq_kernel(qoff_ref, *refs, scale, causal, segmented, block_k,
                           seq_k, hd, ppg):
+    if segmented:
+        (q_ref, k_ref, v_ref, bias_ref, qseg_ref, kseg_ref, do_ref,
+         lse_ref, d_ref, dq_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, d_ref,
+         dq_ref) = refs
     qb = q_ref[0]
     do = do_ref[0]
     block_q = qb.shape[0]
@@ -617,12 +635,18 @@ def _packed_bwd_dq_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     def body(kb, dqs):
         kb_ = k_ref[0, pl.ds(kb * block_k, block_k), :]
         vb = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        keep = None
         if causal:
             row = q_off + qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
             col = kb * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
             keep = col <= row
+        if segmented:
+            qs = qseg_ref[0, 0, :][:, None]
+            ks = kseg_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :]
+            seg_keep = qs == ks
+            keep = seg_keep if keep is None else (keep & seg_keep)
         new_dqs = []
         for g in range(ppg):
             lo = g * hd
@@ -634,7 +658,7 @@ def _packed_bwd_dq_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
             if scale != 1.0:
                 s = s * scale
             s = s + bias_ref[0, g, pl.ds(kb * block_k, block_k)][None, :]
-            if causal:
+            if keep is not None:
                 s = jnp.where(keep, s, _MASK_NEG)
             p = jnp.exp(s - lse)
             dp = jax.lax.dot_general(
@@ -654,9 +678,14 @@ def _packed_bwd_dq_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-def _packed_bwd_dkv_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
-                           lse_ref, d_ref, dk_ref, dv_ref, dbias_ref, *,
-                           scale, causal, block_q, seq_q, hd, ppg):
+def _packed_bwd_dkv_kernel(qoff_ref, *refs, scale, causal, segmented, block_q,
+                           seq_q, hd, ppg):
+    if segmented:
+        (q_ref, k_ref, v_ref, bias_ref, qseg_ref, kseg_ref, do_ref,
+         lse_ref, d_ref, dk_ref, dv_ref, dbias_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, d_ref,
+         dk_ref, dv_ref, dbias_ref) = refs
     kb_ = k_ref[0]                                  # (BK, ppg*hd)
     vb = v_ref[0]
     block_k = kb_.shape[0]
@@ -670,12 +699,18 @@ def _packed_bwd_dkv_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
         dks, dvs, dbs = carry
         q = q_ref[0, pl.ds(qb * block_q, block_q), :]
         do = do_ref[0, pl.ds(qb * block_q, block_q), :]
+        keep = None
         if causal:
             row = q_off + qb * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
             col = kb * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
             keep = col <= row
+        if segmented:
+            qs = qseg_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
+            ks = kseg_ref[0, 0, :][None, :]
+            seg_keep = qs == ks
+            keep = seg_keep if keep is None else (keep & seg_keep)
         new_dks, new_dvs, new_dbs = [], [], []
         for g in range(ppg):
             lo = g * hd
@@ -687,7 +722,7 @@ def _packed_bwd_dkv_kernel(qoff_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
             if scale != 1.0:
                 s = s * scale
             s = s + bias_ref[0, g, pl.ds(kb * block_k, block_k)][None, :]
-            if causal:
+            if keep is not None:
                 s = jnp.where(keep, s, _MASK_NEG)
             p = jnp.exp(s - lse)
             pc = p.astype(do.dtype)
@@ -750,8 +785,17 @@ def _qoff_batch(q_offset, B):
         else jnp.broadcast_to(qo, (B,))
 
 
+def _bsd_seg_flat(seg, B, S0, pad):
+    """(B, S0) segment ids -> (B, 1, S_padded) int32; pads get -1 (matches
+    no real segment). Head-independent: one ref per batch row."""
+    s = seg.astype(jnp.int32)[:, None, :]
+    if pad:
+        s = jnp.pad(s, ((0, 0), (0, 0), (0, pad)), constant_values=-1)
+    return s
+
+
 def _packed_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q, block_k,
-                     interpret, n_head):
+                     interpret, n_head, q_segments=None, k_segments=None):
     B, Sq0, D = q.shape
     Sk0 = k.shape[1]
     hd, ppg, G, block_q, block_k, pad_q, pad_k, bias_p = _packed_prep(
@@ -765,6 +809,16 @@ def _packed_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q, block_k,
     qoff = _qoff_batch(q_offset, B)
     lanes = ppg * hd
 
+    segmented = q_segments is not None
+    seg_ops, seg_specs = [], []
+    if segmented:
+        seg_ops = [_bsd_seg_flat(q_segments, B, Sq0, pad_q),
+                   _bsd_seg_flat(k_segments, B, Sk0, pad_k)]
+        seg_specs = [
+            pl.BlockSpec((1, 1, block_q), lambda b, g, qi, s: (b, 0, qi)),
+            pl.BlockSpec((1, 1, Sk), lambda b, g, qi, s: (b, 0, 0)),
+        ]
+
     Gv = G
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -775,7 +829,7 @@ def _packed_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q, block_k,
             pl.BlockSpec((1, Sk, lanes), lambda b, g, qi, s: (b, 0, g)),
             pl.BlockSpec((1, ppg, Sk),
                          lambda b, g, qi, s, G=Gv: (b * G + g, 0, 0)),
-        ],
+        ] + seg_specs,
         out_specs=(
             pl.BlockSpec((1, block_q, lanes), lambda b, g, qi, s: (b, qi, g)),
             pl.BlockSpec((1, ppg, block_q),
@@ -784,19 +838,21 @@ def _packed_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q, block_k,
     )
     out, lse = pl.pallas_call(
         functools.partial(_packed_fwd_kernel, scale=scale, causal=causal,
-                          block_k=block_k, seq_k=Sk, hd=hd, ppg=ppg),
+                          segmented=segmented, block_k=block_k, seq_k=Sk,
+                          hd=hd, ppg=ppg),
         out_shape=(jax.ShapeDtypeStruct((B, Sq, D), q.dtype),
                    jax.ShapeDtypeStruct((B * G, ppg, Sq), jnp.float32)),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(qoff, q, k, v, bias_p)
+    )(qoff, q, k, v, bias_p, *seg_ops)
     if pad_q:
         out = out[:, :Sq0]
     return out, lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
-def flash_attention_bsd(q, k, v, bias, q_offset=0, n_head=1, scale=1.0,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+def flash_attention_bsd(q, k, v, bias, q_offset=0, q_segments=None,
+                        k_segments=None, n_head=1, scale=1.0,
                         causal=True, block_q=DEFAULT_BLOCK_Q,
                         block_k=DEFAULT_BLOCK_K, interpret=False):
     """Flash attention over head-major (B, S, D) tensors (D = n_head * hd).
@@ -805,23 +861,29 @@ def flash_attention_bsd(q, k, v, bias, q_offset=0, n_head=1, scale=1.0,
     the context feeds out) without any head transpose — the kernel grid
     blocks the lane dimension in 128-wide head groups. ``bias``: additive
     per-key (B, n_head, Sk) or (B, 1, Sk); ``q_offset``: scalar or (B,)
-    cache offsets for the causal iota."""
+    cache offsets for the causal iota. ``q_segments``/``k_segments``
+    (B, S) int32: packed-sequence block-diagonal masking, the same
+    splash-attention convention as ``flash_attention`` (pass both or
+    neither)."""
     out, _ = _packed_fwd_impl(q, k, v, bias, q_offset, scale, causal,
-                              block_q, block_k, interpret, n_head)
+                              block_q, block_k, interpret, n_head,
+                              q_segments, k_segments)
     return out
 
 
-def _packed_fwd(q, k, v, bias, q_offset, n_head, scale, causal, block_q,
-                block_k, interpret):
+def _packed_fwd(q, k, v, bias, q_offset, q_segments, k_segments, n_head,
+                scale, causal, block_q, block_k, interpret):
     out, lse = _packed_fwd_impl(q, k, v, bias, q_offset, scale, causal,
-                                block_q, block_k, interpret, n_head)
+                                block_q, block_k, interpret, n_head,
+                                q_segments, k_segments)
     out = jax.ad_checkpoint.checkpoint_name(out, "flash_out")
     lse = jax.ad_checkpoint.checkpoint_name(lse, "flash_lse")
-    return out, (q, k, v, bias, q_offset, out, lse)
+    return out, (q, k, v, bias, q_offset, q_segments, k_segments, out, lse)
 
 
 def _packed_bwd(n_head, scale, causal, block_q, block_k, interpret, res, g):
-    q, k, v, bias, q_offset, out, lse = res
+    q, k, v, bias, q_offset, q_segments, k_segments, out, lse = res
+    segmented = q_segments is not None
     B, Sq0, D = q.shape
     Sk0 = k.shape[1]
     bias_shape_in = bias.shape
@@ -851,25 +913,43 @@ def _packed_bwd(n_head, scale, causal, block_q, block_k, interpret, res, g):
     bias_q = pl.BlockSpec((1, ppg, Sk), lambda b, g_, qi, s, G=Gv: (b * G + g_, 0, 0))
     vec_q = pl.BlockSpec((1, ppg, Sq), lambda b, g_, qi, s, G=Gv: (b * G + g_, 0, 0))
 
+    seg_ops, dq_seg_specs, dkv_seg_specs = [], [], []
+    if segmented:
+        seg_ops = [_bsd_seg_flat(q_segments, B, Sq0, pad_q),
+                   _bsd_seg_flat(k_segments, B, Sk0, pad_k)]
+        # dq grid iterates q blocks: qseg per block, kseg full
+        dq_seg_specs = [
+            pl.BlockSpec((1, 1, block_q), lambda b, g_, qi, s: (b, 0, qi)),
+            pl.BlockSpec((1, 1, Sk), lambda b, g_, qi, s: (b, 0, 0)),
+        ]
+        # dkv grid iterates k blocks: qseg full, kseg per block
+        dkv_seg_specs = [
+            pl.BlockSpec((1, 1, Sq), lambda b, g_, kb, s: (b, 0, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, g_, kb, s: (b, 0, kb)),
+        ]
+
     dq_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, G, Sq // block_q),
-        in_specs=[qspec, kfull, kfull, bias_q, qspec, vec_q, vec_q],
+        in_specs=[qspec, kfull, kfull, bias_q] + dq_seg_specs
+        + [qspec, vec_q, vec_q],
         out_specs=pl.BlockSpec((1, block_q, lanes),
                                lambda b, g_, qi, s: (b, qi, g_)),
     )
     dq = pl.pallas_call(
         functools.partial(_packed_bwd_dq_kernel, scale=scale, causal=causal,
-                          block_k=block_k, seq_k=Sk, hd=hd, ppg=ppg),
+                          segmented=segmented, block_k=block_k, seq_k=Sk,
+                          hd=hd, ppg=ppg),
         out_shape=jax.ShapeDtypeStruct((B, Sq, D), q.dtype),
         grid_spec=dq_grid,
         interpret=interpret,
-    )(qoff, q, k, v, bias_p, g, lse, Dval)
+    )(qoff, q, k, v, bias_p, *seg_ops, g, lse, Dval)
 
     dkv_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, G, Sk // block_k),
-        in_specs=[qfull, kspec, kspec, bias_q, qfull, vec_q, vec_q],
+        in_specs=[qfull, kspec, kspec, bias_q] + dkv_seg_specs
+        + [qfull, vec_q, vec_q],
         out_specs=(
             pl.BlockSpec((1, block_k, lanes), lambda b, g_, kb, s: (b, kb, g_)),
             pl.BlockSpec((1, block_k, lanes), lambda b, g_, kb, s: (b, kb, g_)),
@@ -879,13 +959,14 @@ def _packed_bwd(n_head, scale, causal, block_q, block_k, interpret, res, g):
     )
     dk, dv, dbias = pl.pallas_call(
         functools.partial(_packed_bwd_dkv_kernel, scale=scale, causal=causal,
-                          block_q=block_q, seq_q=Sq, hd=hd, ppg=ppg),
+                          segmented=segmented, block_q=block_q, seq_q=Sq,
+                          hd=hd, ppg=ppg),
         out_shape=(jax.ShapeDtypeStruct((B, Sk, D), k.dtype),
                    jax.ShapeDtypeStruct((B, Sk, D), v.dtype),
                    jax.ShapeDtypeStruct((B * G, ppg, Sk), jnp.float32)),
         grid_spec=dkv_grid,
         interpret=interpret,
-    )(qoff, q, k, v, bias_p, g, lse, Dval)
+    )(qoff, q, k, v, bias_p, *seg_ops, g, lse, Dval)
 
     dq = dq[:, :Sq0]
     dk = dk[:, :Sk0]
@@ -899,8 +980,12 @@ def _packed_bwd(n_head, scale, causal, block_q, block_k, interpret, res, g):
         dbias = dbias.reshape(bias_shape_in)
     import numpy as np
     dqoff = np.zeros(jnp.shape(q_offset), jax.dtypes.float0)
+    dqseg = (None if q_segments is None
+             else np.zeros(jnp.shape(q_segments), jax.dtypes.float0))
+    dkseg = (None if k_segments is None
+             else np.zeros(jnp.shape(k_segments), jax.dtypes.float0))
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-            dbias.astype(bias.dtype), dqoff)
+            dbias.astype(bias.dtype), dqoff, dqseg, dkseg)
 
 
 flash_attention_bsd.defvjp(_packed_fwd, _packed_bwd)

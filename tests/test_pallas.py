@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from cleantransformer_tpu.ops.pallas_kernels import (
-    flash_attention, fused_layer_norm, _dense_reference,
+    flash_attention, flash_attention_bsd, fused_layer_norm, _dense_reference,
 )
 from cleantransformer_tpu.ops.layers import layer_norm
 
@@ -145,6 +145,92 @@ class TestFlashAttention:
                               block_k=32, interpret=True)
         ref = _dense_reference(q, k, v, bias, 1.0, True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestFlashBsdSegments:
+    """Segment refs in the head-major (B,S,D) kernel: packed rows must stay
+    on the no-transpose path (VERDICT r2 item 4). Oracle: the 4D kernel's
+    segmented output (itself dense-verified in test_packing)."""
+
+    def _packed(self, B=2, S=96, H=2, hd=64, seed=20):
+        rs = np.random.RandomState(seed)
+        D = H * hd
+        q = jnp.asarray(rs.randn(B, S, D).astype(np.float32))
+        k = jnp.asarray(rs.randn(B, S, D).astype(np.float32))
+        v = jnp.asarray(rs.randn(B, S, D).astype(np.float32))
+        # contiguous segments + trailing pads (0)
+        seg = np.zeros((B, S), np.int32)
+        seg[0, :40], seg[0, 40:70] = 1, 2
+        seg[1, :55], seg[1, 55:90] = 1, 2
+        seg = jnp.asarray(seg)
+        bias = jnp.where(seg == 0, -jnp.inf, 0.0)[:, None, :]  # pad keys
+        return q, k, v, bias, seg, H, hd
+
+    def _to4d(self, x, H, hd):
+        B, S, _ = x.shape
+        return x.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+
+    def test_segmented_matches_4d_kernel(self):
+        q, k, v, bias, seg, H, hd = self._packed()
+        out = flash_attention_bsd(q, k, v, bias, 0, q_segments=seg,
+                                  k_segments=seg, n_head=H, scale=0.125,
+                                  causal=True, block_q=32, block_k=32,
+                                  interpret=True)
+        ref4 = flash_attention(self._to4d(q, H, hd), self._to4d(k, H, hd),
+                               self._to4d(v, H, hd), bias, 0,
+                               q_segments=seg, k_segments=seg, scale=0.125,
+                               causal=True, block_q=32, block_k=32,
+                               interpret=True)
+        B, S, D = q.shape
+        ref = ref4.transpose(0, 2, 1, 3).reshape(B, S, D)
+        assert np.isfinite(np.asarray(out)).all()
+        real = (np.asarray(seg) != 0)[:, :, None]
+        np.testing.assert_allclose(np.asarray(out) * real,
+                                   np.asarray(ref) * real,
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_segmented_grads_match_4d_kernel(self):
+        q, k, v, bias, seg, H, hd = self._packed(seed=21)
+        B, S, D = q.shape
+        real = jnp.asarray((np.asarray(seg) != 0)[:, :, None])
+
+        def loss_bsd(q, k, v):
+            o = flash_attention_bsd(q, k, v, bias, 0, q_segments=seg,
+                                    k_segments=seg, n_head=H, scale=0.125,
+                                    causal=True, block_q=32, block_k=32,
+                                    interpret=True)
+            return jnp.sum((o * real) ** 2)
+
+        def loss_4d(q, k, v):
+            o = flash_attention(self._to4d(q, H, hd), self._to4d(k, H, hd),
+                                self._to4d(v, H, hd), bias, 0,
+                                q_segments=seg, k_segments=seg, scale=0.125,
+                                causal=True, block_q=32, block_k=32,
+                                interpret=True)
+            o = o.transpose(0, 2, 1, 3).reshape(B, S, D)
+            return jnp.sum((o * real) ** 2)
+
+        g = jax.grad(loss_bsd, argnums=(0, 1, 2))(q, k, v)
+        rg = jax.grad(loss_4d, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(g, rg, "q k v".split()):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=f"d{name}")
+
+    def test_unsegmented_path_unchanged(self):
+        """No segments -> same result as before the refactor (vs dense)."""
+        q, k, v, bias, seg, H, hd = self._packed(seed=22)
+        out = flash_attention_bsd(q, k, v, bias, 0, n_head=H, scale=0.125,
+                                  causal=True, block_q=32, block_k=32,
+                                  interpret=True)
+        ref = _dense_reference(self._to4d(q, H, hd), self._to4d(k, H, hd),
+                               self._to4d(v, H, hd), bias, 0.125, True)
+        B, S, D = q.shape
+        ref = ref.transpose(0, 2, 1, 3).reshape(B, S, D)
+        got, want = np.asarray(out), np.asarray(ref)
+        finite = np.isfinite(want)
+        np.testing.assert_allclose(got[finite], want[finite],
                                    rtol=1e-4, atol=1e-5)
 
 
