@@ -258,11 +258,12 @@ def _llama_attention(attn_params, h, cos, sin, additive_mask, layer_kv,
         v, v_scale = cache_layer_kv(new_v, li, B, Hkv, T, hd)
 
     scale = 1.0 / math.sqrt(hd)
-    # sliding-window attention (Mistral) rides the additive mask — the flash
-    # kernel's causal iota has no window notion, so SWA takes the dense path
+    # sliding-window attention (Mistral) is a static ``window`` on the flash
+    # kernel's causal iota — the key-block loop skips out-of-window blocks,
+    # so long-context SWA never materializes an O(S*T) mask
+    window = getattr(config, "sliding_window", None)
     use_flash = (getattr(config, "use_flash_attention", False) and S > 1
-                 and k_scale is None
-                 and getattr(config, "sliding_window", None) is None)
+                 and k_scale is None)
     if use_flash:
         from cleantransformer_tpu.ops.pallas_kernels import (
             flash_attention, should_interpret)
@@ -283,7 +284,7 @@ def _llama_attention(attn_params, h, cos, sin, additive_mask, layer_kv,
         out = flash_attention(q, k_f, v_f, bias, cache_len,
                               q_segments=segments, k_segments=segments,
                               scale=scale, causal=True,
-                              interpret=should_interpret())
+                              interpret=should_interpret(), window=window)
     else:
         out = _gqa_attend(q, k, v, additive_mask, scale,
                           k_scale=k_scale, v_scale=v_scale)
@@ -400,8 +401,7 @@ def llama_forward(params, config, input_ids, attention_mask=None,
     # additive padding mask over the key axis (fp32; scores are upcast)
     additive_mask = None
     packed_flash = (packed and S > 1
-                    and getattr(config, "use_flash_attention", False)
-                    and getattr(config, "sliding_window", None) is None)
+                    and getattr(config, "use_flash_attention", False))
     if packed_flash:
         # flash kernel takes the segment ids directly (in-kernel block-
         # diagonal masking); the additive bias only needs the key pads
@@ -424,13 +424,12 @@ def llama_forward(params, config, input_ids, attention_mask=None,
     act = ACT2FN[config.hidden_act]
 
     window = getattr(config, "sliding_window", None)
-    flash_cfg = (getattr(config, "use_flash_attention", False)
-                 and window is None)
+    flash_cfg = getattr(config, "use_flash_attention", False)
 
     if cache is None:
         # cache-less multi-token: fold causal (+ sliding window, Mistral)
         # into the additive mask unless flash handles it (the kernel's
-        # causal iota)
+        # causal iota carries the window too)
         if not flash_cfg or S <= 1:
             row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)

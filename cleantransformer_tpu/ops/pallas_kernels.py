@@ -41,7 +41,8 @@ DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
 
 
-def _flash_kernel(qoff_ref, *refs, scale, causal, segmented, block_k, seq_k):
+def _flash_kernel(qoff_ref, *refs, scale, causal, segmented, block_k, seq_k,
+                  window=None):
     """One (batch*head, q-block) program: loop key blocks with online softmax.
     Also emits the per-row logsumexp (for the backward kernels).
 
@@ -70,10 +71,16 @@ def _flash_kernel(qoff_ref, *refs, scale, causal, segmented, block_k, seq_k):
     qi = pl.program_id(1)
     q_off = qoff_ref[pl.program_id(0)]
     num_kb = pl.cdiv(seq_k, block_k)
+    kb_start = 0
     if causal:
         # only key blocks up to the causal frontier of this q block
         last_row = q_off + qi * block_q + block_q - 1
         num_kb_eff = jnp.minimum(num_kb, (last_row + block_k) // block_k)
+        if window is not None:
+            # sliding window (Mistral): skip key blocks wholly left of the
+            # oldest in-window key of this q block's first row
+            first_row = q_off + qi * block_q
+            kb_start = jnp.maximum(0, (first_row - window + 1) // block_k)
     else:
         num_kb_eff = num_kb
 
@@ -95,7 +102,10 @@ def _flash_kernel(qoff_ref, *refs, scale, causal, segmented, block_k, seq_k):
                 jnp.int32, (block_q, block_k), 0)
             col = kb * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
-            s = jnp.where(col <= row, s, -jnp.inf)
+            keep = col <= row
+            if window is not None:
+                keep &= (row - col) < window
+            s = jnp.where(keep, s, -jnp.inf)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         # guard fully-masked rows (m_new == -inf): exp(-inf - -inf) = nan
         safe_m = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
@@ -112,7 +122,7 @@ def _flash_kernel(qoff_ref, *refs, scale, causal, segmented, block_k, seq_k):
     acc0 = jnp.zeros((block_q, head_dim), jnp.float32)
     m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_kb_eff, body, (acc0, m0, l0))
+    acc, m, l = jax.lax.fori_loop(kb_start, num_kb_eff, body, (acc0, m0, l0))
     out_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
     lse = jnp.where(l[:, 0] > 0, m[:, 0] + jnp.log(jnp.maximum(l[:, 0], 1e-30)),
                     -jnp.inf)
@@ -138,7 +148,7 @@ def _seg_flat(seg, B, H, S0, pad):
 
 
 def _flash_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q, block_k,
-                    interpret, q_segments=None, k_segments=None):
+                    interpret, q_segments=None, k_segments=None, window=None):
     B, H, Sq0, hd = q.shape
     Sk0 = k.shape[2]
     block_q = min(block_q, Sq0)
@@ -190,7 +200,8 @@ def _flash_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q, block_k,
     )
     out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, causal=causal,
-                          segmented=segmented, block_k=block_k, seq_k=Sk),
+                          segmented=segmented, block_k=block_k, seq_k=Sk,
+                          window=window),
         out_shape=(jax.ShapeDtypeStruct((B * H, Sq, hd), q.dtype),
                    jax.ShapeDtypeStruct((B * H, 1, Sq), jnp.float32)),
         grid_spec=grid_spec,
@@ -202,7 +213,7 @@ def _flash_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q, block_k,
     return out, lse  # lse stays padded (B*H, 1, Sq_padded) for the backward
 
 
-def _dense_reference(q, k, v, bias, scale, causal, q_offset=0):
+def _dense_reference(q, k, v, bias, scale, causal, q_offset=0, window=None):
     """Dense formulation of the same math (used by tests as the oracle)."""
     scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
                         k.astype(jnp.float32))
@@ -215,10 +226,17 @@ def _dense_reference(q, k, v, bias, scale, causal, q_offset=0):
         col = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sk), 1)
         qo = jnp.asarray(q_offset, jnp.int32)
         if qo.ndim:  # per-row offsets
-            keep = col[None] <= (qo[:, None, None] + row[None])  # (B, Sq, Sk)
+            qpos = qo[:, None, None] + row[None]                 # (B, Sq, Sk)
+            keep = col[None] <= qpos
+            if window is not None:
+                keep &= (qpos - col[None]) < window
             keep = keep[:, None]
         else:
-            keep = (col <= (qo + row))[None, None]
+            qpos = qo + row
+            keep = col <= qpos
+            if window is not None:
+                keep &= (qpos - col) < window
+            keep = keep[None, None]
         scores = jnp.where(keep, scores, -jnp.inf)
     weights = jax.nn.softmax(scores, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v.astype(jnp.float32)).astype(q.dtype)
@@ -229,20 +247,24 @@ def should_interpret():
     return jax.default_backend() not in ("tpu", "axon")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def flash_attention(q, k, v, bias, q_offset=0, q_segments=None,
                     k_segments=None, scale=1.0, causal=True,
                     block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
-                    interpret=False):
+                    interpret=False, window=None):
     """q: (B,H,Sq,hd); k,v: (B,H,Sk,hd); bias: (B,H,Sk) or (B,1,Sk) additive
     (ALiBi + padding, broadcast over queries). ``q_offset`` (dynamic int32
     scalar or (B,) vector): query i has absolute position q_offset + i, so
     causal attends keys <= q_offset + i (cache offset for speculative verify /
     chunked prefill). ``q_segments``/``k_segments`` (B, S) int32: packed-
     sequence block-diagonal masking — scores with differing segment ids are
-    -inf (pass both or neither). Returns (B,H,Sq,hd)."""
+    -inf (pass both or neither). ``window`` (static int, requires causal):
+    sliding-window attention (Mistral, HF semantics row - col < window) —
+    the key-block loop skips blocks wholly outside the window, so compute
+    scales with window, not context. Returns (B,H,Sq,hd)."""
     out, _ = _flash_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q,
-                             block_k, interpret, q_segments, k_segments)
+                             block_k, interpret, q_segments, k_segments,
+                             window)
     return out
 
 
@@ -252,7 +274,7 @@ def flash_attention(q, k, v, bias, q_offset=0, q_segments=None,
 # ---------------------------------------------------------------------------
 
 def _flash_bwd_dq_kernel(qoff_ref, *refs, scale, causal, segmented, block_k,
-                         seq_k):
+                         seq_k, window=None):
     if segmented:
         (q_ref, k_ref, v_ref, bias_ref, qseg_ref, kseg_ref, do_ref,
          lse_ref, d_ref, dq_ref) = refs
@@ -267,9 +289,13 @@ def _flash_bwd_dq_kernel(qoff_ref, *refs, scale, causal, segmented, block_k,
     qi = pl.program_id(1)
     q_off = qoff_ref[pl.program_id(0)]
     num_kb = pl.cdiv(seq_k, block_k)
+    kb_start = 0
     if causal:
         last_row = q_off + qi * block_q + block_q - 1
         num_kb_eff = jnp.minimum(num_kb, (last_row + block_k) // block_k)
+        if window is not None:
+            first_row = q_off + qi * block_q
+            kb_start = jnp.maximum(0, (first_row - window + 1) // block_k)
     else:
         num_kb_eff = num_kb
 
@@ -292,7 +318,10 @@ def _flash_bwd_dq_kernel(qoff_ref, *refs, scale, causal, segmented, block_k,
                 jnp.int32, (block_q, block_k), 0)
             col = kb * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
-            s = jnp.where(col <= row, s, -jnp.inf)
+            keep = col <= row
+            if window is not None:
+                keep &= (row - col) < window
+            s = jnp.where(keep, s, -jnp.inf)
         p = jnp.where(jnp.isfinite(s) & jnp.isfinite(lse),
                       jnp.exp(s - safe_lse), 0.0)
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
@@ -301,7 +330,7 @@ def _flash_bwd_dq_kernel(qoff_ref, *refs, scale, causal, segmented, block_k,
         return dq + jax.lax.dot_general(ds, k_blk, (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
 
-    dq = jax.lax.fori_loop(0, num_kb_eff, body,
+    dq = jax.lax.fori_loop(kb_start, num_kb_eff, body,
                            jnp.zeros(q.shape, jnp.float32))
     if scale != 1.0:
         dq = dq * scale
@@ -309,7 +338,7 @@ def _flash_bwd_dq_kernel(qoff_ref, *refs, scale, causal, segmented, block_k,
 
 
 def _flash_bwd_dkv_kernel(qoff_ref, *refs, scale, causal, segmented, block_q,
-                          seq_q):
+                          seq_q, window=None):
     if segmented:
         (q_ref, k_ref, v_ref, bias_ref, qseg_ref, kseg_ref, do_ref,
          lse_ref, d_ref, dk_ref, dv_ref, dbias_ref) = refs
@@ -326,6 +355,13 @@ def _flash_bwd_dkv_kernel(qoff_ref, *refs, scale, causal, segmented, block_q,
     # first q block whose causal frontier (q_off + row) reaches this key block
     qb_start = (jnp.maximum(kb * block_k - q_off, 0) // block_q
                 if causal else 0)
+    if causal and window is not None:
+        # last q row still inside the window of this key block's last key:
+        # row - col < window with col <= kb*block_k + block_k - 1
+        last_qrow = kb * block_k + block_k - 1 + window - 1 - q_off
+        num_qb_eff = jnp.minimum(num_qb, last_qrow // block_q + 1)
+    else:
+        num_qb_eff = num_qb
 
     def body(qb, carry):
         dk, dv, dbias = carry
@@ -347,7 +383,10 @@ def _flash_bwd_dkv_kernel(qoff_ref, *refs, scale, causal, segmented, block_q,
                 jnp.int32, (block_q, block_k), 0)
             col = kb * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
-            s = jnp.where(col <= row, s, -jnp.inf)
+            keep = col <= row
+            if window is not None:
+                keep &= (row - col) < window
+            s = jnp.where(keep, s, -jnp.inf)
         safe_lse = jnp.where(jnp.isfinite(lse), lse, 0.0)
         p = jnp.where(jnp.isfinite(s) & jnp.isfinite(lse),
                       jnp.exp(s - safe_lse), 0.0)
@@ -365,7 +404,7 @@ def _flash_bwd_dkv_kernel(qoff_ref, *refs, scale, causal, segmented, block_q,
 
     hd = k_blk.shape[-1]
     dk, dv, dbias = jax.lax.fori_loop(
-        qb_start, num_qb, body,
+        qb_start, num_qb_eff, body,
         (jnp.zeros((block_k, hd), jnp.float32),
          jnp.zeros((block_k, hd), jnp.float32),
          jnp.zeros((block_k,), jnp.float32)))
@@ -377,9 +416,10 @@ def _flash_bwd_dkv_kernel(qoff_ref, *refs, scale, causal, segmented, block_q,
 
 
 def _flash_fwd(q, k, v, bias, q_offset, q_segments, k_segments, scale, causal,
-               block_q, block_k, interpret):
+               block_q, block_k, interpret, window):
     out, lse = _flash_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q,
-                               block_k, interpret, q_segments, k_segments)
+                               block_k, interpret, q_segments, k_segments,
+                               window)
     # named so a remat policy can pin the flash residuals
     # (save_only_these_names('flash_out', 'flash_lse') == remat="attn" in the
     # models): the backward then reuses them instead of re-running the
@@ -389,7 +429,7 @@ def _flash_fwd(q, k, v, bias, q_offset, q_segments, k_segments, scale, causal,
     return out, (q, k, v, bias, q_offset, q_segments, k_segments, out, lse)
 
 
-def _flash_bwd(scale, causal, block_q, block_k, interpret, res, g):
+def _flash_bwd(scale, causal, block_q, block_k, interpret, window, res, g):
     q, k, v, bias, q_offset, q_segments, k_segments, out, lse = res
     segmented = q_segments is not None
     B, H, Sq0, hd = q.shape
@@ -455,7 +495,8 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, res, g):
     )
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale=scale, causal=causal,
-                          segmented=segmented, block_k=block_k, seq_k=Sk),
+                          segmented=segmented, block_k=block_k, seq_k=Sk,
+                          window=window),
         out_shape=jax.ShapeDtypeStruct((BH, Sq, hd), q.dtype),
         grid_spec=dq_grid,
         interpret=interpret,
@@ -482,7 +523,8 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, res, g):
     )
     dk, dv, dbias = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, scale=scale, causal=causal,
-                          segmented=segmented, block_q=block_q, seq_q=Sq),
+                          segmented=segmented, block_q=block_q, seq_q=Sq,
+                          window=window),
         out_shape=(jax.ShapeDtypeStruct((BH, Sk, hd), k.dtype),
                    jax.ShapeDtypeStruct((BH, Sk, hd), v.dtype),
                    jax.ShapeDtypeStruct((BH, 1, Sk), jnp.float32)),

@@ -270,6 +270,13 @@ def test_mistral_sliding_window_parity():
     (got, _), _ = ours(jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
 
+    # SWA through the flash kernel (static window on the causal iota) —
+    # same executed-HF oracle, no dense fallback
+    cfg_fl = LlamaConfig(**d, use_flash_attention=True)
+    flash = LlamaForCausalLM(cfg_fl, params=ours.params)
+    (got_fl, _), _ = flash(jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got_fl), want, atol=3e-5, rtol=1e-4)
+
     gen_hf = hf.generate(torch.tensor(ids), max_new_tokens=10,
                          do_sample=False).numpy()
     gen = ours.generate(jnp.asarray(ids), generation_configs={

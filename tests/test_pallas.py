@@ -138,6 +138,56 @@ class TestFlashAttention:
                                        rtol=2e-4, atol=2e-4,
                                        err_msg=f"d{name}")
 
+    def test_sliding_window_matches_dense(self):
+        """Static window on the causal iota (Mistral SWA): outputs + the
+        skipped-key-block loop bounds vs the dense windowed oracle."""
+        q, k, v = _qkv(B=2, H=2, Sq=128, Sk=128, hd=32, seed=15)
+        bias = jnp.zeros((2, 2, 128))
+        for w in (7, 32, 100):
+            out = flash_attention(q, k, v, bias, scale=0.2, causal=True,
+                                  block_q=32, block_k=32, interpret=True,
+                                  window=w)
+            ref = _dense_reference(q, k, v, bias, 0.2, True, window=w)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=f"window={w}")
+
+    def test_sliding_window_with_q_offset(self):
+        """Window + nonzero cache offset (SWA chunked prefill / verify)."""
+        q, k, v = _qkv(B=2, H=2, Sq=16, Sk=96, hd=32, seed=16)
+        bias = jnp.zeros((2, 2, 96))
+        off = jnp.asarray(40, jnp.int32)
+        out = flash_attention(q, k, v, bias, off, scale=0.25, causal=True,
+                              block_q=16, block_k=32, interpret=True,
+                              window=10)
+        ref = _dense_reference(q, k, v, bias, 0.25, True, q_offset=off,
+                               window=10)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_sliding_window_grads_match_dense(self):
+        q, k, v = _qkv(B=1, H=2, Sq=96, Sk=96, hd=16, seed=17)
+        bias = jnp.asarray(
+            np.random.RandomState(18).randn(1, 1, 96).astype(np.float32))
+
+        def loss(q, k, v, bias):
+            return jnp.sum(flash_attention(q, k, v, bias, scale=0.2,
+                                           causal=True, block_q=32,
+                                           block_k=32, interpret=True,
+                                           window=20) ** 2)
+
+        def ref_loss(q, k, v, bias):
+            return jnp.sum(_dense_reference(
+                q, k, v, jnp.broadcast_to(bias, (1, 2, 96)), 0.2, True,
+                window=20) ** 2)
+
+        g = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        rg = jax.grad(ref_loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for a, b, name in zip(g, rg, "q k v bias".split()):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=f"d{name}")
+
     def test_uneven_blocks(self):
         q, k, v = _qkv(B=1, H=1, Sq=96, Sk=96, hd=16, seed=4)
         bias = jnp.zeros((1, 1, 96))
