@@ -317,15 +317,25 @@ def _llama_block(block_params, layer_kv, h, cos, sin, additive_mask,
     router_stats = None
     if "block_sparse_moe" in block_params:
         from cleantransformer_tpu.ops.moe import (
-            moe_mlp_dense, moe_mlp_capacity, moe_mlp_ragged)
+            moe_mlp_dense, moe_mlp_capacity, moe_mlp_ragged, moe_mlp_ragged_ep)
         impl = getattr(config, "moe_impl", None)
         cf = getattr(config, "moe_capacity_factor", None)
         if impl is None:
             impl = "dense" if cf is None else "capacity"
         if impl == "ragged":
-            mlp_out, router_stats = moe_mlp_ragged(
-                block_params["block_sparse_moe"], mlp_in,
-                config.num_experts_per_tok, act)
+            from cleantransformer_tpu.parallel.mesh import active_mesh
+            mesh = active_mesh()
+            if mesh is not None and mesh.shape.get("expert", 1) > 1:
+                # expert-parallel mesh: the grouped matmuls run inside a
+                # shard_map (global ragged offsets defeat GSPMD's derived
+                # all-to-all) — same exact semantics, local groups only
+                mlp_out, router_stats = moe_mlp_ragged_ep(
+                    block_params["block_sparse_moe"], mlp_in,
+                    config.num_experts_per_tok, act, mesh)
+            else:
+                mlp_out, router_stats = moe_mlp_ragged(
+                    block_params["block_sparse_moe"], mlp_in,
+                    config.num_experts_per_tok, act)
         elif impl == "capacity":
             mlp_out, router_stats = moe_mlp_capacity(
                 block_params["block_sparse_moe"], mlp_in,

@@ -33,10 +33,17 @@ Two TPU-first compute paths, both jittable and exact when no token drops:
    grouping natively on TPU). Exact: no capacity, no drops, compute k/E of
    dense like the capacity path but with no one-hot dispatch/combine einsums
    (those cost O(T*E*C) memory traffic) and no dropped-token deviation.
-   This is the preferred single-device / data-parallel training path; keep
-   dense or capacity dispatch when sharding experts over an ``expert`` mesh
-   axis (ragged group offsets are global, which defeats the EP all-to-all
-   GSPMD derives from the einsum forms).
+   This is the preferred single-device / data-parallel training path.
+
+ - ``moe_mlp_ragged_ep``: the ragged path on an ``expert``-sharded mesh as
+   an explicit shard_map (ragged group offsets are global, which defeats
+   the all-to-all GSPMD would otherwise derive): each (data, expert) shard
+   routes/sorts its local tokens identically, dynamic-slices the sorted
+   replica rows belonging to ITS experts, runs the three ragged dots over
+   those local groups only, scatters results back into the global sorted
+   order, and a psum over 'expert' (+ 'model' for the row-parallel down
+   projection) completes the combine. Exact like plain ragged (no drops),
+   FLOPs per device ~ T*k/ep — vs T*E/ep for dense-dispatch EP.
 
 Expert parallelism = sharding annotations (the same stance as DP/TP/ZeRO in
 parallel/sharding.py): expert-stacked weights (E, D, I) and the (E, C, D)
@@ -170,6 +177,88 @@ def moe_mlp_ragged(moe_params, h, num_experts_per_tok, act):
     out = jnp.zeros((T, D), jnp.float32).at[tok].add(
         ys.astype(jnp.float32) * w_sorted[:, None])
     return out.astype(h.dtype).reshape(B, S, D), (probs, top_i)
+
+
+def moe_mlp_ragged_ep(moe_params, h, num_experts_per_tok, act, mesh):
+    """Expert-parallel grouped-matmul MoE: ``moe_mlp_ragged`` inside a
+    shard_map over the mesh (VERDICT r2 item 6). Semantics identical to
+    the single-device ragged path (exact top-k, no capacity drops); each
+    expert shard computes only its local expert groups, so per-device FLOPs
+    are ~k/E of dense-dispatch EP.
+
+    Requirements: 'expert' in mesh axes with E % ep == 0; h sharded (or
+    shardable) over 'data' on the batch dim; expert weights sharded
+    (E, D, I) -> ('expert', None, 'model'-optional) per
+    parallel/sharding.llama_param_specs."""
+    from jax.sharding import PartitionSpec as P
+    from cleantransformer_tpu.parallel.mesh import compat_shard_map
+
+    B, S, D = h.shape
+    k = num_experts_per_tok
+    E = moe_params["gate"]["w"].shape[-1]
+    ep = mesh.shape.get("expert", 1)
+    has_tp = mesh.shape.get("model", 1) > 1
+    has_dp = mesh.shape.get("data", 1) > 1
+    assert E % ep == 0, (E, ep)
+    El = E // ep
+    psum_axes = ("expert",) + (("model",) if has_tp else ())
+
+    def local_fn(h_l, gate_w, wg, wu, wd):
+        Bl = h_l.shape[0]
+        T = Bl * S
+        x = h_l.reshape(T, D)
+        # router + sort run replicated across the expert axis (cheap, and
+        # every shard needs the same global group offsets)
+        _, probs, top_w, top_i = router_topk(x, gate_w, k)
+        flat_e = top_i.reshape(-1)                   # (T*k,)
+        order = jnp.argsort(flat_e)
+        tok = order // k
+        group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+        xs = jnp.take(x, tok, axis=0)                # (T*k, D) sorted rows
+
+        # this shard's slice of the sorted rows: experts [d*El, (d+1)*El)
+        d_idx = jax.lax.axis_index("expert")
+        starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                  jnp.cumsum(group_sizes)[:-1]])
+        off = jax.lax.dynamic_slice(starts, (d_idx * El,), (1,))[0]
+        gs_loc = jax.lax.dynamic_slice(group_sizes, (d_idx * El,), (El,))
+        # pad so a static (T*k)-row slice at any offset is in bounds
+        xs_pad = jnp.pad(xs, ((0, T * k), (0, 0)))
+        xs_loc = jax.lax.dynamic_slice(xs_pad, (off, 0), (T * k, D))
+
+        hidden = act(jax.lax.ragged_dot(xs_loc, wg.astype(xs_loc.dtype),
+                                        gs_loc)) \
+            * jax.lax.ragged_dot(xs_loc, wu.astype(xs_loc.dtype), gs_loc)
+        ys_loc = jax.lax.ragged_dot(hidden, wd.astype(xs_loc.dtype), gs_loc)
+        # rows past this shard's group total are other shards' work: zero
+        # them before the scatter + psum combine
+        n_loc = jnp.sum(gs_loc)
+        rows = jnp.arange(T * k, dtype=jnp.int32)
+        ys_loc = jnp.where((rows < n_loc)[:, None], ys_loc, 0)
+        buf = jnp.zeros((2 * T * k, D), ys_loc.dtype)
+        buf = jax.lax.dynamic_update_slice(buf, ys_loc, (off, 0))
+        ys_global = jax.lax.psum(buf[: T * k], psum_axes)
+
+        w_sorted = jnp.take(top_w.reshape(-1), order)
+        out = jnp.zeros((T, D), jnp.float32).at[tok].add(
+            ys_global.astype(jnp.float32) * w_sorted[:, None])
+        return (out.astype(h_l.dtype).reshape(Bl, S, D),
+                probs.reshape(Bl, S, E), top_i.reshape(Bl, S, k))
+
+    dspec = P("data") if has_dp else P(None)
+    h_spec = P(*dspec, None, None)
+    w_in = P("expert", None, "model") if has_tp else P("expert", None, None)
+    w_down = P("expert", "model", None) if has_tp else P("expert", None, None)
+    fn = compat_shard_map(
+        local_fn, mesh,
+        in_specs=(h_spec, P(None, None), w_in, w_in, w_down),
+        out_specs=(h_spec, P(*dspec, None, None), P(*dspec, None, None)))
+    out, probs, top_i = fn(h, moe_params["gate"]["w"],
+                           moe_params["experts"]["gate_proj"]["w"],
+                           moe_params["experts"]["up_proj"]["w"],
+                           moe_params["experts"]["down_proj"]["w"])
+    T = B * S
+    return out, (probs.reshape(T, E), top_i.reshape(T, k))
 
 
 def load_balancing_aux(probs, top_i, num_experts, num_experts_per_tok,

@@ -256,6 +256,83 @@ def test_expert_parallel_grads_match(pair):
         np.testing.assert_allclose(a, np.asarray(b), atol=3e-5, rtol=2e-4)
 
 
+def test_ragged_ep_mesh_matches_dense_single_device(pair):
+    """moe_impl='ragged' on an expert-sharded mesh routes through the
+    shard_map grouped-matmul path (moe_mlp_ragged_ep) and must match the
+    single-device dense forward (VERDICT r2 item 6)."""
+    from cleantransformer_tpu.parallel.mesh import make_named_mesh, use_mesh
+    from cleantransformer_tpu.parallel.sharding import shard_params
+    _, ours = pair
+    cfg_rag = LlamaConfig(**CFG, moe_impl="ragged")
+    ids = np.random.RandomState(7).randint(1, 128, (2, 8))
+    (want, _), _ = ours(jnp.asarray(ids))
+    mesh = make_named_mesh(data=2, expert=4, devices=jax.devices()[:8])
+    with use_mesh(mesh):
+        params = shard_params(ours.params, mesh, "llama")
+
+        @jax.jit
+        def fwd(p, i):
+            (lg, _), _ = llama_lm_forward(p, cfg_rag, i, jnp.ones_like(i))
+            return lg
+        got = fwd(params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_ragged_ep_tp_mesh_matches_dense_single_device(pair):
+    """ragged EP composed with TP (expert=2, model=2): the row-parallel
+    down projection's partial sums psum over 'model' inside the shard_map."""
+    from cleantransformer_tpu.parallel.mesh import make_named_mesh, use_mesh
+    from cleantransformer_tpu.parallel.sharding import shard_params
+    _, ours = pair
+    cfg_rag = LlamaConfig(**CFG, moe_impl="ragged")
+    ids = np.random.RandomState(8).randint(1, 128, (2, 8))
+    (want, _), _ = ours(jnp.asarray(ids))
+    mesh = make_named_mesh(data=2, expert=2, model=2,
+                           devices=jax.devices()[:8])
+    with use_mesh(mesh):
+        params = shard_params(ours.params, mesh, "llama")
+
+        @jax.jit
+        def fwd(p, i):
+            (lg, _), _ = llama_lm_forward(p, cfg_rag, i, jnp.ones_like(i))
+            return lg
+        got = fwd(params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_ragged_ep_grads_match_single_device(pair):
+    """value_and_grad of the (labels + aux) loss with ragged EP dispatch on
+    an expert=4 mesh == single-device dense — the fast MoE path is a
+    training capability on EP meshes too."""
+    from cleantransformer_tpu.parallel.mesh import make_named_mesh, use_mesh
+    from cleantransformer_tpu.parallel.sharding import shard_params
+    _, ours = pair
+    cfg_dense = LlamaConfig(**CFG, output_router_logits=True)
+    cfg_rag = LlamaConfig(**CFG, output_router_logits=True,
+                          moe_impl="ragged")
+    ids = jnp.asarray(np.random.RandomState(9).randint(1, 128, (2, 8)))
+
+    def loss_fn(cfg):
+        def f(p):
+            (l, _, _), _ = llama_lm_forward(p, cfg, ids, jnp.ones_like(ids),
+                                            labels=ids)
+            return l
+        return f
+
+    want_l, want_g = jax.value_and_grad(loss_fn(cfg_dense))(ours.params)
+    mesh = make_named_mesh(data=2, expert=4, devices=jax.devices()[:8])
+    with use_mesh(mesh):
+        params = shard_params(ours.params, mesh, "llama")
+        got_l, got_g = jax.jit(jax.value_and_grad(loss_fn(cfg_rag)))(params)
+    assert abs(float(got_l) - float(want_l)) < 2e-5
+    flat_w, _ = jax.tree_util.tree_flatten(want_g)
+    flat_g, _ = jax.tree_util.tree_flatten(jax.device_get(got_g))
+    for a, b in zip(flat_g, flat_w):
+        np.testing.assert_allclose(a, np.asarray(b), atol=3e-5, rtol=2e-4)
+
+
 def test_trainer_moe_smoke():
     """The Trainer's DEFAULT loss must include the router aux term for MoE
     configs with output_router_logits (it delegates to the model's labels
