@@ -229,91 +229,107 @@ def _prompt_lookup_loop(t_params, t_config, t_forward, t_init_cache,
     vectorized window match over the committed buffer. Greedy bit-exactness
     holds for ANY proposal source, so this accelerates repetitive
     continuations (code, extraction, chat echoes) with zero extra HBM for
-    draft weights. Returns (tokens, n_final, rounds)."""
-    S0 = input_ids.shape[1]
+    draft weights.
+
+    FULLY BATCHED: every per-round quantity is a per-row vector — committed
+    length ``n`` (B,), per-row cache offsets (the serving-style (B,) cache
+    "length"), per-row n-gram match/acceptance, per-row end/done. Rows that
+    finish early keep re-verifying junk past their frozen frontier (their
+    commits are masked to 0), the standard padded-batch trade. Returns
+    (tokens (B, T), n_final (B,), rounds)."""
+    B, S0 = input_ids.shape
     T = total_len + K + 1
-    tokens = jnp.zeros((1, T), jnp.int32)
+    W = K + 1
+    bidx = jnp.arange(B)
+    col = jnp.arange(T, dtype=jnp.int32)[None]                  # (1, T)
+    tokens = jnp.zeros((B, T), jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, input_ids.astype(jnp.int32),
                                           (0, 0))
-    t_cache = t_init_cache(t_config, 1, T)
-    col = jnp.arange(T, dtype=jnp.int32)[None]
+    t_cache = t_init_cache(t_config, B, T)
 
-    def frontier_mask(upto):
-        return (col < upto).astype(jnp.int32)
-
-    pos0 = jnp.arange(S0, dtype=jnp.int32)[None]
+    pos0 = jnp.broadcast_to(jnp.arange(S0, dtype=jnp.int32)[None], (B, S0))
+    mask0 = (col < S0).astype(jnp.int32) * jnp.ones((B, 1), jnp.int32)
     (logits, _), t_cache = t_forward(t_params, t_config, input_ids,
-                                     frontier_mask(S0), pos0, None, t_cache,
+                                     mask0, pos0, None, t_cache,
                                      last_only=True)
-    first = jnp.argmax(logits[0, -1].astype(jnp.float32)).astype(jnp.int32)
-    tokens = jax.lax.dynamic_update_slice(tokens, first[None, None], (0, S0))
-    n0 = jnp.asarray(S0 + 1, jnp.int32)
+    first = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1).astype(
+        jnp.int32)                                              # (B,)
+    tokens = tokens.at[:, S0].set(first)
+    n0 = jnp.full((B,), S0 + 1, jnp.int32)
+    # per-row cache offsets from here on (the while_loop carry must keep one
+    # dtype/shape for cache["length"] across rounds)
+    t_cache = {**t_cache, "length": jnp.full((B,), S0, jnp.int32)}
 
-    done0 = jnp.zeros((), bool)
+    done0 = jnp.zeros((B,), bool)
     for e in end_ids:
         done0 = done0 | (first == e)
 
     def cond(state):
         n, done = state[1], state[3]
-        return jnp.logical_and(n < total_len, jnp.logical_not(done))
+        return jnp.any(jnp.logical_not(done) & (n < total_len))
 
     def body(state):
         tokens, n, t_cache, done, rounds = state
-        W = K + 1
-        row = tokens[0]
 
-        # --- propose: last position j < n-ngram where row[j:j+ngram] equals
-        # row[n-ngram:n]; candidates are row[j+ngram : j+ngram+K]
-        pattern = jax.lax.dynamic_slice(row, (n - ngram,), (ngram,))
-        j = jnp.arange(T, dtype=jnp.int32)
-        match = j + ngram < n  # window fully inside committed text, not self
+        # --- propose per row: last j with tokens[b, j:j+ngram] ==
+        # tokens[b, n_b-ngram:n_b]; candidates tokens[b, j+ngram:j+ngram+K]
+        pat_idx = (n - ngram)[:, None] + jnp.arange(ngram,
+                                                    dtype=jnp.int32)[None]
+        pattern = jnp.take_along_axis(tokens, pat_idx, axis=1)   # (B, ngram)
+        match = (col + ngram) < n[:, None]                       # (B, T)
         for g in range(ngram):
-            shifted = jnp.roll(row, -g)  # row[j+g] for j+g < T
-            match = match & (shifted == pattern[g])
+            shifted = jnp.roll(tokens, -g, axis=1)
+            match = match & (shifted == pattern[:, g:g + 1])
         # prefer the last match whose K-token continuation is fully
         # committed (proposals past the frontier are stale buffer junk that
         # caps acceptance); fall back to the very last match, then to
         # repeating the final token
-        full = match & (j + ngram + K <= n)
+        full = match & ((col + ngram + K) <= n[:, None])
 
         def last_true(m):
-            return (T - 1) - jnp.argmax(m[::-1])
+            return (T - 1) - jnp.argmax(m[:, ::-1], axis=1)
 
-        any_match = jnp.any(match)
-        idx = jnp.where(jnp.any(full), last_true(full),
+        any_match = jnp.any(match, axis=1)
+        idx = jnp.where(jnp.any(full, axis=1), last_true(full),
                         jnp.where(any_match, last_true(match), 0))
         src = jnp.where(any_match, idx + ngram, jnp.maximum(n - 1, 0))
-        cand = jax.lax.dynamic_slice(row, (src,), (K,))
-        tokens = jax.lax.dynamic_update_slice(tokens, cand[None], (0, n))
+        cand_idx = src[:, None] + jnp.arange(K, dtype=jnp.int32)[None]
+        cand = jnp.take_along_axis(tokens, cand_idx, axis=1)     # (B, K)
+        wr_idx = n[:, None] + jnp.arange(K, dtype=jnp.int32)[None]
+        # scatter the proposals at [n_b, n_b+K) — done rows overwrite junk
+        # past their frozen frontier, never committed text
+        tokens = tokens.at[bidx[:, None], wr_idx].set(cand)
 
-        # --- verify all K in one forward (identical to _speculative_loop)
-        v_in = jax.lax.dynamic_slice(tokens, (0, n - 1), (1, W))
-        pos_v = (n - 1 + jnp.arange(W, dtype=jnp.int32))[None]
+        # --- verify all K per row in one forward (per-row cache offsets)
+        vin_idx = (n - 1)[:, None] + jnp.arange(W, dtype=jnp.int32)[None]
+        v_in = jnp.take_along_axis(tokens, vin_idx, axis=1)      # (B, W)
+        frontier = (col < (n + K)[:, None]).astype(jnp.int32)
         t_cache = {**t_cache, "length": n - 1}
         (t_logits, _), t_cache = t_forward(
-            t_params, t_config, v_in, frontier_mask(n + K), pos_v, None,
-            t_cache)
-        g = jnp.argmax(t_logits[0].astype(jnp.float32), axis=-1).astype(
-            jnp.int32)
-        match_c = (g[:K] == cand)
-        a = jnp.sum(jnp.cumprod(match_c.astype(jnp.int32)))
-        tokens = jax.lax.dynamic_update_slice(tokens, g[a][None, None],
-                                              (0, n + a))
+            t_params, t_config, v_in, frontier, vin_idx, None, t_cache)
+        g = jnp.argmax(t_logits.astype(jnp.float32), axis=-1).astype(
+            jnp.int32)                                           # (B, W)
+        match_c = (g[:, :K] == cand)
+        a = jnp.sum(jnp.cumprod(match_c.astype(jnp.int32), axis=1), axis=1)
+        corr = jnp.take_along_axis(g, a[:, None], axis=1)[:, 0]  # (B,)
+        tokens = tokens.at[bidx, n + a].set(corr)
         n_committed = a + 1
 
         if end_ids:
-            jj = jnp.arange(W, dtype=jnp.int32)
-            committed = jax.lax.dynamic_slice(tokens, (0, n), (1, W))[0]
-            is_end = jnp.zeros((W,), bool)
+            jj = jnp.arange(W, dtype=jnp.int32)[None]
+            committed = jnp.take_along_axis(
+                tokens, n[:, None] + jj, axis=1)                 # (B, W)
+            is_end = jnp.zeros((B, W), bool)
             for e in end_ids:
                 is_end = is_end | (committed == e)
-            is_end = is_end & (jj < n_committed)
-            any_end = jnp.any(is_end)
-            first_e = jnp.argmax(is_end)
+            is_end = is_end & (jj < n_committed[:, None])
+            any_end = jnp.any(is_end, axis=1)
+            first_e = jnp.argmax(is_end, axis=1)
             n_committed = jnp.where(any_end, first_e + 1, n_committed)
             done = done | any_end
 
-        n = n + n_committed
+        was_done = state[3]  # rows finished in earlier rounds commit nothing
+        n = n + jnp.where(was_done, 0, n_committed)
         done = done | (n >= total_len)
         return tokens, n, t_cache, done, rounds + 1
 
@@ -326,10 +342,16 @@ def prompt_lookup_generate(model, input_ids, attention_mask=None,
                            generation_configs=None, draft_len=8, ngram=2,
                            return_stats=False):
     """Draft-free speculative decoding (prompt-lookup): greedy only,
-    bit-exact vs ``model.generate(do_sample=False, beam_size=1)``. Shines
-    when the continuation repeats earlier context (extraction, code,
+    bit-exact vs ``model.generate(do_sample=False, beam_size=1)`` per row.
+    Shines when the continuation repeats earlier context (extraction, code,
     chat-with-quoting); on non-repetitive text it degrades gracefully to
-    ~one committed token per verify forward."""
+    ~one committed token per verify forward.
+
+    BATCHED: any batch size, with per-row n-gram matching / acceptance /
+    end detection and per-row cache offsets; rows finishing early freeze
+    while the rest keep speculating. Prompts must be unpadded (equal
+    length), like the draft-model path. Returns (B, 1, L) with rows past
+    their end token padded by ``pad_id``."""
     cfg = generation_configs or {}
     assert cfg.get("beam_size", 1) == 1, "prompt-lookup is beam-free"
     assert not cfg.get("do_sample", False), \
@@ -337,17 +359,17 @@ def prompt_lookup_generate(model, input_ids, attention_mask=None,
     assert not cfg.get("no_repeat_ngram_size", 0), \
         "ngram processors are unsupported in speculative decoding"
     max_gen_len = cfg.get("max_gen_len", 100)
+    pad_id = cfg.get("pad_id", 0) or 0
     end_ids = cfg.get("end_ids", None)
     if isinstance(end_ids, int):
         end_ids = [end_ids]
     end_ids = tuple(end_ids) if end_ids else ()
 
     input_ids = jnp.asarray(input_ids)
-    assert input_ids.shape[0] == 1, "prompt-lookup is batch-1"
     if attention_mask is not None:
         assert int(jnp.sum(jnp.asarray(attention_mask) == 0)) == 0, \
             "padded prompts are unsupported in speculative decoding"
-    S0 = input_ids.shape[1]
+    B, S0 = input_ids.shape
     assert S0 >= int(ngram), "prompt shorter than the lookup ngram"
     total_len = S0 + max_gen_len + 2
 
@@ -359,12 +381,16 @@ def prompt_lookup_generate(model, input_ids, attention_mask=None,
         K=int(draft_len), ngram=int(ngram), end_ids=end_ids,
         total_len=total_len)
     tokens_np, n, rounds = jax.device_get((tokens, n, rounds))
-    n, rounds = int(n), int(rounds)
-    out = tokens_np[:, :n].reshape(1, 1, n)
+    rounds = int(rounds)
+    n = np.asarray(n)
+    L = int(n.max())
+    out = tokens_np[:, :L].copy()
+    out[np.arange(L)[None] >= n[:, None]] = pad_id  # per-row tail padding
+    out = out.reshape(B, 1, L)
     if return_stats:
-        gen = max(n - S0 - 1, 0)
+        gen = float(np.maximum(n - S0 - 1, 0).sum())
         return out, {"rounds": rounds,
-                     "tokens_per_round": gen / max(rounds, 1)}
+                     "tokens_per_round": gen / max(rounds * B, 1)}
     return out
 
 

@@ -110,7 +110,8 @@ def cache_write(kv_cache, li, x, offset):
     """Write S new-token keys/values x (B, H, S, hd) into the stacked cache
     (L, B, H, T, hd) for layer ``li`` at ``offset``: a scalar (all rows at the
     same position — the generate() engine) or a (B,) vector (per-row ragged
-    positions — the continuous-batching serving engine, S must be 1).
+    positions — the continuous-batching serving engine and batched
+    speculative verify windows; any S).
 
     An int8 cache leaf is the pytree {"q": int8, "s": f32 per-token scales}
     (init_kv_cache with config.kv_cache_int8): x is quantized symmetrically
@@ -126,9 +127,10 @@ def cache_write(kv_cache, li, x, offset):
         return jax.lax.dynamic_update_slice(
             kv_cache, x[None].astype(kv_cache.dtype), (li, 0, 0, offset, 0))
     B, H, S, hd = x.shape
-    assert S == 1, "vector cache offsets are single-token (serving decode)"
-    return kv_cache.at[li, jnp.arange(B)[:, None], jnp.arange(H)[None, :],
-                       offset[:, None]].set(x[:, :, 0, :].astype(kv_cache.dtype))
+    pos = offset[:, None] + jnp.arange(S, dtype=jnp.int32)[None]  # (B, S)
+    return kv_cache.at[li, jnp.arange(B)[:, None, None],
+                       jnp.arange(H)[None, :, None],
+                       pos[:, None, :]].set(x.astype(kv_cache.dtype))
 
 
 def _scale_write(s_cache, li, s, offset):
@@ -137,9 +139,10 @@ def _scale_write(s_cache, li, s, offset):
         return jax.lax.dynamic_update_slice(
             s_cache, s[None].astype(s_cache.dtype), (li, 0, 0, offset))
     B, H, S = s.shape
-    assert S == 1
-    return s_cache.at[li, jnp.arange(B)[:, None], jnp.arange(H)[None, :],
-                      offset[:, None]].set(s[:, :, 0].astype(s_cache.dtype))
+    pos = offset[:, None] + jnp.arange(S, dtype=jnp.int32)[None]
+    return s_cache.at[li, jnp.arange(B)[:, None, None],
+                      jnp.arange(H)[None, :, None],
+                      pos[:, None, :]].set(s.astype(s_cache.dtype))
 
 
 def cache_layer_kv(buf, li, B, H, T, hd):
