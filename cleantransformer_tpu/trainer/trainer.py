@@ -110,6 +110,11 @@ class TrainingArguments:
     # inputs) | "dots" (also save matmul outputs — cheaper recompute, a bit
     # more memory)
     remat: object = False
+    # logging integrations (reference trainer.py:238-248 report_to):
+    # "none" | "jsonl" (<output_dir>/trainer_log.jsonl) | "tensorboard"
+    # (<output_dir>/runs event files, self-contained writer) | "all",
+    # or a list of those
+    report_to: object = "none"
     # async checkpointing: snapshot params/opt-state to host synchronously
     # (the train step donates their device buffers, so the fetch cannot be
     # deferred) but write the files from a background thread — training
@@ -171,6 +176,11 @@ class Trainer:
         self.compute_metrics = compute_metrics
         self.prediction_fn = prediction_fn  # (params, batch) -> predictions
         self.callbacks = callbacks if callbacks is not None else [PrinterCallback()]
+        if getattr(args, "report_to", "none") not in (None, "none"):
+            from cleantransformer_tpu.trainer.integrations import \
+                resolve_report_to
+            self.callbacks = list(self.callbacks) + resolve_report_to(
+                args.report_to, args.output_dir)
         self._user_loss = loss_fn is not None
         self.loss_fn = loss_fn or self._default_loss_fn()
         self._eval_loss_fn = None
@@ -200,6 +210,7 @@ class Trainer:
         self._eval_loss_jit = None  # compiled once, reused across evaluate()
         self._pred_step_jit = None
         self._sig_columns = None
+        self._flops_tok_cache = {}
         self.control = TrainerControl()
         for cb in self.callbacks:
             cb.on_init_end(self)
@@ -395,6 +406,19 @@ class Trainer:
         # XLA/GSPMD then places the psum/all-gather collectives over ICI.
         return jax.jit(train_step, donate_argnums=(0, 1))
 
+    def _flops_per_token(self, seq_len):
+        """Analytic training FLOs per token (6N + attention; reference
+        floating_point_ops, trainer.py:1260-1276) for the MFU log field."""
+        if self._flops_tok_cache.get(seq_len) is None:
+            from cleantransformer_tpu.utils.profiling import (
+                count_params, transformer_flops)
+            cfg = self.model.config
+            hidden = getattr(cfg, "hidden_size", getattr(cfg, "n_embd", 0))
+            n_layer = getattr(cfg, "n_layer", 0)
+            self._flops_tok_cache[seq_len] = transformer_flops(
+                count_params(self.model.params), seq_len, hidden, n_layer)
+        return self._flops_tok_cache[seq_len]
+
     def _model_type(self):
         name = type(self.model).__name__.lower()
         if "bloom" in name:
@@ -558,12 +582,16 @@ class Trainer:
                             % args.logging_steps == 0) or ctl.should_log:
                         ctl.should_log = False
                         dt = time.time() - t_log
+                        tps = tokens_since_log / max(dt, 1e-9)
                         logs = {"loss": round(float(np.mean([float(l) for l in loss_window])), 4),
                                 "grad_norm": round(float(gnorm), 4),
                                 "learning_rate": lr,
                                 "epoch": round(self.state["epoch"], 3),
                                 "step": self.state["global_step"],
-                                "tokens_per_sec": round(tokens_since_log / max(dt, 1e-9), 1)}
+                                "tokens_per_sec": round(tps, 1),
+                                "mfu": round(tps * self._flops_per_token(
+                                    batch["input_ids"].shape[1])
+                                    / _peak_flops_total(), 4)}
                         self.state["tokens_seen"] += tokens_since_log
                         loss_window, tokens_since_log, t_log = [], 0, time.time()
                         self.log(logs)
@@ -878,3 +906,9 @@ class _null_ctx:
 
     def __exit__(self, *a):
         return False
+
+
+def _peak_flops_total():
+    """Aggregate peak bf16 FLOP/s of the devices this process trains on."""
+    from cleantransformer_tpu.utils.profiling import device_peak_flops
+    return device_peak_flops() * jax.device_count()

@@ -34,6 +34,10 @@ def init_args():
                         help="ZeRO stage on the dp axis: 0 off, 1 Adam-state "
                              "sharding, 3 FSDP-style param sharding "
                              "(-1 = default, stage 1 when dp > 1)")
+    parser.add_argument("--report_to", default="none", type=str,
+                        help="logging integration: none | jsonl | "
+                             "tensorboard | all (events under "
+                             "<save_dir>/runs)")
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--flash", action="store_true")
     parser.add_argument("--packed", action="store_true",
@@ -145,7 +149,8 @@ def main():
         per_device_train_batch_size=examples_per_step,
         gradient_accumulation_steps=args.accum, learning_rate=args.lr,
         logging_steps=10, save_steps=1000, mesh_data=args.dp, mesh_model=args.tp,
-        zero_stage=args.zero_stage, max_seq_length=args.max_len)
+        zero_stage=args.zero_stage, report_to=args.report_to,
+        max_seq_length=args.max_len)
     trainer = Trainer(
         model=model, args=train_args, train_dataset=dataset,
         data_collator=collator)
