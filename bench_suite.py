@@ -373,9 +373,10 @@ def bench_packed_sft():
 
 def bench_packed_sft_bloom():
     """Packed SFT on the reference's own family (bloom-560m-class):
-    per-segment ALiBi restart + segmented 4D flash kernel. Packed rows
-    skip the bsd-kernel fast path (+~8% step time at hd=64), overwhelmingly
-    repaid by the fill-factor gain on short data."""
+    per-segment ALiBi restart + segmented head-major (B,S,D) flash kernel —
+    packed rows now stay on the no-transpose path (round 3: segment refs in
+    flash_attention_bsd), so packing no longer pays the hd=64 relayout
+    tax vs unpacked."""
     cfg = BloomConfig(vocab_size=50432, hidden_size=1024, n_layer=24,
                       num_attention_heads=16, compute_dtype="bfloat16",
                       use_flash_attention=True)
@@ -517,10 +518,16 @@ def bench_moe_sft(moe_impl):
 
 
 def bench_serving(model, name, vocab, n_requests=24, max_slots=8,
-                  max_len=256, n_new=64):
+                  max_len=256, n_new=64, depth=8):
     """Continuous-batching throughput under a stream of variable-length
     prompts (the serving engine keeps all slots busy; generate() would run
-    one batch at a time)."""
+    one batch at a time). ``depth`` = max_dispatch_depth: the engine
+    enqueues up to that many decode chunks per result fetch, sized
+    adaptively to the earliest finisher, so the tunnel RTT amortizes over a
+    whole request's generation instead of every 16 tokens (round-2's
+    fixed-chunk engine was RTT-bound at 2.5k tok/s). Reports a wall-clock
+    breakdown: blocking fetches x measured RTT vs everything else
+    (device compute + enqueue overhead)."""
     from cleantransformer_tpu.serving import ServingEngine
     rs = np.random.RandomState(0)
     prompts = [rs.randint(1, vocab, (int(n),)).tolist()
@@ -530,18 +537,119 @@ def bench_serving(model, name, vocab, n_requests=24, max_slots=8,
     # serving/engine.py pipeline param; real hosts want the default)
     eng = ServingEngine(model, max_slots=max_slots, max_len=max_len,
                         prefill_buckets=(64,), chunk_size=16,
-                        pipeline="serial")
+                        pipeline="serial", max_dispatch_depth=depth)
     # warmup: compile the prefill + decode-chunk programs before timing
     eng.submit(prompts[0], max_new_tokens=4)
     list(eng.run())
+    eng.fetches = 0
     plen = {eng.submit(p, max_new_tokens=n_new): len(p) for p in prompts}
     t0 = time.perf_counter()
     done = list(eng.run())
     dt = time.perf_counter() - t0
     gen_tokens = sum(len(t) - plen[rid] for rid, t in done)
+    rtt_s = eng.fetches * host_rtt()
     record(name, gen_tokens / dt, "generated tokens/s",
            {"requests": n_requests, "slots": max_slots,
-            "chunk": 16, "wall_s": round(dt, 2)})
+            "chunk": 16, "depth": depth, "wall_s": round(dt, 2),
+            "fetches": eng.fetches, "rtt_s": round(rtt_s, 3),
+            "device_and_enqueue_s": round(dt - rtt_s, 3)})
+
+
+def bench_prompt_lookup_batched(model, name, vocab, B=8, gen=128, K=4):
+    """b8 prompt-lookup vs plain b8 greedy on a repetitive continuation
+    (per-row matching/acceptance — VERDICT r2 item 9)."""
+    from cleantransformer_tpu.generation.speculative import (
+        prompt_lookup_generate)
+    rs = np.random.RandomState(0)
+    plain_cfg = {"beam_size": 1, "max_gen_len": gen, "do_sample": False,
+                 "pad_id": 0, "end_ids": None, "no_repeat_ngram_size": 0}
+    # probe for cycling prompts (random-weight greedy streams usually cycle)
+    scored = []
+    for _ in range(12):
+        probe = rs.randint(1, vocab, (1, 16)).astype(np.int32)
+        out = np.asarray(model.generate(probe,
+                                        generation_configs=plain_cfg))[0, 0]
+        g = out[16:]
+        rep = len(g) - len(set(zip(g[:-1], g[1:])))
+        scored.append((rep, probe))
+    scored.sort(key=lambda x: -x[0])
+    ids = np.concatenate([p for _, p in scored[:B]], axis=0)  # (B, 16)
+
+    out = model.generate(ids, generation_configs=plain_cfg)
+    n_new = (out.shape[-1] - 16) * B
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        model.generate(ids, generation_configs=plain_cfg)
+        times.append(time.perf_counter() - t0)
+    base = n_new / max(min(times) - host_rtt(), 1e-9)
+
+    cfg = {"max_gen_len": gen, "do_sample": False}
+    out, stats = prompt_lookup_generate(model, ids, generation_configs=cfg,
+                                        draft_len=K, return_stats=True)
+    n_new = (out.shape[-1] - 16) * B
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        prompt_lookup_generate(model, ids, generation_configs=cfg,
+                               draft_len=K)
+        times.append(time.perf_counter() - t0)
+    spec = n_new / max(min(times) - host_rtt(), 1e-9)
+    record(name, spec, f"tokens/s (batch={B})",
+           {"plain_tokens_per_sec": round(base, 1), "draft_len": K,
+            "tokens_per_round_per_row": round(stats["tokens_per_round"], 2),
+            "speedup": round(spec / base, 2)})
+
+
+def bench_swa_long_context():
+    """Mistral-class sliding-window attention at seq 4096: the windowed
+    flash kernel (static window on the causal iota, key-block loop skips
+    out-of-window blocks) vs the dense additive-mask path (O(S^2) mask
+    materialization). fwd+bwd loss step, batch 2."""
+    from cleantransformer_tpu.config import LlamaConfig
+    from cleantransformer_tpu.models.llama import (
+        LlamaForCausalLM, llama_lm_forward)
+    B, S, W = 2, 4096, 1024
+    base = dict(vocab_size=32000, hidden_size=1024, intermediate_size=2816,
+                num_hidden_layers=8, num_attention_heads=8,
+                num_key_value_heads=8, max_position_embeddings=S,
+                sliding_window=W, compute_dtype="bfloat16")
+    model = LlamaForCausalLM(LlamaConfig(**base, use_flash_attention=True),
+                             rng=jax.random.PRNGKey(0))
+    model._tie_weight()
+    rs = np.random.RandomState(0)
+    batch = {"input_ids": jnp.asarray(rs.randint(0, 32000, (B, S)), jnp.int32),
+             "attention_mask": jnp.ones((B, S), jnp.int32)}
+    batch["labels"] = batch["input_ids"]
+
+    def timed(cfg):
+        def loss_fn(params, b):
+            (loss, _, _), _ = llama_lm_forward(
+                params, cfg, b["input_ids"], b["attention_mask"],
+                labels=b["labels"],
+                remat="attn" if cfg.use_flash_attention else True)
+            return loss
+
+        grad = jax.jit(jax.value_and_grad(loss_fn))
+        loss, _ = grad(model.params, batch)
+        float(loss)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            loss, g = grad(model.params, batch)
+            float(loss)
+            times.append(time.perf_counter() - t0)
+        del g
+        return max(min(times) - host_rtt(), 1e-9)
+
+    t_flash = timed(LlamaConfig(**base, use_flash_attention=True))
+    t_dense = timed(LlamaConfig(**base, use_flash_attention=False))
+    record("mistral_swa_4k_fwd_bwd_step_flash", t_flash * 1e3,
+           f"ms (batch={B}, seq={S}, window={W}, bf16, fwd+bwd)",
+           {"dense_ms": round(t_dense * 1e3, 1),
+            "speedup_vs_dense": round(t_dense / t_flash, 2)})
+    import gc
+    gc.collect()
 
 
 def bench_speculative(model, draft, name, vocab, gen=128, K=4):
@@ -620,6 +728,28 @@ def main():
     lmodel = LlamaForCausalLM(lcfg, rng=jax.random.PRNGKey(0))
     bench_decode(lmodel, "tinyllama_1.1B_decode_b8", 8, 32, 128, 32000)
 
+    # int8 weight-only decode IN THE MEMORY-BOUND REGIME (VERDICT r2 item
+    # 8): tinyllama-1.1B b8 streams 2.2 GB bf16 weights/step at ~91% HBM bw
+    # — halving the stream should approach ~1.8x
+    del lmodel
+    import gc as _gc
+    _gc.collect()
+    qlcfg = LlamaConfig(**{**dict(vocab_size=32000, hidden_size=2048,
+                                  intermediate_size=5632,
+                                  num_hidden_layers=22,
+                                  num_attention_heads=32,
+                                  num_key_value_heads=4,
+                                  max_position_embeddings=2048,
+                                  compute_dtype="bfloat16",
+                                  decode_unroll=22),
+                          "quantize_int8": True})
+    qlmodel = LlamaForCausalLM(qlcfg, rng=jax.random.PRNGKey(0))
+    for b in (8, 32):
+        bench_decode(qlmodel, f"tinyllama_1.1B_decode_b{b}_int8", b, 32, 128,
+                     32000)
+    del qlmodel
+    _gc.collect()
+
     bench_serving(model, "gpt2_124M_serving_tokens_per_sec", 50257)
 
     # speculative decoding: self-draft = acceptance-1 upper bound on the
@@ -634,6 +764,7 @@ def main():
     bench_speculative(model, draft2, "gpt2_124M_speculative_2Ldraft_b1",
                       50257)
     bench_prompt_lookup(model, "gpt2_124M_prompt_lookup_b1", 50257)
+    bench_prompt_lookup_batched(model, "gpt2_124M_prompt_lookup_b8", 50257)
 
     # free the inference models (params + cast caches) before the training
     # benches — the 560M SFT step needs most of the chip's HBM
@@ -646,6 +777,7 @@ def main():
     bench_llama_sft(use_flash=True)
     bench_packed_sft()
     bench_packed_sft_bloom()
+    bench_swa_long_context()
     bench_moe_sft("ragged")
     bench_moe_sft("dense")
 

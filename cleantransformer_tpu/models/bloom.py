@@ -137,6 +137,37 @@ def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
         out = linear(out, attn_params["dense"]["w"], attn_params["dense"]["b"])
         return residual + out, (None, None)
 
+    # single-token decode fast path: head-major math throughout — the
+    # (B,1,H,hd)->(B,H,1,hd) moves are free reshapes at S==1 (the generic
+    # path's transposes cost Bloom ~117 layout copies/step at hd=64), and
+    # the QK dot accumulates straight to fp32 (preferred_element_type), so
+    # the per-layer upcast convert before the masked softmax disappears.
+    # Post-softmax identical numerics; fp32-params parity is exact.
+    if (layer_kv is not None and S == 1 and head_mask is None
+            and mask_additive is not None and deterministic
+            and not isinstance(layer_kv[0], dict)):  # int8 keeps generic path
+        from cleantransformer_tpu.models.gpt import cache_write, cache_layer_kv
+        k_cache, v_cache, li = layer_kv
+        kh = qkv[..., 1, :].reshape(B, num_heads, 1, hd)
+        vh = qkv[..., 2, :].reshape(B, num_heads, 1, hd)
+        kh = shard_hint(kh, ("data", "model", None, None))
+        new_k = cache_write(k_cache, li, kh, cache_len)
+        new_v = cache_write(v_cache, li, vh, cache_len)
+        T = k_cache.shape[3]
+        k, _ = cache_layer_kv(new_k, li, B, num_heads, T, hd)
+        v, _ = cache_layer_kv(new_v, li, B, num_heads, T, hd)
+        qh = qkv[..., 0, :].reshape(B, num_heads, hd)
+        s = jax.lax.dot_general(qh, k, (((2,), (3,)), ((0, 1), (0, 1))),
+                                preferred_element_type=jnp.float32)
+        s = s * (1.0 / math.sqrt(hd)) + alibi_bias[:, :, 0, :].astype(s.dtype)
+        s = s + mask_additive[:, :, 0, :]
+        w = jax.nn.softmax(s, axis=-1)
+        out = jax.lax.dot_general(w.astype(v.dtype), v,
+                                  (((2,), (2,)), ((0, 1), (0, 1))))
+        out = out.reshape(B, 1, D)
+        out = linear(out, attn_params["dense"]["w"], attn_params["dense"]["b"])
+        return residual + out, (new_k, new_v)
+
     q = qkv[..., 0, :].transpose(0, 2, 1, 3)  # (B, H, S, hd)
     k = qkv[..., 1, :].transpose(0, 2, 1, 3)
     v = qkv[..., 2, :].transpose(0, 2, 1, 3)

@@ -269,6 +269,38 @@ def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_
             return (_dropout(out, config.resid_pdrop, rngs[1], deterministic),
                     (None, None))
 
+        # single-token decode fast path (mirrors models/bloom.py): at S==1
+        # every head move is a free reshape — no (B,H,S,hd) layout copies —
+        # and the QK dot accumulates straight to fp32, killing the per-layer
+        # upcast convert before the masked softmax. Post-softmax identical;
+        # fp32-params parity exact.
+        hd_ = x.shape[-1] // H
+        if (layer_kv is not None and S == 1 and mask_precombined
+                and deterministic and not isinstance(layer_kv[0], dict)):
+            k_cache, v_cache, li = layer_kv
+            B_ = x.shape[0]
+            kh = shard_hint(k.reshape(B_, H, 1, hd_),
+                            ("data", "model", None, None))
+            vh = v.reshape(B_, H, 1, hd_)
+            new_k = cache_write(k_cache, li, kh, cache_len)
+            new_v = cache_write(v_cache, li, vh, cache_len)
+            T = k_cache.shape[3]
+            kf, _ = cache_layer_kv(new_k, li, B_, H, T, hd_)
+            vf, _ = cache_layer_kv(new_v, li, B_, H, T, hd_)
+            qh = q.reshape(B_, H, hd_)
+            s = jax.lax.dot_general(qh, kf, (((2,), (3,)), ((0, 1), (0, 1))),
+                                    preferred_element_type=jnp.float32)
+            if scale:
+                s = s / math.sqrt(hd_)
+            s = s + additive_mask[:, :, 0, :]
+            w = jax.nn.softmax(s, axis=-1)
+            out = jax.lax.dot_general(w.astype(vf.dtype), vf,
+                                      (((2,), (2,)), ((0, 1), (0, 1))))
+            out = out.reshape(B_, 1, H * hd_)
+            out = linear(out, block_params["attn"]["c_proj"]["w"],
+                         block_params["attn"]["c_proj"]["b"])
+            return out, (new_k, new_v)
+
         q, k, v = _split_heads(q, H), _split_heads(k, H), _split_heads(v, H)
         k = shard_hint(k, ("data", "model", None, None))
         k_scale = v_scale = None

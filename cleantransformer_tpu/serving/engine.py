@@ -271,7 +271,8 @@ class ServingEngine:
     def __init__(self, model, max_slots=8, max_len=512,
                  prefill_buckets=DEFAULT_BUCKETS, chunk_size=8,
                  do_sample=False, temperature=1.0, top_k=10, top_p=0.8,
-                 end_ids=None, rng=None, mesh=None, pipeline="overlap"):
+                 end_ids=None, rng=None, mesh=None, pipeline="overlap",
+                 max_dispatch_depth=1):
         # mesh: serve a tensor-parallel-sharded model — pass params already
         # sharded (parallel.shard_params) and the mesh; the engine traces its
         # programs under it so the in-model shard_hints partition attention
@@ -287,6 +288,16 @@ class ServingEngine:
         if pipeline not in ("overlap", "serial"):
             raise ValueError(f"pipeline={pipeline!r} (overlap | serial)")
         self.pipeline = pipeline
+        # max_dispatch_depth > 1: each tick enqueues UP TO that many decode
+        # chunks back-to-back and fetches results ONCE — the host round-trip
+        # amortizes over depth*chunk_size tokens instead of chunk_size. Depth
+        # adapts per tick to the estimated minimum tokens remaining across
+        # occupied slots (host-tracked, refreshed exactly at every harvest),
+        # so a tick never knowingly overshoots the earliest finisher by more
+        # than one chunk. Rows that stop early (end token) ride the
+        # remaining steps as masked no-ops — pure device time, no
+        # correctness impact; streamers fire once per tick, not per chunk.
+        self.max_dispatch_depth = max(1, int(max_dispatch_depth))
         self.model = model
         self.config = model.config
         self.forward = model.forward_fn()
@@ -363,12 +374,18 @@ class ServingEngine:
         self.finished = {}  # rid -> np token array
         self.streamers = {}  # rid -> callable(np generated-so-far)
         self.steps = 0
+        self.fetches = 0  # blocking result round-trips (RTT accounting)
         # decode-chunk pipelining (step()): the packed results of the chunk
         # in flight, the running chunk counter, and per-slot "first chunk
         # that covers this request" admission stamps
         self._pending = None        # (chunk_no, device results) or None
         self._chunk_no = 0
         self._slot_chunk = [0] * max_slots
+        # host-side per-slot length/limit estimates for adaptive depth
+        # (est_len advances chunk_size per dispatched chunk, clamped at the
+        # limit; harvest overwrites with exact device lengths)
+        self._est_len = np.zeros(max_slots, np.int64)
+        self._est_limit = np.zeros(max_slots, np.int64)
 
     # ------------------------------------------------------------------ API
 
@@ -452,6 +469,8 @@ class ServingEngine:
             self.slot_rid[slot] = req.rid
             # first decode chunk covering this slot is the NEXT one dispatched
             self._slot_chunk[slot] = self._chunk_no + 1
+            self._est_len[slot] = total + 1  # prompt + fused first token
+            self._est_limit[slot] = total + req.max_new_tokens
 
     def _harvest(self, pending):
         """Fetch and apply a decode chunk's packed results (one device_get —
@@ -462,6 +481,7 @@ class ServingEngine:
         if pending is None:
             return []
         chunk_no, results = pending
+        self.fetches += 1  # each is one blocking host round-trip
         res = np.asarray(jax.device_get(results))
         B = self.max_slots
         lengths, prompt_len, active = res[:B], res[B:2 * B], res[2 * B:3 * B]
@@ -472,6 +492,7 @@ class ServingEngine:
                 # admitted after that chunk was dispatched — the snapshot
                 # predates this request's prompt
                 continue
+            self._est_len[slot] = int(lengths[slot])  # exact refresh
             if rid in self.streamers:
                 self.streamers[rid](
                     tokens[slot, prompt_len[slot]:lengths[slot]].copy())
@@ -522,17 +543,38 @@ class ServingEngine:
         if free and self.queue:
             self._admit(free)
 
+    def _depth(self):
+        """Adaptive dispatch depth: enough chunks to (by host estimate)
+        finish the earliest-finishing occupied slot, so one result fetch
+        covers its whole remaining generation; capped at
+        max_dispatch_depth."""
+        if self.max_dispatch_depth <= 1:
+            return 1
+        occ = [s for s, r in enumerate(self.slot_rid) if r is not None]
+        if not occ:
+            return 1
+        rem = min(int(self._est_limit[s] - self._est_len[s]) for s in occ)
+        return int(np.clip(-(-max(rem, 1) // self.chunk_size),
+                           1, self.max_dispatch_depth))
+
     def _dispatch(self):
-        """Enqueue one decode chunk for the occupied slots; returns the
-        (chunk_no, packed results) handle, or None with nothing to run."""
+        """Enqueue ``_depth()`` decode chunks back-to-back for the occupied
+        slots; returns the (chunk_no, packed results) handle of the LAST
+        chunk (one fetch covers all of them), or None with nothing to run."""
         if not any(r is not None for r in self.slot_rid):
             return None
-        self.state, results = _decode_chunk(
-            self.params, self.config, self.forward, self.state,
-            n_steps=self.chunk_size, sampling=self._sampling_on,
-            end_ids=self.end_ids, needs_positions=self.needs_positions)
-        self.steps += self.chunk_size
-        self._chunk_no += 1
+        results = None
+        for _ in range(self._depth()):
+            self.state, results = _decode_chunk(
+                self.params, self.config, self.forward, self.state,
+                n_steps=self.chunk_size, sampling=self._sampling_on,
+                end_ids=self.end_ids, needs_positions=self.needs_positions)
+            self.steps += self.chunk_size
+            self._chunk_no += 1
+            for s, r in enumerate(self.slot_rid):
+                if r is not None:
+                    self._est_len[s] = min(self._est_len[s] + self.chunk_size,
+                                           self._est_limit[s])
         return (self._chunk_no, results)
 
     def run(self):

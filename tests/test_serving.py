@@ -261,6 +261,27 @@ def test_late_submission_while_chunks_in_flight(gpt):
     np.testing.assert_array_equal(done[r1], ref_greedy(gpt, p1, 12))
 
 
+def test_dispatch_depth_matches_depth1(gpt):
+    """max_dispatch_depth > 1 (several chunks enqueued per result fetch)
+    must produce identical per-request outputs to depth 1, including with
+    end-token early stops and slot reuse."""
+    vocab = gpt.config.vocab_size
+    prompts = _prompts(vocab, seed=31)
+    probe = ref_greedy(gpt, prompts[0], 2)
+    end_id = int(probe[len(prompts[0]) + 1])
+    results = {}
+    for depth, mode in ((1, "serial"), (4, "serial"), (4, "overlap")):
+        eng = ServingEngine(gpt, max_slots=2, max_len=64,
+                            prefill_buckets=(16,), chunk_size=4,
+                            pipeline=mode, max_dispatch_depth=depth,
+                            end_ids=[end_id])
+        rids = {eng.submit(p, max_new_tokens=12): tuple(p) for p in prompts}
+        results[(depth, mode)] = {rids[r]: tuple(t) for r, t in eng.run()}
+    assert results[(1, "serial")] == results[(4, "serial")]
+    assert results[(1, "serial")] == results[(4, "overlap")]
+    assert len(results[(1, "serial")]) == len(prompts)
+
+
 def test_pipeline_serial_matches_overlap(gpt):
     """Both pipeline schedules produce identical per-request outputs."""
     vocab = gpt.config.vocab_size
