@@ -110,6 +110,14 @@ class TrainingArguments:
     # inputs) | "dots" (also save matmul outputs — cheaper recompute, a bit
     # more memory)
     remat: object = False
+    # DeepSpeed-style CPU optimizer offload (reference
+    # ds_config_example.json:33-48 offload_optimizer): "" = off, "cpu" =
+    # master params + Adam state live in host memory, the accelerator runs
+    # only fwd/bwd. Frees ~16 bytes/param of HBM at the cost of 2x
+    # param-sized host<->device transfers per step. Single-device only
+    # (meshes shard instead — use zero_stage); requires the 'cpu' jax
+    # platform alongside the accelerator.
+    offload_optimizer: str = ""
     # logging integrations (reference trainer.py:238-248 report_to):
     # "none" | "jsonl" (<output_dir>/trainer_log.jsonl) | "tensorboard"
     # (<output_dir>/runs event files, self-contained writer) | "all",
@@ -354,6 +362,65 @@ class Trainer:
         def micro_grads(params, micro_batch, rng):
             return jax.value_and_grad(loss_fn)(params, micro_batch, rng)
 
+        def compute_grads(params, batch, rng):
+            if accum > 1:
+                def body(carry, xs):
+                    micro, i = xs
+                    loss_sum, grads_sum = carry
+                    loss, grads = micro_grads(params, micro,
+                                              jax.random.fold_in(rng, i))
+                    grads_sum = jax.tree_util.tree_map(jnp.add, grads_sum,
+                                                       grads)
+                    return (loss_sum + loss, grads_sum), None
+                micro_batches = {
+                    k: v.reshape(accum, v.shape[0] // accum, *v.shape[1:])
+                    for k, v in batch.items()}
+                zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+                (loss_sum, grads), _ = jax.lax.scan(
+                    body, (0.0, zero),
+                    (micro_batches, jnp.arange(accum, dtype=jnp.uint32)))
+                loss = loss_sum / accum
+                grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+            else:
+                loss, grads = micro_grads(params, batch, rng)
+            gnorm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2)
+                                 for g in jax.tree_util.tree_leaves(grads)))
+            if max_norm and max_norm > 0:
+                scale = jnp.minimum(1.0, max_norm / (gnorm + 1e-6))
+                grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            return loss, gnorm, grads
+
+        if getattr(self.args, "offload_optimizer", "") == "cpu":
+            # DeepSpeed-style CPU optimizer offload (reference
+            # scripts/ds_config_example.json offload_optimizer): master
+            # params + Adam state live in HOST memory; the accelerator runs
+            # only the fwd/bwd (grads stream device->host, the fresh bf16
+            # working copy streams host->device next step). Trades step
+            # latency (2x param-sized PCIe/tunnel transfers) for ~16 bytes
+            # per param of freed HBM — the same trade DeepSpeed makes.
+            if self.mesh is not None:
+                raise ValueError("offload_optimizer='cpu' is a single-device "
+                                 "HBM-relief mode; use zero_stage on meshes")
+            acc_dev = jax.devices()[0]
+            cpu_dev = jax.devices("cpu")[0]
+            grad_step = jax.jit(compute_grads)
+
+            def cpu_update(grads, opt_state, params, lr):
+                return update_fn(grads, opt_state, params, lr_override=lr)
+            cpu_update = jax.jit(cpu_update, donate_argnums=(1, 2))
+
+            def offload_step(params, opt_state, batch, rng, lr):
+                # params arrive committed to the CPU backend (train() moves
+                # them there); push a working copy to the accelerator
+                dev_params = jax.device_put(params, acc_dev)
+                loss, gnorm, grads = grad_step(dev_params, batch, rng)
+                grads = jax.device_put(grads, cpu_dev)
+                new_params, new_opt = cpu_update(grads, opt_state, params,
+                                                 jax.device_put(lr, cpu_dev))
+                return new_params, new_opt, loss, gnorm
+
+            return offload_step
+
         def train_step(params, opt_state, batch, rng, lr):
             if accum > 1:
                 def body(carry, xs):
@@ -514,6 +581,18 @@ class Trainer:
         start_step = 0
         if resume_from_checkpoint:
             start_step = self._load_from_checkpoint(resume_from_checkpoint)
+
+        if getattr(args, "offload_optimizer", "") == "cpu":
+            try:
+                cpu_dev = jax.devices("cpu")[0]
+            except RuntimeError as e:
+                raise RuntimeError(
+                    "offload_optimizer='cpu' needs the 'cpu' jax platform "
+                    "alongside the accelerator (e.g. JAX_PLATFORMS="
+                    "tpu,cpu)") from e
+            # master copies live in host memory from here on
+            self.model.params = jax.device_put(self.model.params, cpu_dev)
+            self.opt_state = jax.device_put(self.opt_state, cpu_dev)
 
         if self.mesh is not None:
             from cleantransformer_tpu.parallel.sharding import (

@@ -110,6 +110,38 @@ class TestData:
         with pytest.raises(ValueError, match="divide evenly"):
             tr.get_train_dataloader()
 
+    def test_offload_optimizer_cpu_matches_default(self, belle_file, tok):
+        """DeepSpeed-style CPU optimizer offload (master params + Adam state
+        in host memory, accelerator runs fwd/bwd only): training must match
+        the on-device path step for step."""
+        from cleantransformer_tpu.trainer import Trainer, TrainingArguments
+        from cleantransformer_tpu.config import BloomConfig
+        from cleantransformer_tpu.models.bloom import BloomForCausalLM
+        from functools import partial
+        cfg = BloomConfig(vocab_size=len(tok.vocab), hidden_size=32,
+                          n_layer=1, num_attention_heads=4)
+        collate = partial(belle_collate, tokenizer=tok, max_length=16,
+                          pad_to_max=True, eos_token="")
+        histories = {}
+        for mode in ("", "cpu"):
+            model = BloomForCausalLM(cfg, rng=jax.random.PRNGKey(0))
+            model._tie_weight()
+            args = TrainingArguments(output_dir=None, num_train_epochs=1,
+                                     per_device_train_batch_size=4,
+                                     logging_steps=1, save_steps=0,
+                                     offload_optimizer=mode)
+            tr = Trainer(model=model, args=args,
+                         train_dataset=BelleDataset(belle_file),
+                         data_collator=collate, callbacks=[])
+            state = tr.train()
+            histories[mode] = [l["loss"] for l in state["log_history"]
+                               if "loss" in l]
+            if mode == "cpu":
+                # master copies really live on the cpu platform
+                leaf = jax.tree_util.tree_leaves(tr.model.params)[0]
+                assert leaf.device.platform == "cpu"
+        assert histories["cpu"] == histories[""]
+
     def test_loader_epoch_reshuffles(self, belle_file):
         ds = BelleDataset(belle_file)
         dl = DataLoader(ds, 4, lambda b: [s["prompt"] for s in b], seed=1)
