@@ -769,7 +769,7 @@ def main():
     # free the inference models (params + cast caches) before the training
     # benches — the 560M SFT step needs most of the chip's HBM
     import gc
-    del model, qmodel, bmodel, lmodel, draft2
+    del model, qmodel, bmodel, draft2  # lmodel freed before the int8 bench
     gc.collect()
 
     bench_sft_step(use_flash=True)

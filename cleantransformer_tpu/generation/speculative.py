@@ -218,6 +218,132 @@ def _speculative_loop(t_params, d_params, t_config, d_config, t_forward,
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "t_forward", "d_forward", "t_config", "d_config", "t_init_cache",
+    "d_init_cache", "K", "end_ids", "total_len"))
+def _speculative_loop_batched(t_params, d_params, t_config, d_config,
+                              t_forward, d_forward, t_init_cache,
+                              d_init_cache, input_ids, K, end_ids, total_len):
+    """Batched GREEDY draft-model speculation: the batch-1 round structure
+    (draft catch-up window -> K proposals -> one (K+1)-token target verify)
+    with every per-round quantity vectorized per row — committed length
+    ``n`` (B,), per-row KV-cache offsets (the serving-style (B,) cache
+    "length" the forwards already accept), per-row accepted-prefix length,
+    per-row end detection. Rows that finish freeze (commit 0) while the
+    rest keep speculating, writing only into junk buffer space past their
+    frontier. Greedy bit-exactness per row holds for any proposal source.
+    Returns (tokens (B, T), n_final (B,), rounds)."""
+    B, S0 = input_ids.shape
+    T = total_len + K + 1
+    W = K + 1
+    bidx = jnp.arange(B)
+    col = jnp.arange(T, dtype=jnp.int32)[None]                   # (1, T)
+    tokens = jnp.zeros((B, T), jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, input_ids.astype(jnp.int32),
+                                          (0, 0))
+    t_cache = t_init_cache(t_config, B, T)
+    d_cache = d_init_cache(d_config, B, T)
+
+    # target prefill commits the prompt + the target's first token
+    pos0 = jnp.broadcast_to(jnp.arange(S0, dtype=jnp.int32)[None], (B, S0))
+    mask0 = (col < S0).astype(jnp.int32) * jnp.ones((B, 1), jnp.int32)
+    (logits, _), t_cache = t_forward(t_params, t_config, input_ids, mask0,
+                                     pos0, None, t_cache, last_only=True)
+    first = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1).astype(
+        jnp.int32)                                               # (B,)
+    tokens = tokens.at[:, S0].set(first)
+    n0 = jnp.full((B,), S0 + 1, jnp.int32)
+    # draft prefill warms the draft cache on the prompt
+    _, d_cache = d_forward(d_params, d_config, input_ids, mask0, pos0, None,
+                           d_cache, last_only=True)
+    # per-row cache offsets from here on
+    t_cache = {**t_cache, "length": jnp.full((B,), S0, jnp.int32)}
+    d_cache = {**d_cache, "length": jnp.full((B,), S0, jnp.int32)}
+
+    done0 = jnp.zeros((B,), bool)
+    for e in end_ids:
+        done0 = done0 | (first == e)
+
+    def cond(state):
+        n, done = state[1], state[4]
+        return jnp.any(jnp.logical_not(done) & (n < total_len))
+
+    def body(state):
+        tokens, n, t_cache, d_cache, done, rounds = state
+
+        # --- draft catch-up + first proposal: per-row window of the last W
+        # committed tokens (idempotent re-writes for keys the draft cache
+        # already holds; fills the target's corrections it missed)
+        start = jnp.maximum(n - W, 0)                            # (B,)
+        win_idx = start[:, None] + jnp.arange(W, dtype=jnp.int32)[None]
+        window = jnp.take_along_axis(tokens, win_idx, axis=1)    # (B, W)
+        d_cache = {**d_cache, "length": start}
+        (d_logits, _), d_cache = d_forward(
+            d_params, d_config, window,
+            (col < n[:, None]).astype(jnp.int32), win_idx, None, d_cache)
+        sel = (n - 1 - start)[:, None, None]                     # (B,1,1)
+        lg = jnp.take_along_axis(d_logits, sel, axis=1)[:, 0]    # (B, V)
+        c = jnp.argmax(lg.astype(jnp.float32), axis=-1).astype(jnp.int32)
+        tokens = tokens.at[bidx, n].set(c)
+
+        # --- remaining K-1 proposals, per-row single-token draft steps
+        def draft_step(i, carry):
+            tokens, d_cache = carry
+            off = n + i - 1                                      # (B,)
+            tok = jnp.take_along_axis(tokens, off[:, None], axis=1)
+            d_cache = {**d_cache, "length": off}
+            (lg, _), d_cache = d_forward(
+                d_params, d_config, tok,
+                (col < (off + 1)[:, None]).astype(jnp.int32),
+                off[:, None], None, d_cache)
+            nxt = jnp.argmax(lg[:, -1].astype(jnp.float32), axis=-1).astype(
+                jnp.int32)
+            tokens = tokens.at[bidx, off + 1].set(nxt)
+            return tokens, d_cache
+
+        tokens, d_cache = jax.lax.fori_loop(1, K, draft_step,
+                                            (tokens, d_cache))
+
+        # --- target verifies all K per row in one (K+1)-token forward
+        vin_idx = (n - 1)[:, None] + jnp.arange(W, dtype=jnp.int32)[None]
+        v_in = jnp.take_along_axis(tokens, vin_idx, axis=1)      # (B, W)
+        t_cache = {**t_cache, "length": n - 1}
+        (t_logits, _), t_cache = t_forward(
+            t_params, t_config, v_in,
+            (col < (n + K)[:, None]).astype(jnp.int32), vin_idx, None,
+            t_cache)
+        g = jnp.argmax(t_logits.astype(jnp.float32), axis=-1).astype(
+            jnp.int32)                                           # (B, W)
+        cand_idx = n[:, None] + jnp.arange(K, dtype=jnp.int32)[None]
+        cand = jnp.take_along_axis(tokens, cand_idx, axis=1)     # (B, K)
+        match = (g[:, :K] == cand)
+        a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+        corr = jnp.take_along_axis(g, a[:, None], axis=1)[:, 0]  # (B,)
+        tokens = tokens.at[bidx, n + a].set(corr)
+        n_committed = a + 1
+
+        if end_ids:
+            jj = jnp.arange(W, dtype=jnp.int32)[None]
+            committed = jnp.take_along_axis(tokens, n[:, None] + jj, axis=1)
+            is_end = jnp.zeros((B, W), bool)
+            for e in end_ids:
+                is_end = is_end | (committed == e)
+            is_end = is_end & (jj < n_committed[:, None])
+            any_end = jnp.any(is_end, axis=1)
+            first_e = jnp.argmax(is_end, axis=1)
+            n_committed = jnp.where(any_end, first_e + 1, n_committed)
+            done = done | any_end
+
+        was_done = state[4]  # rows finished in earlier rounds commit nothing
+        n = n + jnp.where(was_done, 0, n_committed)
+        done = done | (n >= total_len)
+        return tokens, n, t_cache, d_cache, done, rounds + 1
+
+    state = (tokens, n0, t_cache, d_cache, done0, jnp.zeros((), jnp.int32))
+    tokens, n, _, _, _, rounds = jax.lax.while_loop(cond, body, state)
+    return tokens, jnp.minimum(n, total_len), rounds
+
+
+@functools.partial(jax.jit, static_argnames=(
     "t_forward", "t_config", "t_init_cache", "K", "ngram", "end_ids",
     "total_len"))
 def _prompt_lookup_loop(t_params, t_config, t_forward, t_init_cache,
@@ -423,26 +549,48 @@ def speculative_generate(model, draft_model, input_ids, attention_mask=None,
     end_ids = tuple(end_ids) if end_ids else ()
 
     input_ids = jnp.asarray(input_ids)
-    assert input_ids.shape[0] == 1, "speculative decoding is batch-1"
+    assert input_ids.shape[0] == 1 or not do_sample, (
+        "batched speculative decoding is greedy-only (per-row rejection "
+        "sampling is batch-1; use do_sample=False for batch > 1)")
     if attention_mask is not None:
         assert int(jnp.sum(jnp.asarray(attention_mask) == 0)) == 0, \
             "padded prompts are unsupported in speculative decoding"
-    S0 = input_ids.shape[1]
+    B, S0 = input_ids.shape
     K = int(draft_len)
     assert K >= 1
     total_len = S0 + max_gen_len + 2  # reference loop emits max_gen_len + 2
 
-    from cleantransformer_tpu.generation.engine import inference_params
+    from cleantransformer_tpu.generation.engine import (cache_factory,
+                                                        inference_params)
     t_params = inference_params(model)
     d_params = inference_params(draft_model)
     t_forward = model.forward_fn()
     d_forward = draft_model.forward_fn()
 
+    if B > 1:  # batched greedy rounds with per-row acceptance/offsets
+        tokens, n, rounds = _speculative_loop_batched(
+            t_params, d_params, model.config, draft_model.config, t_forward,
+            d_forward, cache_factory(model), cache_factory(draft_model),
+            np.asarray(input_ids, np.int32), K=K, end_ids=end_ids,
+            total_len=total_len)
+        tokens_np, n, rounds = jax.device_get((tokens, n, rounds))
+        rounds = int(rounds)
+        n = np.asarray(n)
+        L = int(n.max())
+        pad_id = cfg.get("pad_id", 0) or 0
+        out = tokens_np[:, :L].copy()
+        out[np.arange(L)[None] >= n[:, None]] = pad_id
+        out = out.reshape(B, 1, L)
+        if return_stats:
+            gen = float(np.maximum(n - S0 - 1, 0).sum())
+            return out, {"rounds": rounds,
+                         "tokens_per_round": gen / max(rounds * B, 1)}
+        return out
+
     if rng is None:
         # raw legacy uint32 key, host-built (no eager device op)
         rng = np.asarray([0, np.random.randint(0, 2 ** 31 - 1)], np.uint32)
 
-    from cleantransformer_tpu.generation.engine import cache_factory
     tokens, n, rounds = _speculative_loop(
         t_params, d_params, model.config, draft_model.config, t_forward,
         d_forward, cache_factory(model), cache_factory(draft_model),

@@ -363,3 +363,61 @@ def test_generate_ngram_dispatch(gpt_pair):
                         generation_configs={"max_gen_len": 12,
                                             "do_sample": False},
                         draft_model="lookahead")
+
+
+def test_model_draft_batched_bit_exact(gpt_pair):
+    """b8 draft-model speculation (greedy): every row of one batched call ==
+    that row's standalone plain greedy decode — per-row acceptance counts,
+    per-row KV offsets, rows freezing independently."""
+    target, draft = gpt_pair
+    rs = np.random.RandomState(44)
+    prompts = rs.randint(1, 211, (8, 6)).astype(np.int32)
+    got, stats = speculative_generate(
+        target, draft, prompts,
+        generation_configs={"max_gen_len": 16, "do_sample": False},
+        draft_len=4, return_stats=True)
+    assert got.shape[0] == 8 and got.shape[1] == 1
+    assert stats["rounds"] >= 1
+    for b in range(8):
+        want = plain_greedy(target, prompts[b].tolist(), 16)
+        np.testing.assert_array_equal(got[b, 0, :len(want)], want,
+                                      err_msg=f"row {b}")
+
+
+def test_model_draft_batched_self_draft_and_end_ids(gpt_pair):
+    """Batched self-draft (full acceptance) with ragged per-row end stops:
+    each row's committed prefix equals its standalone greedy-with-end_ids
+    decode and frozen tails are pad."""
+    target, _ = gpt_pair
+    rs = np.random.RandomState(45)
+    prompts = rs.randint(1, 211, (4, 5)).astype(np.int32)
+    ref0 = plain_greedy(target, prompts[0].tolist(), 24)
+    end = int(ref0[len(prompts[0]) + 2])
+    got = speculative_generate(
+        target, target, prompts,
+        generation_configs={"max_gen_len": 24, "do_sample": False,
+                            "end_ids": end, "pad_id": 0},
+        draft_len=4)
+    lens = set()
+    for b in range(4):
+        want = plain_greedy(target, prompts[b].tolist(), 24, end_ids=[end])
+        stop = len(prompts[b])
+        while stop < len(want) and want[stop - 1] != end:
+            stop += 1
+        m = min(stop + 1, len(want))  # end as final token: nothing after it
+        np.testing.assert_array_equal(got[b, 0, :m], want[:m],
+                                      err_msg=f"row {b}")
+        lens.add(stop)
+        tail = np.asarray(got[b, 0, stop + 1:])
+        if end in want[len(prompts[b]):stop]:
+            assert (tail == 0).all(), f"row {b} tail not padded"
+    assert len(lens) > 1, "rows should finish at different lengths"
+
+
+def test_model_draft_batched_rejects_sampling(gpt_pair):
+    target, draft = gpt_pair
+    ids = np.zeros((2, 4), np.int32) + 5
+    with pytest.raises(AssertionError, match="greedy-only"):
+        speculative_generate(target, draft, ids,
+                             generation_configs={"max_gen_len": 8,
+                                                 "do_sample": True})
