@@ -44,12 +44,15 @@ def dequantize_weight(wq, dtype=jnp.float32):
     return wq["q"].astype(dtype) * wq["s"][..., None, :].astype(dtype)
 
 
-_EMBED_KEYS = ("tokens_embed", "word_embeddings", "lm_head")
+_EMBED_KEYS = ("tokens_embed", "word_embeddings", "lm_head", "embed_tokens")
 # parent keys whose 'w' leaf is a projection matrix (LN 'w' leaves are not)
 _LINEAR_PARENTS = frozenset({
     "c_attn", "c_proj", "c_fc", "q", "k", "v", "out", "fc",
     "query_key_value", "dense", "dense_h_to_4h", "dense_4h_to_h",
     "pooler", "classifier",
+    # llama family (llama/mistral/qwen2/mixtral experts + router)
+    "q_proj", "k_proj", "v_proj", "o_proj",
+    "gate_proj", "up_proj", "down_proj",
 })
 
 
@@ -68,7 +71,10 @@ def quantize_params_for_inference(params, include_embeddings=True,
         x = jnp.asarray(node)
         if not jnp.issubdtype(x.dtype, jnp.floating):
             return x
-        if key == "w" and parent in _LINEAR_PARENTS and x.ndim >= 2:
+        if key == "w" and parent in _LINEAR_PARENTS and x.ndim in (2, 3):
+            # ndim 2 = single layer, 3 = layer-stacked (scan params). ndim 4
+            # (expert-stacked MoE weights) stays dense: the grouped-matmul
+            # dispatch paths (ops/moe.py einsum/ragged_dot) take raw arrays.
             return quantize_weight(x, compute_dtype)
         if include_embeddings and key in _EMBED_KEYS and x.ndim == 2:
             # per-hidden-dim scales: table (V, D) -> q (V, D), s (D,)

@@ -81,3 +81,55 @@ def test_quantized_decode_end_to_end():
     assert (out_q >= 0).all() and (out_q < 97).all()
     agreement = (out_q == out_b).mean()
     assert agreement > 0.5, f"agreement only {agreement}"
+
+
+def test_llama_family_projections_are_quantized():
+    """quantize_int8 must actually quantize the llama-family projection
+    weights (q/k/v/o/gate/up/down_proj) — round-3 fix: these names were
+    missing from _LINEAR_PARENTS, so 'int8 tinyllama' silently ran bf16."""
+    from cleantransformer_tpu.config import LlamaConfig
+    from cleantransformer_tpu.models.llama import (LlamaForCausalLM,
+                                                   init_llama_params)
+    cfg = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=128)
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    qp = quantize_params_for_inference(params)
+    blocks = qp["blocks"]
+    for k in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        assert is_quantized(blocks["self_attn"][k]["w"]), k
+    for k in ("gate_proj", "up_proj", "down_proj"):
+        assert is_quantized(blocks["mlp"][k]["w"]), k
+    assert is_quantized(qp["embed_tokens"])
+
+    # end-to-end: int8 greedy decode matches the float model's on a short run
+    model = LlamaForCausalLM(cfg, rng=jax.random.PRNGKey(3))
+    qcfg = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       num_key_value_heads=2, max_position_embeddings=128,
+                       quantize_int8=True)
+    qmodel = LlamaForCausalLM(qcfg, params=model.params)
+    rs = np.random.RandomState(5)
+    ids = jnp.asarray(rs.randint(1, 128, (2, 6)).astype(np.int32))
+    gen = {"beam_size": 1, "max_gen_len": 8, "do_sample": False,
+           "pad_id": 0, "end_ids": None}
+    a = np.asarray(model.generate(ids, generation_configs=gen))
+    b = np.asarray(qmodel.generate(ids, generation_configs=gen))
+    assert (a == b).mean() > 0.7  # int8 is approximate; most tokens agree
+
+
+def test_mixtral_expert_weights_stay_dense():
+    """Expert-stacked (ndim-4) MoE weights must NOT be quantized — the
+    grouped-matmul dispatch paths take raw arrays."""
+    from cleantransformer_tpu.config import MixtralConfig
+    from cleantransformer_tpu.models.llama import init_llama_params
+    cfg = MixtralConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, max_position_embeddings=128,
+                        num_local_experts=4, num_experts_per_tok=2)
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    qp = quantize_params_for_inference(params)
+    moe = qp["blocks"]["block_sparse_moe"]
+    for k in ("gate_proj", "up_proj", "down_proj"):
+        assert not is_quantized(moe["experts"][k]["w"]), k
+    assert is_quantized(qp["blocks"]["self_attn"]["q_proj"]["w"])
