@@ -383,9 +383,11 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
             # block-diagonal: no token attends another segment
             bool_mask = bool_mask | (seg[:, :, None]
                                      != seg[:, None, :])[:, None]
-        if cache is not None and S == 1:
-            # decode fast path: one fp32 additive bias per step instead of a
-            # per-layer where-replace (see _bloom_attention)
+        if cache is not None:
+            # decode / cached-window fast path (single-token steps AND
+            # multi-token serving chunks / speculative verify windows): one
+            # fp32 additive bias per step instead of a per-layer
+            # where-replace (see _bloom_attention)
             mask_additive = jnp.where(bool_mask, jnp.finfo(jnp.float32).min,
                                       0.0)
             bool_mask = None

@@ -506,6 +506,27 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
             additive_mask = (causal_add if additive_mask is None
                              else additive_mask + causal_add)
             mask_precombined = True
+        elif not getattr(config, "use_flash_attention", False):
+            # multi-token cached windows (serving decode chunks, speculative
+            # verify/catch-up, chunked prefill): same fold with the query-row
+            # term — key j attendable for query i iff j <= cache_len + i.
+            # Built ONCE per step instead of per layer inside the scan.
+            # (skipped under flash: the kernel derives causality from its own
+            # iota + q_offset and must not receive a causal bias)
+            kbuf = cache["k"]
+            T = (kbuf["q"] if isinstance(kbuf, dict) else kbuf).shape[3]
+            col = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0)
+            if jnp.ndim(cache_len) == 1:  # ragged per-row offsets
+                causal_add = jnp.where(
+                    col[None] <= cache_len[:, None, None] + row[None],
+                    0.0, CAUSAL_NEG)[:, None]                # (B,1,S,T)
+            else:
+                causal_add = jnp.where(col <= cache_len + row, 0.0,
+                                       CAUSAL_NEG)[None, None]  # (1,1,S,T)
+            additive_mask = (causal_add if additive_mask is None
+                             else additive_mask + causal_add)
+            mask_precombined = True
 
         def body(carry, block_params):
             h_in, k_cache, v_cache, li = carry
