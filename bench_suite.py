@@ -751,6 +751,10 @@ def main():
     _gc.collect()
 
     bench_serving(model, "gpt2_124M_serving_tokens_per_sec", 50257)
+    # provisioned for the workload: 16 slots halve the wave count at
+    # sub-linear per-step cost (b16 step ~1.3x a b8 step)
+    bench_serving(model, "gpt2_124M_serving_tokens_per_sec_slots16", 50257,
+                  max_slots=16)
 
     # speculative decoding: self-draft = acceptance-1 upper bound on the
     # round machinery; an untrained 2-layer draft (acceptance ~0) measures

@@ -450,18 +450,21 @@ class ServingEngine:
                 final = off + len(chunk) >= total
                 ids = np.zeros((1, bucket), np.int32)
                 ids[0, : len(chunk)] = chunk
+                # np scalars, NOT eager jnp.asarray: each eager device_put
+                # through the remote tunnel costs ~5-9 ms (measured), so nine
+                # of them per admission dominated serving wall time; jit
+                # converts np operands during dispatch for ~2 ms total
                 self.state = _prefill_chunk(
                     self.params, self.config, self.forward, self.state,
-                    jnp.asarray(ids), jnp.asarray(len(chunk), jnp.int32),
-                    jnp.asarray(off, jnp.int32),
-                    jnp.asarray(total, jnp.int32),
-                    jnp.asarray(total + req.max_new_tokens, jnp.int32),
-                    jnp.asarray(slot, jnp.int32),
-                    jnp.asarray(int(bool(req.do_sample)), jnp.int32),
-                    jnp.asarray(req.temperature, jnp.float32),
-                    jnp.asarray(int(req.top_k or 0), jnp.int32),
-                    jnp.asarray(float(req.top_p if req.top_p is not None
-                                      else 1.0), jnp.float32),
+                    ids, np.int32(len(chunk)),
+                    np.int32(off),
+                    np.int32(total),
+                    np.int32(total + req.max_new_tokens),
+                    np.int32(slot),
+                    np.int32(bool(req.do_sample)),
+                    np.float32(req.temperature),
+                    np.int32(req.top_k or 0),
+                    np.float32(req.top_p if req.top_p is not None else 1.0),
                     bucket=bucket, window=window, final=final,
                     sampling=self._sampling_on, end_ids=self.end_ids,
                     needs_positions=self.needs_positions)
