@@ -491,9 +491,11 @@ def prompt_lookup_generate(model, input_ids, attention_mask=None,
         end_ids = [end_ids]
     end_ids = tuple(end_ids) if end_ids else ()
 
-    input_ids = jnp.asarray(input_ids)
+    # host-side conversion: an eager jnp.asarray is a device_put (+ the mask
+    # check a blocking sum) per call — measurable on remote tunnels
+    input_ids = np.asarray(input_ids, np.int32)
     if attention_mask is not None:
-        assert int(jnp.sum(jnp.asarray(attention_mask) == 0)) == 0, \
+        assert (np.asarray(attention_mask) != 0).all(), \
             "padded prompts are unsupported in speculative decoding"
     B, S0 = input_ids.shape
     assert S0 >= int(ngram), "prompt shorter than the lookup ngram"
@@ -548,12 +550,12 @@ def speculative_generate(model, draft_model, input_ids, attention_mask=None,
         end_ids = [end_ids]
     end_ids = tuple(end_ids) if end_ids else ()
 
-    input_ids = jnp.asarray(input_ids)
+    input_ids = np.asarray(input_ids, np.int32)
     assert input_ids.shape[0] == 1 or not do_sample, (
         "batched speculative decoding is greedy-only (per-row rejection "
         "sampling is batch-1; use do_sample=False for batch > 1)")
     if attention_mask is not None:
-        assert int(jnp.sum(jnp.asarray(attention_mask) == 0)) == 0, \
+        assert (np.asarray(attention_mask) != 0).all(), \
             "padded prompts are unsupported in speculative decoding"
     B, S0 = input_ids.shape
     K = int(draft_len)
