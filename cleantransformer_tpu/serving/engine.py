@@ -183,6 +183,97 @@ def _prefill_chunk(params, config, forward, state, ids_bucket, chunk_len,
     return _append_token(state, toks, keep, end_ids)
 
 
+def _merge_window(buf, new, valid, window):
+    """Merge a (L, B, H, window, hd) freshly-prefilled window into the full
+    cache buffer, row-masked by ``valid`` (int8-cache aware): rows that were
+    not admitted this wave keep their live contents untouched."""
+    if isinstance(buf, dict):
+        mq = valid[None, :, None, None, None].astype(bool)
+        ms = valid[None, :, None, None].astype(bool)
+        old_q = jax.lax.slice_in_dim(buf["q"], 0, window, axis=3)
+        old_s = jax.lax.slice_in_dim(buf["s"], 0, window, axis=3)
+        return {
+            "q": jax.lax.dynamic_update_slice(
+                buf["q"], jnp.where(mq, new["q"], old_q), (0, 0, 0, 0, 0)),
+            "s": jax.lax.dynamic_update_slice(
+                buf["s"], jnp.where(ms, new["s"].astype(buf["s"].dtype),
+                                    old_s), (0, 0, 0, 0)),
+        }
+    m = valid[None, :, None, None, None].astype(bool)
+    old = jax.lax.slice_in_dim(buf, 0, window, axis=3)
+    return jax.lax.dynamic_update_slice(
+        buf, jnp.where(m, new.astype(buf.dtype), old), (0, 0, 0, 0, 0))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "forward", "config", "bucket", "sampling", "end_ids",
+    "needs_positions"), donate_argnames=("state",))
+def _prefill_batch(params, config, forward, state, ids, chunk_len,
+                   prompt_total, max_total, valid, do_sample, temperature,
+                   top_k, top_p, bucket, sampling, end_ids, needs_positions):
+    """Admit SEVERAL single-chunk requests in ONE device program.
+
+    Per-request prefill dispatches dominated serving wall time on a remote
+    tunnel (~2-3 ms host overhead each), so an admission wave of k requests
+    fuses into one full-width program: row i of ``ids`` targets slot i
+    positionally (no gather), rows with ``valid[i] == 0`` are padding and
+    every write — cache window, tokens, masks, sampling params, first
+    generated token — is masked, so slots mid-generation pass through
+    untouched. Exactness: each row attends only its own first
+    ``chunk_len[i]`` positions (per-row mask over a fresh zero cache
+    window), so admitted rows match the one-request-at-a-time path
+    bit-for-bit. Prompts longer than the largest bucket still take the
+    chunked `_prefill_chunk` path."""
+    L, B, H, T, hd = _cache_dims(state["cache_k"])
+    window = bucket
+    if isinstance(state["cache_k"], dict):
+        def fresh():
+            return {"q": jnp.zeros((L, B, H, window, hd), jnp.int8),
+                    "s": jnp.zeros((L, B, H, window), jnp.float32)}
+    else:
+        dt = state["cache_k"].dtype
+
+        def fresh():
+            return jnp.zeros((L, B, H, window, hd), dt)
+    cache = {"k": fresh(), "v": fresh(), "length": jnp.zeros((), jnp.int32)}
+
+    col_w = jnp.arange(window, dtype=jnp.int32)
+    mask = (col_w[None] < chunk_len[:, None]).astype(jnp.int32)  # (B, window)
+    pos = jnp.broadcast_to(jnp.arange(bucket, dtype=jnp.int32)[None],
+                           (B, bucket)) if needs_positions else None
+    (logits, _), cache = forward(params, config, ids, mask, pos, None, cache,
+                                 last_only=False)
+
+    state = dict(state)
+    state["cache_k"] = _merge_window(state["cache_k"], cache["k"], valid,
+                                     window)
+    state["cache_v"] = _merge_window(state["cache_v"], cache["v"], valid,
+                                     window)
+
+    vb = valid.astype(bool)
+    col = jnp.arange(T, dtype=jnp.int32)
+    ids_t = jnp.pad(ids, ((0, 0), (0, T - bucket)))
+    in_chunk = vb[:, None] & (col[None] < chunk_len[:, None])
+    state["tokens"] = jnp.where(in_chunk, ids_t, state["tokens"])
+    state["mask"] = jnp.where(
+        vb[:, None], (col[None] < prompt_total[:, None]).astype(jnp.int32),
+        state["mask"])
+    state["lengths"] = jnp.where(vb, prompt_total, state["lengths"])
+    state["prompt_len"] = jnp.where(vb, prompt_total, state["prompt_len"])
+    state["limit"] = jnp.where(vb, max_total, state["limit"])
+    state["active"] = jnp.where(vb, 1, state["active"])
+    state["do_sample"] = jnp.where(vb, do_sample, state["do_sample"])
+    state["temperature"] = jnp.where(vb, temperature, state["temperature"])
+    state["top_k"] = jnp.where(vb, top_k, state["top_k"])
+    state["top_p"] = jnp.where(vb, top_p, state["top_p"])
+
+    last = jnp.maximum(chunk_len - 1, 0)
+    first_scores = jnp.take_along_axis(
+        logits, last[:, None, None], axis=1)[:, 0, :].astype(jnp.float32)
+    state, toks = _choose(state, first_scores, jnp.arange(B), sampling)
+    return _append_token(state, toks, valid.astype(jnp.int32), end_ids)
+
+
 def _append_token(state, slot_tokens, keep, end_ids):
     """Write chosen tokens at each row's current length (only where keep),
     extend masks, update lengths/active."""
@@ -429,51 +520,100 @@ class ServingEngine:
         return self.prefill_buckets[-1]
 
     def _admit(self, free_slots):
-        """Prefill queued requests into free slots — one jit call per
-        bucket-sized chunk (long prompts take several, at rising cache
-        offsets; the causal iota is offset-aware so this is exact)."""
+        """Prefill queued requests into free slots. Requests whose prompt
+        fits the largest bucket are admitted as ONE fused full-width device
+        program per wave (`_prefill_batch` — per-request dispatches cost
+        ~2-3 ms host overhead each on a remote tunnel, which dominated
+        serving wall time); longer prompts take the per-request chunked
+        path (one jit call per bucket-sized chunk at rising cache offsets;
+        the causal iota is offset-aware so this is exact)."""
+        wave = []  # (req, slot) single-chunk admissions, fused below
         while self.queue and free_slots:
             req = self.queue.popleft()
             slot = free_slots.pop()
-            prompt = req.prompt
-            total = len(prompt)
-            off = 0
-            while off < total:
-                chunk = prompt[off: off + self.prefill_buckets[-1]]
-                bucket = self._bucket_for(len(chunk))
-                chunk = chunk[:bucket]
-                # static cache window: smallest bucket multiple covering this
-                # chunk's frontier, capped at max_len (off is host-known, so
-                # compile variants stay bounded per (bucket, window) pair)
-                window = min(self.max_len,
-                             -((off + bucket) // -bucket) * bucket)
-                final = off + len(chunk) >= total
-                ids = np.zeros((1, bucket), np.int32)
-                ids[0, : len(chunk)] = chunk
-                # np scalars, NOT eager jnp.asarray: each eager device_put
-                # through the remote tunnel costs ~5-9 ms (measured), so nine
-                # of them per admission dominated serving wall time; jit
-                # converts np operands during dispatch for ~2 ms total
-                self.state = _prefill_chunk(
-                    self.params, self.config, self.forward, self.state,
-                    ids, np.int32(len(chunk)),
-                    np.int32(off),
-                    np.int32(total),
-                    np.int32(total + req.max_new_tokens),
-                    np.int32(slot),
-                    np.int32(bool(req.do_sample)),
-                    np.float32(req.temperature),
-                    np.int32(req.top_k or 0),
-                    np.float32(req.top_p if req.top_p is not None else 1.0),
-                    bucket=bucket, window=window, final=final,
-                    sampling=self._sampling_on, end_ids=self.end_ids,
-                    needs_positions=self.needs_positions)
-                off += len(chunk)
+            if len(req.prompt) <= self.prefill_buckets[-1]:
+                wave.append((req, slot))
+                continue
+            self._admit_chunked(req, slot)
+        if wave:
+            self._admit_wave(wave)
+
+    def _admit_wave(self, wave):
+        """One `_prefill_batch` program admitting every (req, slot) pair."""
+        B, T = self.max_slots, self.max_len
+        bucket = max(self._bucket_for(len(r.prompt)) for r, _ in wave)
+        ids = np.zeros((B, bucket), np.int32)
+        chunk_len = np.zeros((B,), np.int32)
+        prompt_total = np.zeros((B,), np.int32)
+        max_total = np.zeros((B,), np.int32)
+        valid = np.zeros((B,), np.int32)
+        do_sample = np.zeros((B,), np.int32)
+        temperature = np.ones((B,), np.float32)
+        top_k = np.zeros((B,), np.int32)
+        top_p = np.ones((B,), np.float32)
+        for req, slot in wave:
+            n = len(req.prompt)
+            ids[slot, :n] = req.prompt
+            chunk_len[slot] = n
+            prompt_total[slot] = n
+            max_total[slot] = n + req.max_new_tokens
+            valid[slot] = 1
+            do_sample[slot] = int(bool(req.do_sample))
+            temperature[slot] = req.temperature
+            top_k[slot] = req.top_k or 0
+            top_p[slot] = req.top_p if req.top_p is not None else 1.0
+        self.state = _prefill_batch(
+            self.params, self.config, self.forward, self.state, ids,
+            chunk_len, prompt_total, max_total, valid, do_sample,
+            temperature, top_k, top_p, bucket=bucket,
+            sampling=self._sampling_on, end_ids=self.end_ids,
+            needs_positions=self.needs_positions)
+        for req, slot in wave:
             self.slot_rid[slot] = req.rid
-            # first decode chunk covering this slot is the NEXT one dispatched
             self._slot_chunk[slot] = self._chunk_no + 1
-            self._est_len[slot] = total + 1  # prompt + fused first token
-            self._est_limit[slot] = total + req.max_new_tokens
+            self._est_len[slot] = len(req.prompt) + 1
+            self._est_limit[slot] = len(req.prompt) + req.max_new_tokens
+
+    def _admit_chunked(self, req, slot):
+        prompt = req.prompt
+        total = len(prompt)
+        off = 0
+        while off < total:
+            chunk = prompt[off: off + self.prefill_buckets[-1]]
+            bucket = self._bucket_for(len(chunk))
+            chunk = chunk[:bucket]
+            # static cache window: smallest bucket multiple covering this
+            # chunk's frontier, capped at max_len (off is host-known, so
+            # compile variants stay bounded per (bucket, window) pair)
+            window = min(self.max_len,
+                         -((off + bucket) // -bucket) * bucket)
+            final = off + len(chunk) >= total
+            ids = np.zeros((1, bucket), np.int32)
+            ids[0, : len(chunk)] = chunk
+            # np scalars, NOT eager jnp.asarray: each eager device_put
+            # through the remote tunnel costs ~5-9 ms (measured), so nine
+            # of them per admission dominated serving wall time; jit
+            # converts np operands during dispatch for ~2 ms total
+            self.state = _prefill_chunk(
+                self.params, self.config, self.forward, self.state,
+                ids, np.int32(len(chunk)),
+                np.int32(off),
+                np.int32(total),
+                np.int32(total + req.max_new_tokens),
+                np.int32(slot),
+                np.int32(bool(req.do_sample)),
+                np.float32(req.temperature),
+                np.int32(req.top_k or 0),
+                np.float32(req.top_p if req.top_p is not None else 1.0),
+                bucket=bucket, window=window, final=final,
+                sampling=self._sampling_on, end_ids=self.end_ids,
+                needs_positions=self.needs_positions)
+            off += len(chunk)
+        self.slot_rid[slot] = req.rid
+        # first decode chunk covering this slot is the NEXT one dispatched
+        self._slot_chunk[slot] = self._chunk_no + 1
+        self._est_len[slot] = total + 1  # prompt + fused first token
+        self._est_limit[slot] = total + req.max_new_tokens
 
     def _harvest(self, pending):
         """Fetch and apply a decode chunk's packed results (one device_get —

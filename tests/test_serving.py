@@ -282,6 +282,46 @@ def test_dispatch_depth_matches_depth1(gpt):
     assert len(results[(1, "serial")]) == len(prompts)
 
 
+def test_admission_wave_is_one_program(gpt, monkeypatch):
+    """Single-chunk admissions fuse into ONE `_prefill_batch` dispatch per
+    wave (per-request dispatch overhead dominated serving wall time on
+    remote tunnels); long prompts still take the chunked per-request path.
+    Outputs stay bit-exact vs generate()."""
+    import cleantransformer_tpu.serving.engine as eng_mod
+    vocab = gpt.config.vocab_size
+    calls = {"batch": 0, "chunk": 0}
+    real_batch, real_chunk = eng_mod._prefill_batch, eng_mod._prefill_chunk
+
+    def count_batch(*a, **k):
+        calls["batch"] += 1
+        return real_batch(*a, **k)
+
+    def count_chunk(*a, **k):
+        calls["chunk"] += 1
+        return real_chunk(*a, **k)
+
+    monkeypatch.setattr(eng_mod, "_prefill_batch", count_batch)
+    monkeypatch.setattr(eng_mod, "_prefill_chunk", count_chunk)
+    eng = ServingEngine(gpt, max_slots=4, max_len=64, prefill_buckets=(16,),
+                        chunk_size=4)
+    prompts = _prompts(vocab, seed=41)[:4]  # all fit the 16 bucket
+    rids = {eng.submit(p, max_new_tokens=8): p for p in prompts}
+    eng.step()  # one tick admits the whole wave
+    assert calls == {"batch": 1, "chunk": 0}
+    results = dict(eng.run())
+    for rid, prompt in rids.items():
+        np.testing.assert_array_equal(results[rid],
+                                      ref_greedy(gpt, prompt, 8))
+    # a long prompt (over the largest bucket) takes the chunked path
+    long_prompt = np.random.RandomState(42).randint(
+        1, vocab, (37,)).tolist()
+    rid = eng.submit(long_prompt, max_new_tokens=6)
+    results = dict(eng.run())
+    assert calls["chunk"] == 3  # ceil(37/16) chunks
+    np.testing.assert_array_equal(results[rid],
+                                  ref_greedy(gpt, long_prompt, 6))
+
+
 def test_pipeline_serial_matches_overlap(gpt):
     """Both pipeline schedules produce identical per-request outputs."""
     vocab = gpt.config.vocab_size
