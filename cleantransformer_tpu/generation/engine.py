@@ -71,11 +71,20 @@ def inference_params(model):
     return params
 
 
-def cache_factory(model):
+def cache_factory(model, dense=False):
     """The model's module-level cache factory fn(config, B, T) — preferred
     over the bound ``model.init_cache`` wherever the factory becomes a
     static jit argument (static args are held strongly; a bound method
-    would pin the whole model, params included, in the jit cache)."""
+    would pin the whole model, params included, in the jit cache).
+
+    ``dense=True`` requests the plain (L, B, H, T, hd) layout even when the
+    config opts into a specialized decode layout (``fused_decode``):
+    consumers that reorder the cache along the batch axis (beam) or write
+    ragged per-row windows (batched speculative verify) need it."""
+    if dense:
+        f = getattr(type(model), "cache_factory_dense", None)
+        if f is not None:
+            return f
     f = getattr(type(model), "cache_factory", None)
     if f is not None:
         return f
@@ -544,7 +553,9 @@ def _beam_search(model, params, input_ids, attention_mask, position_ids,
         segment_ids = jnp.repeat(jnp.asarray(segment_ids), beam_size, axis=0)
     B = bsz * beam_size
 
-    cache = model.init_cache(B, total_len)
+    # dense layout: beam reorders the cache along the batch axis every step
+    # (jnp.take axis=1) — impossible in the fused (L, T, B*D) decode layout
+    cache = cache_factory(model, dense=True)(model.config, B, total_len)
     tokens_buf, mask_buf, _ = _make_buffers(input_ids, attention_mask, total_len, pad_id)
     aux = _make_aux_buffers(position_ids, segment_ids, B, total_len, beam_mode=True)
 

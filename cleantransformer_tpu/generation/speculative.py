@@ -505,7 +505,7 @@ def prompt_lookup_generate(model, input_ids, attention_mask=None,
                                                         cache_factory)
     tokens, n, rounds = _prompt_lookup_loop(
         inference_params(model), model.config, model.forward_fn(),
-        cache_factory(model), np.asarray(input_ids, np.int32),
+        cache_factory(model, dense=True), np.asarray(input_ids, np.int32),
         K=int(draft_len), ngram=int(ngram), end_ids=end_ids,
         total_len=total_len)
     tokens_np, n, rounds = jax.device_get((tokens, n, rounds))
@@ -572,7 +572,8 @@ def speculative_generate(model, draft_model, input_ids, attention_mask=None,
     if B > 1:  # batched greedy rounds with per-row acceptance/offsets
         tokens, n, rounds = _speculative_loop_batched(
             t_params, d_params, model.config, draft_model.config, t_forward,
-            d_forward, cache_factory(model), cache_factory(draft_model),
+            d_forward, cache_factory(model, dense=True),
+            cache_factory(draft_model, dense=True),
             np.asarray(input_ids, np.int32), K=K, end_ids=end_ids,
             total_len=total_len)
         tokens_np, n, rounds = jax.device_get((tokens, n, rounds))
@@ -595,7 +596,8 @@ def speculative_generate(model, draft_model, input_ids, attention_mask=None,
 
     tokens, n, rounds = _speculative_loop(
         t_params, d_params, model.config, draft_model.config, t_forward,
-        d_forward, cache_factory(model), cache_factory(draft_model),
+        d_forward, cache_factory(model, dense=True),
+        cache_factory(draft_model, dense=True),
         np.asarray(input_ids, np.int32), rng,
         K=K, end_ids=end_ids, total_len=total_len, do_sample=do_sample,
         temperature=temperature, top_k=top_k, top_p=top_p)

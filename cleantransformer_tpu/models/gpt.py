@@ -79,17 +79,33 @@ def init_gpt_params(config, rng, version="gpt"):
     return params
 
 
-def init_kv_cache(config, batch_size, max_len, dtype=None):
+def init_kv_cache(config, batch_size, max_len, dtype=None, fused=None):
     """Fixed-shape KV cache: {'k','v': (L, B, H, T, hd), 'length': ()}.
 
     With ``config.kv_cache_int8`` each of k/v becomes a
     ``{"q": int8 (L,B,H,T,hd), "s": f32 (L,B,H,T)}`` pair (symmetric
     per-token quantization at write time) — half the HBM footprint and
     streaming bytes per decode step; scales are per key position so the
-    dequant folds into the score/AV matmuls as output column scaling."""
+    dequant folds into the score/AV matmuls as output column scaling.
+
+    With ``config.fused_decode`` (overridable via ``fused``) k/v become the
+    FUSED layout (L, T, B*D) consumed by the whole-stack Pallas decode
+    kernel (ops/fused_decode.py): token-major rows, batch-and-head packed
+    into the lane axis — fully tile-aligned at any head_dim, and layer
+    blocks slice out with zero relayout. Incompatible with the int8 cache
+    (quantization happens per (b, h, t) vector) — int8 wins that conflict."""
     L, H = config.n_layer, config.n_head
     hd = config.n_embd // H
     dtype = dtype or config.compute_dtype
+    if fused is None:
+        fused = getattr(config, "fused_decode", False)
+    if fused and not getattr(config, "kv_cache_int8", False):
+        D = config.n_embd
+        return {
+            "k": jnp.zeros((L, max_len, batch_size * D), dtype),
+            "v": jnp.zeros((L, max_len, batch_size * D), dtype),
+            "length": jnp.zeros((), jnp.int32),
+        }
     if getattr(config, "kv_cache_int8", False):
         def buf():
             return {"q": jnp.zeros((L, batch_size, H, max_len, hd), jnp.int8),
@@ -100,6 +116,16 @@ def init_kv_cache(config, batch_size, max_len, dtype=None):
         "v": jnp.zeros((L, batch_size, H, max_len, hd), dtype),
         "length": jnp.zeros((), jnp.int32),
     }
+
+
+def init_kv_cache_dense(config, batch_size, max_len, dtype=None):
+    """init_kv_cache forced to the dense (L, B, H, T, hd) layout even when
+    ``config.fused_decode`` is set. Consumers that reorder the cache along
+    the batch axis (beam search) or write at per-row ragged offsets
+    (batched speculative verify) are incompatible with the fused
+    (L, T, B*D) layout and take this factory instead
+    (generation/engine.py cache_factory(dense=True))."""
+    return init_kv_cache(config, batch_size, max_len, dtype, fused=False)
 
 
 # ---------------------------------------------------------------------------
@@ -123,6 +149,15 @@ def cache_write(kv_cache, li, x, offset):
                      -127, 127).astype(jnp.int8)
         return {"q": cache_write(kv_cache["q"], li, q, offset),
                 "s": _scale_write(kv_cache["s"], li, s, offset)}
+    if kv_cache.ndim == 3:
+        # fused (L, T, B*D) layout (ops/fused_decode.py): rows are tokens,
+        # lanes are the packed (batch, head, hd) axis. Prefill-only here —
+        # the S==1 step is intercepted by the fused kernel, which returns
+        # its new k/v for a single stacked-row write in gpt_forward.
+        B, H, S, hd = x.shape
+        xt = jnp.transpose(x, (2, 0, 1, 3)).reshape(S, B * H * hd)
+        return jax.lax.dynamic_update_slice(
+            kv_cache, xt[None].astype(kv_cache.dtype), (li, offset, 0))
     if jnp.ndim(offset) == 0:
         return jax.lax.dynamic_update_slice(
             kv_cache, x[None].astype(kv_cache.dtype), (li, 0, 0, offset, 0))
@@ -154,8 +189,19 @@ def cache_layer_kv(buf, li, B, H, T, hd):
         scales = jax.lax.dynamic_slice(buf["s"], (li, 0, 0, 0),
                                        (1, B, H, T))[0]
         return data, scales
+    if buf.ndim == 3:  # fused (L, T, B*D) layout -> (B, H, T, hd) view
+        data = jax.lax.dynamic_slice(buf, (li, 0, 0), (1, T, B * H * hd))[0]
+        return data.reshape(T, B, H, hd).transpose(1, 2, 0, 3), None
     return jax.lax.dynamic_slice(buf, (li, 0, 0, 0, 0),
                                  (1, B, H, T, hd))[0], None
+
+
+def _cache_T(buf):
+    """Token capacity of a cache buffer in any layout (dense 5D, int8 dict,
+    fused 3D)."""
+    if isinstance(buf, dict):
+        return buf["q"].shape[3]
+    return buf.shape[1] if buf.ndim == 3 else buf.shape[3]
 
 
 def _attend(q, k, v, cache_len, q_offset, key_padding_additive, scale, causal_fill,
@@ -284,7 +330,7 @@ def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_
             vh = v.reshape(B_, H, 1, hd_)
             new_k = cache_write(k_cache, li, kh, cache_len)
             new_v = cache_write(v_cache, li, vh, cache_len)
-            T = k_cache.shape[3]
+            T = _cache_T(k_cache)
             kf, _ = cache_layer_kv(new_k, li, B_, H, T, hd_)
             vf, _ = cache_layer_kv(new_v, li, B_, H, T, hd_)
             qh = q.reshape(B_, H, hd_)
@@ -317,7 +363,7 @@ def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_
             new_k = cache_write(k_cache, li, k, cache_len)
             new_v = cache_write(v_cache, li, v, cache_len)
             q_offset = cache_len
-            T = (k_cache["q"] if isinstance(k_cache, dict) else k_cache).shape[3]
+            T = _cache_T(k_cache)
             hd = k.shape[-1]
             k, k_scale = cache_layer_kv(new_k, li, B_, H, T, hd)
             v, v_scale = cache_layer_kv(new_v, li, B_, H, T, hd)
@@ -485,6 +531,45 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
         (h, _), _ = jax.lax.scan(body, (h, jnp.zeros((), jnp.int32)), params["blocks"])
         new_cache = None
     else:
+        kbuf = cache["k"]
+        fused_layout = not isinstance(kbuf, dict) and kbuf.ndim == 3
+        if (fused_layout and S == 1 and deterministic
+                and jnp.ndim(cache_len) == 0):
+            # whole-stack fused decode: ONE pallas program replaces the
+            # ~10-kernels-per-layer scan body (ops/fused_decode.py). The
+            # additive key mask is strict-causal (col < cache_len): the
+            # current token's k/v are computed in-kernel and merged into
+            # the softmax as an extra column, then written into the fused
+            # (L, T, B*D) cache here with one stacked-row update per buffer.
+            from cleantransformer_tpu.ops.fused_decode import gpt_fused_decode
+            from cleantransformer_tpu.ops.pallas_kernels import should_interpret
+            L = kbuf.shape[0]
+            T = _cache_T(kbuf)
+            D = h.shape[-1]
+            Hh = config.n_head
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+            mexp_bt = jnp.where(col < cache_len, 0.0, CAUSAL_NEG)  # (1, T)
+            if additive_mask is not None:
+                mexp_bt = mexp_bt + additive_mask[:, 0, 0, :]      # (B, T)
+            mexp_bt = jnp.broadcast_to(mexp_bt, (B, T)).astype(jnp.float32)
+            mexp = jnp.broadcast_to(mexp_bt.T[:, :, None],
+                                    (T, B, Hh)).reshape(T, B * Hh)
+            y, nk, nv = gpt_fused_decode(
+                params["blocks"], h[:, 0, :], mexp, kbuf, cache["v"],
+                config=config, version=version,
+                interpret=should_interpret())
+            new_k = jax.lax.dynamic_update_slice(
+                kbuf, nk.reshape(L, 1, B * D).astype(kbuf.dtype),
+                (0, cache_len, 0))
+            new_v = jax.lax.dynamic_update_slice(
+                cache["v"], nv.reshape(L, 1, B * D).astype(kbuf.dtype),
+                (0, cache_len, 0))
+            h = y[:, None, :]
+            new_cache = {"k": new_k, "v": new_v, "length": cache_len + 1}
+            if version != "gpt":
+                h = layer_norm(h, params["ln_f"]["w"], params["ln_f"]["b"],
+                               config.layer_norm_epsilon)
+            return h, new_cache
         mask_precombined = False
         if S == 1:
             # single-token decode: fold the causal term (key j attendable iff
@@ -495,7 +580,7 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
             # Post-softmax this is identical to the reference's replace-with
             # -1e4: masked scores underflow exp() to exactly 0 either way.
             kbuf = cache["k"]
-            T = (kbuf["q"] if isinstance(kbuf, dict) else kbuf).shape[3]
+            T = _cache_T(kbuf)
             col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
             if jnp.ndim(cache_len) == 1:  # ragged serving rows
                 causal_add = jnp.where(col[None] <= cache_len[:, None, None],
@@ -514,7 +599,7 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
             # (skipped under flash: the kernel derives causality from its own
             # iota + q_offset and must not receive a causal bias)
             kbuf = cache["k"]
-            T = (kbuf["q"] if isinstance(kbuf, dict) else kbuf).shape[3]
+            T = _cache_T(kbuf)
             col = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)
             row = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0)
             if jnp.ndim(cache_len) == 1:  # ragged per-row offsets
@@ -619,6 +704,7 @@ class GPTLMHeadModel:
     # module-level factory consumed as a static jit arg by the generation
     # engine (a bound init_cache there would pin the model in the jit cache)
     cache_factory = staticmethod(init_kv_cache)
+    cache_factory_dense = staticmethod(init_kv_cache_dense)
 
     @property
     def n_layer(self):

@@ -1,0 +1,114 @@
+"""Whole-stack fused decode (config.fused_decode, ops/fused_decode.py).
+
+One Pallas program per generated token replaces the ~10-kernels-per-layer
+XLA decode chain. These tests run the kernel in interpret mode on CPU and
+assert bit-exact parity with the per-layer decode path (which is itself
+asserted bit-exact vs the executed torch reference in test_gpt.py) —
+including left-padded prompts, both GPT LN orders, and the dense-layout
+opt-outs (beam reorders the cache batch axis; speculative writes ragged
+per-row windows)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cleantransformer_tpu.config import GPTConfig
+from cleantransformer_tpu.models.gpt import (GPTLMHeadModel, init_kv_cache,
+                                             init_kv_cache_dense)
+
+
+def _pair(version="gpt2", **kw):
+    cfg = dict(vocab_size=211, n_embd=64, n_head=4, n_layer=3,
+               n_positions=256, compute_dtype=jnp.float32,
+               param_dtype=jnp.float32, **kw)
+    m0 = GPTLMHeadModel(GPTConfig(**cfg), version=version,
+                        rng=jax.random.PRNGKey(0))
+    m1 = GPTLMHeadModel(GPTConfig(**cfg, fused_decode=True), version=version,
+                        params=m0.params)
+    return m0, m1
+
+
+def test_fused_cache_layout():
+    cfg = GPTConfig(vocab_size=97, n_embd=64, n_positions=128, n_layer=2,
+                    n_head=2, fused_decode=True)
+    cache = init_kv_cache(cfg, 3, 16)
+    assert cache["k"].shape == (2, 16, 3 * 64)  # (L, T, B*D)
+    dense = init_kv_cache_dense(cfg, 3, 16)
+    assert dense["k"].shape == (2, 3, 2, 16, 32)  # (L, B, H, T, hd)
+    # int8 wins the conflict: quantization is per-(b,h,t) vector
+    cfg_q = GPTConfig(vocab_size=97, n_embd=64, n_positions=128, n_layer=2,
+                      n_head=2, fused_decode=True, kv_cache_int8=True)
+    cache_q = init_kv_cache(cfg_q, 3, 16)
+    assert cache_q["k"]["q"].dtype == jnp.int8
+
+
+@pytest.mark.parametrize("version", ["gpt", "gpt2"])
+def test_fused_greedy_bit_exact(version):
+    m0, m1 = _pair(version)
+    rs = np.random.RandomState(0)
+    ids = rs.randint(5, 200, (2, 9)).astype(np.int32)
+    mask = np.ones((2, 9), np.int32)
+    mask[1, :4] = 0  # left padding exercises the additive key mask
+    gcfg = {"beam_size": 1, "max_gen_len": 12, "do_sample": False,
+            "end_ids": None, "pad_id": 0, "no_repeat_ngram_size": 0}
+    out0 = np.asarray(m0.generate(ids, mask, generation_configs=gcfg))
+    out1 = np.asarray(m1.generate(ids, mask, generation_configs=gcfg))
+    assert np.array_equal(out0, out1)
+
+
+def test_fused_beam_takes_dense_layout():
+    # beam search reorders the cache along the batch axis every step —
+    # engine._beam_search must take cache_factory(dense=True) and still
+    # produce identical beams under a fused_decode config.
+    m0, m1 = _pair("gpt2")
+    rs = np.random.RandomState(1)
+    ids = rs.randint(5, 200, (1, 7)).astype(np.int32)
+    gcfg = {"beam_size": 2, "max_gen_len": 8, "do_sample": False,
+            "end_ids": None, "pad_id": 0, "no_repeat_ngram_size": 0}
+    out0 = np.asarray(m0.generate(ids, generation_configs=gcfg))
+    out1 = np.asarray(m1.generate(ids, generation_configs=gcfg))
+    assert np.array_equal(out0, out1)
+
+
+def test_fused_speculative_takes_dense_layout():
+    # prompt-lookup writes K-token verify windows at per-row ragged offsets
+    # — incompatible with the fused (L, T, B*D) layout; speculative_* must
+    # route through the dense factory and stay bit-exact.
+    from cleantransformer_tpu.generation.speculative import (
+        prompt_lookup_generate)
+    m0, m1 = _pair("gpt2")
+    rs = np.random.RandomState(2)
+    base = rs.randint(5, 200, (1, 6)).astype(np.int32)
+    ids = np.concatenate([base, base[:, :4]], axis=1)  # repetition to match
+    gcfg = {"max_gen_len": 10, "do_sample": False, "pad_id": 0}
+    out0 = np.asarray(prompt_lookup_generate(m0, ids, generation_configs=gcfg))
+    out1 = np.asarray(prompt_lookup_generate(m1, ids, generation_configs=gcfg))
+    assert np.array_equal(out0, out1)
+
+
+def test_fused_multi_token_cached_window():
+    # S>1 forward at a nonzero cache offset (the serving/speculative chunk
+    # shape) bypasses the fused intercept but still reads/writes the fused
+    # cache via the 3D cache_write/cache_layer_kv paths. Stored values
+    # round-trip exactly, but the (T,B,H,hd)->(B,H,T,hd) read view changes
+    # XLA's dot reduction order, so logits agree to float tolerance, not
+    # bit-exactly (the generate() fast path, which IS bit-exact, is covered
+    # above).
+    m0, m1 = _pair("gpt2")
+    rs = np.random.RandomState(3)
+    ids = rs.randint(5, 200, (2, 12)).astype(np.int32)
+
+    def run(m):
+        cache = m.init_cache(2, 32)
+        (logits1, _), cache = m.forward_fn()(
+            m.params, m.config, ids[:, :8], cache=cache)
+        (logits2, _), cache = m.forward_fn()(
+            m.params, m.config, ids[:, 8:], cache=cache)
+        return np.asarray(logits1), np.asarray(logits2)
+
+    a1, a2 = run(m0)
+    b1, b2 = run(m1)
+    np.testing.assert_allclose(a1, b1, atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(a2, b2, atol=2e-6, rtol=1e-5)
