@@ -52,7 +52,10 @@ def inference_params(model):
     params = model.params
     cdtype = getattr(model.config, "compute_dtype", jnp.float32)
     quantize = getattr(model.config, "quantize_int8", False)
-    if not quantize and cdtype == jnp.float32:
+    prep = getattr(
+        __import__(type(model).__module__, fromlist=["_"]),
+        "prepare_decode_params", None)
+    if not quantize and cdtype == jnp.float32 and prep is None:
         return params
     cached = getattr(model, "_cast_param_cache", None)
     if cached is not None and cached[0] is model.params:
@@ -62,11 +65,15 @@ def inference_params(model):
         params = quantize_params_for_inference(
             params, compute_dtype=cdtype if cdtype != jnp.float32
             else jnp.bfloat16)
-    else:
+    elif cdtype != jnp.float32:
         params = jax.tree_util.tree_map(
             lambda x: x.astype(cdtype)
             if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
             params)
+    if prep is not None:
+        # model-module hook (e.g. Bloom's one-time head-interleaved ->
+        # contiguous qkv permutation for the fused decode kernel)
+        params = prep(params, model.config)
     model._cast_param_cache = (model.params, params)
     return params
 
@@ -554,7 +561,7 @@ def _beam_search(model, params, input_ids, attention_mask, position_ids,
     B = bsz * beam_size
 
     # dense layout: beam reorders the cache along the batch axis every step
-    # (jnp.take axis=1) — impossible in the fused (L, T, B*D) decode layout
+    # (jnp.take axis=1) — unsupported in the fused (L, B, T, D) decode layout
     cache = cache_factory(model, dense=True)(model.config, B, total_len)
     tokens_buf, mask_buf, _ = _make_buffers(input_ids, attention_mask, total_len, pad_id)
     aux = _make_aux_buffers(position_ids, segment_ids, B, total_len, beam_mode=True)

@@ -88,10 +88,22 @@ def init_bloom_params(config, rng):
     return params
 
 
-def init_bloom_cache(config, batch_size, max_len, dtype=None):
+def init_bloom_cache(config, batch_size, max_len, dtype=None, fused=None):
     L, H = config.n_layer, config.n_head
     hd = config.hidden_size // H
     dtype = dtype or config.compute_dtype
+    if fused is None:
+        fused = getattr(config, "fused_decode", False)
+    if fused and not getattr(config, "kv_cache_int8", False):
+        # fused (L, B, T, D) head-major layout for the whole-stack decode
+        # kernel — see models/gpt.py init_kv_cache for the full rationale
+        D = config.hidden_size
+        T = -(-max_len // 8) * 8
+        return {
+            "k": jnp.zeros((L, batch_size, T, D), dtype),
+            "v": jnp.zeros((L, batch_size, T, D), dtype),
+            "length": jnp.zeros((), jnp.int32),
+        }
     if getattr(config, "kv_cache_int8", False):
         # see models/gpt.py init_kv_cache: {"q": int8, "s": f32} per leaf
         def buf():
@@ -103,6 +115,33 @@ def init_bloom_cache(config, batch_size, max_len, dtype=None):
         "v": jnp.zeros((L, batch_size, H, max_len, hd), dtype),
         "length": jnp.zeros((), jnp.int32),
     }
+
+
+def init_bloom_cache_dense(config, batch_size, max_len, dtype=None):
+    """init_bloom_cache forced to the dense (L, B, H, T, hd) layout (see
+    models/gpt.py init_kv_cache_dense — beam reorders the batch axis,
+    speculative writes ragged windows)."""
+    return init_bloom_cache(config, batch_size, max_len, dtype, fused=False)
+
+
+def prepare_decode_params(params, config):
+    """One-time decode-param prep (engine.inference_params hook): Bloom's
+    query_key_value columns are head-interleaved (h0:q,k,v | h1:q,k,v | …,
+    reference modeling_bloom.py:83-90) but the fused decode kernel wants
+    contiguous q|k|v groups — permute once per generate() instead of every
+    step, leaving the original tensor for the (head-aware) prefill path."""
+    if not getattr(config, "fused_decode", False):
+        return params
+    qkv = params["blocks"]["self_attention"]["query_key_value"]
+    W, b = qkv["w"], qkv["b"]
+    if isinstance(W, dict):  # int8-quantized projections keep the XLA path
+        return params
+    L, D, _ = W.shape
+    H = config.n_head
+    hd = D // H
+    Wp = W.reshape(L, D, H, 3, hd).transpose(0, 1, 3, 2, 4).reshape(L, D, 3 * D)
+    bp = b.reshape(L, H, 3, hd).transpose(0, 2, 1, 3).reshape(L, 3 * D)
+    return {**params, "qkv_fused": {"w": Wp, "b": bp}}
 
 
 def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
@@ -146,14 +185,15 @@ def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
     if (layer_kv is not None and S == 1 and head_mask is None
             and mask_additive is not None and deterministic
             and not isinstance(layer_kv[0], dict)):  # int8 keeps generic path
-        from cleantransformer_tpu.models.gpt import cache_write, cache_layer_kv
+        from cleantransformer_tpu.models.gpt import (cache_write,
+                                                     cache_layer_kv, _cache_T)
         k_cache, v_cache, li = layer_kv
         kh = qkv[..., 1, :].reshape(B, num_heads, 1, hd)
         vh = qkv[..., 2, :].reshape(B, num_heads, 1, hd)
         kh = shard_hint(kh, ("data", "model", None, None))
         new_k = cache_write(k_cache, li, kh, cache_len)
         new_v = cache_write(v_cache, li, vh, cache_len)
-        T = k_cache.shape[3]
+        T = _cache_T(k_cache)
         k, _ = cache_layer_kv(new_k, li, B, num_heads, T, hd)
         v, _ = cache_layer_kv(new_v, li, B, num_heads, T, hd)
         qh = qkv[..., 0, :].reshape(B, num_heads, hd)
@@ -179,11 +219,12 @@ def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
     else:
         # token-sized in-place carry update on the full (L,B,H,T,hd) cache
         # (see models/gpt.py attn for rationale); per-row offsets for serving
-        from cleantransformer_tpu.models.gpt import cache_write, cache_layer_kv
+        from cleantransformer_tpu.models.gpt import (cache_write,
+                                                     cache_layer_kv, _cache_T)
         k_cache, v_cache, li = layer_kv
         new_k = cache_write(k_cache, li, k, cache_len)
         new_v = cache_write(v_cache, li, v, cache_len)
-        T = (k_cache["q"] if isinstance(k_cache, dict) else k_cache).shape[3]
+        T = _cache_T(k_cache)
         k, k_scale = cache_layer_kv(new_k, li, B, num_heads, T, hd)
         v, v_scale = cache_layer_kv(new_v, li, B, num_heads, T, hd)
 
@@ -336,8 +377,13 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
         attention_mask = jnp.ones((B, S), jnp.int32)
     cache_len = cache["length"] if cache is not None else jnp.zeros((), jnp.int32)
     if cache is not None:
-        _kbuf = cache["k"]
-        T = (_kbuf["q"] if isinstance(_kbuf, dict) else _kbuf).shape[3]
+        from cleantransformer_tpu.models.gpt import _cache_T
+        T = _cache_T(cache["k"])
+        if attention_mask.shape[1] < T:
+            # the fused cache capacity is tile-padded past the engine's mask
+            # buffer; zero-pad = masked, so padded key slots stay excluded
+            attention_mask = jnp.pad(
+                attention_mask, ((0, 0), (0, T - attention_mask.shape[1])))
     else:
         T = S
 
@@ -433,6 +479,67 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
         h, _ = jax.lax.scan(body, h, params["blocks"])
         new_cache = None
     else:
+        kbuf = cache["k"]
+        fused_layout = not isinstance(kbuf, dict) and kbuf.ndim == 4
+        if (fused_layout and S == 1 and head_mask is None
+                and jnp.ndim(cache_len) == 0 and "qkv_fused" in params
+                and not config.apply_residual_connection_post_layernorm):
+            # whole-stack fused decode: ONE Pallas program per token
+            # (ops/fused_decode.py; see models/gpt.py for the GPT twin).
+            # ALiBi is (batch, key, head)-separable, so it rides the same
+            # additive bias operands as padding+causality: (B, T, H) over
+            # cache keys plus a (B, H) row for the merged current column
+            # (its ALiBi value is the ramp at key position cache_len).
+            from cleantransformer_tpu.ops.fused_decode import fused_decode_step
+            from cleantransformer_tpu.ops.pallas_kernels import should_interpret
+            D = h.shape[-1]
+            Hh = config.n_head
+            hd = D // Hh
+            ab = alibi_bias[:, :, 0, :]                          # (B, H, T)
+            # mask_additive allows col == cache_len (the XLA path writes the
+            # current token into the cache BEFORE scoring); the kernel keeps
+            # it as the merged extra column instead, so the in-cache slot —
+            # still zeros — must be strictly masked here
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+            strict = jnp.where(col == cache_len,
+                               jnp.finfo(jnp.float32).min, 0.0)  # (1, T)
+            bias = (mask_additive[:, 0, 0, :, None] + strict[:, :, None]
+                    + jnp.transpose(ab, (0, 2, 1)))              # (B, T, H)
+            bias_cur = jax.lax.dynamic_slice_in_dim(
+                ab, cache_len, 1, axis=2)[:, :, 0]               # (B, H)
+            blocks = params["blocks"]
+            stack = {
+                "ln1w": blocks["input_layernorm"]["w"],
+                "ln1b": blocks["input_layernorm"]["b"],
+                "wqkv": params["qkv_fused"]["w"],
+                "bqkv": params["qkv_fused"]["b"],
+                "wproj": blocks["self_attention"]["dense"]["w"],
+                "bproj": blocks["self_attention"]["dense"]["b"],
+                "ln2w": blocks["post_attention_layernorm"]["w"],
+                "ln2b": blocks["post_attention_layernorm"]["b"],
+                "wfc": blocks["mlp"]["dense_h_to_4h"]["w"],
+                "bfc": blocks["mlp"]["dense_h_to_4h"]["b"],
+                "wfc2": blocks["mlp"]["dense_4h_to_h"]["w"],
+                "bfc2": blocks["mlp"]["dense_4h_to_h"]["b"],
+            }
+            y, nk, nv = fused_decode_step(
+                stack, h[:, 0, :], bias.astype(jnp.float32),
+                bias_cur.astype(jnp.float32), kbuf, cache["v"],
+                n_head=Hh, eps=config.layer_norm_epsilon, act="bloom_gelu",
+                scale=1.0 / math.sqrt(hd), pre_ln=True,
+                interpret=should_interpret())
+            new_k = jax.lax.dynamic_update_slice(
+                kbuf, nk[:, :, None, :].astype(kbuf.dtype),
+                (0, 0, cache_len, 0))
+            new_v = jax.lax.dynamic_update_slice(
+                cache["v"], nv[:, :, None, :].astype(kbuf.dtype),
+                (0, 0, cache_len, 0))
+            h = y[:, None, :]
+            new_cache = {"k": new_k, "v": new_v, "length": cache_len + 1}
+            h = layer_norm(h, params["ln_f"]["w"], params["ln_f"]["b"],
+                           config.layer_norm_epsilon)
+            return h, new_cache
+
         def body(carry, block_params):
             h_in, k_cache, v_cache, li = carry
             out, (nk, nv) = _bloom_block(block_params, (k_cache, v_cache, li),
@@ -505,6 +612,7 @@ class BloomForCausalLM:
         bind_generation(self)
 
     cache_factory = staticmethod(init_bloom_cache)  # see models/gpt.py
+    cache_factory_dense = staticmethod(init_bloom_cache_dense)
 
     def _tie_weight(self):
         """Tie lm_head to the word embeddings (modeling_bloom.py:215-216):

@@ -89,11 +89,13 @@ def init_kv_cache(config, batch_size, max_len, dtype=None, fused=None):
     dequant folds into the score/AV matmuls as output column scaling.
 
     With ``config.fused_decode`` (overridable via ``fused``) k/v become the
-    FUSED layout (L, T, B*D) consumed by the whole-stack Pallas decode
-    kernel (ops/fused_decode.py): token-major rows, batch-and-head packed
+    FUSED layout (L, B, T, D) consumed by the whole-stack Pallas decode
+    kernel (ops/fused_decode.py): head-major per batch row, heads packed
     into the lane axis — fully tile-aligned at any head_dim, and layer
-    blocks slice out with zero relayout. Incompatible with the int8 cache
-    (quantization happens per (b, h, t) vector) — int8 wins that conflict."""
+    blocks slice out with zero relayout (T is rounded up to the 8-sublane
+    tile; extra rows stay causally masked). Incompatible with the int8
+    cache (quantization happens per (b, h, t) vector) — int8 wins that
+    conflict."""
     L, H = config.n_layer, config.n_head
     hd = config.n_embd // H
     dtype = dtype or config.compute_dtype
@@ -101,9 +103,10 @@ def init_kv_cache(config, batch_size, max_len, dtype=None, fused=None):
         fused = getattr(config, "fused_decode", False)
     if fused and not getattr(config, "kv_cache_int8", False):
         D = config.n_embd
+        T = -(-max_len // 8) * 8
         return {
-            "k": jnp.zeros((L, max_len, batch_size * D), dtype),
-            "v": jnp.zeros((L, max_len, batch_size * D), dtype),
+            "k": jnp.zeros((L, batch_size, T, D), dtype),
+            "v": jnp.zeros((L, batch_size, T, D), dtype),
             "length": jnp.zeros((), jnp.int32),
         }
     if getattr(config, "kv_cache_int8", False):
@@ -123,7 +126,7 @@ def init_kv_cache_dense(config, batch_size, max_len, dtype=None):
     ``config.fused_decode`` is set. Consumers that reorder the cache along
     the batch axis (beam search) or write at per-row ragged offsets
     (batched speculative verify) are incompatible with the fused
-    (L, T, B*D) layout and take this factory instead
+    (L, B, T, D) layout and take this factory instead
     (generation/engine.py cache_factory(dense=True))."""
     return init_kv_cache(config, batch_size, max_len, dtype, fused=False)
 
@@ -149,15 +152,15 @@ def cache_write(kv_cache, li, x, offset):
                      -127, 127).astype(jnp.int8)
         return {"q": cache_write(kv_cache["q"], li, q, offset),
                 "s": _scale_write(kv_cache["s"], li, s, offset)}
-    if kv_cache.ndim == 3:
-        # fused (L, T, B*D) layout (ops/fused_decode.py): rows are tokens,
-        # lanes are the packed (batch, head, hd) axis. Prefill-only here —
-        # the S==1 step is intercepted by the fused kernel, which returns
-        # its new k/v for a single stacked-row write in gpt_forward.
+    if kv_cache.ndim == 4:
+        # fused (L, B, T, D) layout (ops/fused_decode.py): head-major rows
+        # per batch. Prefill/chunk writes only here — the S==1 step is
+        # intercepted by the fused kernel, which returns its new k/v for a
+        # single stacked-row write in gpt_forward.
         B, H, S, hd = x.shape
-        xt = jnp.transpose(x, (2, 0, 1, 3)).reshape(S, B * H * hd)
+        xt = jnp.transpose(x, (0, 2, 1, 3)).reshape(B, S, H * hd)
         return jax.lax.dynamic_update_slice(
-            kv_cache, xt[None].astype(kv_cache.dtype), (li, offset, 0))
+            kv_cache, xt[None].astype(kv_cache.dtype), (li, 0, offset, 0))
     if jnp.ndim(offset) == 0:
         return jax.lax.dynamic_update_slice(
             kv_cache, x[None].astype(kv_cache.dtype), (li, 0, 0, offset, 0))
@@ -189,19 +192,19 @@ def cache_layer_kv(buf, li, B, H, T, hd):
         scales = jax.lax.dynamic_slice(buf["s"], (li, 0, 0, 0),
                                        (1, B, H, T))[0]
         return data, scales
-    if buf.ndim == 3:  # fused (L, T, B*D) layout -> (B, H, T, hd) view
-        data = jax.lax.dynamic_slice(buf, (li, 0, 0), (1, T, B * H * hd))[0]
-        return data.reshape(T, B, H, hd).transpose(1, 2, 0, 3), None
+    if buf.ndim == 4:  # fused (L, B, T, D) layout -> (B, H, T, hd) view
+        data = jax.lax.dynamic_slice(buf, (li, 0, 0, 0), (1, B, T, H * hd))[0]
+        return data.reshape(B, T, H, hd).transpose(0, 2, 1, 3), None
     return jax.lax.dynamic_slice(buf, (li, 0, 0, 0, 0),
                                  (1, B, H, T, hd))[0], None
 
 
 def _cache_T(buf):
     """Token capacity of a cache buffer in any layout (dense 5D, int8 dict,
-    fused 3D)."""
+    fused 4D)."""
     if isinstance(buf, dict):
         return buf["q"].shape[3]
-    return buf.shape[1] if buf.ndim == 3 else buf.shape[3]
+    return buf.shape[2] if buf.ndim == 4 else buf.shape[3]
 
 
 def _attend(q, k, v, cache_len, q_offset, key_padding_additive, scale, causal_fill,
@@ -532,15 +535,24 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
         new_cache = None
     else:
         kbuf = cache["k"]
-        fused_layout = not isinstance(kbuf, dict) and kbuf.ndim == 3
+        if additive_mask is not None and additive_mask.shape[-1] < _cache_T(kbuf):
+            # the fused cache capacity is tile-padded past the engine's mask
+            # buffers; padded key slots carry bias 0 here — the causal term
+            # (col bounded by cache_len) already excludes them everywhere
+            additive_mask = jnp.pad(
+                additive_mask, ((0, 0), (0, 0), (0, 0),
+                                (0, _cache_T(kbuf) - additive_mask.shape[-1])))
+        fused_layout = not isinstance(kbuf, dict) and kbuf.ndim == 4
         if (fused_layout and S == 1 and deterministic
-                and jnp.ndim(cache_len) == 0):
+                and jnp.ndim(cache_len) == 0
+                and not isinstance(
+                    params["blocks"]["attn"]["c_attn"]["w"], dict)):
             # whole-stack fused decode: ONE pallas program replaces the
             # ~10-kernels-per-layer scan body (ops/fused_decode.py). The
-            # additive key mask is strict-causal (col < cache_len): the
+            # additive key bias is strict-causal (col < cache_len): the
             # current token's k/v are computed in-kernel and merged into
             # the softmax as an extra column, then written into the fused
-            # (L, T, B*D) cache here with one stacked-row update per buffer.
+            # (L, B, T, D) cache here with one stacked-row update per buffer.
             from cleantransformer_tpu.ops.fused_decode import gpt_fused_decode
             from cleantransformer_tpu.ops.pallas_kernels import should_interpret
             L = kbuf.shape[0]
@@ -548,22 +560,25 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
             D = h.shape[-1]
             Hh = config.n_head
             col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-            mexp_bt = jnp.where(col < cache_len, 0.0, CAUSAL_NEG)  # (1, T)
+            bias_bt = jnp.where(col < cache_len, 0.0, CAUSAL_NEG)  # (1, T)
             if additive_mask is not None:
-                mexp_bt = mexp_bt + additive_mask[:, 0, 0, :]      # (B, T)
-            mexp_bt = jnp.broadcast_to(mexp_bt, (B, T)).astype(jnp.float32)
-            mexp = jnp.broadcast_to(mexp_bt.T[:, :, None],
-                                    (T, B, Hh)).reshape(T, B * Hh)
+                am = additive_mask[:, 0, 0, :]                     # (B, Tm)
+                if am.shape[-1] < T:  # cache T is tile-padded past total_len
+                    am = jnp.pad(am, ((0, 0), (0, T - am.shape[-1])))
+                bias_bt = bias_bt + am
+            bias_bt = jnp.broadcast_to(bias_bt, (B, T)).astype(jnp.float32)
+            bias = jnp.broadcast_to(bias_bt[:, :, None], (B, T, Hh))
+            bias_cur = jnp.zeros((B, Hh), jnp.float32)
             y, nk, nv = gpt_fused_decode(
-                params["blocks"], h[:, 0, :], mexp, kbuf, cache["v"],
-                config=config, version=version,
+                params["blocks"], h[:, 0, :], bias, bias_cur, kbuf,
+                cache["v"], config=config, version=version,
                 interpret=should_interpret())
             new_k = jax.lax.dynamic_update_slice(
-                kbuf, nk.reshape(L, 1, B * D).astype(kbuf.dtype),
-                (0, cache_len, 0))
+                kbuf, nk[:, :, None, :].astype(kbuf.dtype),
+                (0, 0, cache_len, 0))
             new_v = jax.lax.dynamic_update_slice(
-                cache["v"], nv.reshape(L, 1, B * D).astype(kbuf.dtype),
-                (0, cache_len, 0))
+                cache["v"], nv[:, :, None, :].astype(kbuf.dtype),
+                (0, 0, cache_len, 0))
             h = y[:, None, :]
             new_cache = {"k": new_k, "v": new_v, "length": cache_len + 1}
             if version != "gpt":

@@ -12,28 +12,36 @@ block stream HBM->VMEM (auto double-buffered by the grid pipeline) while
 layer l-1 computes; the (B, D) residual stream lives in a VMEM scratch
 across grid steps.
 
-Attention trick — one MXU matmul for ALL (batch, head) pairs: the decode
-cache keeps layer keys/values in a FUSED (L, T, B*D) layout (token-major,
-batch-and-head packed into the 128-lane axis, fully tile-aligned at any
-head_dim — the (B,H,T,hd) layout wastes half the lanes at hd=64 and forces
-relayout copies). Scores for every (b, h) then come from a single
-block-diagonal product:
+Attention without unsupported vector ops: Mosaic rejects lane<->sublane
+shape casts ((B, D) -> (B*D, 1) is "unsupported shape cast"), transposes,
+and unaligned lane slices — so everything here is 2D matmuls against
+CONSTANT iota masks, broadcasts, and sublane reductions. The decode cache
+keeps layer keys/values head-major per batch row: (L, B, T, D) with
+D = H*hd packed in the lane axis (fully tile-aligned at any head_dim; the
+(B, H, T, hd) layout wastes half the lanes at hd=64 and forces relayout
+copies). Per batch row b (unrolled, B static):
 
-    scores(T, B*H) = K_all(T, B*D) @ Qexp(B*D, B*H)
+    scores(T, H) = ((K_b * q_b) @ Hmask) * scale + bias_b
+    out_b(1, D)  = sum_T (probs @ HmaskT * V_b)
 
-where Qexp[b*D + h*hd + d, b*H + h] = q[b, h*hd + d] and zero elsewhere
-(the static mask is built once at grid step 0 into VMEM scratch). The AV
-product is taken TRANSPOSED — out(B*D, B*H) = V_all^T-contract @ P — so the
-per-(b,h) output extraction is a row-sum against the SAME static mask, no
-in-kernel transposes. The current token's k/v (not yet in the cache — it is
-written by the caller after the kernel) joins the softmax as one extra
-merged column.
+where Hmask[d, h] = (d // hd == h) collapses each head's lane group — the
+head dimension never has to be split out of the lane axis. Row extraction
+(q_b from q (B, D)) is a masked sublane reduction; row scatter of out_b is
+a masked broadcast-accumulate. The current token's k/v (not yet in the
+cache — the caller writes them after the kernel) joins the softmax as one
+extra merged column.
+
+The additive bias operand (B, T, H) + its merged-column row (B, H) carries
+key-padding + strict causality for GPT and additionally the per-head ALiBi
+ramp for Bloom — score biases that are (batch, key, head)-separable fold
+into the same two tensors, so one kernel serves both families.
 
 Numerics mirror the XLA decode fast path (models/gpt.py _gpt_block S==1):
-bf16 operands into the MXU with fp32 accumulation, fp32 masked softmax with
-the reference's -1e4 causal fill, LN statistics in fp32 with eps inside the
-sqrt (reference transformer.py:79-89). Greedy outputs are token-identical
-to the per-layer path (asserted in tests/test_fused_decode.py).
+fp32 q*k products (bf16 products are exact in fp32) accumulated on the MXU
+in fp32, fp32 masked softmax, fp32 AV, LN statistics in fp32 with eps
+inside the sqrt (reference transformer.py:79-89). Greedy outputs are
+token-identical to the per-layer path (asserted in
+tests/test_fused_decode.py).
 """
 
 import functools
@@ -57,23 +65,25 @@ def _ln(x, w, b, eps, cdt):
     return w[0, 0].astype(cdt) * out + b[0, 0].astype(cdt)
 
 
-def _gpt_decode_kernel(x_ref, mexp_ref, ln1w, ln1b, wqkv, bqkv, wproj, bproj,
-                       ln2w, ln2b, wfc, bfc, wfc2, bfc2, ck_ref, cv_ref,
-                       y_ref, nk_ref, nv_ref, h_scr, qmask_scr,
+def _gpt_decode_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv, bqkv,
+                       wproj, bproj, ln2w, ln2b, wfc, bfc, wfc2, bfc2,
+                       ck_ref, cv_ref, y_ref, nk_ref, nv_ref, h_scr,
                        *, B, H, D, hd, L, eps, act, scale, pre_ln):
     l = pl.program_id(0)
     cdt = x_ref.dtype
-    BD, BH = B * D, B * H
 
     @pl.when(l == 0)
     def _init():
         h_scr[:] = x_ref[:]
-        # static block-diagonal selector: row b*D + h*hd + d pairs with
-        # column b*H + h
-        r = jax.lax.broadcasted_iota(jnp.int32, (BD, BH), 0)
-        c = jax.lax.broadcasted_iota(jnp.int32, (BD, BH), 1)
-        keep = ((r // D) == (c // H)) & (((r % D) // hd) == (c % H))
-        qmask_scr[:] = keep.astype(jnp.float32)
+
+    # constant head-collapse masks: Hmask[d, h] = lane d belongs to head h
+    hm = (jax.lax.broadcasted_iota(jnp.int32, (D, H), 0) // hd
+          == jax.lax.broadcasted_iota(jnp.int32, (D, H), 1)
+          ).astype(jnp.float32)
+    hmT = (jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) // hd
+           ).astype(jnp.float32)
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
 
     def attn(x):
         # qkv projection (linear() semantics: matmul -> cdt, bias in cdt)
@@ -83,32 +93,44 @@ def _gpt_decode_kernel(x_ref, mexp_ref, ln1w, ln1b, wqkv, bqkv, wproj, bproj,
         q, k_t, v_t = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
         nk_ref[0] = k_t
         nv_ref[0] = v_t
+        qf = q.astype(jnp.float32)
+        kf_t = k_t.astype(jnp.float32)
+        vf_t = v_t.astype(jnp.float32)
+        bcur = bcur_ref[:].astype(jnp.float32)                  # (B, H)
 
-        qm = qmask_scr[:]
-        qexp = (qm * q.reshape(BD, 1).astype(jnp.float32)).astype(cdt)
-        s = jax.lax.dot_general(ck_ref[0], qexp, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s * scale + mexp_ref[:]                            # (T, BH)
-        s_cur = jax.lax.dot_general(
-            k_t.reshape(1, BD), qexp, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale        # (1, BH)
+        out = jnp.zeros((B, D), jnp.float32)
+        for b in range(B):
+            sel = (iota_b == b).astype(jnp.float32)             # (B, 1)
+            qrow = jnp.sum(qf * sel, 0, keepdims=True)          # (1, D)
+            krow = jnp.sum(kf_t * sel, 0, keepdims=True)
+            vrow = jnp.sum(vf_t * sel, 0, keepdims=True)
+            brow = jnp.sum(bcur * sel, 0, keepdims=True)        # (1, H)
+            kb = ck_ref[0, b].astype(jnp.float32)               # (T, D)
+            s = jnp.dot(kb * qrow, hm,
+                        preferred_element_type=jnp.float32) * scale
+            s = s + bias_ref[b].astype(jnp.float32)             # (T, H)
+            s_cur = jnp.dot(krow * qrow, hm,
+                            preferred_element_type=jnp.float32) * scale
+            s_cur = s_cur + brow                                # (1, H)
+            m = jnp.maximum(jnp.max(s, axis=0, keepdims=True), s_cur)
+            p = jnp.exp(s - m)
+            pc = jnp.exp(s_cur - m)
+            den = jnp.sum(p, axis=0, keepdims=True) + pc        # (1, H)
+            # probs round-trip through compute dtype before AV — mirrors the
+            # XLA decode path's w.astype(v.dtype) (models/bloom.py:165 /
+            # gpt.py _attend), keeping bf16 drift vs the per-layer path down
+            # to summation-order noise
+            pn = (p / den).astype(cdt).astype(jnp.float32)
+            pcn = (pc / den).astype(cdt).astype(jnp.float32)
+            pexp = jnp.dot(pn, hmT,
+                           preferred_element_type=jnp.float32)  # (T, D)
+            vb = cv_ref[0, b].astype(jnp.float32)
+            ob = jnp.sum(pexp * vb, 0, keepdims=True)
+            ob = ob + jnp.dot(pcn, hmT,
+                              preferred_element_type=jnp.float32) * vrow
+            out = out + ob * sel                                # row scatter
 
-        m = jnp.maximum(jnp.max(s, axis=0, keepdims=True), s_cur)
-        p = jnp.exp(s - m)
-        pc = jnp.exp(s_cur - m)
-        denom = jnp.sum(p, axis=0, keepdims=True) + pc         # (1, BH)
-
-        # transposed AV: (BD, BH) — extraction is a masked row-sum, the
-        # only per-(b,h) data movement is the two (B,D)<->(BD,1) reshapes
-        ofT = jax.lax.dot_general(cv_ref[0], p.astype(cdt),
-                                  (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        o_flat = jnp.sum(ofT * qm, axis=1, keepdims=True)      # (BD, 1)
-        pc_exp = jnp.sum(qm * pc, axis=1, keepdims=True)
-        den_exp = jnp.sum(qm * denom, axis=1, keepdims=True)
-        a_flat = (o_flat + pc_exp * v_t.reshape(BD, 1).astype(jnp.float32))
-        a = (a_flat / den_exp).reshape(B, D).astype(cdt)
-
+        a = out.astype(cdt)
         o = jnp.dot(a, wproj[0].astype(cdt),
                     preferred_element_type=jnp.float32).astype(cdt)
         return o + bproj[0, 0].astype(cdt)
@@ -132,37 +154,47 @@ def _gpt_decode_kernel(x_ref, mexp_ref, ln1w, ln1b, wqkv, bqkv, wproj, bproj,
     y_ref[:] = h
 
 
-@functools.partial(jax.jit, static_argnames=("config", "version", "interpret"))
-def gpt_fused_decode(blocks, h0, mexp, cache_k, cache_v, *, config, version,
-                     interpret=False):
-    """One decode step over the whole stack.
+@functools.partial(jax.jit, static_argnames=("n_head", "eps", "act", "scale",
+                                              "pre_ln", "interpret"))
+def fused_decode_step(stack, h0, bias, bias_cur, cache_k, cache_v, *,
+                      n_head, eps, act, scale, pre_ln, interpret=False):
+    """One decode step over the whole stack (model-agnostic core).
 
-    blocks: the stacked per-layer param tree (models/gpt.py init_gpt_params).
-    h0: (B, D) embedded current token (wte + wpe [+ segment], compute dtype).
-    mexp: (T, B*H) fp32 additive key mask — padding + strict causal
-      (col < cache_len; the current token rides the merged extra column).
-    cache_k/v: (L, T, B*D) fused-layout cache (init_kv_cache fused branch).
+    stack: dict of stacked per-layer tensors in canonical pre/post-LN block
+      order — ln1w/ln1b (L, D), wqkv (L, D, 3D) with CONTIGUOUS q|k|v
+      column groups, bqkv (L, 3D), wproj (L, D, D), bproj (L, D),
+      ln2w/ln2b (L, D), wfc (L, D, F), bfc (L, F), wfc2 (L, F, D),
+      bfc2 (L, D). GPT params are already in this shape
+      (models/gpt.py init_gpt_params); Bloom permutes its head-interleaved
+      qkv columns once per generate (models/bloom.py prepare_decode_params).
+    h0: (B, D) embedded current token (compute dtype).
+    bias: (B, T, H) fp32 additive score bias over cache keys — key padding
+      + strict causality (col < cache_len; the current token rides the
+      merged extra column), plus the ALiBi ramp for Bloom-family callers.
+    bias_cur: (B, H) fp32 additive bias for the merged current-token column
+      (zeros for GPT; ALiBi at the current key position for Bloom).
+    cache_k/v: (L, B, T, D) head-major cache (init_kv_cache fused branch).
+    act: activation NAME (ops/activations.ACT2FN key) — static/hashable.
 
     Returns (y (B, D) final hidden pre-ln_f, new_k (L, B, D), new_v) — the
     caller writes new_k/new_v into the cache at row cache_len (one
     dynamic_update_slice each on the stacked buffer)."""
-    L, T, BD = cache_k.shape
-    B, D = h0.shape
-    H = config.n_head
+    L, B, T, D = cache_k.shape
+    H = n_head
     hd = D // H
+    F = stack["wfc"].shape[-1]
 
-    def vec(p, X):  # (L, X) -> (L, 1, X): sublane-1 blocks ride as (1,1,X)
-        return p.reshape(L, 1, X)
+    def vec(p):  # (L, X) -> (L, 1, X): sublane-1 blocks ride as (1,1,X)
+        return p.reshape(L, 1, p.shape[-1])
 
-    attn_p, mlp_p = blocks["attn"], blocks["mlp"]
     operands = (
-        h0, mexp,
-        vec(blocks["ln_1"]["w"], D), vec(blocks["ln_1"]["b"], D),
-        attn_p["c_attn"]["w"], vec(attn_p["c_attn"]["b"], 3 * D),
-        attn_p["c_proj"]["w"], vec(attn_p["c_proj"]["b"], D),
-        vec(blocks["ln_2"]["w"], D), vec(blocks["ln_2"]["b"], D),
-        mlp_p["c_fc"]["w"], vec(mlp_p["c_fc"]["b"], 4 * D),
-        mlp_p["c_proj"]["w"], vec(mlp_p["c_proj"]["b"], D),
+        h0, bias, bias_cur,
+        vec(stack["ln1w"]), vec(stack["ln1b"]),
+        stack["wqkv"], vec(stack["bqkv"]),
+        stack["wproj"], vec(stack["bproj"]),
+        vec(stack["ln2w"]), vec(stack["ln2b"]),
+        stack["wfc"], vec(stack["bfc"]),
+        stack["wfc2"], vec(stack["bfc2"]),
         cache_k, cache_v,
     )
 
@@ -176,14 +208,14 @@ def gpt_fused_decode(blocks, h0, mexp, cache_k, cache_v, *, config, version,
                             memory_space=pltpu.VMEM)
 
     in_specs = [
-        fixed((B, D)), fixed((T, B * H)),
+        fixed((B, D)), fixed((B, T, H)), fixed((B, H)),
         per_layer((1, D)), per_layer((1, D)),
         per_layer((D, 3 * D)), per_layer((1, 3 * D)),
         per_layer((D, D)), per_layer((1, D)),
         per_layer((1, D)), per_layer((1, D)),
-        per_layer((D, 4 * D)), per_layer((1, 4 * D)),
-        per_layer((4 * D, D)), per_layer((1, D)),
-        per_layer((T, BD)), per_layer((T, BD)),
+        per_layer((D, F)), per_layer((1, F)),
+        per_layer((F, D)), per_layer((1, D)),
+        per_layer((B, T, D)), per_layer((B, T, D)),
     ]
     out_specs = [fixed((B, D)), per_layer((B, D)), per_layer((B, D))]
     out_shape = [jax.ShapeDtypeStruct((B, D), h0.dtype),
@@ -192,8 +224,7 @@ def gpt_fused_decode(blocks, h0, mexp, cache_k, cache_v, *, config, version,
 
     kernel = functools.partial(
         _gpt_decode_kernel, B=B, H=H, D=D, hd=hd, L=L,
-        eps=config.layer_norm_epsilon, act=ACT2FN[config.afn],
-        scale=1.0 / math.sqrt(hd), pre_ln=(version != "gpt"))
+        eps=eps, act=ACT2FN[act], scale=scale, pre_ln=pre_ln)
 
     y, nk, nv = pl.pallas_call(
         kernel,
@@ -201,11 +232,31 @@ def gpt_fused_decode(blocks, h0, mexp, cache_k, cache_v, *, config, version,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((B, D), h0.dtype),
-                        pltpu.VMEM((B * D, B * H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B, D), h0.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
     return y, nk, nv
+
+
+def gpt_fused_decode(blocks, h0, bias, bias_cur, cache_k, cache_v, *,
+                     config, version, interpret=False):
+    """GPT adapter over fused_decode_step: init_gpt_params' block tree is
+    already contiguous-q|k|v, so this is pure renaming."""
+    attn_p, mlp_p = blocks["attn"], blocks["mlp"]
+    stack = {
+        "ln1w": blocks["ln_1"]["w"], "ln1b": blocks["ln_1"]["b"],
+        "wqkv": attn_p["c_attn"]["w"], "bqkv": attn_p["c_attn"]["b"],
+        "wproj": attn_p["c_proj"]["w"], "bproj": attn_p["c_proj"]["b"],
+        "ln2w": blocks["ln_2"]["w"], "ln2b": blocks["ln_2"]["b"],
+        "wfc": mlp_p["c_fc"]["w"], "bfc": mlp_p["c_fc"]["b"],
+        "wfc2": mlp_p["c_proj"]["w"], "bfc2": mlp_p["c_proj"]["b"],
+    }
+    hd = h0.shape[-1] // config.n_head
+    return fused_decode_step(
+        stack, h0, bias, bias_cur, cache_k, cache_v,
+        n_head=config.n_head, eps=config.layer_norm_epsilon,
+        act=config.afn, scale=1.0 / math.sqrt(hd),
+        pre_ln=(version != "gpt"), interpret=interpret)

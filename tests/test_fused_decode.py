@@ -14,7 +14,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from cleantransformer_tpu.config import GPTConfig
+from cleantransformer_tpu.config import BloomConfig, GPTConfig
+from cleantransformer_tpu.models.bloom import BloomForCausalLM
 from cleantransformer_tpu.models.gpt import (GPTLMHeadModel, init_kv_cache,
                                              init_kv_cache_dense)
 
@@ -34,7 +35,7 @@ def test_fused_cache_layout():
     cfg = GPTConfig(vocab_size=97, n_embd=64, n_positions=128, n_layer=2,
                     n_head=2, fused_decode=True)
     cache = init_kv_cache(cfg, 3, 16)
-    assert cache["k"].shape == (2, 16, 3 * 64)  # (L, T, B*D)
+    assert cache["k"].shape == (2, 3, 16, 64)  # (L, B, T, D)
     dense = init_kv_cache_dense(cfg, 3, 16)
     assert dense["k"].shape == (2, 3, 2, 16, 32)  # (L, B, H, T, hd)
     # int8 wins the conflict: quantization is per-(b,h,t) vector
@@ -85,6 +86,52 @@ def test_fused_speculative_takes_dense_layout():
     gcfg = {"max_gen_len": 10, "do_sample": False, "pad_id": 0}
     out0 = np.asarray(prompt_lookup_generate(m0, ids, generation_configs=gcfg))
     out1 = np.asarray(prompt_lookup_generate(m1, ids, generation_configs=gcfg))
+    assert np.array_equal(out0, out1)
+
+
+def _bloom_pair(n_head=4, hidden=64):
+    cfg = dict(vocab_size=211, hidden_size=hidden, n_layer=3,
+               num_attention_heads=n_head, compute_dtype=jnp.float32,
+               param_dtype=jnp.float32)
+
+    def mk(**kw):
+        m = BloomForCausalLM(BloomConfig(**cfg, **kw),
+                             rng=jax.random.PRNGKey(0))
+        m._tie_weight()
+        return m
+
+    m0 = mk()
+    m1 = mk(fused_decode=True)
+    m1.params = m0.params
+    return m0, m1
+
+
+@pytest.mark.parametrize("n_head,hidden", [(4, 64), (14, 56)])
+def test_bloom_fused_greedy_bit_exact(n_head, hidden):
+    # ALiBi rides the kernel's (B, T, H) bias operand + its merged-column
+    # (B, H) row; 14 heads exercises the non-power-of-2 slope formula AND a
+    # non-128-aligned lane count. Left padding exercises the mask-cumsum
+    # ALiBi positions.
+    m0, m1 = _bloom_pair(n_head, hidden)
+    rs = np.random.RandomState(0)
+    ids = rs.randint(5, 200, (2, 9)).astype(np.int32)
+    mask = np.ones((2, 9), np.int32)
+    mask[1, :4] = 0
+    gcfg = {"beam_size": 1, "max_gen_len": 12, "do_sample": False,
+            "end_ids": None, "pad_id": 0, "no_repeat_ngram_size": 0}
+    out0 = np.asarray(m0.generate(ids, mask, generation_configs=gcfg))
+    out1 = np.asarray(m1.generate(ids, mask, generation_configs=gcfg))
+    assert np.array_equal(out0, out1)
+
+
+def test_bloom_fused_beam_takes_dense_layout():
+    m0, m1 = _bloom_pair()
+    rs = np.random.RandomState(1)
+    ids = rs.randint(5, 200, (1, 7)).astype(np.int32)
+    gcfg = {"beam_size": 2, "max_gen_len": 8, "do_sample": False,
+            "end_ids": None, "pad_id": 0, "no_repeat_ngram_size": 0}
+    out0 = np.asarray(m0.generate(ids, generation_configs=gcfg))
+    out1 = np.asarray(m1.generate(ids, generation_configs=gcfg))
     assert np.array_equal(out0, out1)
 
 
