@@ -33,7 +33,11 @@ def bench_ours():
     from cleantransformer_tpu.config import GPTConfig
     from cleantransformer_tpu.models.gpt import GPTLMHeadModel
 
-    cfg = GPTConfig(**GPT2_SMALL, compute_dtype="bfloat16", decode_unroll=12)
+    # fused_decode: the whole-stack Pallas decode kernel (ops/fused_decode.py)
+    # — one program per token instead of ~125 XLA fusions, 0.63 -> 0.48
+    # ms/step at b8 (BENCH_DETAILS.md)
+    cfg = GPTConfig(**GPT2_SMALL, compute_dtype="bfloat16", decode_unroll=12,
+                    fused_decode=True)
     model = GPTLMHeadModel(cfg, version="gpt2", rng=jax.random.PRNGKey(0))
     rs = np.random.RandomState(0)
     ids = rs.randint(0, cfg.vocab_size, (BATCH, PROMPT_LEN)).astype(np.int32)

@@ -701,6 +701,18 @@ def main():
         bench_decode(model, f"gpt2_124M_decode_b{batch}", batch, 32, 128, 50257)
     bench_prefill(model, cfg)
 
+    # whole-stack fused decode kernel (ops/fused_decode.py): one Pallas
+    # program per token instead of ~125 XLA fusions per step
+    fmodel = GPTLMHeadModel(
+        GPTConfig(vocab_size=50257, n_embd=768, n_positions=1024, n_layer=12,
+                  n_head=12, n_ctx=1024, compute_dtype="bfloat16",
+                  fused_decode=True),
+        version="gpt2", params=model.params)
+    for batch in (8, 32):
+        bench_decode(fmodel, f"gpt2_124M_decode_b{batch}_fused", batch, 32,
+                     128, 50257)
+    del fmodel
+
     # int8 weight-only quantized decode
     qcfg = GPTConfig(vocab_size=50257, n_embd=768, n_positions=1024, n_layer=12,
                      n_head=12, n_ctx=1024, compute_dtype="bfloat16",
@@ -715,6 +727,13 @@ def main():
     bmodel = BloomForCausalLM(bcfg, rng=jax.random.PRNGKey(0))
     bmodel._tie_weight()
     bench_decode(bmodel, "bloom560m_decode_b8", 8, 32, 128, 50432)
+    fbmodel = BloomForCausalLM(
+        BloomConfig(vocab_size=50432, hidden_size=1024, n_layer=24,
+                    num_attention_heads=16, compute_dtype="bfloat16",
+                    fused_decode=True),
+        params=bmodel.params)
+    bench_decode(fbmodel, "bloom560m_decode_b8_fused", 8, 32, 128, 50432)
+    del fbmodel
 
     # Llama-family decode (TinyLlama-1.1B-class: GQA 32q/4kv heads, SwiGLU,
     # RoPE) — the GQA cache is 8x smaller than a full-head cache
@@ -755,6 +774,16 @@ def main():
     # sub-linear per-step cost (b16 step ~1.3x a b8 step)
     bench_serving(model, "gpt2_124M_serving_tokens_per_sec_slots16", 50257,
                   max_slots=16)
+    # fused decode kernel with ragged per-row offsets + in-kernel int8
+    # dequant: serving device time halves; wall becomes RTT-bound
+    fsmodel = GPTLMHeadModel(
+        GPTConfig(vocab_size=50257, n_embd=768, n_positions=1024, n_layer=12,
+                  n_head=12, n_ctx=1024, compute_dtype="bfloat16",
+                  fused_decode=True, quantize_int8=True),
+        version="gpt2", params=model.params)
+    bench_serving(fsmodel, "gpt2_124M_serving_tokens_per_sec_fused_int8",
+                  50257)
+    del fsmodel
 
     # speculative decoding: self-draft = acceptance-1 upper bound on the
     # round machinery; an untrained 2-layer draft (acceptance ~0) measures

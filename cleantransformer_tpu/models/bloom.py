@@ -134,14 +134,18 @@ def prepare_decode_params(params, config):
         return params
     qkv = params["blocks"]["self_attention"]["query_key_value"]
     W, b = qkv["w"], qkv["b"]
-    if isinstance(W, dict):  # int8-quantized projections keep the XLA path
-        return params
-    L, D, _ = W.shape
+    quantized = isinstance(W, dict)  # int8 {"q","s"} (ops/quant.py)
+    Wq = W["q"] if quantized else W
+    L, D, _ = Wq.shape
     H = config.n_head
     hd = D // H
-    Wp = W.reshape(L, D, H, 3, hd).transpose(0, 1, 3, 2, 4).reshape(L, D, 3 * D)
-    bp = b.reshape(L, H, 3, hd).transpose(0, 2, 1, 3).reshape(L, 3 * D)
-    return {**params, "qkv_fused": {"w": Wp, "b": bp}}
+
+    def cols(x):  # permute interleaved (H, 3, hd) columns to q|k|v groups
+        return x.reshape(x.shape[:-1] + (H, 3, hd)).swapaxes(-3, -2) \
+                .reshape(x.shape[:-1] + (3 * D,))
+
+    Wp = {"q": cols(Wq), "s": cols(W["s"])} if quantized else cols(Wq)
+    return {**params, "qkv_fused": {"w": Wp, "b": cols(b)}}
 
 
 def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
@@ -481,8 +485,13 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
     else:
         kbuf = cache["k"]
         fused_layout = not isinstance(kbuf, dict) and kbuf.ndim == 4
+        if fused_layout:
+            from cleantransformer_tpu.ops.fused_decode import fits_vmem
+            _D = h.shape[-1]
+            fused_layout = fits_vmem(B, T, _D, 4 * _D,
+                                     cache_bytes=kbuf.dtype.itemsize)
         if (fused_layout and S == 1 and head_mask is None
-                and jnp.ndim(cache_len) == 0 and "qkv_fused" in params
+                and "qkv_fused" in params
                 and not config.apply_residual_connection_post_layernorm):
             # whole-stack fused decode: ONE Pallas program per token
             # (ops/fused_decode.py; see models/gpt.py for the GPT twin).
@@ -496,17 +505,26 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
             Hh = config.n_head
             hd = D // Hh
             ab = alibi_bias[:, :, 0, :]                          # (B, H, T)
+            ab = jnp.broadcast_to(ab, (B, Hh, T))
             # mask_additive allows col == cache_len (the XLA path writes the
             # current token into the cache BEFORE scoring); the kernel keeps
             # it as the merged extra column instead, so the in-cache slot —
             # still zeros — must be strictly masked here
             col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-            strict = jnp.where(col == cache_len,
-                               jnp.finfo(jnp.float32).min, 0.0)  # (1, T)
-            bias = (mask_additive[:, 0, 0, :, None] + strict[:, :, None]
+            if jnp.ndim(cache_len) == 1:  # ragged serving offsets
+                strict = jnp.where(col == cache_len[:, None],
+                                   jnp.finfo(jnp.float32).min, 0.0)  # (B, T)
+                bias_cur = jnp.take_along_axis(
+                    ab, jnp.minimum(cache_len, T - 1)[:, None, None],
+                    axis=2)[:, :, 0]                             # (B, H)
+            else:
+                strict = jnp.where(col == cache_len,
+                                   jnp.finfo(jnp.float32).min, 0.0)  # (1, T)
+                bias_cur = jax.lax.dynamic_slice_in_dim(
+                    ab, cache_len, 1, axis=2)[:, :, 0]           # (B, H)
+            bias = (mask_additive[:, 0, 0, :, None]
+                    + jnp.broadcast_to(strict, (B, T))[:, :, None]
                     + jnp.transpose(ab, (0, 2, 1)))              # (B, T, H)
-            bias_cur = jax.lax.dynamic_slice_in_dim(
-                ab, cache_len, 1, axis=2)[:, :, 0]               # (B, H)
             blocks = params["blocks"]
             stack = {
                 "ln1w": blocks["input_layernorm"]["w"],
@@ -528,12 +546,18 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
                 n_head=Hh, eps=config.layer_norm_epsilon, act="bloom_gelu",
                 scale=1.0 / math.sqrt(hd), pre_ln=True,
                 interpret=should_interpret())
-            new_k = jax.lax.dynamic_update_slice(
-                kbuf, nk[:, :, None, :].astype(kbuf.dtype),
-                (0, 0, cache_len, 0))
-            new_v = jax.lax.dynamic_update_slice(
-                cache["v"], nv[:, :, None, :].astype(kbuf.dtype),
-                (0, 0, cache_len, 0))
+            if jnp.ndim(cache_len) == 1:  # ragged two-axis scatter
+                rows = jnp.arange(B)
+                pos = jnp.minimum(cache_len, T - 1)
+                new_k = kbuf.at[:, rows, pos].set(nk.astype(kbuf.dtype))
+                new_v = cache["v"].at[:, rows, pos].set(nv.astype(kbuf.dtype))
+            else:
+                new_k = jax.lax.dynamic_update_slice(
+                    kbuf, nk[:, :, None, :].astype(kbuf.dtype),
+                    (0, 0, cache_len, 0))
+                new_v = jax.lax.dynamic_update_slice(
+                    cache["v"], nv[:, :, None, :].astype(kbuf.dtype),
+                    (0, 0, cache_len, 0))
             h = y[:, None, :]
             new_cache = {"k": new_k, "v": new_v, "length": cache_len + 1}
             h = layer_norm(h, params["ln_f"]["w"], params["ln_f"]["b"],

@@ -543,48 +543,61 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
                 additive_mask, ((0, 0), (0, 0), (0, 0),
                                 (0, _cache_T(kbuf) - additive_mask.shape[-1])))
         fused_layout = not isinstance(kbuf, dict) and kbuf.ndim == 4
-        if (fused_layout and S == 1 and deterministic
-                and jnp.ndim(cache_len) == 0
-                and not isinstance(
-                    params["blocks"]["attn"]["c_attn"]["w"], dict)):
+        if fused_layout and S == 1 and deterministic:
             # whole-stack fused decode: ONE pallas program replaces the
             # ~10-kernels-per-layer scan body (ops/fused_decode.py). The
             # additive key bias is strict-causal (col < cache_len): the
             # current token's k/v are computed in-kernel and merged into
             # the softmax as an extra column, then written into the fused
-            # (L, B, T, D) cache here with one stacked-row update per buffer.
-            from cleantransformer_tpu.ops.fused_decode import gpt_fused_decode
+            # (L, B, T, D) cache here with one stacked-row update per buffer
+            # (a two-axis scatter for ragged serving offsets).
+            from cleantransformer_tpu.ops.fused_decode import (
+                gpt_fused_decode, fits_vmem)
             from cleantransformer_tpu.ops.pallas_kernels import should_interpret
-            L = kbuf.shape[0]
-            T = _cache_T(kbuf)
-            D = h.shape[-1]
+            L, _, T, D = kbuf.shape
             Hh = config.n_head
-            col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-            bias_bt = jnp.where(col < cache_len, 0.0, CAUSAL_NEG)  # (1, T)
-            if additive_mask is not None:
-                am = additive_mask[:, 0, 0, :]                     # (B, Tm)
-                if am.shape[-1] < T:  # cache T is tile-padded past total_len
-                    am = jnp.pad(am, ((0, 0), (0, T - am.shape[-1])))
-                bias_bt = bias_bt + am
-            bias_bt = jnp.broadcast_to(bias_bt, (B, T)).astype(jnp.float32)
-            bias = jnp.broadcast_to(bias_bt[:, :, None], (B, T, Hh))
-            bias_cur = jnp.zeros((B, Hh), jnp.float32)
-            y, nk, nv = gpt_fused_decode(
-                params["blocks"], h[:, 0, :], bias, bias_cur, kbuf,
-                cache["v"], config=config, version=version,
-                interpret=should_interpret())
-            new_k = jax.lax.dynamic_update_slice(
-                kbuf, nk[:, :, None, :].astype(kbuf.dtype),
-                (0, 0, cache_len, 0))
-            new_v = jax.lax.dynamic_update_slice(
-                cache["v"], nv[:, :, None, :].astype(kbuf.dtype),
-                (0, 0, cache_len, 0))
-            h = y[:, None, :]
-            new_cache = {"k": new_k, "v": new_v, "length": cache_len + 1}
-            if version != "gpt":
-                h = layer_norm(h, params["ln_f"]["w"], params["ln_f"]["b"],
-                               config.layer_norm_epsilon)
-            return h, new_cache
+            wfc = params["blocks"]["mlp"]["c_fc"]["w"]
+            F = (wfc["q"] if isinstance(wfc, dict) else wfc).shape[-1]
+            if not fits_vmem(B, T, D, F, cache_bytes=kbuf.dtype.itemsize):
+                pass  # long-context fallback: XLA per-layer path below
+            else:
+                ragged = jnp.ndim(cache_len) == 1
+                col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+                if ragged:  # (B,) per-row offsets (continuous batching)
+                    bias_bt = jnp.where(col < cache_len[:, None], 0.0,
+                                        CAUSAL_NEG)                # (B, T)
+                else:
+                    bias_bt = jnp.where(col < cache_len, 0.0, CAUSAL_NEG)
+                if additive_mask is not None:
+                    bias_bt = bias_bt + additive_mask[:, 0, 0, :]
+                bias_bt = jnp.broadcast_to(bias_bt, (B, T)).astype(jnp.float32)
+                bias = jnp.broadcast_to(bias_bt[:, :, None], (B, T, Hh))
+                bias_cur = jnp.zeros((B, Hh), jnp.float32)
+                y, nk, nv = gpt_fused_decode(
+                    params["blocks"], h[:, 0, :], bias, bias_cur, kbuf,
+                    cache["v"], config=config, version=version,
+                    interpret=should_interpret())
+                if ragged:
+                    rows = jnp.arange(B)
+                    pos = jnp.minimum(cache_len, T - 1)
+                    new_k = kbuf.at[:, rows, pos].set(nk.astype(kbuf.dtype))
+                    new_v = cache["v"].at[:, rows, pos].set(
+                        nv.astype(kbuf.dtype))
+                else:
+                    new_k = jax.lax.dynamic_update_slice(
+                        kbuf, nk[:, :, None, :].astype(kbuf.dtype),
+                        (0, 0, cache_len, 0))
+                    new_v = jax.lax.dynamic_update_slice(
+                        cache["v"], nv[:, :, None, :].astype(kbuf.dtype),
+                        (0, 0, cache_len, 0))
+                h = y[:, None, :]
+                new_cache = {"k": new_k, "v": new_v,
+                             "length": cache_len + 1}
+                if version != "gpt":
+                    h = layer_norm(h, params["ln_f"]["w"],
+                                   params["ln_f"]["b"],
+                                   config.layer_norm_epsilon)
+                return h, new_cache
         mask_precombined = False
         if S == 1:
             # single-token decode: fold the causal term (key j attendable iff

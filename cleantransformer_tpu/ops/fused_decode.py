@@ -55,6 +55,19 @@ from jax.experimental.pallas import tpu as pltpu
 from cleantransformer_tpu.ops.activations import ACT2FN
 
 
+def fits_vmem(B, T, D, F, weight_bytes=2, cache_bytes=2,
+              limit=100 * 1024 * 1024):
+    """Static check that one double-buffered layer block (weights + k/v
+    cache + bias) fits the kernel's VMEM budget — long-context callers
+    (serving at large max_len) fall back to the XLA per-layer path instead
+    of failing the Mosaic allocation."""
+    weights = (3 * D * D + D * D + 2 * D * F) * weight_bytes
+    cache = 2 * B * T * D * cache_bytes
+    bias = B * T * 4
+    scratch = 4 * B * D
+    return 2 * (weights + cache + bias) + scratch < limit
+
+
 def _ln(x, w, b, eps, cdt):
     """Reference LayerNorm (eps inside sqrt; fp32 stats) on a (B, D) tile."""
     xf = x.astype(jnp.float32)
@@ -65,10 +78,11 @@ def _ln(x, w, b, eps, cdt):
     return w[0, 0].astype(cdt) * out + b[0, 0].astype(cdt)
 
 
-def _gpt_decode_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv, bqkv,
-                       wproj, bproj, ln2w, ln2b, wfc, bfc, wfc2, bfc2,
-                       ck_ref, cv_ref, y_ref, nk_ref, nv_ref, h_scr,
-                       *, B, H, D, hd, L, eps, act, scale, pre_ln):
+def _gpt_decode_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv, sqkv,
+                       bqkv, wproj, sproj, bproj, ln2w, ln2b, wfc, sfc, bfc,
+                       wfc2, sfc2, bfc2, ck_ref, cv_ref, y_ref, nk_ref,
+                       nv_ref, h_scr, *, B, H, D, hd, L, eps, act, scale,
+                       pre_ln):
     l = pl.program_id(0)
     cdt = x_ref.dtype
 
@@ -86,11 +100,20 @@ def _gpt_decode_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv, bqkv,
     iota_b = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
 
     def attn(x):
-        # qkv projection (linear() semantics: matmul -> cdt, bias in cdt)
+        # qkv projection (linear() semantics: matmul -> cdt, bias in cdt).
+        # s* are per-output-channel int8 dequant scales (ops/quant.py
+        # quantized_matmul: y = (x @ q) * s); exactly 1.0 when unquantized,
+        # so the fp32 bit-parity with the per-layer path is preserved.
         qkv = jnp.dot(x, wqkv[0].astype(cdt),
                       preferred_element_type=jnp.float32).astype(cdt)
-        qkv = qkv + bqkv[0, 0].astype(cdt)
+        qkv = qkv * sqkv[0, 0].astype(cdt) + bqkv[0, 0].astype(cdt)
         q, k_t, v_t = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
+        # the cache may be narrower than the compute dtype (serving keeps a
+        # bf16 cache under fp32-config int8 models); the merged current
+        # column must see the SAME rounding the cache write applies — the
+        # XLA path reads the current k/v back from the cache post-write
+        k_t = k_t.astype(nk_ref.dtype)
+        v_t = v_t.astype(nv_ref.dtype)
         nk_ref[0] = k_t
         nv_ref[0] = v_t
         qf = q.astype(jnp.float32)
@@ -133,15 +156,15 @@ def _gpt_decode_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv, bqkv,
         a = out.astype(cdt)
         o = jnp.dot(a, wproj[0].astype(cdt),
                     preferred_element_type=jnp.float32).astype(cdt)
-        return o + bproj[0, 0].astype(cdt)
+        return o * sproj[0, 0].astype(cdt) + bproj[0, 0].astype(cdt)
 
     def mlp(x):
         u = jnp.dot(x, wfc[0].astype(cdt),
                     preferred_element_type=jnp.float32).astype(cdt)
-        u = act(u + bfc[0, 0].astype(cdt))
+        u = act(u * sfc[0, 0].astype(cdt) + bfc[0, 0].astype(cdt))
         o = jnp.dot(u.astype(cdt), wfc2[0].astype(cdt),
                     preferred_element_type=jnp.float32).astype(cdt)
-        return o + bfc2[0, 0].astype(cdt)
+        return o * sfc2[0, 0].astype(cdt) + bfc2[0, 0].astype(cdt)
 
     h = h_scr[:]
     if pre_ln:  # gpt2/gpt3 (modeling_gpt.py:147-152)
@@ -182,19 +205,32 @@ def fused_decode_step(stack, h0, bias, bias_cur, cache_k, cache_v, *,
     L, B, T, D = cache_k.shape
     H = n_head
     hd = D // H
-    F = stack["wfc"].shape[-1]
 
     def vec(p):  # (L, X) -> (L, 1, X): sublane-1 blocks ride as (1,1,X)
         return p.reshape(L, 1, p.shape[-1])
 
+    def wpair(w):
+        # int8 weight-only quantization (ops/quant.py): {"q": int8 (L,in,out),
+        # "s": (L,out)} streams half the HBM bytes; the convert + column
+        # scaling happen in-kernel. Unquantized weights ride with scale 1.
+        if isinstance(w, dict):
+            return w["q"], vec(w["s"])
+        return w, jnp.ones((L, 1, w.shape[-1]), h0.dtype)
+
+    wqkv, sqkv = wpair(stack["wqkv"])
+    wproj, sproj = wpair(stack["wproj"])
+    wfc, sfc = wpair(stack["wfc"])
+    wfc2, sfc2 = wpair(stack["wfc2"])
+    F = wfc.shape[-1]
+
     operands = (
         h0, bias, bias_cur,
         vec(stack["ln1w"]), vec(stack["ln1b"]),
-        stack["wqkv"], vec(stack["bqkv"]),
-        stack["wproj"], vec(stack["bproj"]),
+        wqkv, sqkv, vec(stack["bqkv"]),
+        wproj, sproj, vec(stack["bproj"]),
         vec(stack["ln2w"]), vec(stack["ln2b"]),
-        stack["wfc"], vec(stack["bfc"]),
-        stack["wfc2"], vec(stack["bfc2"]),
+        wfc, sfc, vec(stack["bfc"]),
+        wfc2, sfc2, vec(stack["bfc2"]),
         cache_k, cache_v,
     )
 
@@ -210,11 +246,11 @@ def fused_decode_step(stack, h0, bias, bias_cur, cache_k, cache_v, *,
     in_specs = [
         fixed((B, D)), fixed((B, T, H)), fixed((B, H)),
         per_layer((1, D)), per_layer((1, D)),
-        per_layer((D, 3 * D)), per_layer((1, 3 * D)),
-        per_layer((D, D)), per_layer((1, D)),
+        per_layer((D, 3 * D)), per_layer((1, 3 * D)), per_layer((1, 3 * D)),
+        per_layer((D, D)), per_layer((1, D)), per_layer((1, D)),
         per_layer((1, D)), per_layer((1, D)),
-        per_layer((D, F)), per_layer((1, F)),
-        per_layer((F, D)), per_layer((1, D)),
+        per_layer((D, F)), per_layer((1, F)), per_layer((1, F)),
+        per_layer((F, D)), per_layer((1, D)), per_layer((1, D)),
         per_layer((B, T, D)), per_layer((B, T, D)),
     ]
     out_specs = [fixed((B, D)), per_layer((B, D)), per_layer((B, D))]

@@ -90,30 +90,43 @@ def _choose(state, rows_scores, row_ids, sampling):
 
 
 def _cache_dims(buf):
-    """(L, B, H, T, hd) of a cache buffer — dense array or int8 {"q","s"}."""
-    return (buf["q"] if isinstance(buf, dict) else buf).shape
+    """(L, B, H, T, hd) of a cache buffer — dense array or int8 {"q","s"}.
+    A fused (L, B, T, D) buffer (models/*.py fused_decode layout) reports
+    H=1, hd=D."""
+    shape = (buf["q"] if isinstance(buf, dict) else buf).shape
+    if len(shape) == 4:
+        L, B, T, D = shape
+        return L, B, 1, T, D
+    return shape
 
 
 def _slot_slice(buf, slot, window):
-    """One slot's (L, 1, H, window, hd) cache slice (int8-cache aware)."""
+    """One slot's cache slice over the first ``window`` key positions
+    (int8- and fused-layout aware)."""
     L, _, H, _, hd = _cache_dims(buf)
     if isinstance(buf, dict):
         return {"q": jax.lax.dynamic_slice(buf["q"], (0, slot, 0, 0, 0),
                                            (L, 1, H, window, hd)),
                 "s": jax.lax.dynamic_slice(buf["s"], (0, slot, 0, 0),
                                            (L, 1, H, window))}
+    if buf.ndim == 4:  # fused (L, B, T, D)
+        return jax.lax.dynamic_slice(buf, (0, slot, 0, 0),
+                                     (L, 1, window, hd))
     return jax.lax.dynamic_slice(buf, (0, slot, 0, 0, 0),
                                  (L, 1, H, window, hd))
 
 
 def _slot_update(buf, new, slot):
-    """Write a slot slice back into the full cache (int8-cache aware)."""
+    """Write a slot slice back into the full cache (int8/fused aware)."""
     if isinstance(buf, dict):
         return {"q": jax.lax.dynamic_update_slice(
                     buf["q"], new["q"], (0, slot, 0, 0, 0)),
                 "s": jax.lax.dynamic_update_slice(
                     buf["s"], new["s"].astype(buf["s"].dtype),
                     (0, slot, 0, 0))}
+    if buf.ndim == 4:
+        return jax.lax.dynamic_update_slice(buf, new.astype(buf.dtype),
+                                            (0, slot, 0, 0))
     return jax.lax.dynamic_update_slice(buf, new.astype(buf.dtype),
                                         (0, slot, 0, 0, 0))
 
@@ -199,6 +212,11 @@ def _merge_window(buf, new, valid, window):
                 buf["s"], jnp.where(ms, new["s"].astype(buf["s"].dtype),
                                     old_s), (0, 0, 0, 0)),
         }
+    if buf.ndim == 4:  # fused (L, B, T, D): window axis is 2
+        m = valid[None, :, None, None].astype(bool)
+        old = jax.lax.slice_in_dim(buf, 0, window, axis=2)
+        return jax.lax.dynamic_update_slice(
+            buf, jnp.where(m, new.astype(buf.dtype), old), (0, 0, 0, 0))
     m = valid[None, :, None, None, None].astype(bool)
     old = jax.lax.slice_in_dim(buf, 0, window, axis=3)
     return jax.lax.dynamic_update_slice(
@@ -230,6 +248,11 @@ def _prefill_batch(params, config, forward, state, ids, chunk_len,
         def fresh():
             return {"q": jnp.zeros((L, B, H, window, hd), jnp.int8),
                     "s": jnp.zeros((L, B, H, window), jnp.float32)}
+    elif state["cache_k"].ndim == 4:
+        dt = state["cache_k"].dtype
+
+        def fresh():
+            return jnp.zeros((L, B, window, hd), dt)  # fused (L, B, T, D)
     else:
         dt = state["cache_k"].dtype
 
@@ -435,6 +458,14 @@ class ServingEngine:
             def _cache_buf():
                 return {"q": jnp.zeros((L, B, H, T, hd), jnp.int8),
                         "s": jnp.zeros((L, B, H, T), jnp.float32)}
+        elif getattr(self.config, "fused_decode", False):
+            # fused (L, B, T, D) layout: decode steps take the whole-stack
+            # Pallas kernel with ragged per-row offsets (ops/fused_decode.py;
+            # falls back to the XLA path past its VMEM budget at large T)
+            Tp = -(-T // 8) * 8
+
+            def _cache_buf():
+                return jnp.zeros((L, B, Tp, H * hd), cache_dtype)
         else:
             def _cache_buf():
                 return jnp.zeros((L, B, H, T, hd), cache_dtype)

@@ -124,6 +124,42 @@ def test_bloom_fused_greedy_bit_exact(n_head, hidden):
     assert np.array_equal(out0, out1)
 
 
+@pytest.mark.parametrize("family", ["gpt", "bloom"])
+def test_fused_int8_weights_bit_exact(family):
+    # int8 weight-only quantization rides the kernel: the convert + column
+    # scaling happen in-kernel (scale rows are exactly 1.0 when unquantized)
+    # — outputs must match the int8 XLA decode path exactly.
+    rs = np.random.RandomState(0)
+    if family == "gpt":
+        cfg = dict(vocab_size=211, n_embd=64, n_head=4, n_layer=3,
+                   n_positions=128, quantize_int8=True)
+        m0 = GPTLMHeadModel(GPTConfig(**cfg), version="gpt2",
+                            rng=jax.random.PRNGKey(0))
+        m1 = GPTLMHeadModel(GPTConfig(**cfg, fused_decode=True),
+                            version="gpt2", params=m0.params)
+    else:
+        cfg = dict(vocab_size=211, hidden_size=64, n_layer=3,
+                   num_attention_heads=4, quantize_int8=True)
+
+        def mk(**kw):
+            m = BloomForCausalLM(BloomConfig(**cfg, **kw),
+                                 rng=jax.random.PRNGKey(0))
+            m._tie_weight()
+            return m
+
+        m0 = mk()
+        m1 = mk(fused_decode=True)
+        m1.params = m0.params
+    ids = rs.randint(5, 200, (2, 9)).astype(np.int32)
+    mask = np.ones((2, 9), np.int32)
+    mask[1, :4] = 0
+    gcfg = {"beam_size": 1, "max_gen_len": 12, "do_sample": False,
+            "end_ids": None, "pad_id": 0, "no_repeat_ngram_size": 0}
+    out0 = np.asarray(m0.generate(ids, mask, generation_configs=gcfg))
+    out1 = np.asarray(m1.generate(ids, mask, generation_configs=gcfg))
+    assert np.array_equal(out0, out1)
+
+
 def test_bloom_fused_beam_takes_dense_layout():
     m0, m1 = _bloom_pair()
     rs = np.random.RandomState(1)

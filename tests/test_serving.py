@@ -336,3 +336,30 @@ def test_pipeline_serial_matches_overlap(gpt):
     assert results["overlap"] == results["serial"]
     with pytest.raises(ValueError, match="pipeline"):
         ServingEngine(gpt, max_slots=2, max_len=64, pipeline="bogus")
+
+
+@pytest.mark.parametrize("model_fix", ["gpt", "bloom"])
+def test_fused_decode_serving_parity(model_fix, request):
+    # config.fused_decode switches the serving cache to the (L, B, T, D)
+    # layout and decode steps to the whole-stack Pallas kernel with RAGGED
+    # per-row offsets (models/*.py fused intercepts) — every request must
+    # still match the standalone fused generate() greedy output.
+    base = request.getfixturevalue(model_fix)
+    if model_fix == "gpt":
+        model = GPTLMHeadModel(GPTConfig(**GPT_SHAPE, fused_decode=True),
+                               version="gpt2", params=base.params)
+    else:
+        model = BloomForCausalLM(
+            BloomConfig(**BLOOM_SHAPE, fused_decode=True), params=base.params)
+    vocab = model.config.vocab_size
+    eng = ServingEngine(model, max_slots=2, max_len=64,
+                        prefill_buckets=(16,), chunk_size=4)
+    prompts = _prompts(vocab)
+    n_new = 10
+    rids = {eng.submit(p, max_new_tokens=n_new): p for p in prompts}
+    results = dict(eng.run())
+    assert set(results) == set(rids)
+    for rid, prompt in rids.items():
+        np.testing.assert_array_equal(
+            results[rid], ref_greedy(model, prompt, n_new),
+            err_msg=f"prompt={prompt}")
