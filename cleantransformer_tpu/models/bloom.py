@@ -94,11 +94,17 @@ def init_bloom_cache(config, batch_size, max_len, dtype=None, fused=None):
     dtype = dtype or config.compute_dtype
     if fused is None:
         fused = getattr(config, "fused_decode", False)
-    if fused and not getattr(config, "kv_cache_int8", False):
+    if fused:
         # fused (L, B, T, D) head-major layout for the whole-stack decode
         # kernel — see models/gpt.py init_kv_cache for the full rationale
         D = config.hidden_size
         T = -(-max_len // 8) * 8
+        if getattr(config, "kv_cache_int8", False):
+            def fbuf():
+                return {"q": jnp.zeros((L, batch_size, T, D), jnp.int8),
+                        "s": jnp.zeros((L, batch_size, T, H), jnp.float32)}
+            return {"k": fbuf(), "v": fbuf(),
+                    "length": jnp.zeros((), jnp.int32)}
         return {
             "k": jnp.zeros((L, batch_size, T, D), dtype),
             "v": jnp.zeros((L, batch_size, T, D), dtype),
@@ -484,12 +490,14 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
         new_cache = None
     else:
         kbuf = cache["k"]
-        fused_layout = not isinstance(kbuf, dict) and kbuf.ndim == 4
+        from cleantransformer_tpu.models.gpt import (_is_fused_cache,
+                                                     fused_cache_append)
+        fused_layout = _is_fused_cache(kbuf)
         if fused_layout:
             from cleantransformer_tpu.ops.fused_decode import fits_vmem
             _D = h.shape[-1]
-            fused_layout = fits_vmem(B, T, _D, 4 * _D,
-                                     cache_bytes=kbuf.dtype.itemsize)
+            cbytes = 1 if isinstance(kbuf, dict) else kbuf.dtype.itemsize
+            fused_layout = fits_vmem(B, T, _D, 4 * _D, cache_bytes=cbytes)
         if (fused_layout and S == 1 and head_mask is None
                 and "qkv_fused" in params
                 and not config.apply_residual_connection_post_layernorm):
@@ -546,18 +554,8 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
                 n_head=Hh, eps=config.layer_norm_epsilon, act="bloom_gelu",
                 scale=1.0 / math.sqrt(hd), pre_ln=True,
                 interpret=should_interpret())
-            if jnp.ndim(cache_len) == 1:  # ragged two-axis scatter
-                rows = jnp.arange(B)
-                pos = jnp.minimum(cache_len, T - 1)
-                new_k = kbuf.at[:, rows, pos].set(nk.astype(kbuf.dtype))
-                new_v = cache["v"].at[:, rows, pos].set(nv.astype(kbuf.dtype))
-            else:
-                new_k = jax.lax.dynamic_update_slice(
-                    kbuf, nk[:, :, None, :].astype(kbuf.dtype),
-                    (0, 0, cache_len, 0))
-                new_v = jax.lax.dynamic_update_slice(
-                    cache["v"], nv[:, :, None, :].astype(kbuf.dtype),
-                    (0, 0, cache_len, 0))
+            new_k = fused_cache_append(kbuf, nk, cache_len, Hh)
+            new_v = fused_cache_append(cache["v"], nv, cache_len, Hh)
             h = y[:, None, :]
             new_cache = {"k": new_k, "v": new_v, "length": cache_len + 1}
             h = layer_norm(h, params["ln_f"]["w"], params["ln_f"]["b"],

@@ -93,17 +93,24 @@ def init_kv_cache(config, batch_size, max_len, dtype=None, fused=None):
     kernel (ops/fused_decode.py): head-major per batch row, heads packed
     into the lane axis — fully tile-aligned at any head_dim, and layer
     blocks slice out with zero relayout (T is rounded up to the 8-sublane
-    tile; extra rows stay causally masked). Incompatible with the int8
-    cache (quantization happens per (b, h, t) vector) — int8 wins that
-    conflict."""
+    tile; extra rows stay causally masked). Composed with
+    ``kv_cache_int8`` each leaf becomes {"q": int8 (L,B,T,D), "s": f32
+    (L,B,T,H)} — same per-(b,h,t) symmetric quantization, scales kept as
+    head planes so the kernel folds them onto score/prob columns."""
     L, H = config.n_layer, config.n_head
     hd = config.n_embd // H
     dtype = dtype or config.compute_dtype
     if fused is None:
         fused = getattr(config, "fused_decode", False)
-    if fused and not getattr(config, "kv_cache_int8", False):
+    if fused:
         D = config.n_embd
         T = -(-max_len // 8) * 8
+        if getattr(config, "kv_cache_int8", False):
+            def fbuf():
+                return {"q": jnp.zeros((L, batch_size, T, D), jnp.int8),
+                        "s": jnp.zeros((L, batch_size, T, H), jnp.float32)}
+            return {"k": fbuf(), "v": fbuf(),
+                    "length": jnp.zeros((), jnp.int32)}
         return {
             "k": jnp.zeros((L, batch_size, T, D), dtype),
             "v": jnp.zeros((L, batch_size, T, D), dtype),
@@ -150,6 +157,22 @@ def cache_write(kv_cache, li, x, offset):
         s = jnp.maximum(amax / 127.0, 1e-8)
         q = jnp.clip(jnp.round(x.astype(jnp.float32) / s[..., None]),
                      -127, 127).astype(jnp.int8)
+        if kv_cache["q"].ndim == 4:
+            # fused-int8 layout: q (L,B,T,D), scale planes (L,B,T,H)
+            B, H, S, hd = x.shape
+            qt = jnp.transpose(q, (0, 2, 1, 3)).reshape(B, S, H * hd)
+            st = jnp.transpose(s, (0, 2, 1))                     # (B,S,H)
+            if jnp.ndim(offset) == 0:
+                return {"q": jax.lax.dynamic_update_slice(
+                            kv_cache["q"], qt[None], (li, 0, offset, 0)),
+                        "s": jax.lax.dynamic_update_slice(
+                            kv_cache["s"], st[None].astype(jnp.float32),
+                            (li, 0, offset, 0))}
+            pos = offset[:, None] + jnp.arange(S, dtype=jnp.int32)[None]
+            rows = jnp.arange(B)[:, None]
+            return {"q": kv_cache["q"].at[li, rows, pos].set(qt),
+                    "s": kv_cache["s"].at[li, rows, pos].set(
+                        st.astype(jnp.float32))}
         return {"q": cache_write(kv_cache["q"], li, q, offset),
                 "s": _scale_write(kv_cache["s"], li, s, offset)}
     if kv_cache.ndim == 4:
@@ -187,6 +210,13 @@ def cache_layer_kv(buf, li, B, H, T, hd):
     """Slice layer ``li``'s keys-or-values out of a stacked cache buffer.
     Returns (data, scales) — scales is None for a dense (non-int8) cache."""
     if isinstance(buf, dict):
+        if buf["q"].ndim == 4:  # fused-int8 -> (B,H,T,hd) + (B,H,T) views
+            data = jax.lax.dynamic_slice(buf["q"], (li, 0, 0, 0),
+                                         (1, B, T, H * hd))[0]
+            scales = jax.lax.dynamic_slice(buf["s"], (li, 0, 0, 0),
+                                           (1, B, T, H))[0]
+            return (data.reshape(B, T, H, hd).transpose(0, 2, 1, 3),
+                    scales.transpose(0, 2, 1))
         data = jax.lax.dynamic_slice(buf["q"], (li, 0, 0, 0, 0),
                                      (1, B, H, T, hd))[0]
         scales = jax.lax.dynamic_slice(buf["s"], (li, 0, 0, 0),
@@ -199,11 +229,54 @@ def cache_layer_kv(buf, li, B, H, T, hd):
                                  (1, B, H, T, hd))[0], None
 
 
+def fused_cache_append(buf, n, cache_len, n_head):
+    """Write the fused decode kernel's new k-or-v rows ``n`` (L, B, D) into
+    a fused-layout cache buffer at token row ``cache_len`` — a scalar
+    (generate) or (B,) per-row positions (continuous-batching serving).
+    For a fused-int8 buffer the rows are quantized per (layer, batch, head)
+    first, with cache_write's exact math (the kernel applied the same
+    round-trip to the merged current column, so decode stays bit-consistent
+    with the XLA int8 path)."""
+    ragged = jnp.ndim(cache_len) == 1
+    if isinstance(buf, dict):
+        L, B, T, D = buf["q"].shape
+        H = n_head
+        r = n.astype(jnp.float32).reshape(L, B, H, D // H)
+        amax = jnp.max(jnp.abs(r), axis=-1)                     # (L, B, H)
+        s = jnp.maximum(amax / 127.0, 1e-8)
+        q = jnp.clip(jnp.round(r / s[..., None]), -127,
+                     127).astype(jnp.int8).reshape(L, B, D)
+        if ragged:
+            rows = jnp.arange(B)
+            pos = jnp.minimum(cache_len, T - 1)
+            return {"q": buf["q"].at[:, rows, pos].set(q),
+                    "s": buf["s"].at[:, rows, pos].set(s)}
+        return {"q": jax.lax.dynamic_update_slice(
+                    buf["q"], q[:, :, None, :], (0, 0, cache_len, 0)),
+                "s": jax.lax.dynamic_update_slice(
+                    buf["s"], s[:, :, None, :], (0, 0, cache_len, 0))}
+    T = buf.shape[2]
+    if ragged:
+        rows = jnp.arange(buf.shape[1])
+        pos = jnp.minimum(cache_len, T - 1)
+        return buf.at[:, rows, pos].set(n.astype(buf.dtype))
+    return jax.lax.dynamic_update_slice(
+        buf, n[:, :, None, :].astype(buf.dtype), (0, 0, cache_len, 0))
+
+
+def _is_fused_cache(buf):
+    """True for either fused layout: float (L, B, T, D) or int8
+    {"q": (L,B,T,D), "s": (L,B,T,H)}."""
+    if isinstance(buf, dict):
+        return buf["q"].ndim == 4
+    return buf.ndim == 4
+
+
 def _cache_T(buf):
     """Token capacity of a cache buffer in any layout (dense 5D, int8 dict,
-    fused 4D)."""
+    fused 4D, fused-int8 dict)."""
     if isinstance(buf, dict):
-        return buf["q"].shape[3]
+        buf = buf["q"]
     return buf.shape[2] if buf.ndim == 4 else buf.shape[3]
 
 
@@ -542,7 +615,7 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
             additive_mask = jnp.pad(
                 additive_mask, ((0, 0), (0, 0), (0, 0),
                                 (0, _cache_T(kbuf) - additive_mask.shape[-1])))
-        fused_layout = not isinstance(kbuf, dict) and kbuf.ndim == 4
+        fused_layout = _is_fused_cache(kbuf)
         if fused_layout and S == 1 and deterministic:
             # whole-stack fused decode: ONE pallas program replaces the
             # ~10-kernels-per-layer scan body (ops/fused_decode.py). The
@@ -550,15 +623,18 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
             # current token's k/v are computed in-kernel and merged into
             # the softmax as an extra column, then written into the fused
             # (L, B, T, D) cache here with one stacked-row update per buffer
-            # (a two-axis scatter for ragged serving offsets).
+            # (a two-axis scatter for ragged serving offsets; quantizing
+            # first for a fused-int8 cache).
             from cleantransformer_tpu.ops.fused_decode import (
                 gpt_fused_decode, fits_vmem)
             from cleantransformer_tpu.ops.pallas_kernels import should_interpret
-            L, _, T, D = kbuf.shape
+            fused_int8 = isinstance(kbuf, dict)
+            L, _, T, D = (kbuf["q"] if fused_int8 else kbuf).shape
             Hh = config.n_head
             wfc = params["blocks"]["mlp"]["c_fc"]["w"]
             F = (wfc["q"] if isinstance(wfc, dict) else wfc).shape[-1]
-            if not fits_vmem(B, T, D, F, cache_bytes=kbuf.dtype.itemsize):
+            cbytes = 1 if fused_int8 else kbuf.dtype.itemsize
+            if not fits_vmem(B, T, D, F, cache_bytes=cbytes):
                 pass  # long-context fallback: XLA per-layer path below
             else:
                 ragged = jnp.ndim(cache_len) == 1
@@ -577,19 +653,8 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
                     params["blocks"], h[:, 0, :], bias, bias_cur, kbuf,
                     cache["v"], config=config, version=version,
                     interpret=should_interpret())
-                if ragged:
-                    rows = jnp.arange(B)
-                    pos = jnp.minimum(cache_len, T - 1)
-                    new_k = kbuf.at[:, rows, pos].set(nk.astype(kbuf.dtype))
-                    new_v = cache["v"].at[:, rows, pos].set(
-                        nv.astype(kbuf.dtype))
-                else:
-                    new_k = jax.lax.dynamic_update_slice(
-                        kbuf, nk[:, :, None, :].astype(kbuf.dtype),
-                        (0, 0, cache_len, 0))
-                    new_v = jax.lax.dynamic_update_slice(
-                        cache["v"], nv[:, :, None, :].astype(kbuf.dtype),
-                        (0, 0, cache_len, 0))
+                new_k = fused_cache_append(kbuf, nk, cache_len, Hh)
+                new_v = fused_cache_append(cache["v"], nv, cache_len, Hh)
                 h = y[:, None, :]
                 new_cache = {"k": new_k, "v": new_v,
                              "length": cache_len + 1}

@@ -80,9 +80,9 @@ def _ln(x, w, b, eps, cdt):
 
 def _gpt_decode_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv, sqkv,
                        bqkv, wproj, sproj, bproj, ln2w, ln2b, wfc, sfc, bfc,
-                       wfc2, sfc2, bfc2, ck_ref, cv_ref, y_ref, nk_ref,
-                       nv_ref, h_scr, *, B, H, D, hd, L, eps, act, scale,
-                       pre_ln):
+                       wfc2, sfc2, bfc2, ck_ref, sk_ref, cv_ref, sv_ref,
+                       y_ref, nk_ref, nv_ref, h_scr, *, B, H, D, hd, L, eps,
+                       act, scale, pre_ln, kv_int8):
     l = pl.program_id(0)
     cdt = x_ref.dtype
 
@@ -98,6 +98,27 @@ def _gpt_decode_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv, sqkv,
            == jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) // hd
            ).astype(jnp.float32)
     iota_b = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    if kv_int8:
+        # per-head helpers for the merged current column's in-kernel
+        # quantize round-trip (the XLA path reads the current k/v back from
+        # the quantized cache — the kernel must see the same rounding)
+        eye_h = (jax.lax.broadcasted_iota(jnp.int32, (H, H), 0)
+                 == jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
+                 ).astype(jnp.float32)
+        neg_off = (1.0 - hmT) * -1e30
+
+        def quantize_row(row):
+            """(1, D) float -> (int-valued (1, D), scale lanes (1, D),
+            scale heads (1, H)) — cache_write's per-(b, h) symmetric int8
+            quantization (models/gpt.py), expressed without transposes."""
+            amax_col = jnp.max(jnp.abs(row) * hmT + neg_off, axis=1,
+                               keepdims=True)                   # (H, 1)
+            sc_col = jnp.maximum(amax_col / 127.0, 1e-8)
+            sc_h = jnp.max(sc_col * eye_h + (eye_h - 1.0) * 1e30,
+                           axis=0, keepdims=True)               # (1, H)
+            sc_lanes = jnp.sum(sc_col * hmT, axis=0, keepdims=True)
+            q = jnp.clip(jnp.round(row / sc_lanes), -127, 127)
+            return q, sc_lanes, sc_h
 
     def attn(x):
         # qkv projection (linear() semantics: matmul -> cdt, bias in cdt).
@@ -130,24 +151,37 @@ def _gpt_decode_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv, sqkv,
             brow = jnp.sum(bcur * sel, 0, keepdims=True)        # (1, H)
             kb = ck_ref[0, b].astype(jnp.float32)               # (T, D)
             s = jnp.dot(kb * qrow, hm,
-                        preferred_element_type=jnp.float32) * scale
-            s = s + bias_ref[b].astype(jnp.float32)             # (T, H)
+                        preferred_element_type=jnp.float32)
+            if kv_int8:
+                # dequant scales are per (key, head): exactly the XLA int8
+                # path's ``(q@k) * k_scale`` column scaling (_attend)
+                s = s * sk_ref[0, b]
+                krow, _, sck_h = quantize_row(krow)
+            s = s * scale + bias_ref[b].astype(jnp.float32)     # (T, H)
             s_cur = jnp.dot(krow * qrow, hm,
-                            preferred_element_type=jnp.float32) * scale
-            s_cur = s_cur + brow                                # (1, H)
+                            preferred_element_type=jnp.float32)
+            if kv_int8:
+                s_cur = s_cur * sck_h
+            s_cur = s_cur * scale + brow                        # (1, H)
             m = jnp.maximum(jnp.max(s, axis=0, keepdims=True), s_cur)
             p = jnp.exp(s - m)
             pc = jnp.exp(s_cur - m)
             den = jnp.sum(p, axis=0, keepdims=True) + pc        # (1, H)
-            # probs round-trip through compute dtype before AV — mirrors the
-            # XLA decode path's w.astype(v.dtype) (models/bloom.py:165 /
-            # gpt.py _attend), keeping bf16 drift vs the per-layer path down
-            # to summation-order noise
-            pn = (p / den).astype(cdt).astype(jnp.float32)
-            pcn = (pc / den).astype(cdt).astype(jnp.float32)
+            vb = cv_ref[0, b].astype(jnp.float32)
+            if kv_int8:
+                # XLA's v_scale branch keeps fp32 probs and folds the value
+                # scales onto them (_softmax_av): out = (w * s_v) @ v_int
+                vrow, _, scv_h = quantize_row(vrow)
+                pn = (p / den) * sv_ref[0, b]
+                pcn = (pc / den) * scv_h
+            else:
+                # probs round-trip through compute dtype before AV — mirrors
+                # the XLA decode path's w.astype(v.dtype) (_softmax_av),
+                # keeping bf16 drift down to summation-order noise
+                pn = (p / den).astype(cdt).astype(jnp.float32)
+                pcn = (pc / den).astype(cdt).astype(jnp.float32)
             pexp = jnp.dot(pn, hmT,
                            preferred_element_type=jnp.float32)  # (T, D)
-            vb = cv_ref[0, b].astype(jnp.float32)
             ob = jnp.sum(pexp * vb, 0, keepdims=True)
             ob = ob + jnp.dot(pcn, hmT,
                               preferred_element_type=jnp.float32) * vrow
@@ -196,15 +230,25 @@ def fused_decode_step(stack, h0, bias, bias_cur, cache_k, cache_v, *,
       merged extra column), plus the ALiBi ramp for Bloom-family callers.
     bias_cur: (B, H) fp32 additive bias for the merged current-token column
       (zeros for GPT; ALiBi at the current key position for Bloom).
-    cache_k/v: (L, B, T, D) head-major cache (init_kv_cache fused branch).
+    cache_k/v: (L, B, T, D) head-major cache (init_kv_cache fused branch),
+      OR int8 pytrees {"q": int8 (L, B, T, D), "s": f32 (L, B, T, H)}
+      (config.kv_cache_int8): keys/values stream int8 and dequantize
+      in-kernel via the per-(key, head) scale planes.
     act: activation NAME (ops/activations.ACT2FN key) — static/hashable.
 
-    Returns (y (B, D) final hidden pre-ln_f, new_k (L, B, D), new_v) — the
-    caller writes new_k/new_v into the cache at row cache_len (one
-    dynamic_update_slice each on the stacked buffer)."""
+    Returns (y (B, D) final hidden pre-ln_f, new_k (L, B, D), new_v in the
+    COMPUTE dtype) — the caller writes new_k/new_v into the cache at row
+    cache_len (quantizing first for an int8 cache; fused_cache_append in
+    models/gpt.py)."""
+    kv_int8 = isinstance(cache_k, dict)
+    if kv_int8:
+        cache_k, sk = cache_k["q"], cache_k["s"]
+        cache_v, sv = cache_v["q"], cache_v["s"]
     L, B, T, D = cache_k.shape
     H = n_head
     hd = D // H
+    if not kv_int8:  # dummy scale planes keep one operand list (tiny)
+        sk = sv = jnp.ones((L, 1, 1, H), jnp.float32)
 
     def vec(p):  # (L, X) -> (L, 1, X): sublane-1 blocks ride as (1,1,X)
         return p.reshape(L, 1, p.shape[-1])
@@ -231,7 +275,7 @@ def fused_decode_step(stack, h0, bias, bias_cur, cache_k, cache_v, *,
         vec(stack["ln2w"]), vec(stack["ln2b"]),
         wfc, sfc, vec(stack["bfc"]),
         wfc2, sfc2, vec(stack["bfc2"]),
-        cache_k, cache_v,
+        cache_k, sk, cache_v, sv,
     )
 
     def fixed(shape):
@@ -243,6 +287,8 @@ def fused_decode_step(stack, h0, bias, bias_cur, cache_k, cache_v, *,
                             lambda l: (l,) + (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
+    # scale planes are unread refs when not quantized (static kv_int8 flag)
+    sk_spec = per_layer((B, T, H)) if kv_int8 else per_layer((1, 1, H))
     in_specs = [
         fixed((B, D)), fixed((B, T, H)), fixed((B, H)),
         per_layer((1, D)), per_layer((1, D)),
@@ -251,16 +297,18 @@ def fused_decode_step(stack, h0, bias, bias_cur, cache_k, cache_v, *,
         per_layer((1, D)), per_layer((1, D)),
         per_layer((D, F)), per_layer((1, F)), per_layer((1, F)),
         per_layer((F, D)), per_layer((1, D)), per_layer((1, D)),
-        per_layer((B, T, D)), per_layer((B, T, D)),
+        per_layer((B, T, D)), sk_spec, per_layer((B, T, D)), sk_spec,
     ]
+    new_kv_dtype = h0.dtype if kv_int8 else cache_k.dtype
     out_specs = [fixed((B, D)), per_layer((B, D)), per_layer((B, D))]
     out_shape = [jax.ShapeDtypeStruct((B, D), h0.dtype),
-                 jax.ShapeDtypeStruct((L, B, D), cache_k.dtype),
-                 jax.ShapeDtypeStruct((L, B, D), cache_v.dtype)]
+                 jax.ShapeDtypeStruct((L, B, D), new_kv_dtype),
+                 jax.ShapeDtypeStruct((L, B, D), new_kv_dtype)]
 
     kernel = functools.partial(
         _gpt_decode_kernel, B=B, H=H, D=D, hd=hd, L=L,
-        eps=eps, act=ACT2FN[act], scale=scale, pre_ln=pre_ln)
+        eps=eps, act=ACT2FN[act], scale=scale, pre_ln=pre_ln,
+        kv_int8=kv_int8)
 
     y, nk, nv = pl.pallas_call(
         kernel,

@@ -91,8 +91,8 @@ def _choose(state, rows_scores, row_ids, sampling):
 
 def _cache_dims(buf):
     """(L, B, H, T, hd) of a cache buffer — dense array or int8 {"q","s"}.
-    A fused (L, B, T, D) buffer (models/*.py fused_decode layout) reports
-    H=1, hd=D."""
+    A fused (L, B, T, D) buffer (models/*.py fused_decode layout, float or
+    int8 {"q","s"}) reports H=1, hd=D."""
     shape = (buf["q"] if isinstance(buf, dict) else buf).shape
     if len(shape) == 4:
         L, B, T, D = shape
@@ -100,11 +100,21 @@ def _cache_dims(buf):
     return shape
 
 
+def _is_fused(buf):
+    return (buf["q"] if isinstance(buf, dict) else buf).ndim == 4
+
+
 def _slot_slice(buf, slot, window):
     """One slot's cache slice over the first ``window`` key positions
     (int8- and fused-layout aware)."""
     L, _, H, _, hd = _cache_dims(buf)
     if isinstance(buf, dict):
+        if _is_fused(buf):  # {"q": (L,B,T,D), "s": (L,B,T,Hh)}
+            Hs = buf["s"].shape[-1]
+            return {"q": jax.lax.dynamic_slice(buf["q"], (0, slot, 0, 0),
+                                               (L, 1, window, hd)),
+                    "s": jax.lax.dynamic_slice(buf["s"], (0, slot, 0, 0),
+                                               (L, 1, window, Hs))}
         return {"q": jax.lax.dynamic_slice(buf["q"], (0, slot, 0, 0, 0),
                                            (L, 1, H, window, hd)),
                 "s": jax.lax.dynamic_slice(buf["s"], (0, slot, 0, 0),
@@ -119,6 +129,12 @@ def _slot_slice(buf, slot, window):
 def _slot_update(buf, new, slot):
     """Write a slot slice back into the full cache (int8/fused aware)."""
     if isinstance(buf, dict):
+        if _is_fused(buf):
+            return {"q": jax.lax.dynamic_update_slice(
+                        buf["q"], new["q"], (0, slot, 0, 0)),
+                    "s": jax.lax.dynamic_update_slice(
+                        buf["s"], new["s"].astype(buf["s"].dtype),
+                        (0, slot, 0, 0))}
         return {"q": jax.lax.dynamic_update_slice(
                     buf["q"], new["q"], (0, slot, 0, 0, 0)),
                 "s": jax.lax.dynamic_update_slice(
@@ -201,6 +217,17 @@ def _merge_window(buf, new, valid, window):
     cache buffer, row-masked by ``valid`` (int8-cache aware): rows that were
     not admitted this wave keep their live contents untouched."""
     if isinstance(buf, dict):
+        if _is_fused(buf):  # window axis is 2 for both q and s planes
+            m = valid[None, :, None, None].astype(bool)
+            old_q = jax.lax.slice_in_dim(buf["q"], 0, window, axis=2)
+            old_s = jax.lax.slice_in_dim(buf["s"], 0, window, axis=2)
+            return {
+                "q": jax.lax.dynamic_update_slice(
+                    buf["q"], jnp.where(m, new["q"], old_q), (0, 0, 0, 0)),
+                "s": jax.lax.dynamic_update_slice(
+                    buf["s"], jnp.where(m, new["s"].astype(buf["s"].dtype),
+                                        old_s), (0, 0, 0, 0)),
+            }
         mq = valid[None, :, None, None, None].astype(bool)
         ms = valid[None, :, None, None].astype(bool)
         old_q = jax.lax.slice_in_dim(buf["q"], 0, window, axis=3)
@@ -245,9 +272,16 @@ def _prefill_batch(params, config, forward, state, ids, chunk_len,
     L, B, H, T, hd = _cache_dims(state["cache_k"])
     window = bucket
     if isinstance(state["cache_k"], dict):
-        def fresh():
-            return {"q": jnp.zeros((L, B, H, window, hd), jnp.int8),
-                    "s": jnp.zeros((L, B, H, window), jnp.float32)}
+        if _is_fused(state["cache_k"]):  # fused-int8 {"q","s"} planes
+            Hs = state["cache_k"]["s"].shape[-1]
+
+            def fresh():
+                return {"q": jnp.zeros((L, B, window, hd), jnp.int8),
+                        "s": jnp.zeros((L, B, window, Hs), jnp.float32)}
+        else:
+            def fresh():
+                return {"q": jnp.zeros((L, B, H, window, hd), jnp.int8),
+                        "s": jnp.zeros((L, B, H, window), jnp.float32)}
     elif state["cache_k"].ndim == 4:
         dt = state["cache_k"].dtype
 
@@ -454,7 +488,16 @@ class ServingEngine:
             getattr(self.config, "quantize_int8", False)
             and cdtype == jnp.float32) else cdtype
         B, T = max_slots, max_len
-        if getattr(self.config, "kv_cache_int8", False):
+        if (getattr(self.config, "kv_cache_int8", False)
+                and getattr(self.config, "fused_decode", False)):
+            # fused-int8: int8 rows + per-(key, head) scale planes, decode
+            # through the whole-stack kernel with in-kernel dequant
+            Tp = -(-T // 8) * 8
+
+            def _cache_buf():
+                return {"q": jnp.zeros((L, B, Tp, H * hd), jnp.int8),
+                        "s": jnp.zeros((L, B, Tp, H), jnp.float32)}
+        elif getattr(self.config, "kv_cache_int8", False):
             def _cache_buf():
                 return {"q": jnp.zeros((L, B, H, T, hd), jnp.int8),
                         "s": jnp.zeros((L, B, H, T), jnp.float32)}

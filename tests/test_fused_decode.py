@@ -38,11 +38,14 @@ def test_fused_cache_layout():
     assert cache["k"].shape == (2, 3, 16, 64)  # (L, B, T, D)
     dense = init_kv_cache_dense(cfg, 3, 16)
     assert dense["k"].shape == (2, 3, 2, 16, 32)  # (L, B, H, T, hd)
-    # int8 wins the conflict: quantization is per-(b,h,t) vector
+    # int8 KV composes with the fused layout: int8 rows + per-(key, head)
+    # scale planes (dequant happens in-kernel)
     cfg_q = GPTConfig(vocab_size=97, n_embd=64, n_positions=128, n_layer=2,
                       n_head=2, fused_decode=True, kv_cache_int8=True)
     cache_q = init_kv_cache(cfg_q, 3, 16)
     assert cache_q["k"]["q"].dtype == jnp.int8
+    assert cache_q["k"]["q"].shape == (2, 3, 16, 64)  # (L, B, T, D)
+    assert cache_q["k"]["s"].shape == (2, 3, 16, 2)   # (L, B, T, H)
 
 
 @pytest.mark.parametrize("version", ["gpt", "gpt2"])
@@ -114,6 +117,44 @@ def test_bloom_fused_greedy_bit_exact(n_head, hidden):
     # ALiBi positions.
     m0, m1 = _bloom_pair(n_head, hidden)
     rs = np.random.RandomState(0)
+    ids = rs.randint(5, 200, (2, 9)).astype(np.int32)
+    mask = np.ones((2, 9), np.int32)
+    mask[1, :4] = 0
+    gcfg = {"beam_size": 1, "max_gen_len": 12, "do_sample": False,
+            "end_ids": None, "pad_id": 0, "no_repeat_ngram_size": 0}
+    out0 = np.asarray(m0.generate(ids, mask, generation_configs=gcfg))
+    out1 = np.asarray(m1.generate(ids, mask, generation_configs=gcfg))
+    assert np.array_equal(out0, out1)
+
+
+@pytest.mark.parametrize("family", ["gpt", "bloom"])
+def test_fused_int8_kv_cache_bit_exact(family):
+    # kv_cache_int8 composes with fused_decode: int8 rows dequantize
+    # in-kernel via per-(key, head) scale planes, and the merged current
+    # column gets the same in-kernel quantize round-trip the XLA path sees
+    # by reading the cache post-write — outputs must match the 5D int8 XLA
+    # decode exactly.
+    rs = np.random.RandomState(0)
+    if family == "gpt":
+        cfg = dict(vocab_size=211, n_embd=64, n_head=4, n_layer=3,
+                   n_positions=128, kv_cache_int8=True)
+        m0 = GPTLMHeadModel(GPTConfig(**cfg), version="gpt2",
+                            rng=jax.random.PRNGKey(0))
+        m1 = GPTLMHeadModel(GPTConfig(**cfg, fused_decode=True),
+                            version="gpt2", params=m0.params)
+    else:
+        cfg = dict(vocab_size=211, hidden_size=64, n_layer=3,
+                   num_attention_heads=4, kv_cache_int8=True)
+
+        def mk(**kw):
+            m = BloomForCausalLM(BloomConfig(**cfg, **kw),
+                                 rng=jax.random.PRNGKey(0))
+            m._tie_weight()
+            return m
+
+        m0 = mk()
+        m1 = mk(fused_decode=True)
+        m1.params = m0.params
     ids = rs.randint(5, 200, (2, 9)).astype(np.int32)
     mask = np.ones((2, 9), np.int32)
     mask[1, :4] = 0

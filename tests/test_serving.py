@@ -363,3 +363,22 @@ def test_fused_decode_serving_parity(model_fix, request):
         np.testing.assert_array_equal(
             results[rid], ref_greedy(model, prompt, n_new),
             err_msg=f"prompt={prompt}")
+
+
+def test_fused_int8_kv_serving_parity(gpt):
+    # fused_decode + kv_cache_int8: serving decodes through the kernel's
+    # in-kernel dequant path ({"q","s"} planes, ragged offsets) and must
+    # match the standalone fused-int8 generate() stream.
+    model = GPTLMHeadModel(
+        GPTConfig(**GPT_SHAPE, fused_decode=True, kv_cache_int8=True),
+        version="gpt2", params=gpt.params)
+    eng = ServingEngine(model, max_slots=2, max_len=64,
+                        prefill_buckets=(16,), chunk_size=4)
+    prompts = _prompts(model.config.vocab_size)
+    n_new = 10
+    rids = {eng.submit(p, max_new_tokens=n_new): p for p in prompts}
+    results = dict(eng.run())
+    for rid, prompt in rids.items():
+        np.testing.assert_array_equal(
+            results[rid], ref_greedy(model, prompt, n_new),
+            err_msg=f"prompt={prompt}")
