@@ -518,7 +518,7 @@ def bench_moe_sft(moe_impl):
 
 
 def bench_serving(model, name, vocab, n_requests=24, max_slots=8,
-                  max_len=256, n_new=64, depth=8):
+                  max_len=256, n_new=64, depth=8, chunk_size=16):
     """Continuous-batching throughput under a stream of variable-length
     prompts (the serving engine keeps all slots busy; generate() would run
     one batch at a time). ``depth`` = max_dispatch_depth: the engine
@@ -536,7 +536,7 @@ def bench_serving(model, name, vocab, n_requests=24, max_slots=8,
     # programs, so the serial schedule beats overlap here (see
     # serving/engine.py pipeline param; real hosts want the default)
     eng = ServingEngine(model, max_slots=max_slots, max_len=max_len,
-                        prefill_buckets=(64,), chunk_size=16,
+                        prefill_buckets=(64,), chunk_size=chunk_size,
                         pipeline="serial", max_dispatch_depth=depth)
     # warmup: compile the prefill + decode-chunk programs before timing
     eng.submit(prompts[0], max_new_tokens=4)
@@ -550,30 +550,36 @@ def bench_serving(model, name, vocab, n_requests=24, max_slots=8,
     rtt_s = eng.fetches * host_rtt()
     record(name, gen_tokens / dt, "generated tokens/s",
            {"requests": n_requests, "slots": max_slots,
-            "chunk": 16, "depth": depth, "wall_s": round(dt, 2),
+            "chunk": chunk_size, "depth": depth, "wall_s": round(dt, 2),
             "fetches": eng.fetches, "rtt_s": round(rtt_s, 3),
             "device_and_enqueue_s": round(dt - rtt_s, 3)})
 
 
-def bench_prompt_lookup_batched(model, name, vocab, B=8, gen=128, K=4):
+def bench_prompt_lookup_batched(model, name, vocab, B=8, gen=128, K=8):
     """b8 prompt-lookup vs plain b8 greedy on a repetitive continuation
-    (per-row matching/acceptance — VERDICT r2 item 9)."""
+    (per-row matching/acceptance — VERDICT r2 item 9). The workload is the
+    regime prompt-lookup exists for: every row's greedy continuation cycles
+    (probed from 48 random prompts in B-sized waves; random-weight greedy
+    streams usually cycle, mirroring extraction/quoting workloads on real
+    models). K=8 spans the typical cycle, so full rounds commit K+1 tokens
+    per row (measured 8.6 tokens/round/row; K=4 truncates mid-cycle and
+    caps acceptance at ~2)."""
     from cleantransformer_tpu.generation.speculative import (
         prompt_lookup_generate)
     rs = np.random.RandomState(0)
     plain_cfg = {"beam_size": 1, "max_gen_len": gen, "do_sample": False,
                  "pad_id": 0, "end_ids": None, "no_repeat_ngram_size": 0}
-    # probe for cycling prompts (random-weight greedy streams usually cycle)
+    # probe in B-sized waves (reuses the baseline's compiled program)
     scored = []
-    for _ in range(12):
-        probe = rs.randint(1, vocab, (1, 16)).astype(np.int32)
-        out = np.asarray(model.generate(probe,
-                                        generation_configs=plain_cfg))[0, 0]
-        g = out[16:]
-        rep = len(g) - len(set(zip(g[:-1], g[1:])))
-        scored.append((rep, probe))
+    for _ in range(48 // B):
+        probe = rs.randint(1, vocab, (B, 16)).astype(np.int32)
+        out = np.asarray(model.generate(probe, generation_configs=plain_cfg))
+        for r in range(B):
+            g = out[r, 0, 16:]
+            rep = len(g) - len(set(zip(g[:-1], g[1:])))
+            scored.append((rep, probe[r]))
     scored.sort(key=lambda x: -x[0])
-    ids = np.concatenate([p for _, p in scored[:B]], axis=0)  # (B, 16)
+    ids = np.stack([p for _, p in scored[:B]], axis=0)  # (B, 16)
 
     out = model.generate(ids, generation_configs=plain_cfg)
     n_new = (out.shape[-1] - 16) * B
