@@ -116,22 +116,46 @@ def init_llama_params(config, rng):
     return params
 
 
-def init_llama_cache(config, batch_size, max_len, dtype=None):
+def init_llama_cache(config, batch_size, max_len, dtype=None,
+                     head_major=None):
     """KV cache over ``num_key_value_heads`` (GQA: H/Hkv x smaller than a
     full-head cache). Same {'k','v','length'} layout as models/gpt.py, so
     the generic cache_write/cache_layer_kv helpers (incl. int8 mode) apply."""
     L, Hkv, hd = config.n_layer, config.num_key_value_heads, config.head_dim
     dtype = dtype or config.compute_dtype
+    if head_major is None:
+        head_major = getattr(config, "decode_head_major", False)
     if getattr(config, "kv_cache_int8", False):
         def buf():
             return {"q": jnp.zeros((L, batch_size, Hkv, max_len, hd), jnp.int8),
                     "s": jnp.zeros((L, batch_size, Hkv, max_len), jnp.float32)}
         return {"k": buf(), "v": buf(), "length": jnp.zeros((), jnp.int32)}
+    if head_major:
+        # (L, B, T, Hkv*hd) head-major rows: a decode step's cache write is
+        # ONE contiguous-lane row per (layer, batch) instead of Hkv
+        # scattered half-lane tiles — the per-tile-run update cost (~0.2 us
+        # each, profiled) made the (L,B,Hkv,T,hd) writes 35% of a tinyllama
+        # b32 step. S==1 attention runs directly on the head-major slab
+        # (_gqa_attend_headmajor); multi-token prefill takes the generic 4D
+        # helpers (models/gpt.py cache_write/cache_layer_kv).
+        return {
+            "k": jnp.zeros((L, batch_size, max_len, Hkv * hd), dtype),
+            "v": jnp.zeros((L, batch_size, max_len, Hkv * hd), dtype),
+            "length": jnp.zeros((), jnp.int32),
+        }
     return {
         "k": jnp.zeros((L, batch_size, Hkv, max_len, hd), dtype),
         "v": jnp.zeros((L, batch_size, Hkv, max_len, hd), dtype),
         "length": jnp.zeros((), jnp.int32),
     }
+
+
+def init_llama_cache_dense(config, batch_size, max_len, dtype=None):
+    """init_llama_cache forced to the (L, B, Hkv, T, hd) layout even when
+    ``config.decode_head_major`` is set — batch-axis reorder (beam) and
+    ragged per-row writes (batched speculative) need it."""
+    return init_llama_cache(config, batch_size, max_len, dtype,
+                            head_major=False)
 
 
 # ---------------------------------------------------------------------------
@@ -199,6 +223,106 @@ def apply_rope(x, cos, sin):
 # forward
 # ---------------------------------------------------------------------------
 
+def _gqa_attend_headmajor(q, k_slab, v_slab, k_cur, v_cur, mask_cache,
+                          mask_cur, scale):
+    """S==1 grouped-query attention directly on a head-major cache slab.
+
+    The (L, B, T, Dkv) cache layout makes the decode write ONE
+    contiguous-lane row per (layer, batch) — see init_llama_cache — but its
+    kv heads live packed in the lane axis, so splitting them out for the
+    standard (B, Hkv, T, hd) matmuls would materialize relayout copies of
+    the whole slab. Instead the head structure moves into the SMALL operand:
+    the query expands to a block-diagonal q̃ (B, Dkv, H) with
+    q̃[b, (g, dj), h] = q[b, h, dj] * (g == h // group), and both attention
+    contractions run as single batched MXU matmuls on the slab's native
+    layout:
+
+        scores (B, T, H)  = K_slab @ q̃
+        out_dk (B, Dkv, H) = V_slab^T @ softmax-weights
+
+    out_dk holds each q-head's output in its kv-group's lane rows; a
+    constant block-diagonal einsum extracts the (B, H*hd) result. The
+    current token's k/v (not yet written — the caller batches all layers'
+    rows after the scan) joins as one merged column, exactly the
+    ops/fused_decode.py trick.
+
+    q: (B, H, 1, hd); k_slab/v_slab: (B, T, Dkv); k_cur/v_cur: (B, Dkv);
+    mask_cache: (B?, T, 1) fp32 additive; mask_cur: (B?, 1).
+    Returns (B, H*hd) in q.dtype."""
+    B, H, _, hd = q.shape
+    T, Dkv = k_slab.shape[1], k_slab.shape[2]
+    Hkv = Dkv // hd
+    g = H // Hkv
+    cdt = q.dtype
+    qr = q[:, :, 0, :].reshape(B, Hkv, g, hd)
+    qT = qr.transpose(0, 1, 3, 2)                        # (B, Hkv, hd, g)
+    eye = jnp.eye(Hkv, dtype=cdt)
+    qt = qT[:, None] * eye[None, :, :, None, None]       # (B, Hkv_d, Hkv_h, hd, g)
+    q_tilde = qt.transpose(0, 1, 3, 2, 4).reshape(B, Dkv, H)
+    s1 = jax.lax.dot_general(k_slab, q_tilde,
+                             (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)  # (B, T, H)
+    s1 = s1 * scale + mask_cache
+    s_cur = jnp.einsum('bd,bdh->bh', k_cur, q_tilde,
+                       preferred_element_type=jnp.float32)
+    s_cur = s_cur * scale + mask_cur
+    m = jnp.maximum(jnp.max(s1, axis=1), s_cur)          # (B, H)
+    p1 = jnp.exp(s1 - m[:, None, :])
+    pc = jnp.exp(s_cur - m)
+    den = jnp.sum(p1, axis=1) + pc                       # (B, H)
+    w1 = (p1 / den[:, None, :]).astype(cdt)
+    wc = (pc / den).astype(cdt).astype(jnp.float32)
+    out_dk = jax.lax.dot_general(v_slab, w1,
+                                 (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+    out_dk = out_dk + v_cur.astype(jnp.float32)[:, :, None] * wc[:, None, :]
+    od = out_dk.reshape(B, Hkv, hd, Hkv, g)
+    diag = jnp.einsum('bidkj,ik->bijd', od,
+                      jnp.eye(Hkv, dtype=out_dk.dtype))  # (B, Hkv, g, hd)
+    return diag.reshape(B, H * hd).astype(cdt)
+
+
+def _gqa_attend_merged(q, k, v, k_cur, v_cur, mask_cache, mask_cur, scale):
+    """Grouped-query attention over [cache | current] column groups.
+
+    Decode fast path (profiled, BENCH_DETAILS.md): writing each layer's
+    current k/v into the stacked cache INSIDE the layer scan and reading the
+    slab back costs ~27 us per dynamic-update-slice in the decode loop
+    (44/step at tinyllama scale = 1.2 ms of a 3.5 ms b32 step — the ops are
+    in-place but the write-then-read forces a serialization XLA otherwise
+    pipelines away). Here the cache is READ-ONLY: the current tokens join
+    the softmax as S extra merged columns (exactly the fused decode kernel's
+    trick, ops/fused_decode.py) and the caller batches ALL layers' cache
+    writes into two post-scan dynamic-update-slices.
+
+    q: (B, H, S, hd); k, v: (B, Hkv, T, hd) cache slabs (positions >=
+    cache_len are stale buffer junk — mask_cache must exclude them);
+    k_cur/v_cur: (B, Hkv, S, hd); mask_cache: broadcastable (B, 1, S, T)
+    fp32 additive (strict col < cache_len causality + padding + window);
+    mask_cur: broadcastable (B, 1, S, S) additive ((S, S) causal + window +
+    current-column padding). Masked scores clamp to -1e30 -> exp underflows
+    to exactly 0, so the merged softmax matches the single-buffer one up to
+    fp32 summation order."""
+    B, H, S, hd = q.shape
+    Hkv, T = k.shape[1], k.shape[2]
+    g = H // Hkv
+    qg = q.reshape(B, Hkv, g * S, hd)
+    s1 = jnp.matmul(qg, k.swapaxes(-1, -2)).reshape(B, H, S, T)
+    s1 = s1.astype(jnp.float32) * scale + mask_cache
+    s2 = jnp.matmul(qg, k_cur.swapaxes(-1, -2)).reshape(B, H, S, S)
+    s2 = s2.astype(jnp.float32) * scale + mask_cur
+    m = jnp.maximum(jnp.max(s1, axis=-1, keepdims=True),
+                    jnp.max(s2, axis=-1, keepdims=True))
+    p1 = jnp.exp(s1 - m)
+    p2 = jnp.exp(s2 - m)
+    den = (jnp.sum(p1, axis=-1, keepdims=True)
+           + jnp.sum(p2, axis=-1, keepdims=True))
+    w1 = (p1 / den).reshape(B, Hkv, g * S, T).astype(v.dtype)
+    w2 = (p2 / den).reshape(B, Hkv, g * S, S).astype(v.dtype)
+    out = jnp.matmul(w1, v) + jnp.matmul(w2, v_cur)
+    return out.reshape(B, H, S, hd)
+
+
 def _gqa_attend(q, k, v, additive_mask, scale, k_scale=None, v_scale=None):
     """Grouped-query attention without materializing repeated K/V heads.
 
@@ -246,14 +370,44 @@ def _llama_attention(attn_params, h, cos, sin, additive_mask, layer_kv,
     k = shard_hint(k, ("data", "model", None, None))
 
     k_scale = v_scale = None
+    defer = isinstance(additive_mask, tuple)
     if layer_kv is None:
         new_k, new_v = None, None
+    elif defer:
+        # merged-column decode: the cache is read-only here; the caller
+        # batches every layer's (k, v) rows into two post-scan writes
+        # (_gqa_attend_merged docstring has the profile numbers)
+        k_cache, v_cache, li = layer_kv
+        mask_cache, mask_cur = additive_mask
+        if k_cache.ndim == 4:
+            # head-major slab: S==1 only (llama_forward gates defer on it)
+            kc = jax.lax.dynamic_slice_in_dim(k_cache, li, 1, 0)[0]
+            vc = jax.lax.dynamic_slice_in_dim(v_cache, li, 1, 0)[0]
+            k_row = k[:, :, 0, :].reshape(B, Hkv * hd)
+            v_row = v[:, :, 0, :].reshape(B, Hkv * hd)
+            out = _gqa_attend_headmajor(
+                q, kc, vc, k_row, v_row, mask_cache[:, 0, 0, :, None],
+                mask_cur[:, 0, :, 0], 1.0 / math.sqrt(hd))
+            out = linear(out[:, None, :], p["o_proj"]["w"],
+                         p["o_proj"].get("b"))
+            return out, (k_row, v_row)
+        from cleantransformer_tpu.models.gpt import cache_layer_kv
+        T = k_cache.shape[3]
+        kc, _ = cache_layer_kv(k_cache, li, B, Hkv, T, hd)
+        vc, _ = cache_layer_kv(v_cache, li, B, Hkv, T, hd)
+        out = _gqa_attend_merged(q, kc, vc, k, v, mask_cache, mask_cur,
+                                 1.0 / math.sqrt(hd))
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, H * hd)
+        out = linear(out, p["o_proj"]["w"], p["o_proj"].get("b"))
+        return out, (k, v)
     else:
         from cleantransformer_tpu.models.gpt import cache_write, cache_layer_kv
         k_cache, v_cache, li = layer_kv
         new_k = cache_write(k_cache, li, k, cache_len)
         new_v = cache_write(v_cache, li, v, cache_len)
-        T = (k_cache["q"] if isinstance(k_cache, dict) else k_cache).shape[3]
+        _cb = k_cache["q"] if isinstance(k_cache, dict) else k_cache
+        T = _cb.shape[2] if (not isinstance(k_cache, dict)
+                             and _cb.ndim == 4) else _cb.shape[3]
         k, k_scale = cache_layer_kv(new_k, li, B, Hkv, T, hd)
         v, v_scale = cache_layer_kv(new_v, li, B, Hkv, T, hd)
 
@@ -510,13 +664,47 @@ def llama_forward(params, config, input_ids, attention_mask=None,
         new_cache = None
     else:
         kbuf = cache["k"]
-        T = (kbuf["q"] if isinstance(kbuf, dict) else kbuf).shape[3]
+        _tb = kbuf["q"] if isinstance(kbuf, dict) else kbuf
+        head_major = not isinstance(kbuf, dict) and kbuf.ndim == 4
+        T = _tb.shape[2] if head_major else _tb.shape[3]
         # fold causal (+ sliding window + padding) into ONE fp32 additive
         # bias shared by all layers (see models/gpt.py decode fast path);
         # for S>1 windows the flash kernel's q_offset iota covers causal
         use_flash_window = (flash_cfg and S > 1
                             and not getattr(config, "kv_cache_int8", False))
-        if not use_flash_window:
+        # merged-column decode (scalar offsets, dense cache, dense attention):
+        # blocks read the cache and emit their (k, v) rows as scan outputs;
+        # TWO batched dynamic-update-slices then write all layers at once
+        # (the per-layer write-then-read costs ~27 us per slice in the decode
+        # loop — 1.2 ms of a 3.5 ms tinyllama b32 step, BENCH_DETAILS.md).
+        # A head-major (L, B, T, Dkv) cache (config.decode_head_major) only
+        # takes this path at S==1 (_gqa_attend_headmajor); its multi-token
+        # prefill goes through the generic 4D cache_write/cache_layer_kv.
+        defer = (jnp.ndim(cache_len) == 0 and not isinstance(kbuf, dict)
+                 and not use_flash_window and (not head_major or S == 1))
+        if defer:
+            row = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)
+            keep = col < cache_len  # strict: current tokens ride mask_cur
+            if window is not None:
+                keep = keep & ((cache_len + row) - col < window)
+            mask_cache = jnp.where(keep, 0.0, CAUSAL_NEG)[None, None]
+            if additive_mask is not None:
+                mask_cache = mask_cache + additive_mask  # key padding (B,1,1,T)
+            rs = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+            cs = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+            keep_cur = cs <= rs
+            if window is not None:
+                keep_cur = keep_cur & (rs - cs < window)
+            mask_cur = jnp.where(keep_cur, 0.0, CAUSAL_NEG)[None, None]
+            if attention_mask is not None:
+                pad_cur = jax.lax.dynamic_slice(
+                    attention_mask.astype(jnp.float32), (0, cache_len),
+                    (B, S))
+                mask_cur = mask_cur + ((1.0 - pad_cur) * CAUSAL_NEG)[:, None,
+                                                                     None, :]
+            additive_mask = (mask_cache, mask_cur)
+        elif not use_flash_window:
             row = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)
             if jnp.ndim(cache_len) == 1:
@@ -536,16 +724,43 @@ def llama_forward(params, config, input_ids, attention_mask=None,
 
         aux = None
 
-        def body(carry, block_params):
-            h_in, k_cache, v_cache, li = carry
-            out, (nk, nv), _ = _llama_block(
-                block_params, (k_cache, v_cache, li), h_in, cos, sin,
-                additive_mask, cache_len, config, act)
-            return (out, nk, nv, li + 1), None
-        (h, new_k, new_v, _), _ = jax.lax.scan(
-            body, (h, cache["k"], cache["v"], jnp.zeros((), jnp.int32)),
-            params["blocks"],
-            unroll=getattr(config, "decode_unroll", 1))
+        if defer:
+            def body(carry, block_params):
+                h_in, li = carry
+                out, (nk, nv), _ = _llama_block(
+                    block_params, (cache["k"], cache["v"], li), h_in, cos,
+                    sin, additive_mask, cache_len, config, act)
+                return (out, li + 1), (nk, nv)
+            (h, _), (nks, nvs) = jax.lax.scan(
+                body, (h, jnp.zeros((), jnp.int32)), params["blocks"],
+                unroll=getattr(config, "decode_unroll", 1))
+            if head_major:
+                # ys are (L, B, Dkv) rows -> ONE contiguous-lane write per
+                # (layer, batch) pair
+                new_k = jax.lax.dynamic_update_slice(
+                    cache["k"], nks[:, :, None, :].astype(cache["k"].dtype),
+                    (0, 0, cache_len, 0))
+                new_v = jax.lax.dynamic_update_slice(
+                    cache["v"], nvs[:, :, None, :].astype(cache["v"].dtype),
+                    (0, 0, cache_len, 0))
+            else:
+                new_k = jax.lax.dynamic_update_slice(
+                    cache["k"], nks.astype(cache["k"].dtype),
+                    (0, 0, 0, cache_len, 0))
+                new_v = jax.lax.dynamic_update_slice(
+                    cache["v"], nvs.astype(cache["v"].dtype),
+                    (0, 0, 0, cache_len, 0))
+        else:
+            def body(carry, block_params):
+                h_in, k_cache, v_cache, li = carry
+                out, (nk, nv), _ = _llama_block(
+                    block_params, (k_cache, v_cache, li), h_in, cos, sin,
+                    additive_mask, cache_len, config, act)
+                return (out, nk, nv, li + 1), None
+            (h, new_k, new_v, _), _ = jax.lax.scan(
+                body, (h, cache["k"], cache["v"], jnp.zeros((), jnp.int32)),
+                params["blocks"],
+                unroll=getattr(config, "decode_unroll", 1))
         new_cache = {"k": new_k, "v": new_v, "length": cache_len + S}
 
     h = rms_norm(h, params["norm"]["w"], config.rms_norm_eps)
@@ -624,6 +839,7 @@ class LlamaForCausalLM:
         bind_generation(self)
 
     cache_factory = staticmethod(init_llama_cache)  # see models/gpt.py
+    cache_factory_dense = staticmethod(init_llama_cache_dense)
 
     def _tie_weight(self):
         self.params.pop("lm_head", None)
