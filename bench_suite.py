@@ -774,6 +774,10 @@ def main():
     for b in (8, 32):
         bench_decode(qlmodel, f"tinyllama_1.1B_decode_b{b}_int8", b, 32, 128,
                      32000)
+    # production-serving datapoint: continuous batching on the 1.1B int8
+    # model through the head-major ragged cache path, provisioned slots
+    bench_serving(qlmodel, "tinyllama_1.1B_serving_tokens_per_sec_int8",
+                  32000, max_slots=24, chunk_size=64)
     del qlmodel
     _gc.collect()
 

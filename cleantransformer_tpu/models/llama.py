@@ -680,15 +680,27 @@ def llama_forward(params, config, input_ids, attention_mask=None,
         # A head-major (L, B, T, Dkv) cache (config.decode_head_major) only
         # takes this path at S==1 (_gqa_attend_headmajor); its multi-token
         # prefill goes through the generic 4D cache_write/cache_layer_kv.
-        defer = (jnp.ndim(cache_len) == 0 and not isinstance(kbuf, dict)
-                 and not use_flash_window and (not head_major or S == 1))
+        # Per-row ragged offsets (the serving engine's continuous batching)
+        # are supported head-major at S==1 — ragged rows are by definition
+        # live generated tokens, never padding.
+        ragged = jnp.ndim(cache_len) == 1
+        defer = (not isinstance(kbuf, dict) and not use_flash_window
+                 and (not head_major or S == 1)
+                 and (not ragged or (head_major and S == 1)))
         if defer:
             row = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)
-            keep = col < cache_len  # strict: current tokens ride mask_cur
-            if window is not None:
-                keep = keep & ((cache_len + row) - col < window)
-            mask_cache = jnp.where(keep, 0.0, CAUSAL_NEG)[None, None]
+            if ragged:
+                len_b = cache_len[:, None, None]                 # (B, 1, 1)
+                keep = col[None] < len_b
+                if window is not None:
+                    keep = keep & ((len_b + row[None]) - col[None] < window)
+                mask_cache = jnp.where(keep, 0.0, CAUSAL_NEG)[:, None]
+            else:
+                keep = col < cache_len  # strict: current rides mask_cur
+                if window is not None:
+                    keep = keep & ((cache_len + row) - col < window)
+                mask_cache = jnp.where(keep, 0.0, CAUSAL_NEG)[None, None]
             if additive_mask is not None:
                 mask_cache = mask_cache + additive_mask  # key padding (B,1,1,T)
             rs = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
@@ -697,7 +709,7 @@ def llama_forward(params, config, input_ids, attention_mask=None,
             if window is not None:
                 keep_cur = keep_cur & (rs - cs < window)
             mask_cur = jnp.where(keep_cur, 0.0, CAUSAL_NEG)[None, None]
-            if attention_mask is not None:
+            if attention_mask is not None and not ragged:
                 pad_cur = jax.lax.dynamic_slice(
                     attention_mask.astype(jnp.float32), (0, cache_len),
                     (B, S))
@@ -734,7 +746,15 @@ def llama_forward(params, config, input_ids, attention_mask=None,
             (h, _), (nks, nvs) = jax.lax.scan(
                 body, (h, jnp.zeros((), jnp.int32)), params["blocks"],
                 unroll=getattr(config, "decode_unroll", 1))
-            if head_major:
+            if head_major and jnp.ndim(cache_len) == 1:
+                # ragged rows (serving): scatter each batch row at its own
+                # offset — still one contiguous-lane run per (layer, batch)
+                rows = jnp.arange(B)
+                new_k = cache["k"].at[:, rows, cache_len].set(
+                    nks.astype(cache["k"].dtype))
+                new_v = cache["v"].at[:, rows, cache_len].set(
+                    nvs.astype(cache["v"].dtype))
+            elif head_major:
                 # ys are (L, B, Dkv) rows -> ONE contiguous-lane write per
                 # (layer, batch) pair
                 new_k = jax.lax.dynamic_update_slice(

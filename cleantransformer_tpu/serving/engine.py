@@ -509,6 +509,13 @@ class ServingEngine:
 
             def _cache_buf():
                 return jnp.zeros((L, B, Tp, H * hd), cache_dtype)
+        elif getattr(self.config, "decode_head_major", False):
+            # llama-family head-major (L, B, T, Hkv*hd): decode steps write
+            # one contiguous-lane row per (layer, slot) and attend straight
+            # on the slab (models/llama.py _gqa_attend_headmajor, ragged
+            # per-row offsets); unrounded T keeps mask widths aligned
+            def _cache_buf():
+                return jnp.zeros((L, B, T, H * hd), cache_dtype)
         else:
             def _cache_buf():
                 return jnp.zeros((L, B, H, T, hd), cache_dtype)

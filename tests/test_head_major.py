@@ -113,6 +113,32 @@ def test_head_major_moe_decode():
     np.testing.assert_array_equal(out0, out1)
 
 
+@pytest.mark.slow
+def test_head_major_serving_parity():
+    """ServingEngine on a head-major llama: ragged per-row offsets through
+    _gqa_attend_headmajor — every request's greedy output must equal the
+    standalone generate() output."""
+    from cleantransformer_tpu.serving import ServingEngine
+    m = LlamaForCausalLM(LlamaConfig(**BASE, decode_head_major=True),
+                         rng=jax.random.PRNGKey(7))
+    eng = ServingEngine(m, max_slots=2, max_len=64, prefill_buckets=(16,),
+                        chunk_size=8)
+    assert eng.state["cache_k"].ndim == 4  # head-major layout picked up
+    rs = np.random.RandomState(7)
+    prompts = [rs.randint(1, BASE["vocab_size"], (n,)).tolist()
+               for n in (3, 7, 12, 5)]
+    want = {}
+    for p in prompts:
+        out = m.generate(np.asarray(p, np.int32)[None], generation_configs={
+            "beam_size": 1, "max_gen_len": 10, "do_sample": False,
+            "end_ids": None, "pad_id": 0})
+        want[tuple(p)] = np.asarray(out)[0, 0][:len(p) + 10]
+    rid2p = {eng.submit(p, max_new_tokens=10): p for p in prompts}
+    for rid, tokens in eng.run():
+        p = rid2p[rid]
+        np.testing.assert_array_equal(tokens[:len(p) + 10], want[tuple(p)])
+
+
 def test_head_major_multi_token_cached_window():
     """S>1 cached forwards (speculative verify windows) take the generic 4D
     path — logits must match the standard cache layout exactly."""
