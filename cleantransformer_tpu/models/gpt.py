@@ -176,14 +176,19 @@ def cache_write(kv_cache, li, x, offset):
         return {"q": cache_write(kv_cache["q"], li, q, offset),
                 "s": _scale_write(kv_cache["s"], li, s, offset)}
     if kv_cache.ndim == 4:
-        # fused (L, B, T, D) layout (ops/fused_decode.py): head-major rows
-        # per batch. Prefill/chunk writes only here — the S==1 step is
-        # intercepted by the fused kernel, which returns its new k/v for a
-        # single stacked-row write in gpt_forward.
+        # fused/head-major (L, B, T, D) layout (ops/fused_decode.py,
+        # models/llama.py decode_head_major): head-major rows per batch.
+        # Scalar offsets = prefill/chunk writes (the S==1 fused step is
+        # intercepted by the kernel); vector offsets = ragged per-row
+        # windows, mirroring the 5D and int8-4D branches.
         B, H, S, hd = x.shape
         xt = jnp.transpose(x, (0, 2, 1, 3)).reshape(B, S, H * hd)
-        return jax.lax.dynamic_update_slice(
-            kv_cache, xt[None].astype(kv_cache.dtype), (li, 0, offset, 0))
+        if jnp.ndim(offset) == 0:
+            return jax.lax.dynamic_update_slice(
+                kv_cache, xt[None].astype(kv_cache.dtype), (li, 0, offset, 0))
+        pos = offset[:, None] + jnp.arange(S, dtype=jnp.int32)[None]  # (B, S)
+        rows = jnp.arange(B)[:, None]
+        return kv_cache.at[li, rows, pos].set(xt.astype(kv_cache.dtype))
     if jnp.ndim(offset) == 0:
         return jax.lax.dynamic_update_slice(
             kv_cache, x[None].astype(kv_cache.dtype), (li, 0, 0, offset, 0))

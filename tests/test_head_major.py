@@ -14,6 +14,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from cleantransformer_tpu.config import LlamaConfig
 from cleantransformer_tpu.models.llama import LlamaForCausalLM
@@ -137,6 +138,39 @@ def test_head_major_serving_parity():
     for rid, tokens in eng.run():
         p = rid2p[rid]
         np.testing.assert_array_equal(tokens[:len(p) + 10], want[tuple(p)])
+
+
+def test_head_major_ragged_multi_token_window():
+    """(B,) per-row offsets with S>1 (batched-speculative-style verify
+    windows) on a head-major cache: the rank-4 cache_write ragged branch
+    must produce the same logits as the dense 5D layout."""
+    m0, m1 = _pair(seed=8)
+    fwd = m0.forward_fn()
+    rs = np.random.RandomState(8)
+    B, S0, W, total = 2, 5, 3, 16
+    ids = rs.randint(1, BASE["vocab_size"], (B, S0 + W)).astype(np.int32)
+
+    def run(model, cfg):
+        cache = model.init_cache(B, total)
+        mask = np.zeros((B, total), np.int32)
+        mask[:, :S0] = 1
+        pos = np.arange(S0, dtype=np.int32)[None].repeat(B, 0)
+        (_, _), cache = fwd(model.params, cfg, ids[:, :S0], mask, pos, None,
+                            cache)
+        # ragged continuation: row 0 at offset S0, row 1 rewound to S0-1
+        offs = np.asarray([S0, S0 - 1], np.int32)
+        cache = {**cache, "length": jnp.asarray(offs)}
+        mask2 = np.zeros((B, total), np.int32)
+        mask2[0, :S0 + W] = 1
+        mask2[1, :S0 - 1 + W] = 1
+        pos2 = offs[:, None] + np.arange(W, dtype=np.int32)[None]
+        (lg, _), cache = fwd(model.params, cfg, ids[:, S0:], mask2,
+                             pos2.astype(np.int32), None, cache)
+        return np.asarray(lg)
+
+    a = run(m0, m0.config)
+    b = run(m1, m1.config)
+    np.testing.assert_allclose(a, b, atol=2e-6, rtol=1e-5)
 
 
 def test_head_major_multi_token_cached_window():
