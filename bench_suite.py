@@ -226,24 +226,49 @@ def bench_llama_sft(use_flash=True):
             "params_millions": round(n_params / 1e6, 1)})
 
 
+def _sim_lookup_tokens_per_round(stream, S0, K, ngram=2):
+    """Host-side simulation of _prompt_lookup_loop's matcher on a greedy
+    stream (greedy is deterministic, so the simulated acceptance is EXACT
+    for committed-prefix matches; non-full fallback proposals read buffer
+    junk in the real loop and are scored 0 here). Used to SELECT probe
+    prompts whose continuations the lookup mechanism actually accelerates —
+    raw repetition counts pick cycles longer than K that cap acceptance."""
+    t = list(map(int, stream))
+    total = len(t)
+    n = S0 + 1
+    rounds = 0
+    while n < total and rounds < 4 * total:
+        pat = tuple(t[n - ngram:n])
+        a = 0
+        for j in range(n - ngram - 1, -1, -1):  # last full match wins
+            if tuple(t[j:j + ngram]) == pat and j + ngram + K <= n:
+                cand = t[j + ngram:j + ngram + K]
+                while (a < K and n + a < total and cand[a] == t[n + a]):
+                    a += 1
+                break
+        n += a + 1
+        rounds += 1
+    return (n - S0 - 1) / max(rounds, 1)
+
+
 def bench_prompt_lookup(model, name, vocab, gen=128, K=4):
     """Draft-free (ngram) speculation vs plain greedy, batch 1, measured on
-    a REPETITIVE continuation (probed: the most-cycling greedy stream of a
-    few random prompts) — the regime prompt-lookup targets; real models hit
-    it on extraction/code/quoting workloads. A verify round costs ~2 plain
-    decode steps on this toolchain, so speedup ~ tokens_per_round / 2."""
+    a REPETITIVE continuation (probed: the random prompt whose greedy
+    stream the lookup matcher accelerates most, scored by exact host-side
+    acceptance simulation) — the regime prompt-lookup targets; real models
+    hit it on extraction/code/quoting workloads. A verify round costs ~2
+    plain decode steps on this toolchain, so speedup ~ tokens_per_round/2."""
     from cleantransformer_tpu.generation.speculative import (
         prompt_lookup_generate)
     rs = np.random.RandomState(0)
     plain_cfg = {"beam_size": 1, "max_gen_len": gen, "do_sample": False,
                  "pad_id": 0, "end_ids": None, "no_repeat_ngram_size": 0}
-    ids, best_rep = None, -1
+    ids, best_rep = None, -1.0
     for _ in range(12):
         probe = rs.randint(1, vocab, (1, 16)).astype(np.int32)
         out = np.asarray(model.generate(probe,
                                         generation_configs=plain_cfg))[0, 0]
-        g = out[16:]
-        rep = len(g) - len(set(zip(g[:-1], g[1:])))
+        rep = _sim_lookup_tokens_per_round(out, 16, K)
         if rep > best_rep:
             ids, best_rep = probe, rep
     out = model.generate(ids, generation_configs=plain_cfg)
@@ -559,11 +584,10 @@ def bench_prompt_lookup_batched(model, name, vocab, B=8, gen=128, K=8):
     """b8 prompt-lookup vs plain b8 greedy on a repetitive continuation
     (per-row matching/acceptance — VERDICT r2 item 9). The workload is the
     regime prompt-lookup exists for: every row's greedy continuation cycles
-    (probed from 48 random prompts in B-sized waves; random-weight greedy
-    streams usually cycle, mirroring extraction/quoting workloads on real
-    models). K=8 spans the typical cycle, so full rounds commit K+1 tokens
-    per row (measured 8.6 tokens/round/row; K=4 truncates mid-cycle and
-    caps acceptance at ~2)."""
+    (probed from 48 random prompts in B-sized waves, scored by exact
+    host-side acceptance simulation of the lookup matcher — raw repetition
+    counts pick cycles longer than K that cap acceptance). K=8 spans the
+    typical cycle, so full rounds commit up to K+1 tokens per row."""
     from cleantransformer_tpu.generation.speculative import (
         prompt_lookup_generate)
     rs = np.random.RandomState(0)
@@ -575,8 +599,7 @@ def bench_prompt_lookup_batched(model, name, vocab, B=8, gen=128, K=8):
         probe = rs.randint(1, vocab, (B, 16)).astype(np.int32)
         out = np.asarray(model.generate(probe, generation_configs=plain_cfg))
         for r in range(B):
-            g = out[r, 0, 16:]
-            rep = len(g) - len(set(zip(g[:-1], g[1:])))
+            rep = _sim_lookup_tokens_per_round(out[r, 0], 16, K)
             scored.append((rep, probe[r]))
     scored.sort(key=lambda x: -x[0])
     ids = np.stack([p for _, p in scored[:B]], axis=0)  # (B, 16)
@@ -725,6 +748,19 @@ def main():
                      decode_unroll=12, quantize_int8=True)
     qmodel = GPTLMHeadModel(qcfg, version="gpt2", rng=jax.random.PRNGKey(0))
     bench_decode(qmodel, "gpt2_124M_decode_b8_int8", 8, 32, 128, 50257)
+    del qmodel
+
+    # int8 weights IN the fused kernel (per-column scales dequantize on the
+    # dot operand — half the HBM stream at no extra kernel count)
+    qfmodel = GPTLMHeadModel(
+        GPTConfig(vocab_size=50257, n_embd=768, n_positions=1024, n_layer=12,
+                  n_head=12, n_ctx=1024, compute_dtype="bfloat16",
+                  fused_decode=True, quantize_int8=True),
+        version="gpt2", params=model.params)
+    for batch in (8, 32):
+        bench_decode(qfmodel, f"gpt2_124M_decode_b{batch}_int8_fused", batch,
+                     32, 128, 50257)
+    del qfmodel
 
     # Bloom-560m-class decode
     bcfg = BloomConfig(vocab_size=50432, hidden_size=1024, n_layer=24,
@@ -740,6 +776,14 @@ def main():
         params=bmodel.params)
     bench_decode(fbmodel, "bloom560m_decode_b8_fused", 8, 32, 128, 50432)
     del fbmodel
+    qfbmodel = BloomForCausalLM(
+        BloomConfig(vocab_size=50432, hidden_size=1024, n_layer=24,
+                    num_attention_heads=16, compute_dtype="bfloat16",
+                    fused_decode=True, quantize_int8=True),
+        params=bmodel.params)
+    bench_decode(qfbmodel, "bloom560m_decode_b8_int8_fused", 8, 32, 128,
+                 50432)
+    del qfbmodel
 
     # Llama-family decode (TinyLlama-1.1B-class: GQA 32q/4kv heads, SwiGLU,
     # RoPE) — the GQA cache is 8x smaller than a full-head cache
