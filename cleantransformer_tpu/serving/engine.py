@@ -164,7 +164,10 @@ def _prefill_chunk(params, config, forward, state, ids_bucket, chunk_len,
     short prompts never pay attention over the full max_len buffer.
     ``final=True`` additionally samples the first generated token and
     activates the slot (fused into the same program)."""
-    L, B, H, T, hd = _cache_dims(state["cache_k"])
+    L, B, H, _, hd = _cache_dims(state["cache_k"])
+    # token/mask buffers are (B, max_len); the fused cache may be padded to
+    # the 8-sublane tile (Tp >= max_len) — width math must use the buffers
+    T = state["tokens"].shape[1]
 
     # the slot's cache slice carries the previous chunks' keys
     ck = _slot_slice(state["cache_k"], slot, window)
@@ -269,7 +272,9 @@ def _prefill_batch(params, config, forward, state, ids, chunk_len,
     window), so admitted rows match the one-request-at-a-time path
     bit-for-bit. Prompts longer than the largest bucket still take the
     chunked `_prefill_chunk` path."""
-    L, B, H, T, hd = _cache_dims(state["cache_k"])
+    L, B, H, _, hd = _cache_dims(state["cache_k"])
+    # (B, max_len) buffer width, NOT the tile-padded fused cache capacity
+    T = state["tokens"].shape[1]
     window = bucket
     if isinstance(state["cache_k"], dict):
         if _is_fused(state["cache_k"]):  # fused-int8 {"q","s"} planes

@@ -422,33 +422,10 @@ class Trainer:
             return offload_step
 
         def train_step(params, opt_state, batch, rng, lr):
-            if accum > 1:
-                def body(carry, xs):
-                    micro, i = xs
-                    loss_sum, grads_sum = carry
-                    # distinct rng per micro-batch so NEFTune (and any
-                    # stochastic user loss) doesn't repeat noise within a step
-                    loss, grads = micro_grads(params, micro,
-                                              jax.random.fold_in(rng, i))
-                    grads_sum = jax.tree_util.tree_map(jnp.add, grads_sum, grads)
-                    return (loss_sum + loss, grads_sum), None
-                micro_batches = {
-                    k: v.reshape(accum, v.shape[0] // accum, *v.shape[1:])
-                    for k, v in batch.items()}
-                zero = jax.tree_util.tree_map(jnp.zeros_like, params)
-                (loss_sum, grads), _ = jax.lax.scan(
-                    body, (0.0, zero),
-                    (micro_batches, jnp.arange(accum, dtype=jnp.uint32)))
-                loss = loss_sum / accum
-                grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
-            else:
-                loss, grads = micro_grads(params, batch, rng)
-
-            gnorm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2)
-                                 for g in jax.tree_util.tree_leaves(grads)))
-            if max_norm and max_norm > 0:
-                scale = jnp.minimum(1.0, max_norm / (gnorm + 1e-6))
-                grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            # accumulation scan (distinct rng per micro-batch so NEFTune and
+            # stochastic user losses don't repeat noise) + gnorm/clipping
+            # live in compute_grads, shared with the CPU-offload path
+            loss, gnorm, grads = compute_grads(params, batch, rng)
             new_params, new_opt_state = update_fn(grads, opt_state, params,
                                                   lr_override=lr)
             if self._opt_spec_tree is not None:

@@ -365,6 +365,28 @@ def test_fused_decode_serving_parity(model_fix, request):
             err_msg=f"prompt={prompt}")
 
 
+def test_fused_serving_unaligned_max_len(gpt):
+    # the fused cache is tile-padded to Tp = ceil8(max_len); token/mask
+    # buffers stay (B, max_len). A non-multiple-of-8 max_len must not break
+    # the admission programs (regression: _prefill_batch/_prefill_chunk took
+    # the padded width from the cache and crashed broadcasting vs tokens).
+    model = GPTLMHeadModel(GPTConfig(**GPT_SHAPE, fused_decode=True),
+                           version="gpt2", params=gpt.params)
+    eng = ServingEngine(model, max_slots=2, max_len=100,
+                        prefill_buckets=(16,), chunk_size=4)
+    assert eng.state["cache_k"].shape[2] == 104  # padded capacity
+    assert eng.state["tokens"].shape[1] == 100
+    prompts = _prompts(model.config.vocab_size)[:3] + [
+        list(range(1, 20))]  # > bucket: chunked _prefill_chunk path
+    n_new = 8
+    rids = {eng.submit(p, max_new_tokens=n_new): p for p in prompts}
+    results = dict(eng.run())
+    for rid, prompt in rids.items():
+        np.testing.assert_array_equal(
+            results[rid], ref_greedy(model, prompt, n_new),
+            err_msg=f"prompt={prompt}")
+
+
 def test_fused_int8_kv_serving_parity(gpt):
     # fused_decode + kv_cache_int8: serving decodes through the kernel's
     # in-kernel dequant path ({"q","s"} planes, ragged offsets) and must
