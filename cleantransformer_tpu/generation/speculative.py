@@ -42,6 +42,108 @@ import jax.numpy as jnp
 from cleantransformer_tpu.generation.logits_process import build_wrapper_chain
 
 
+def _normalize_end_ids(end_ids):
+    if isinstance(end_ids, int):
+        end_ids = [end_ids]
+    return tuple(end_ids) if end_ids else ()
+
+
+def _batched_prefill(forward, params, config, init_cache, input_ids, T,
+                     end_ids):
+    """Shared batched-loop prologue: zero token buffer holding the prompt,
+    ONE prefill forward committing the model's first token, per-row cache
+    offsets (the serving-style (B,) cache "length" — the while_loop carry
+    must keep one dtype/shape across rounds), initial per-row done flags.
+    Returns (tokens, n0, cache, done0, col, mask0, pos0)."""
+    B, S0 = input_ids.shape
+    col = jnp.arange(T, dtype=jnp.int32)[None]                   # (1, T)
+    tokens = jnp.zeros((B, T), jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, input_ids.astype(jnp.int32),
+                                          (0, 0))
+    cache = init_cache(config, B, T)
+    pos0 = jnp.broadcast_to(jnp.arange(S0, dtype=jnp.int32)[None], (B, S0))
+    mask0 = (col < S0).astype(jnp.int32) * jnp.ones((B, 1), jnp.int32)
+    (logits, _), cache = forward(params, config, input_ids, mask0, pos0,
+                                 None, cache, last_only=True)
+    first = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1).astype(
+        jnp.int32)                                               # (B,)
+    tokens = tokens.at[:, S0].set(first)
+    n0 = jnp.full((B,), S0 + 1, jnp.int32)
+    cache = {**cache, "length": jnp.full((B,), S0, jnp.int32)}
+    done0 = jnp.zeros((B,), bool)
+    for e in end_ids:
+        done0 = done0 | (first == e)
+    return tokens, n0, cache, done0, col, mask0, pos0
+
+
+def _verify_commit_round(t_forward, t_params, t_config, tokens, n, t_cache,
+                         done, col, K, end_ids, total_len):
+    """Shared greedy batched verify/commit: score the K proposals sitting at
+    tokens[b, n_b:n_b+K] with ONE (K+1)-token target forward at per-row
+    cache offsets, commit the matched prefix plus the target's own next
+    token (correction on mismatch, bonus on full acceptance), scan the
+    committed span for end ids, and freeze rows that were already done at
+    round entry (they commit 0 and only overwrite junk past their frozen
+    frontier). Returns (tokens, n, t_cache, done)."""
+    B = tokens.shape[0]
+    W = K + 1
+    bidx = jnp.arange(B)
+    was_done = done  # rows finished in earlier rounds commit nothing
+    vin_idx = (n - 1)[:, None] + jnp.arange(W, dtype=jnp.int32)[None]
+    v_in = jnp.take_along_axis(tokens, vin_idx, axis=1)          # (B, W)
+    t_cache = {**t_cache, "length": n - 1}
+    (t_logits, _), t_cache = t_forward(
+        t_params, t_config, v_in,
+        (col < (n + K)[:, None]).astype(jnp.int32), vin_idx, None, t_cache)
+    g = jnp.argmax(t_logits.astype(jnp.float32), axis=-1).astype(
+        jnp.int32)                                               # (B, W)
+    cand_idx = n[:, None] + jnp.arange(K, dtype=jnp.int32)[None]
+    cand = jnp.take_along_axis(tokens, cand_idx, axis=1)         # (B, K)
+    match = (g[:, :K] == cand)
+    a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+    corr = jnp.take_along_axis(g, a[:, None], axis=1)[:, 0]      # (B,)
+    tokens = tokens.at[bidx, n + a].set(corr)
+    n_committed = a + 1
+
+    # end-id scan over the committed tokens (reference stops right after
+    # appending an end token, generation_util.py:89-94)
+    if end_ids:
+        jj = jnp.arange(W, dtype=jnp.int32)[None]
+        committed = jnp.take_along_axis(tokens, n[:, None] + jj, axis=1)
+        is_end = jnp.zeros((B, W), bool)
+        for e in end_ids:
+            is_end = is_end | (committed == e)
+        is_end = is_end & (jj < n_committed[:, None])
+        any_end = jnp.any(is_end, axis=1)
+        first_e = jnp.argmax(is_end, axis=1)
+        n_committed = jnp.where(any_end, first_e + 1, n_committed)
+        done = done | any_end
+
+    n = n + jnp.where(was_done, 0, n_committed)
+    done = done | (n >= total_len)
+    return tokens, n, t_cache, done
+
+
+def _finish_batched(tokens, n, rounds, S0, pad_id, return_stats):
+    """Host epilogue shared by the batched speculation paths: fetch tokens /
+    frontiers / round count in ONE device_get, trim to the longest row, pad
+    each row's tail past its frontier, reshape to the generate() (B, 1, L)
+    contract, and optionally report per-round commit stats."""
+    tokens_np, n, rounds = jax.device_get((tokens, n, rounds))
+    rounds = int(rounds)
+    n = np.asarray(n)
+    B = tokens_np.shape[0]
+    L = int(n.max())
+    out = tokens_np[:, :L].copy()
+    out[np.arange(L)[None] >= n[:, None]] = pad_id  # per-row tail padding
+    out = out.reshape(B, 1, L)
+    if return_stats:
+        gen = float(np.maximum(n - S0 - 1, 0).sum())
+        return out, {"rounds": rounds,
+                     "tokens_per_round": gen / max(rounds * B, 1)}
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=(
     "t_forward", "d_forward", "t_config", "d_config", "t_init_cache",
     "d_init_cache", "K", "end_ids", "total_len", "do_sample", "temperature",
@@ -236,32 +338,14 @@ def _speculative_loop_batched(t_params, d_params, t_config, d_config,
     T = total_len + K + 1
     W = K + 1
     bidx = jnp.arange(B)
-    col = jnp.arange(T, dtype=jnp.int32)[None]                   # (1, T)
-    tokens = jnp.zeros((B, T), jnp.int32)
-    tokens = jax.lax.dynamic_update_slice(tokens, input_ids.astype(jnp.int32),
-                                          (0, 0))
-    t_cache = t_init_cache(t_config, B, T)
-    d_cache = d_init_cache(d_config, B, T)
-
     # target prefill commits the prompt + the target's first token
-    pos0 = jnp.broadcast_to(jnp.arange(S0, dtype=jnp.int32)[None], (B, S0))
-    mask0 = (col < S0).astype(jnp.int32) * jnp.ones((B, 1), jnp.int32)
-    (logits, _), t_cache = t_forward(t_params, t_config, input_ids, mask0,
-                                     pos0, None, t_cache, last_only=True)
-    first = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1).astype(
-        jnp.int32)                                               # (B,)
-    tokens = tokens.at[:, S0].set(first)
-    n0 = jnp.full((B,), S0 + 1, jnp.int32)
+    tokens, n0, t_cache, done0, col, mask0, pos0 = _batched_prefill(
+        t_forward, t_params, t_config, t_init_cache, input_ids, T, end_ids)
     # draft prefill warms the draft cache on the prompt
+    d_cache = d_init_cache(d_config, B, T)
     _, d_cache = d_forward(d_params, d_config, input_ids, mask0, pos0, None,
                            d_cache, last_only=True)
-    # per-row cache offsets from here on
-    t_cache = {**t_cache, "length": jnp.full((B,), S0, jnp.int32)}
     d_cache = {**d_cache, "length": jnp.full((B,), S0, jnp.int32)}
-
-    done0 = jnp.zeros((B,), bool)
-    for e in end_ids:
-        done0 = done0 | (first == e)
 
     def cond(state):
         n, done = state[1], state[4]
@@ -304,38 +388,9 @@ def _speculative_loop_batched(t_params, d_params, t_config, d_config,
                                             (tokens, d_cache))
 
         # --- target verifies all K per row in one (K+1)-token forward
-        vin_idx = (n - 1)[:, None] + jnp.arange(W, dtype=jnp.int32)[None]
-        v_in = jnp.take_along_axis(tokens, vin_idx, axis=1)      # (B, W)
-        t_cache = {**t_cache, "length": n - 1}
-        (t_logits, _), t_cache = t_forward(
-            t_params, t_config, v_in,
-            (col < (n + K)[:, None]).astype(jnp.int32), vin_idx, None,
-            t_cache)
-        g = jnp.argmax(t_logits.astype(jnp.float32), axis=-1).astype(
-            jnp.int32)                                           # (B, W)
-        cand_idx = n[:, None] + jnp.arange(K, dtype=jnp.int32)[None]
-        cand = jnp.take_along_axis(tokens, cand_idx, axis=1)     # (B, K)
-        match = (g[:, :K] == cand)
-        a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
-        corr = jnp.take_along_axis(g, a[:, None], axis=1)[:, 0]  # (B,)
-        tokens = tokens.at[bidx, n + a].set(corr)
-        n_committed = a + 1
-
-        if end_ids:
-            jj = jnp.arange(W, dtype=jnp.int32)[None]
-            committed = jnp.take_along_axis(tokens, n[:, None] + jj, axis=1)
-            is_end = jnp.zeros((B, W), bool)
-            for e in end_ids:
-                is_end = is_end | (committed == e)
-            is_end = is_end & (jj < n_committed[:, None])
-            any_end = jnp.any(is_end, axis=1)
-            first_e = jnp.argmax(is_end, axis=1)
-            n_committed = jnp.where(any_end, first_e + 1, n_committed)
-            done = done | any_end
-
-        was_done = state[4]  # rows finished in earlier rounds commit nothing
-        n = n + jnp.where(was_done, 0, n_committed)
-        done = done | (n >= total_len)
+        tokens, n, t_cache, done = _verify_commit_round(
+            t_forward, t_params, t_config, tokens, n, t_cache, done, col,
+            K, end_ids, total_len)
         return tokens, n, t_cache, d_cache, done, rounds + 1
 
     state = (tokens, n0, t_cache, d_cache, done0, jnp.zeros((), jnp.int32))
@@ -365,30 +420,9 @@ def _prompt_lookup_loop(t_params, t_config, t_forward, t_init_cache,
     (tokens (B, T), n_final (B,), rounds)."""
     B, S0 = input_ids.shape
     T = total_len + K + 1
-    W = K + 1
     bidx = jnp.arange(B)
-    col = jnp.arange(T, dtype=jnp.int32)[None]                  # (1, T)
-    tokens = jnp.zeros((B, T), jnp.int32)
-    tokens = jax.lax.dynamic_update_slice(tokens, input_ids.astype(jnp.int32),
-                                          (0, 0))
-    t_cache = t_init_cache(t_config, B, T)
-
-    pos0 = jnp.broadcast_to(jnp.arange(S0, dtype=jnp.int32)[None], (B, S0))
-    mask0 = (col < S0).astype(jnp.int32) * jnp.ones((B, 1), jnp.int32)
-    (logits, _), t_cache = t_forward(t_params, t_config, input_ids,
-                                     mask0, pos0, None, t_cache,
-                                     last_only=True)
-    first = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1).astype(
-        jnp.int32)                                              # (B,)
-    tokens = tokens.at[:, S0].set(first)
-    n0 = jnp.full((B,), S0 + 1, jnp.int32)
-    # per-row cache offsets from here on (the while_loop carry must keep one
-    # dtype/shape for cache["length"] across rounds)
-    t_cache = {**t_cache, "length": jnp.full((B,), S0, jnp.int32)}
-
-    done0 = jnp.zeros((B,), bool)
-    for e in end_ids:
-        done0 = done0 | (first == e)
+    tokens, n0, t_cache, done0, col, _, _ = _batched_prefill(
+        t_forward, t_params, t_config, t_init_cache, input_ids, T, end_ids)
 
     def cond(state):
         n, done = state[1], state[3]
@@ -427,36 +461,9 @@ def _prompt_lookup_loop(t_params, t_config, t_forward, t_init_cache,
         tokens = tokens.at[bidx[:, None], wr_idx].set(cand)
 
         # --- verify all K per row in one forward (per-row cache offsets)
-        vin_idx = (n - 1)[:, None] + jnp.arange(W, dtype=jnp.int32)[None]
-        v_in = jnp.take_along_axis(tokens, vin_idx, axis=1)      # (B, W)
-        frontier = (col < (n + K)[:, None]).astype(jnp.int32)
-        t_cache = {**t_cache, "length": n - 1}
-        (t_logits, _), t_cache = t_forward(
-            t_params, t_config, v_in, frontier, vin_idx, None, t_cache)
-        g = jnp.argmax(t_logits.astype(jnp.float32), axis=-1).astype(
-            jnp.int32)                                           # (B, W)
-        match_c = (g[:, :K] == cand)
-        a = jnp.sum(jnp.cumprod(match_c.astype(jnp.int32), axis=1), axis=1)
-        corr = jnp.take_along_axis(g, a[:, None], axis=1)[:, 0]  # (B,)
-        tokens = tokens.at[bidx, n + a].set(corr)
-        n_committed = a + 1
-
-        if end_ids:
-            jj = jnp.arange(W, dtype=jnp.int32)[None]
-            committed = jnp.take_along_axis(
-                tokens, n[:, None] + jj, axis=1)                 # (B, W)
-            is_end = jnp.zeros((B, W), bool)
-            for e in end_ids:
-                is_end = is_end | (committed == e)
-            is_end = is_end & (jj < n_committed[:, None])
-            any_end = jnp.any(is_end, axis=1)
-            first_e = jnp.argmax(is_end, axis=1)
-            n_committed = jnp.where(any_end, first_e + 1, n_committed)
-            done = done | any_end
-
-        was_done = state[3]  # rows finished in earlier rounds commit nothing
-        n = n + jnp.where(was_done, 0, n_committed)
-        done = done | (n >= total_len)
+        tokens, n, t_cache, done = _verify_commit_round(
+            t_forward, t_params, t_config, tokens, n, t_cache, done, col,
+            K, end_ids, total_len)
         return tokens, n, t_cache, done, rounds + 1
 
     state = (tokens, n0, t_cache, done0, jnp.zeros((), jnp.int32))
@@ -486,10 +493,7 @@ def prompt_lookup_generate(model, input_ids, attention_mask=None,
         "ngram processors are unsupported in speculative decoding"
     max_gen_len = cfg.get("max_gen_len", 100)
     pad_id = cfg.get("pad_id", 0) or 0
-    end_ids = cfg.get("end_ids", None)
-    if isinstance(end_ids, int):
-        end_ids = [end_ids]
-    end_ids = tuple(end_ids) if end_ids else ()
+    end_ids = _normalize_end_ids(cfg.get("end_ids", None))
 
     # host-side conversion: an eager jnp.asarray is a device_put (+ the mask
     # check a blocking sum) per call — measurable on remote tunnels
@@ -508,18 +512,7 @@ def prompt_lookup_generate(model, input_ids, attention_mask=None,
         cache_factory(model, dense=True), np.asarray(input_ids, np.int32),
         K=int(draft_len), ngram=int(ngram), end_ids=end_ids,
         total_len=total_len)
-    tokens_np, n, rounds = jax.device_get((tokens, n, rounds))
-    rounds = int(rounds)
-    n = np.asarray(n)
-    L = int(n.max())
-    out = tokens_np[:, :L].copy()
-    out[np.arange(L)[None] >= n[:, None]] = pad_id  # per-row tail padding
-    out = out.reshape(B, 1, L)
-    if return_stats:
-        gen = float(np.maximum(n - S0 - 1, 0).sum())
-        return out, {"rounds": rounds,
-                     "tokens_per_round": gen / max(rounds * B, 1)}
-    return out
+    return _finish_batched(tokens, n, rounds, S0, pad_id, return_stats)
 
 
 def speculative_generate(model, draft_model, input_ids, attention_mask=None,
@@ -545,10 +538,7 @@ def speculative_generate(model, draft_model, input_ids, attention_mask=None,
     # flash attention is fine here: the kernel's causal iota takes the dynamic
     # cache offset, so the verify/catch-up windows at nonzero offsets are exact
     max_gen_len = cfg.get("max_gen_len", 100)
-    end_ids = cfg.get("end_ids", None)
-    if isinstance(end_ids, int):
-        end_ids = [end_ids]
-    end_ids = tuple(end_ids) if end_ids else ()
+    end_ids = _normalize_end_ids(cfg.get("end_ids", None))
 
     input_ids = np.asarray(input_ids, np.int32)
     assert input_ids.shape[0] == 1 or not do_sample, (
@@ -576,19 +566,8 @@ def speculative_generate(model, draft_model, input_ids, attention_mask=None,
             cache_factory(draft_model, dense=True),
             np.asarray(input_ids, np.int32), K=K, end_ids=end_ids,
             total_len=total_len)
-        tokens_np, n, rounds = jax.device_get((tokens, n, rounds))
-        rounds = int(rounds)
-        n = np.asarray(n)
-        L = int(n.max())
-        pad_id = cfg.get("pad_id", 0) or 0
-        out = tokens_np[:, :L].copy()
-        out[np.arange(L)[None] >= n[:, None]] = pad_id
-        out = out.reshape(B, 1, L)
-        if return_stats:
-            gen = float(np.maximum(n - S0 - 1, 0).sum())
-            return out, {"rounds": rounds,
-                         "tokens_per_round": gen / max(rounds * B, 1)}
-        return out
+        return _finish_batched(tokens, n, rounds, S0,
+                               cfg.get("pad_id", 0) or 0, return_stats)
 
     if rng is None:
         # raw legacy uint32 key, host-built (no eager device op)
