@@ -497,7 +497,9 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
             from cleantransformer_tpu.ops.fused_decode import fits_vmem
             _D = h.shape[-1]
             cbytes = 1 if isinstance(kbuf, dict) else kbuf.dtype.itemsize
-            fused_layout = fits_vmem(B, T, _D, 4 * _D, cache_bytes=cbytes)
+            fused_layout = fits_vmem(B, T, _D, 4 * _D, config.n_head,
+                                     cache_bytes=cbytes,
+                                     kv_int8=isinstance(kbuf, dict))
         if (fused_layout and S == 1 and head_mask is None
                 and "qkv_fused" in params
                 and not config.apply_residual_connection_post_layernorm):

@@ -639,7 +639,8 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
             wfc = params["blocks"]["mlp"]["c_fc"]["w"]
             F = (wfc["q"] if isinstance(wfc, dict) else wfc).shape[-1]
             cbytes = 1 if fused_int8 else kbuf.dtype.itemsize
-            if not fits_vmem(B, T, D, F, cache_bytes=cbytes):
+            if not fits_vmem(B, T, D, F, Hh, cache_bytes=cbytes,
+                             kv_int8=fused_int8):
                 pass  # long-context fallback: XLA per-layer path below
             else:
                 ragged = jnp.ndim(cache_len) == 1

@@ -55,17 +55,18 @@ from jax.experimental.pallas import tpu as pltpu
 from cleantransformer_tpu.ops.activations import ACT2FN
 
 
-def fits_vmem(B, T, D, F, weight_bytes=2, cache_bytes=2,
+def fits_vmem(B, T, D, F, H, weight_bytes=2, cache_bytes=2, kv_int8=False,
               limit=100 * 1024 * 1024):
     """Static check that one double-buffered layer block (weights + k/v
-    cache + bias) fits the kernel's VMEM budget — long-context callers
-    (serving at large max_len) fall back to the XLA per-layer path instead
-    of failing the Mosaic allocation."""
+    cache + the (B, T, H) fp32 bias plane + — for an int8 cache — the two
+    (B, T, H) fp32 scale planes) fits the kernel's VMEM budget —
+    long-context callers (serving at large max_len) fall back to the XLA
+    per-layer path instead of failing the Mosaic allocation."""
     weights = (3 * D * D + D * D + 2 * D * F) * weight_bytes
     cache = 2 * B * T * D * cache_bytes
-    bias = B * T * 4
+    planes = (3 if kv_int8 else 1) * B * T * H * 4
     scratch = 4 * B * D
-    return 2 * (weights + cache + bias) + scratch < limit
+    return 2 * (weights + cache + planes) + scratch < limit
 
 
 def _ln(x, w, b, eps, cdt):

@@ -96,10 +96,13 @@ def _event(wall_time, step=None, file_version=None, scalars=None):
 class TFEventWriter:
     """Append-only TensorBoard event file (TFRecord of Event protos)."""
 
+    _seq = 0  # uniquifies files created within the same second/process
+
     def __init__(self, logdir):
         os.makedirs(logdir, exist_ok=True)
+        TFEventWriter._seq += 1
         fn = (f"events.out.tfevents.{int(time.time())}."
-              f"{socket.gethostname()}")
+              f"{socket.gethostname()}.{os.getpid()}.{TFEventWriter._seq}")
         self.path = os.path.join(logdir, fn)
         self._f = open(self.path, "ab")
         self._record(_event(time.time(), file_version="brain.Event:2"))
@@ -190,10 +193,11 @@ class TensorBoardCallback(TrainerCallback):
             self.writer = None
 
 
-def resolve_report_to(report_to, output_dir):
+def resolve_report_to(report_to, output_dir=None):
     """TrainingArguments.report_to -> callback instances (reference
     trainer.py:238-248). Accepts a string or list of {'none', 'jsonl',
-    'tensorboard', 'all'}."""
+    'tensorboard', 'all'}; ``output_dir`` (when given) anchors the log
+    paths, else each callback falls back to ``trainer.args.output_dir``."""
     if report_to in (None, "none", [], ()):
         return []
     names = [report_to] if isinstance(report_to, str) else list(report_to)
@@ -202,9 +206,12 @@ def resolve_report_to(report_to, output_dir):
     out = []
     for n in names:
         if n == "jsonl":
-            out.append(JsonlLoggerCallback())
+            out.append(JsonlLoggerCallback(
+                os.path.join(output_dir, "trainer_log.jsonl")
+                if output_dir else None))
         elif n == "tensorboard":
-            out.append(TensorBoardCallback())
+            out.append(TensorBoardCallback(
+                os.path.join(output_dir, "runs") if output_dir else None))
         elif n != "none":
             raise ValueError(f"unknown report_to target {n!r} "
                              "(none | jsonl | tensorboard | all)")
