@@ -550,11 +550,14 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
                 "wfc2": blocks["mlp"]["dense_4h_to_h"]["w"],
                 "bfc2": blocks["mlp"]["dense_4h_to_h"]["b"],
             }
+            from cleantransformer_tpu.ops.fused_decode import table_bytes
             y, nk, nv = fused_decode_step(
                 stack, h[:, 0, :], bias.astype(jnp.float32),
                 bias_cur.astype(jnp.float32), kbuf, cache["v"],
                 n_head=Hh, eps=config.layer_norm_epsilon, act="bloom_gelu",
                 scale=1.0 / math.sqrt(hd), pre_ln=True,
+                park_bytes=table_bytes(
+                    params.get("lm_head", params["word_embeddings"])),
                 interpret=should_interpret())
             new_k = fused_cache_append(kbuf, nk, cache_len, Hh)
             new_v = fused_cache_append(cache["v"], nv, cache_len, Hh)

@@ -655,9 +655,12 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
                 bias_bt = jnp.broadcast_to(bias_bt, (B, T)).astype(jnp.float32)
                 bias = jnp.broadcast_to(bias_bt[:, :, None], (B, T, Hh))
                 bias_cur = jnp.zeros((B, Hh), jnp.float32)
+                from cleantransformer_tpu.ops.fused_decode import table_bytes
                 y, nk, nv = gpt_fused_decode(
                     params["blocks"], h[:, 0, :], bias, bias_cur, kbuf,
                     cache["v"], config=config, version=version,
+                    park_bytes=table_bytes(
+                        params.get("lm_head", params["tokens_embed"])),
                     interpret=should_interpret())
                 new_k = fused_cache_append(kbuf, nk, cache_len, Hh)
                 new_v = fused_cache_append(cache["v"], nv, cache_len, Hh)

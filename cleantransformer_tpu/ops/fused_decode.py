@@ -213,10 +213,16 @@ def _gpt_decode_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv, sqkv,
 
 
 @functools.partial(jax.jit, static_argnames=("n_head", "eps", "act", "scale",
-                                              "pre_ln", "interpret"))
+                                              "pre_ln", "park_bytes",
+                                              "interpret"))
 def fused_decode_step(stack, h0, bias, bias_cur, cache_k, cache_v, *,
-                      n_head, eps, act, scale, pre_ln, interpret=False):
+                      n_head, eps, act, scale, pre_ln, park_bytes=0,
+                      interpret=False):
     """One decode step over the whole stack (model-agnostic core).
+
+    park_bytes: size of the buffer the caller wants XLA to keep VMEM-parked
+    across decode steps (the lm_head table) — shrinks the kernel's VMEM
+    claim when, and only when, kernel blocks + that buffer fit together.
 
     stack: dict of stacked per-layer tensors in canonical pre/post-LN block
       order — ln1w/ln1b (L, D), wqkv (L, D, 3D) with CONTIGUOUS q|k|v
@@ -311,6 +317,27 @@ def fused_decode_step(stack, h0, bias, bias_cur, cache_k, cache_v, *,
         eps=eps, act=ACT2FN[act], scale=scale, pre_ln=pre_ln,
         kv_int8=kv_int8)
 
+    # Over-claiming VMEM evicts XLA's parked buffers for the REST of the
+    # decode step: at GPT-2 b8 a flat 110 MB claim pushed the 77 MB wte out
+    # of VMEM and the lm_head+argmax fusion from ~55 us (parked, ~1.4 TB/s)
+    # to ~122 us (HBM-rate re-read) — ~15% of the step. So when the
+    # double-buffered block set (+50% Mosaic working-set margin) AND the
+    # caller's lm_head table (park_bytes) fit VMEM together, claim only what
+    # the kernel needs; otherwise parking is impossible anyway and a tight
+    # claim just constrains the kernel's buffering (measured: Bloom b8
+    # 1.25 -> 1.88 ms, its 514 MB table can never park), so claim big.
+    wbytes = sum(w.dtype.itemsize * w.size // L
+                 for w in (wqkv, wproj, wfc, wfc2))
+    cache_blk = 2 * B * T * D * cache_k.dtype.itemsize
+    planes = (2 * B * T * H * 4 if kv_int8 else 0) + B * T * H * 4
+    fixed_ops = B * D * h0.dtype.itemsize * 5 + B * H * 4
+    need = 2 * (wbytes + cache_blk + planes) + fixed_ops
+    tight = max(int(need * 1.5), 32 * 1024 * 1024)
+    if park_bytes and tight + park_bytes <= int(127.5 * 1024 * 1024):
+        vmem_cap = tight
+    else:
+        vmem_cap = 110 * 1024 * 1024
+
     y, nk, nv = pl.pallas_call(
         kernel,
         grid=(L,),
@@ -320,14 +347,21 @@ def fused_decode_step(stack, h0, bias, bias_cur, cache_k, cache_v, *,
         scratch_shapes=[pltpu.VMEM((B, D), h0.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=vmem_cap),
         interpret=interpret,
     )(*operands)
     return y, nk, nv
 
 
+def table_bytes(t):
+    """HBM footprint of an (optionally int8-quantized) embedding table."""
+    if isinstance(t, dict):
+        return int(t["q"].size)
+    return int(t.size) * t.dtype.itemsize
+
+
 def gpt_fused_decode(blocks, h0, bias, bias_cur, cache_k, cache_v, *,
-                     config, version, interpret=False):
+                     config, version, park_bytes=0, interpret=False):
     """GPT adapter over fused_decode_step: init_gpt_params' block tree is
     already contiguous-q|k|v, so this is pure renaming."""
     attn_p, mlp_p = blocks["attn"], blocks["mlp"]
@@ -344,4 +378,5 @@ def gpt_fused_decode(blocks, h0, bias, bias_cur, cache_k, cache_v, *,
         stack, h0, bias, bias_cur, cache_k, cache_v,
         n_head=config.n_head, eps=config.layer_norm_epsilon,
         act=config.afn, scale=1.0 / math.sqrt(hd),
-        pre_ln=(version != "gpt"), interpret=interpret)
+        pre_ln=(version != "gpt"), park_bytes=park_bytes,
+        interpret=interpret)
