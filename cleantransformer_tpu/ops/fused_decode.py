@@ -69,6 +69,27 @@ def fits_vmem(B, T, D, F, H, weight_bytes=2, cache_bytes=2, kv_int8=False,
     return 2 * (weights + cache + planes) + scratch < limit
 
 
+def vmem_claim(need_bytes, park_bytes, total=int(127.5 * 1024 * 1024)):
+    """The kernel's vmem_limit_bytes claim, given its double-buffered block
+    footprint and the lm_head table the caller wants VMEM-parked.
+
+    Over-claiming evicts XLA's parked buffers for the REST of the decode
+    step: at GPT-2 b8 a flat 110 MB claim pushed the 77 MB wte out of VMEM
+    and the lm_head+argmax fusion from ~55 us (parked, ~1.4 TB/s) to
+    ~122 us (HBM-rate re-read) — ~15% of the step. So when the block set
+    (+50% Mosaic working-set margin) AND the table fit VMEM together, claim
+    only what the kernel needs; otherwise parking is impossible anyway and
+    a tight claim just constrains the kernel's buffering (measured: Bloom
+    b8 1.25 -> 1.88 ms, its 514 MB table can never park), so claim big.
+    A generous claim sized to exactly fill the remainder also loses
+    (gpt2 int8 b8 0.22 -> 0.31 ms): XLA needs slack for the step's other
+    fusions, so keep the claim tight when parking."""
+    tight = max(int(need_bytes * 1.5), 32 * 1024 * 1024)
+    if park_bytes and tight + park_bytes <= total:
+        return tight
+    return 110 * 1024 * 1024
+
+
 def _ln(x, w, b, eps, cdt):
     """Reference LayerNorm (eps inside sqrt; fp32 stats) on a (B, D) tile."""
     xf = x.astype(jnp.float32)
@@ -317,26 +338,13 @@ def fused_decode_step(stack, h0, bias, bias_cur, cache_k, cache_v, *,
         eps=eps, act=ACT2FN[act], scale=scale, pre_ln=pre_ln,
         kv_int8=kv_int8)
 
-    # Over-claiming VMEM evicts XLA's parked buffers for the REST of the
-    # decode step: at GPT-2 b8 a flat 110 MB claim pushed the 77 MB wte out
-    # of VMEM and the lm_head+argmax fusion from ~55 us (parked, ~1.4 TB/s)
-    # to ~122 us (HBM-rate re-read) — ~15% of the step. So when the
-    # double-buffered block set (+50% Mosaic working-set margin) AND the
-    # caller's lm_head table (park_bytes) fit VMEM together, claim only what
-    # the kernel needs; otherwise parking is impossible anyway and a tight
-    # claim just constrains the kernel's buffering (measured: Bloom b8
-    # 1.25 -> 1.88 ms, its 514 MB table can never park), so claim big.
     wbytes = sum(w.dtype.itemsize * w.size // L
                  for w in (wqkv, wproj, wfc, wfc2))
     cache_blk = 2 * B * T * D * cache_k.dtype.itemsize
     planes = (2 * B * T * H * 4 if kv_int8 else 0) + B * T * H * 4
     fixed_ops = B * D * h0.dtype.itemsize * 5 + B * H * 4
     need = 2 * (wbytes + cache_blk + planes) + fixed_ops
-    tight = max(int(need * 1.5), 32 * 1024 * 1024)
-    if park_bytes and tight + park_bytes <= int(127.5 * 1024 * 1024):
-        vmem_cap = tight
-    else:
-        vmem_cap = 110 * 1024 * 1024
+    vmem_cap = vmem_claim(need, park_bytes)
 
     y, nk, nv = pl.pallas_call(
         kernel,

@@ -236,3 +236,36 @@ def test_fused_multi_token_cached_window():
     b1, b2 = run(m1)
     np.testing.assert_allclose(a1, b1, atol=2e-6, rtol=1e-5)
     np.testing.assert_allclose(a2, b2, atol=2e-6, rtol=1e-5)
+
+
+def test_vmem_claim_and_fits_vmem_policy():
+    """The kernel's VMEM claim: tight when the lm_head table can co-reside
+    (GPT-2-class), big when it can't (Bloom real-vocab 514 MB table); the
+    fits_vmem gate counts the (B, T, H) bias plane and the int8-cache scale
+    planes (they are fp32 (B, T, H) kernel operands, double-buffered)."""
+    from cleantransformer_tpu.ops.fused_decode import (fits_vmem, table_bytes,
+                                                       vmem_claim)
+    MB = 1024 * 1024
+    # GPT-2 124M b8: blocks ~34 MB double-buffered, wte 77 MB -> tight claim
+    D, F, H, B, T = 768, 3072, 12, 8, 104
+    need = 2 * ((4 * D * D + 2 * D * F) * 2 + 2 * B * T * D * 2 + B * T * H * 4)
+    park = 50257 * D * 2
+    assert vmem_claim(need, park) == max(int(need * 1.5), 32 * MB)
+    assert vmem_claim(need, park) + park <= int(127.5 * MB)
+    # Bloom-560m real vocab: 514 MB table can never park -> claim big
+    assert vmem_claim(need, 250880 * 1024 * 2) == 110 * MB
+    # no table known -> previous flat-claim behavior
+    assert vmem_claim(need, 0) == 110 * MB
+
+    # quantized tables report their int8 footprint
+    q = {"q": np.zeros((50257, D), np.int8), "s": np.zeros((D,), np.float32)}
+    assert table_bytes(q) == 50257 * D
+    assert table_bytes(np.zeros((50257, D), np.float32)) == 50257 * D * 4
+
+    # fits_vmem: long-context serving shapes must take the XLA fallback
+    assert fits_vmem(B, 1024, D, F, H)
+    assert not fits_vmem(B, 65536, D, F, H)
+    # the int8-cache scale planes count: large B*T with kv_int8 trips the
+    # gate earlier than the bare cache bytes would
+    assert fits_vmem(24, 8192, D, F, H, cache_bytes=1, kv_int8=True) <= \
+        fits_vmem(24, 8192, D, F, H, cache_bytes=1, kv_int8=False)
