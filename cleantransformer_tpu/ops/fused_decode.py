@@ -19,17 +19,18 @@ CONSTANT iota masks, broadcasts, and sublane reductions. The decode cache
 keeps layer keys/values head-major per batch row: (L, B, T, D) with
 D = H*hd packed in the lane axis (fully tile-aligned at any head_dim; the
 (B, H, T, hd) layout wastes half the lanes at hd=64 and forces relayout
-copies). Per batch row b (unrolled, B static):
+copies). Per batch row b:
 
     scores(T, H) = ((K_b * q_b) @ Hmask) * scale + bias_b
     out_b(1, D)  = sum_T (probs @ HmaskT * V_b)
 
 where Hmask[d, h] = (d // hd == h) collapses each head's lane group — the
-head dimension never has to be split out of the lane axis. Row extraction
-(q_b from q (B, D)) is a masked sublane reduction; row scatter of out_b is
-a masked broadcast-accumulate. The current token's k/v (not yet in the
-cache — the caller writes them after the kernel) joins the softmax as one
-extra merged column.
+head dimension never has to be split out of the lane axis. All rows batch
+through ONE leading-dim-merged matmul per stage ((B·T, D) @ Hmask — a
+leading-dim reshape keeps the lane axis intact, so Mosaic accepts it) with
+rank-3 broadcasts and axis-1 (key) reductions in between. The current
+token's k/v (not yet in the cache — the caller writes them after the
+kernel) joins the softmax as one extra merged column.
 
 The additive bias operand (B, T, H) + its merged-column row (B, H) carries
 key-padding + strict causality for GPT and additionally the per-head ALiBi
@@ -40,8 +41,9 @@ Numerics mirror the XLA decode fast path (models/gpt.py _gpt_block S==1):
 fp32 q*k products (bf16 products are exact in fp32) accumulated on the MXU
 in fp32, fp32 masked softmax, fp32 AV, LN statistics in fp32 with eps
 inside the sqrt (reference transformer.py:79-89). Greedy outputs are
-token-identical to the per-layer path (asserted in
-tests/test_fused_decode.py).
+token-identical to the per-layer path in the fp32 parity mode (asserted in
+tests/test_fused_decode.py); on-device bf16 greedy agrees to summation-order
+noise (cross-kernel bf16 bit-parity is unattainable — CLAUDE.md).
 """
 
 import functools
@@ -119,28 +121,32 @@ def _gpt_decode_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv, sqkv,
     hmT = (jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
            == jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) // hd
            ).astype(jnp.float32)
-    iota_b = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
     if kv_int8:
         # per-head helpers for the merged current column's in-kernel
         # quantize round-trip (the XLA path reads the current k/v back from
         # the quantized cache — the kernel must see the same rounding)
-        eye_h = (jax.lax.broadcasted_iota(jnp.int32, (H, H), 0)
-                 == jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
-                 ).astype(jnp.float32)
-        neg_off = (1.0 - hmT) * -1e30
+        lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1) // hd
+        iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, H), 1)
 
-        def quantize_row(row):
-            """(1, D) float -> (int-valued (1, D), scale lanes (1, D),
-            scale heads (1, H)) — cache_write's per-(b, h) symmetric int8
-            quantization (models/gpt.py), expressed without transposes."""
-            amax_col = jnp.max(jnp.abs(row) * hmT + neg_off, axis=1,
-                               keepdims=True)                   # (H, 1)
-            sc_col = jnp.maximum(amax_col / 127.0, 1e-8)
-            sc_h = jnp.max(sc_col * eye_h + (eye_h - 1.0) * 1e30,
-                           axis=0, keepdims=True)               # (1, H)
-            sc_lanes = jnp.sum(sc_col * hmT, axis=0, keepdims=True)
-            q = jnp.clip(jnp.round(row / sc_lanes), -127, 127)
-            return q, sc_lanes, sc_h
+        def quantize_rows(x):
+            """(B, D) float -> (int-valued (B, D), scale heads (B, H)) —
+            cache_write's per-(b, h) symmetric int8 quantization
+            (models/gpt.py), batched over rows without transposes: each
+            head's lane-group max is taken under a CONSTANT per-head lane
+            mask and scattered into the (B, H) scale plane."""
+            ax = jnp.abs(x)
+            sc_h = jnp.zeros((B, H), jnp.float32)
+            for h in range(H):
+                sel = (lane_head == h).astype(jnp.float32)      # (1, D)
+                amax = jnp.max(ax * sel + (sel - 1.0) * 1e30,
+                               axis=1, keepdims=True)           # (B, 1)
+                sc_h = sc_h + (amax / 127.0) * (iota_h == h).astype(
+                    jnp.float32)
+            sc_h = jnp.maximum(sc_h, 1e-8)                      # (B, H)
+            sc_lanes = jnp.dot(sc_h, hmT,
+                               preferred_element_type=jnp.float32)
+            q = jnp.clip(jnp.round(x / sc_lanes), -127, 127)
+            return q, sc_h
 
     def attn(x):
         # qkv projection (linear() semantics: matmul -> cdt, bias in cdt).
@@ -164,50 +170,50 @@ def _gpt_decode_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv, sqkv,
         vf_t = v_t.astype(jnp.float32)
         bcur = bcur_ref[:].astype(jnp.float32)                  # (B, H)
 
-        out = jnp.zeros((B, D), jnp.float32)
-        for b in range(B):
-            sel = (iota_b == b).astype(jnp.float32)             # (B, 1)
-            qrow = jnp.sum(qf * sel, 0, keepdims=True)          # (1, D)
-            krow = jnp.sum(kf_t * sel, 0, keepdims=True)
-            vrow = jnp.sum(vf_t * sel, 0, keepdims=True)
-            brow = jnp.sum(bcur * sel, 0, keepdims=True)        # (1, H)
-            kb = ck_ref[0, b].astype(jnp.float32)               # (T, D)
-            s = jnp.dot(kb * qrow, hm,
-                        preferred_element_type=jnp.float32)
-            if kv_int8:
-                # dequant scales are per (key, head): exactly the XLA int8
-                # path's ``(q@k) * k_scale`` column scaling (_attend)
-                s = s * sk_ref[0, b]
-                krow, _, sck_h = quantize_row(krow)
-            s = s * scale + bias_ref[b].astype(jnp.float32)     # (T, H)
-            s_cur = jnp.dot(krow * qrow, hm,
-                            preferred_element_type=jnp.float32)
-            if kv_int8:
-                s_cur = s_cur * sck_h
-            s_cur = s_cur * scale + brow                        # (1, H)
-            m = jnp.maximum(jnp.max(s, axis=0, keepdims=True), s_cur)
-            p = jnp.exp(s - m)
-            pc = jnp.exp(s_cur - m)
-            den = jnp.sum(p, axis=0, keepdims=True) + pc        # (1, H)
-            vb = cv_ref[0, b].astype(jnp.float32)
-            if kv_int8:
-                # XLA's v_scale branch keeps fp32 probs and folds the value
-                # scales onto them (_softmax_av): out = (w * s_v) @ v_int
-                vrow, _, scv_h = quantize_row(vrow)
-                pn = (p / den) * sv_ref[0, b]
-                pcn = (pc / den) * scv_h
-            else:
-                # probs round-trip through compute dtype before AV — mirrors
-                # the XLA decode path's w.astype(v.dtype) (_softmax_av),
-                # keeping bf16 drift down to summation-order noise
-                pn = (p / den).astype(cdt).astype(jnp.float32)
-                pcn = (pc / den).astype(cdt).astype(jnp.float32)
-            pexp = jnp.dot(pn, hmT,
-                           preferred_element_type=jnp.float32)  # (T, D)
-            ob = jnp.sum(pexp * vb, 0, keepdims=True)
-            ob = ob + jnp.dot(pcn, hmT,
-                              preferred_element_type=jnp.float32) * vrow
-            out = out + ob * sel                                # row scatter
+        # All rows at once (the per-row unrolled loop cost ~40% of the b32
+        # kernel in VPU row extract/scatter): rank-3 broadcasts, ONE
+        # leading-dim-merged head-collapse matmul per stage, and axis-1
+        # (key) reductions — all Mosaic-legal, no lane<->sublane casts.
+        T = ck_ref.shape[2]
+        kc = ck_ref[0].astype(jnp.float32)                      # (B, T, D)
+        s = jnp.dot((kc * qf[:, None, :]).reshape(B * T, D), hm,
+                    preferred_element_type=jnp.float32).reshape(B, T, H)
+        if kv_int8:
+            # dequant scales are per (key, head): exactly the XLA int8
+            # path's ``(q@k) * k_scale`` column scaling (_attend)
+            s = s * sk_ref[0]
+            kq, sck_h = quantize_rows(kf_t)                     # (B, D/H)
+        else:
+            kq = kf_t
+        s = s * scale + bias_ref[:].astype(jnp.float32)         # (B, T, H)
+        s_cur = jnp.dot(kq * qf, hm,
+                        preferred_element_type=jnp.float32)     # (B, H)
+        if kv_int8:
+            s_cur = s_cur * sck_h
+        s_cur = s_cur * scale + bcur                            # (B, H)
+        m = jnp.maximum(jnp.max(s, axis=1), s_cur)              # (B, H)
+        p = jnp.exp(s - m[:, None, :])                          # (B, T, H)
+        pc = jnp.exp(s_cur - m)                                 # (B, H)
+        den = jnp.sum(p, axis=1) + pc                           # (B, H)
+        vc = cv_ref[0].astype(jnp.float32)                      # (B, T, D)
+        if kv_int8:
+            # XLA's v_scale branch keeps fp32 probs and folds the value
+            # scales onto them (_softmax_av): out = (w * s_v) @ v_int
+            vq, scv_h = quantize_rows(vf_t)
+            pn = (p / den[:, None, :]) * sv_ref[0]
+            pcn = (pc / den) * scv_h
+        else:
+            # probs round-trip through compute dtype before AV — mirrors
+            # the XLA decode path's w.astype(v.dtype) (_softmax_av),
+            # keeping bf16 drift down to summation-order noise
+            vq = vf_t
+            pn = (p / den[:, None, :]).astype(cdt).astype(jnp.float32)
+            pcn = (pc / den).astype(cdt).astype(jnp.float32)
+        pexp = jnp.dot(pn.reshape(B * T, H), hmT,
+                       preferred_element_type=jnp.float32).reshape(B, T, D)
+        out = jnp.sum(pexp * vc, axis=1)                        # (B, D)
+        out = out + jnp.dot(pcn, hmT,
+                            preferred_element_type=jnp.float32) * vq
 
         a = out.astype(cdt)
         o = jnp.dot(a, wproj[0].astype(cdt),
