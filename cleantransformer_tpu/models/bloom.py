@@ -556,11 +556,15 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
                 bias_cur.astype(jnp.float32), kbuf, cache["v"],
                 n_head=Hh, eps=config.layer_norm_epsilon, act="bloom_gelu",
                 scale=1.0 / math.sqrt(hd), pre_ln=True,
+                cache_len=None if jnp.ndim(cache_len) == 1 else cache_len,
                 park_bytes=table_bytes(
                     params.get("lm_head", params["word_embeddings"])),
                 interpret=should_interpret())
-            new_k = fused_cache_append(kbuf, nk, cache_len, Hh)
-            new_v = fused_cache_append(cache["v"], nv, cache_len, Hh)
+            if isinstance(nk, dict) or jnp.ndim(nk) == 4:
+                new_k, new_v = nk, nv  # in-place: the updated cache buffers
+            else:
+                new_k = fused_cache_append(kbuf, nk, cache_len, Hh)
+                new_v = fused_cache_append(cache["v"], nv, cache_len, Hh)
             h = y[:, None, :]
             new_cache = {"k": new_k, "v": new_v, "length": cache_len + 1}
             h = layer_norm(h, params["ln_f"]["w"], params["ln_f"]["b"],

@@ -659,11 +659,16 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
                 y, nk, nv = gpt_fused_decode(
                     params["blocks"], h[:, 0, :], bias, bias_cur, kbuf,
                     cache["v"], config=config, version=version,
+                    cache_len=None if ragged else cache_len,
                     park_bytes=table_bytes(
                         params.get("lm_head", params["tokens_embed"])),
                     interpret=should_interpret())
-                new_k = fused_cache_append(kbuf, nk, cache_len, Hh)
-                new_v = fused_cache_append(cache["v"], nv, cache_len, Hh)
+                if isinstance(nk, dict) or jnp.ndim(nk) == 4:
+                    # in-place mode: nk/nv ARE the updated cache buffers
+                    new_k, new_v = nk, nv
+                else:
+                    new_k = fused_cache_append(kbuf, nk, cache_len, Hh)
+                    new_v = fused_cache_append(cache["v"], nv, cache_len, Hh)
                 h = y[:, None, :]
                 new_cache = {"k": new_k, "v": new_v,
                              "length": cache_len + 1}

@@ -102,11 +102,27 @@ def _ln(x, w, b, eps, cdt):
     return w[0, 0].astype(cdt) * out + b[0, 0].astype(cdt)
 
 
-def _gpt_decode_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv, sqkv,
-                       bqkv, wproj, sproj, bproj, ln2w, ln2b, wfc, sfc, bfc,
-                       wfc2, sfc2, bfc2, ck_ref, sk_ref, cv_ref, sv_ref,
-                       y_ref, nk_ref, nv_ref, h_scr, *, B, H, D, hd, L, eps,
-                       act, scale, pre_ln, kv_int8):
+def _gpt_decode_kernel(s_ref, x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv,
+                       sqkv, bqkv, wproj, sproj, bproj, ln2w, ln2b, wfc, sfc,
+                       bfc, wfc2, sfc2, bfc2, ck_ref, sk_ref, cv_ref, sv_ref,
+                       *tail, B, H, D, hd, L, eps, act, scale, pre_ln,
+                       kv_int8, inplace):
+    # tail = outputs + [h_scr]: legacy (y, nk, nv) returns the new rows for a
+    # caller-side dynamic_update_slice (ragged serving offsets need it);
+    # inplace (y, ok, ov[, oks, ovs]) writes the current token's k/v (and
+    # int8 scales) STRAIGHT into 8-row-aligned windows of the aliased cache
+    # buffers at token s_ref[0] — the caller's 2 DUS of L*B scattered
+    # tile-runs (~77 us at b32) disappear.
+    h_scr = tail[-1]
+    if inplace:
+        if kv_int8:
+            y_ref, ok_ref, oks_ref, ov_ref, ovs_ref = tail[:-1]
+        else:
+            y_ref, ok_ref, ov_ref = tail[:-1]
+        nk_dt = x_ref.dtype if kv_int8 else ok_ref.dtype
+    else:
+        y_ref, nk_ref, nv_ref = tail[:-1]
+        nk_dt = nk_ref.dtype
     l = pl.program_id(0)
     cdt = x_ref.dtype
 
@@ -161,10 +177,11 @@ def _gpt_decode_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv, sqkv,
         # bf16 cache under fp32-config int8 models); the merged current
         # column must see the SAME rounding the cache write applies — the
         # XLA path reads the current k/v back from the cache post-write
-        k_t = k_t.astype(nk_ref.dtype)
-        v_t = v_t.astype(nv_ref.dtype)
-        nk_ref[0] = k_t
-        nv_ref[0] = v_t
+        k_t = k_t.astype(nk_dt)
+        v_t = v_t.astype(nk_dt)
+        if not inplace:
+            nk_ref[0] = k_t
+            nv_ref[0] = v_t
         qf = q.astype(jnp.float32)
         kf_t = k_t.astype(jnp.float32)
         vf_t = v_t.astype(jnp.float32)
@@ -215,6 +232,29 @@ def _gpt_decode_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv, sqkv,
         out = out + jnp.dot(pcn, hmT,
                             preferred_element_type=jnp.float32) * vq
 
+        if inplace:
+            # merge the current token's row into the 8-row-aligned cache
+            # window at token s_ref[0] (rows beyond it are still unwritten
+            # zeros / stale — the bias strictly masks them)
+            base = (s_ref[0] // 8) * 8
+            r = s_ref[0] % 8
+            ti = jax.lax.broadcasted_iota(jnp.int32, (B, 8, D), 1)
+            kwnd = ck_ref[0, :, pl.ds(base, 8), :]
+            vwnd = cv_ref[0, :, pl.ds(base, 8), :]
+            if kv_int8:
+                ok_ref[0] = jnp.where(ti == r,
+                                      kq.astype(jnp.int8)[:, None, :], kwnd)
+                ov_ref[0] = jnp.where(ti == r,
+                                      vq.astype(jnp.int8)[:, None, :], vwnd)
+                th = jax.lax.broadcasted_iota(jnp.int32, (B, 8, H), 1)
+                oks_ref[0] = jnp.where(th == r, sck_h[:, None, :],
+                                       sk_ref[0, :, pl.ds(base, 8), :])
+                ovs_ref[0] = jnp.where(th == r, scv_h[:, None, :],
+                                       sv_ref[0, :, pl.ds(base, 8), :])
+            else:
+                ok_ref[0] = jnp.where(ti == r, k_t[:, None, :], kwnd)
+                ov_ref[0] = jnp.where(ti == r, v_t[:, None, :], vwnd)
+
         a = out.astype(cdt)
         o = jnp.dot(a, wproj[0].astype(cdt),
                     preferred_element_type=jnp.float32).astype(cdt)
@@ -243,9 +283,17 @@ def _gpt_decode_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv, sqkv,
                                               "pre_ln", "park_bytes",
                                               "interpret"))
 def fused_decode_step(stack, h0, bias, bias_cur, cache_k, cache_v, *,
-                      n_head, eps, act, scale, pre_ln, park_bytes=0,
-                      interpret=False):
+                      n_head, eps, act, scale, pre_ln, cache_len=None,
+                      park_bytes=0, interpret=False):
     """One decode step over the whole stack (model-agnostic core).
+
+    cache_len: traced scalar token position, or None. When given (and T is
+    8-aligned), the kernel writes the current token's k/v — quantized, with
+    the scale planes, for an int8 cache — into the ALIASED cache buffers
+    in-kernel, and the returned cache arrays replace the caller's; the
+    caller-side dynamic_update_slice (L*B scattered tile-runs, ~77 us at
+    GPT-2 b32) disappears. None (ragged serving offsets) keeps the legacy
+    contract: new rows are returned for fused_cache_append.
 
     park_bytes: size of the buffer the caller wants XLA to keep VMEM-parked
     across decode steps (the lm_head table) — shrinks the kernel's VMEM
@@ -270,10 +318,10 @@ def fused_decode_step(stack, h0, bias, bias_cur, cache_k, cache_v, *,
       in-kernel via the per-(key, head) scale planes.
     act: activation NAME (ops/activations.ACT2FN key) — static/hashable.
 
-    Returns (y (B, D) final hidden pre-ln_f, new_k (L, B, D), new_v in the
-    COMPUTE dtype) — the caller writes new_k/new_v into the cache at row
-    cache_len (quantizing first for an int8 cache; fused_cache_append in
-    models/gpt.py)."""
+    Returns (y (B, D) final hidden pre-ln_f, new_k, new_v). In-place mode:
+    new_k/new_v ARE the updated cache buffers (int8: {"q", "s"} pytrees) —
+    drop them into the cache dict directly. Legacy mode: (L, B, D) rows in
+    the COMPUTE dtype for the caller's fused_cache_append."""
     kv_int8 = isinstance(cache_k, dict)
     if kv_int8:
         cache_k, sk = cache_k["q"], cache_k["s"]
@@ -313,12 +361,17 @@ def fused_decode_step(stack, h0, bias, bias_cur, cache_k, cache_v, *,
     )
 
     def fixed(shape):
-        return pl.BlockSpec(shape, lambda l: (0,) * len(shape),
+        return pl.BlockSpec(shape, lambda l, s: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
     def per_layer(shape):
         return pl.BlockSpec((1,) + shape,
-                            lambda l: (l,) + (0,) * len(shape),
+                            lambda l, s: (l,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def token_window(shape):  # 8-row-aligned (l, :, tok//8-block, :) window
+        return pl.BlockSpec((1, shape[0], 8, shape[1]),
+                            lambda l, s: (l, 0, s[0] // 8, 0),
                             memory_space=pltpu.VMEM)
 
     # scale planes are unread refs when not quantized (static kv_int8 flag)
@@ -334,15 +387,39 @@ def fused_decode_step(stack, h0, bias, bias_cur, cache_k, cache_v, *,
         per_layer((B, T, D)), sk_spec, per_layer((B, T, D)), sk_spec,
     ]
     new_kv_dtype = h0.dtype if kv_int8 else cache_k.dtype
-    out_specs = [fixed((B, D)), per_layer((B, D)), per_layer((B, D))]
-    out_shape = [jax.ShapeDtypeStruct((B, D), h0.dtype),
-                 jax.ShapeDtypeStruct((L, B, D), new_kv_dtype),
-                 jax.ShapeDtypeStruct((L, B, D), new_kv_dtype)]
+    inplace = cache_len is not None and T % 8 == 0
+    if inplace:
+        # write the token's k/v (and int8 scales) into 8-row windows of the
+        # ALIASED cache buffers in-kernel — no caller-side DUS. Operand
+        # indices for input_output_aliases count the scalar-prefetch arg.
+        if kv_int8:
+            out_specs = [fixed((B, D)),
+                         token_window((B, D)), token_window((B, H)),
+                         token_window((B, D)), token_window((B, H))]
+            out_shape = [jax.ShapeDtypeStruct((B, D), h0.dtype),
+                         jax.ShapeDtypeStruct((L, B, T, D), cache_k.dtype),
+                         jax.ShapeDtypeStruct((L, B, T, H), sk.dtype),
+                         jax.ShapeDtypeStruct((L, B, T, D), cache_v.dtype),
+                         jax.ShapeDtypeStruct((L, B, T, H), sv.dtype)]
+            aliases = {20: 1, 21: 2, 22: 3, 23: 4}
+        else:
+            out_specs = [fixed((B, D)),
+                         token_window((B, D)), token_window((B, D))]
+            out_shape = [jax.ShapeDtypeStruct((B, D), h0.dtype),
+                         jax.ShapeDtypeStruct((L, B, T, D), cache_k.dtype),
+                         jax.ShapeDtypeStruct((L, B, T, D), cache_v.dtype)]
+            aliases = {20: 1, 22: 2}
+    else:
+        out_specs = [fixed((B, D)), per_layer((B, D)), per_layer((B, D))]
+        out_shape = [jax.ShapeDtypeStruct((B, D), h0.dtype),
+                     jax.ShapeDtypeStruct((L, B, D), new_kv_dtype),
+                     jax.ShapeDtypeStruct((L, B, D), new_kv_dtype)]
+        aliases = {}
 
     kernel = functools.partial(
         _gpt_decode_kernel, B=B, H=H, D=D, hd=hd, L=L,
         eps=eps, act=ACT2FN[act], scale=scale, pre_ln=pre_ln,
-        kv_int8=kv_int8)
+        kv_int8=kv_int8, inplace=inplace)
 
     wbytes = sum(w.dtype.itemsize * w.size // L
                  for w in (wqkv, wproj, wfc, wfc2))
@@ -352,19 +429,28 @@ def fused_decode_step(stack, h0, bias, bias_cur, cache_k, cache_v, *,
     need = 2 * (wbytes + cache_blk + planes) + fixed_ops
     vmem_cap = vmem_claim(need, park_bytes)
 
-    y, nk, nv = pl.pallas_call(
+    tok = (jnp.zeros((1,), jnp.int32) if cache_len is None
+           else jnp.reshape(cache_len, (1,)).astype(jnp.int32))
+    outs = pl.pallas_call(
         kernel,
-        grid=(L,),
-        in_specs=in_specs,
-        out_specs=out_specs,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(L,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((B, D), h0.dtype)]),
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((B, D), h0.dtype)],
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=vmem_cap),
         interpret=interpret,
-    )(*operands)
-    return y, nk, nv
+    )(tok, *operands)
+    if inplace and kv_int8:
+        y, ckq, cks, cvq, cvs = outs
+        return y, {"q": ckq, "s": cks}, {"q": cvq, "s": cvs}
+    y, k_out, v_out = outs
+    return y, k_out, v_out
 
 
 def table_bytes(t):
@@ -375,7 +461,8 @@ def table_bytes(t):
 
 
 def gpt_fused_decode(blocks, h0, bias, bias_cur, cache_k, cache_v, *,
-                     config, version, park_bytes=0, interpret=False):
+                     config, version, cache_len=None, park_bytes=0,
+                     interpret=False):
     """GPT adapter over fused_decode_step: init_gpt_params' block tree is
     already contiguous-q|k|v, so this is pure renaming."""
     attn_p, mlp_p = blocks["attn"], blocks["mlp"]
@@ -392,5 +479,5 @@ def gpt_fused_decode(blocks, h0, bias, bias_cur, cache_k, cache_v, *,
         stack, h0, bias, bias_cur, cache_k, cache_v,
         n_head=config.n_head, eps=config.layer_norm_epsilon,
         act=config.afn, scale=1.0 / math.sqrt(hd),
-        pre_ln=(version != "gpt"), park_bytes=park_bytes,
-        interpret=interpret)
+        pre_ln=(version != "gpt"), cache_len=cache_len,
+        park_bytes=park_bytes, interpret=interpret)
