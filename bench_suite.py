@@ -902,12 +902,21 @@ def main():
             "fused_decode runs the WHOLE stack as ONE Pallas program per "
             "generated token — per-layer weights + (L,B,T,D) head-major "
             "cache blocks pipeline HBM->VMEM while the (B,D) residual "
-            "lives in VMEM scratch. Replaces the ~125-fusion XLA step "
-            "(GPT-2 b8 0.63->0.48 ms; int8 weights dequantize IN-KERNEL: "
-            "0.26 ms). Ragged per-row offsets serve continuous batching. "
-            "int8 KV composes but measured as a LOSS below ~1k keys (keep "
-            "kv_cache_int8 for memory, not speed). Beam/speculative opt "
-            "out to the dense layout.\n\n"
+            "lives in VMEM scratch, attention batches all rows through "
+            "leading-dim-merged head-collapse matmuls, and the current "
+            "token's k/v (+ int8 scales) write IN-KERNEL into 8-row "
+            "windows of the aliased cache buffers (scalar-prefetch index "
+            "map) — no caller-side dynamic_update_slice. Replaces the "
+            "~125-fusion XLA step (GPT-2 b8 0.63->0.39 ms; int8 weights "
+            "dequantize IN-KERNEL: 0.19 ms). The kernel's VMEM claim is "
+            "adaptive (vmem_claim): when the blocks AND the lm_head table "
+            "fit together it claims only what it needs so XLA keeps the "
+            "table parked across steps (~55 us lm_head+argmax vs ~122 us "
+            "HBM re-read; a flat 110 MB claim evicted it). Ragged per-row "
+            "offsets serve continuous batching via the legacy "
+            "return-the-rows contract. int8 KV composes but measured as a "
+            "LOSS below ~1k keys (keep kv_cache_int8 for memory, not "
+            "speed). Beam/speculative opt out to the dense layout.\n\n"
             "llama head-major decode (round 3, config.decode_head_major): "
             "the llama family keeps the XLA decode path (GQA+RoPE in a "
             "Pallas whole-stack kernel isn't worth it at 91% HBM bw) but "
@@ -968,7 +977,15 @@ def main():
                 "draft checkpoint is downloadable in this zero-egress "
                 "environment; for\nGPT-2-small the 50k-vocab lm_head "
                 "dominates the draft cost, so speculation\npays off more "
-                "for larger targets.)\n\n")
+                "for larger targets.) The prompt-lookup workloads run on "
+                "a\nlogit-SHARPENED copy of the random-init model "
+                "(tokens_embed x16, _sharpen):\nnear-flat logits flip "
+                "greedy argmax on bf16 summation-order differences\n"
+                "between the plain (S==1) and verify (S==K+1) compiled "
+                "programs, making\nacceptance compile-dependent (8.6 vs "
+                "4.16 tok/round for identical code);\ndecisive argmax — "
+                "what a trained model has — makes acceptance "
+                "reproducible.\n\n")
         f.write("```\n")
         for r in RESULTS:
             f.write(json.dumps(r) + "\n")
