@@ -933,17 +933,17 @@ def main():
             "b8 3.39->3.24. Exact token equality vs the 5D path asserted "
             "in tests/test_head_major.py.\n\n")
         f.write(
-            "decode roofline (profiled, round 2): per step the b8 GPT-2 "
-            "decode streams ~170 MB of block weights from HBM; XLA parks "
-            "the 77 MB wte in VMEM (lm_head+argmax fuse into one kernel "
-            "reading it at ~1.4 TB/s, ~55 us/step) and keeps the KV "
-            "dynamic-update-slices in place. Profiled device floor at "
-            "measured per-fusion rates is ~0.45-0.50 ms/step -> b8 bf16 "
-            "runs at ~85-90% of practical roofline, int8 similar. "
+            "decode roofline (re-profiled after the round-3 fused kernel): "
+            "a b8 bf16 GPT-2 step is now THREE device ops — the fused "
+            "kernel at 279 us (~82% of its ~230 us weight+cache HBM "
+            "stream), the VMEM-parked lm_head+argmax fusion at 58 us, and "
+            "~16 us of residual fusions; the caller-side KV "
+            "dynamic-update-slices are gone (in-kernel aliased writes). "
+            "b32 int8: kernel 262 us (weight stream ~118 us + cache "
+            "~25 us + batched-row attention VPU), lm_head 57 us. "
             "Buffers/cache/rng are all built inside the one fused program "
-            "(eager per-call dispatches were pure tunnel launch overhead). "
-            "Remaining device gap is XLA fusion-count overhead (~125 small "
-            "kernels/step x ~2 us fixed cost), not a memory wall.\n\n"
+            "(eager per-call dispatches were pure tunnel launch "
+            "overhead).\n\n"
             "tinyllama 1.1B decode b8 streams 2.2 GB of bf16 weights/step "
             "at ~91% of the measured HBM bandwidth - large-model decode "
             "sits on the memory roofline.\n\n"
