@@ -269,3 +269,45 @@ def test_vmem_claim_and_fits_vmem_policy():
     # gate earlier than the bare cache bytes would
     assert fits_vmem(24, 8192, D, F, H, cache_bytes=1, kv_int8=True) <= \
         fits_vmem(24, 8192, D, F, H, cache_bytes=1, kv_int8=False)
+
+
+@pytest.mark.parametrize("kv_int8", [False, True])
+def test_inplace_cache_write_matches_append(kv_int8):
+    """The in-place fused path (scalar cache_len -> in-kernel aliased window
+    writes) must leave the cache byte-identical to the legacy path (rows
+    returned, caller-side fused_cache_append) — including the int8 scale
+    planes' quantization round-trip."""
+    from cleantransformer_tpu.models.gpt import fused_cache_append
+    from cleantransformer_tpu.ops.fused_decode import gpt_fused_decode
+    from cleantransformer_tpu.ops.pallas_kernels import should_interpret
+
+    cfg = GPTConfig(vocab_size=97, n_embd=64, n_positions=64, n_layer=2,
+                    n_head=4, fused_decode=True, kv_cache_int8=kv_int8)
+    m = GPTLMHeadModel(cfg, version="gpt2", rng=jax.random.PRNGKey(0))
+    B, T, D, Hh = 2, 16, 64, 4
+    cache = init_kv_cache(cfg, B, T)
+    rs = np.random.RandomState(0)
+    h = jnp.asarray(rs.randn(B, D), cfg.compute_dtype)
+    bias = jnp.asarray(rs.randn(B, T, Hh), jnp.float32)
+    bcur = jnp.zeros((B, Hh), jnp.float32)
+    pos = jnp.asarray(5, jnp.int32)
+
+    ya, nk, nv = gpt_fused_decode(
+        m.params["blocks"], h, bias, bcur, cache["k"], cache["v"],
+        config=cfg, version="gpt2", cache_len=None,
+        interpret=should_interpret())
+    legacy_k = fused_cache_append(cache["k"], nk, pos, Hh)
+    legacy_v = fused_cache_append(cache["v"], nv, pos, Hh)
+
+    yb, ik, iv = gpt_fused_decode(
+        m.params["blocks"], h, bias, bcur, cache["k"], cache["v"],
+        config=cfg, version="gpt2", cache_len=pos,
+        interpret=should_interpret())
+
+    assert np.array_equal(np.asarray(ya), np.asarray(yb))
+    for a, b in ((legacy_k, ik), (legacy_v, iv)):
+        if kv_int8:
+            assert np.array_equal(np.asarray(a["q"]), np.asarray(b["q"]))
+            assert np.array_equal(np.asarray(a["s"]), np.asarray(b["s"]))
+        else:
+            assert np.array_equal(np.asarray(a), np.asarray(b))
