@@ -753,7 +753,10 @@ def main():
                   n_head=12, n_ctx=1024, compute_dtype="bfloat16",
                   fused_decode=True),
         version="gpt2", params=model.params)
-    for batch in (8, 32):
+    # batch 1 = interactive latency: the kernel's blocks collapse to
+    # sublane 1 but it still beats the XLA per-layer path (which pays the
+    # same ~125-fusion launch overhead for 1/8th the work)
+    for batch in (1, 8, 32):
         bench_decode(fmodel, f"gpt2_124M_decode_b{batch}_fused", batch, 32,
                      128, 50257)
     del fmodel
@@ -773,7 +776,7 @@ def main():
                   n_head=12, n_ctx=1024, compute_dtype="bfloat16",
                   fused_decode=True, quantize_int8=True),
         version="gpt2", params=model.params)
-    for batch in (8, 32):
+    for batch in (1, 8, 32):
         bench_decode(qfmodel, f"gpt2_124M_decode_b{batch}_int8_fused", batch,
                      32, 128, 50257)
     del qfmodel

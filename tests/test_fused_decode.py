@@ -62,6 +62,20 @@ def test_fused_greedy_bit_exact(version):
     assert np.array_equal(out0, out1)
 
 
+def test_fused_greedy_bit_exact_batch1():
+    # batch 1 is the interactive-latency shape: every kernel block collapses
+    # to sublane 1 ((1, D) residual, (1, T, H) bias, (1, 8, D) cache
+    # windows) — keep the fused path exact there too
+    m0, m1 = _pair("gpt2")
+    rs = np.random.RandomState(3)
+    ids = rs.randint(5, 200, (1, 9)).astype(np.int32)
+    gcfg = {"beam_size": 1, "max_gen_len": 12, "do_sample": False,
+            "end_ids": None, "pad_id": 0, "no_repeat_ngram_size": 0}
+    out0 = np.asarray(m0.generate(ids, generation_configs=gcfg))
+    out1 = np.asarray(m1.generate(ids, generation_configs=gcfg))
+    assert np.array_equal(out0, out1)
+
+
 def test_fused_beam_takes_dense_layout():
     # beam search reorders the cache along the batch axis every step —
     # engine._beam_search must take cache_factory(dense=True) and still
