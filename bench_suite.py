@@ -794,6 +794,10 @@ def main():
                     fused_decode=True),
         params=bmodel.params)
     bench_decode(fbmodel, "bloom560m_decode_b8_fused", 8, 32, 128, 50432)
+    # batch 1 (the bloom_interactive REPL shape): the XLA per-layer path's
+    # ~176-fusion launch overhead dwarfs one row's compute (3.2 ms/step) —
+    # the fused kernel is 2.7x faster bf16, 4.8x int8
+    bench_decode(fbmodel, "bloom560m_decode_b1_fused", 1, 32, 128, 50432)
     del fbmodel
     qfbmodel = BloomForCausalLM(
         BloomConfig(vocab_size=50432, hidden_size=1024, n_layer=24,
@@ -801,6 +805,8 @@ def main():
                     fused_decode=True, quantize_int8=True),
         params=bmodel.params)
     bench_decode(qfbmodel, "bloom560m_decode_b8_int8_fused", 8, 32, 128,
+                 50432)
+    bench_decode(qfbmodel, "bloom560m_decode_b1_int8_fused", 1, 32, 128,
                  50432)
     del qfbmodel
 

@@ -141,6 +141,20 @@ def test_bloom_fused_greedy_bit_exact(n_head, hidden):
     assert np.array_equal(out0, out1)
 
 
+def test_bloom_fused_greedy_bit_exact_batch1():
+    # the bloom_interactive REPL shape — the biggest fused-kernel latency
+    # win on hardware (3.25 -> 1.19 ms/step, BENCH_DETAILS.md); ALiBi bias
+    # rows at sublane 1 must stay exact
+    m0, m1 = _bloom_pair()
+    rs = np.random.RandomState(4)
+    ids = rs.randint(5, 200, (1, 9)).astype(np.int32)
+    gcfg = {"beam_size": 1, "max_gen_len": 12, "do_sample": False,
+            "end_ids": None, "pad_id": 0, "no_repeat_ngram_size": 0}
+    out0 = np.asarray(m0.generate(ids, generation_configs=gcfg))
+    out1 = np.asarray(m1.generate(ids, generation_configs=gcfg))
+    assert np.array_equal(out0, out1)
+
+
 @pytest.mark.parametrize("family", ["gpt", "bloom"])
 def test_fused_int8_kv_cache_bit_exact(family):
     # kv_cache_int8 composes with fused_decode: int8 rows dequantize
