@@ -798,6 +798,7 @@ def main():
     # ~176-fusion launch overhead dwarfs one row's compute (3.2 ms/step) —
     # the fused kernel is 2.7x faster bf16, 4.8x int8
     bench_decode(fbmodel, "bloom560m_decode_b1_fused", 1, 32, 128, 50432)
+    bench_decode(fbmodel, "bloom560m_decode_b32_fused", 32, 32, 128, 50432)
     del fbmodel
     qfbmodel = BloomForCausalLM(
         BloomConfig(vocab_size=50432, hidden_size=1024, n_layer=24,
@@ -807,6 +808,8 @@ def main():
     bench_decode(qfbmodel, "bloom560m_decode_b8_int8_fused", 8, 32, 128,
                  50432)
     bench_decode(qfbmodel, "bloom560m_decode_b1_int8_fused", 1, 32, 128,
+                 50432)
+    bench_decode(qfbmodel, "bloom560m_decode_b32_int8_fused", 32, 32, 128,
                  50432)
     del qfbmodel
 
