@@ -703,9 +703,16 @@ def bench_speculative(model, draft, name, vocab, gen=128, K=4):
     (draft=target) run bounds the machinery: it shows the max tokens/s the
     round structure can deliver at acceptance=1."""
     from cleantransformer_tpu.generation.speculative import speculative_generate
+    # sharpen BOTH models (see _sharpen): with near-flat random-init logits
+    # the acceptance depends on cross-program argmax luck and the bench is
+    # compile-flaky; sharp logits pin the greedy stream (self-draft then
+    # really measures the acceptance-1 round machinery)
+    sharp = _sharpen(model)
+    draft = sharp if draft is model else _sharpen(draft)
+    model = sharp
     rs = np.random.RandomState(0)
     ids = rs.randint(1, vocab, (1, 16)).astype(np.int32)
-    gcfg = {"max_gen_len": gen}
+    gcfg = {"max_gen_len": gen, "do_sample": False}
 
     out = model.generate(ids, generation_configs={
         "beam_size": 1, "max_gen_len": gen, "do_sample": False, "pad_id": 0,
@@ -767,6 +774,9 @@ def main():
                      decode_unroll=12, quantize_int8=True)
     qmodel = GPTLMHeadModel(qcfg, version="gpt2", rng=jax.random.PRNGKey(0))
     bench_decode(qmodel, "gpt2_124M_decode_b8_int8", 8, 32, 128, 50257)
+    # b1 int8 XLA baseline so the b1 int8-fused line separates quantization
+    # gain from fusion gain (ADVICE r3)
+    bench_decode(qmodel, "gpt2_124M_decode_b1_int8", 1, 32, 128, 50257)
     del qmodel
 
     # int8 weights IN the fused kernel (per-column scales dequantize on the
@@ -887,6 +897,42 @@ def main():
                       50257)
     bench_prompt_lookup(model, "gpt2_124M_prompt_lookup_b1", 50257)
     bench_prompt_lookup_batched(model, "gpt2_124M_prompt_lookup_b8", 50257)
+
+    # round 4: speculation THROUGH the whole-stack window kernel
+    # (ops/fused_decode._gpt_window_kernel): plain steps, draft catch-up,
+    # and the (K+1)-token verify are ALL one-program paths now — the verify
+    # round no longer costs ~2 plain steps of XLA fusion overhead
+    sfmodel = GPTLMHeadModel(
+        GPTConfig(vocab_size=50257, n_embd=768, n_positions=1024, n_layer=12,
+                  n_head=12, n_ctx=1024, compute_dtype="bfloat16",
+                  fused_decode=True),
+        version="gpt2", params=model.params)
+    bench_speculative(sfmodel, sfmodel,
+                      "gpt2_124M_speculative_selfdraft_b1_fused", 50257)
+    draft2f = GPTLMHeadModel(
+        GPTConfig(vocab_size=50257, n_embd=768, n_positions=1024, n_layer=2,
+                  n_head=12, n_ctx=1024, compute_dtype="bfloat16",
+                  fused_decode=True),
+        version="gpt2", params=draft2.params)
+    bench_speculative(sfmodel, draft2f,
+                      "gpt2_124M_speculative_2Ldraft_b1_fused", 50257)
+    bench_prompt_lookup(sfmodel, "gpt2_124M_prompt_lookup_b1_fused", 50257,
+                        K=8)
+    bench_prompt_lookup_batched(sfmodel, "gpt2_124M_prompt_lookup_b8_fused",
+                                50257)
+    del sfmodel, draft2f
+    # int8 weights compose with the window kernel (the convert rides the
+    # dot operand in both the S==1 and window programs)
+    qsf = GPTLMHeadModel(
+        GPTConfig(vocab_size=50257, n_embd=768, n_positions=1024, n_layer=12,
+                  n_head=12, n_ctx=1024, compute_dtype="bfloat16",
+                  fused_decode=True, quantize_int8=True),
+        version="gpt2", params=model.params)
+    bench_speculative(qsf, qsf,
+                      "gpt2_124M_speculative_selfdraft_b1_int8_fused", 50257)
+    bench_prompt_lookup(qsf, "gpt2_124M_prompt_lookup_b1_int8_fused", 50257,
+                        K=8)
+    del qsf
 
     # free the inference models (params + cast caches) before the training
     # benches — the 560M SFT step needs most of the chip's HBM

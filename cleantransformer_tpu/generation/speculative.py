@@ -30,6 +30,17 @@ draw from p_{K+1}. The committed stream is distributed EXACTLY as the
 target's own (temperature/top-k/top-p processed) sampler — verified
 statistically in tests/test_speculative.py. Batching would need per-row
 acceptance counts — documented future work.
+
+Cache layout: speculation uses the model's OWN cache factory, so a
+``config.fused_decode`` model runs its verify (S = K+1) and catch-up
+windows through the whole-stack window kernel
+(ops/fused_decode._gpt_window_kernel) — the round cost drops from ~2 plain
+decode steps (the per-layer XLA chain) to ~1 fused step. The greedy
+bit-exactness guarantee then holds at float-rounding tolerance rather than
+bit-level: the window kernel's per-query reductions and XLA's batched
+gemms differ by ~1 ulp (fp32), exactly like the committed bf16
+cross-kernel drift (CLAUDE.md) — immaterial for trained/decisive logits,
+and the plain dense-layout configuration remains strictly bit-exact.
 """
 
 import functools
@@ -509,7 +520,7 @@ def prompt_lookup_generate(model, input_ids, attention_mask=None,
                                                         cache_factory)
     tokens, n, rounds = _prompt_lookup_loop(
         inference_params(model), model.config, model.forward_fn(),
-        cache_factory(model, dense=True), np.asarray(input_ids, np.int32),
+        cache_factory(model), np.asarray(input_ids, np.int32),
         K=int(draft_len), ngram=int(ngram), end_ids=end_ids,
         total_len=total_len)
     return _finish_batched(tokens, n, rounds, S0, pad_id, return_stats)
@@ -562,8 +573,8 @@ def speculative_generate(model, draft_model, input_ids, attention_mask=None,
     if B > 1:  # batched greedy rounds with per-row acceptance/offsets
         tokens, n, rounds = _speculative_loop_batched(
             t_params, d_params, model.config, draft_model.config, t_forward,
-            d_forward, cache_factory(model, dense=True),
-            cache_factory(draft_model, dense=True),
+            d_forward, cache_factory(model),
+            cache_factory(draft_model),
             np.asarray(input_ids, np.int32), K=K, end_ids=end_ids,
             total_len=total_len)
         return _finish_batched(tokens, n, rounds, S0,
@@ -575,8 +586,8 @@ def speculative_generate(model, draft_model, input_ids, attention_mask=None,
 
     tokens, n, rounds = _speculative_loop(
         t_params, d_params, model.config, draft_model.config, t_forward,
-        d_forward, cache_factory(model, dense=True),
-        cache_factory(draft_model, dense=True),
+        d_forward, cache_factory(model),
+        cache_factory(draft_model),
         np.asarray(input_ids, np.int32), rng,
         K=K, end_ids=end_ids, total_len=total_len, do_sample=do_sample,
         temperature=temperature, top_k=top_k, top_p=top_p)

@@ -571,6 +571,62 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
                            config.layer_norm_epsilon)
             return h, new_cache
 
+        _wmax = getattr(config, "fused_decode_max_window", 12)
+        if (_is_fused_cache(kbuf) and 2 <= S <= _wmax and head_mask is None
+                and "qkv_fused" in params
+                and not config.apply_residual_connection_post_layernorm):
+            # multi-token decode WINDOW (speculative verify / catch-up,
+            # short serving chunks) — see models/gpt.py for the GPT twin and
+            # ops/fused_decode._gpt_window_kernel for the kernel contract.
+            # The key bias carries padding + the ALiBi ramp over the WHOLE
+            # buffer (window columns included — ALiBi is key-position-only,
+            # modeling_bloom.py:309-331, so one (B, T, H) plane serves every
+            # query); the kernel owns causality.
+            from cleantransformer_tpu.ops.fused_decode import (
+                fused_decode_window, table_bytes, window_fits_vmem)
+            from cleantransformer_tpu.ops.pallas_kernels import should_interpret
+            D = h.shape[-1]
+            Hh = config.n_head
+            hd = D // Hh
+            cbytes = 1 if isinstance(kbuf, dict) else kbuf.dtype.itemsize
+            if window_fits_vmem(S, B, T, D, 4 * D, Hh, cache_bytes=cbytes,
+                                kv_int8=isinstance(kbuf, dict)):
+                ab = jnp.broadcast_to(alibi_bias[:, :, 0, :], (B, Hh, T))
+                pad_bt = jnp.where(attention_mask != 0, 0.0,
+                                   jnp.finfo(jnp.float32).min)     # (B, T)
+                bias = (pad_bt[:, :, None]
+                        + jnp.transpose(ab, (0, 2, 1))).astype(jnp.float32)
+                blocks = params["blocks"]
+                stack = {
+                    "ln1w": blocks["input_layernorm"]["w"],
+                    "ln1b": blocks["input_layernorm"]["b"],
+                    "wqkv": params["qkv_fused"]["w"],
+                    "bqkv": params["qkv_fused"]["b"],
+                    "wproj": blocks["self_attention"]["dense"]["w"],
+                    "bproj": blocks["self_attention"]["dense"]["b"],
+                    "ln2w": blocks["post_attention_layernorm"]["w"],
+                    "ln2b": blocks["post_attention_layernorm"]["b"],
+                    "wfc": blocks["mlp"]["dense_h_to_4h"]["w"],
+                    "bfc": blocks["mlp"]["dense_h_to_4h"]["b"],
+                    "wfc2": blocks["mlp"]["dense_4h_to_h"]["w"],
+                    "bfc2": blocks["mlp"]["dense_4h_to_h"]["b"],
+                }
+                y, nk, nv = fused_decode_window(
+                    stack, jnp.swapaxes(h, 0, 1), bias, cache_len, kbuf,
+                    cache["v"], n_head=Hh, eps=config.layer_norm_epsilon,
+                    act="bloom_gelu", scale=1.0 / math.sqrt(hd), pre_ln=True,
+                    park_bytes=table_bytes(
+                        params.get("lm_head", params["word_embeddings"])),
+                    interpret=should_interpret())
+                new_k = fused_cache_append(kbuf, nk, cache_len, Hh)
+                new_v = fused_cache_append(cache["v"], nv, cache_len, Hh)
+                h = jnp.swapaxes(y, 0, 1)                        # (B, S, D)
+                new_cache = {"k": new_k, "v": new_v,
+                             "length": cache_len + S}
+                h = layer_norm(h, params["ln_f"]["w"], params["ln_f"]["b"],
+                               config.layer_norm_epsilon)
+                return h, new_cache
+
         def body(carry, block_params):
             h_in, k_cache, v_cache, li = carry
             out, (nk, nv) = _bloom_block(block_params, (k_cache, v_cache, li),

@@ -235,38 +235,49 @@ def cache_layer_kv(buf, li, B, H, T, hd):
 
 
 def fused_cache_append(buf, n, cache_len, n_head):
-    """Write the fused decode kernel's new k-or-v rows ``n`` (L, B, D) into
-    a fused-layout cache buffer at token row ``cache_len`` — a scalar
-    (generate) or (B,) per-row positions (continuous-batching serving).
+    """Write the fused decode kernel's new k-or-v rows into a fused-layout
+    cache buffer at token row ``cache_len`` — a scalar (generate) or (B,)
+    per-row positions (continuous-batching serving / batched speculation).
+    ``n`` is (L, B, D) (single-token kernel) or (L, S, B, D) (window
+    kernel); window rows land at [cache_len, cache_len + S).
     For a fused-int8 buffer the rows are quantized per (layer, batch, head)
     first, with cache_write's exact math (the kernel applied the same
-    round-trip to the merged current column, so decode stays bit-consistent
-    with the XLA int8 path)."""
+    round-trip to the merged current column(s), so decode stays
+    bit-consistent with the XLA int8 path)."""
     ragged = jnp.ndim(cache_len) == 1
+    windowed = n.ndim == 4                       # (L, S, B, D) window rows
+    if windowed:
+        n = jnp.swapaxes(n, 1, 2)                # -> (L, B, S, D)
     if isinstance(buf, dict):
         L, B, T, D = buf["q"].shape
         H = n_head
-        r = n.astype(jnp.float32).reshape(L, B, H, D // H)
-        amax = jnp.max(jnp.abs(r), axis=-1)                     # (L, B, H)
+        S = n.shape[2] if windowed else 1
+        r = n.astype(jnp.float32).reshape(L, B, S, H, D // H)
+        amax = jnp.max(jnp.abs(r), axis=-1)                  # (L, B, S, H)
         s = jnp.maximum(amax / 127.0, 1e-8)
         q = jnp.clip(jnp.round(r / s[..., None]), -127,
-                     127).astype(jnp.int8).reshape(L, B, D)
+                     127).astype(jnp.int8).reshape(L, B, S, D)
         if ragged:
-            rows = jnp.arange(B)
-            pos = jnp.minimum(cache_len, T - 1)
+            rows = jnp.arange(B)[:, None]
+            pos = jnp.minimum(cache_len[:, None]
+                              + jnp.arange(S, dtype=jnp.int32)[None], T - 1)
             return {"q": buf["q"].at[:, rows, pos].set(q),
                     "s": buf["s"].at[:, rows, pos].set(s)}
         return {"q": jax.lax.dynamic_update_slice(
-                    buf["q"], q[:, :, None, :], (0, 0, cache_len, 0)),
+                    buf["q"], q, (0, 0, cache_len, 0)),
                 "s": jax.lax.dynamic_update_slice(
-                    buf["s"], s[:, :, None, :], (0, 0, cache_len, 0))}
+                    buf["s"], s, (0, 0, cache_len, 0))}
     T = buf.shape[2]
+    if not windowed:
+        n = n[:, :, None, :]                     # (L, B, 1, D)
+    S = n.shape[2]
     if ragged:
-        rows = jnp.arange(buf.shape[1])
-        pos = jnp.minimum(cache_len, T - 1)
+        rows = jnp.arange(buf.shape[1])[:, None]
+        pos = jnp.minimum(cache_len[:, None]
+                          + jnp.arange(S, dtype=jnp.int32)[None], T - 1)
         return buf.at[:, rows, pos].set(n.astype(buf.dtype))
     return jax.lax.dynamic_update_slice(
-        buf, n[:, :, None, :].astype(buf.dtype), (0, 0, cache_len, 0))
+        buf, n.astype(buf.dtype), (0, 0, cache_len, 0))
 
 
 def _is_fused_cache(buf):
@@ -672,6 +683,51 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
                 h = y[:, None, :]
                 new_cache = {"k": new_k, "v": new_v,
                              "length": cache_len + 1}
+                if version != "gpt":
+                    h = layer_norm(h, params["ln_f"]["w"],
+                                   params["ln_f"]["b"],
+                                   config.layer_norm_epsilon)
+                return h, new_cache
+        if (fused_layout and 2 <= S <= getattr(
+                config, "fused_decode_max_window", 12) and deterministic):
+            # multi-token decode WINDOW (speculative verify S = K+1, draft
+            # catch-up, short serving chunks): one grid-(L,) program for the
+            # whole stack (ops/fused_decode.py _gpt_window_kernel) instead
+            # of the ~10-kernels-per-layer XLA scan those windows fell back
+            # to. Cache keys keep the S==1 branch's strict-causal bias; the
+            # S window tokens ride merged softmax columns with in-kernel
+            # causality, and their k/v rows return for one contiguous
+            # cache append.
+            from cleantransformer_tpu.ops.fused_decode import (
+                gpt_fused_window, table_bytes, window_fits_vmem)
+            from cleantransformer_tpu.ops.pallas_kernels import should_interpret
+            fused_int8 = isinstance(kbuf, dict)
+            L, _, T, D = (kbuf["q"] if fused_int8 else kbuf).shape
+            Hh = config.n_head
+            wfc = params["blocks"]["mlp"]["c_fc"]["w"]
+            F = (wfc["q"] if isinstance(wfc, dict) else wfc).shape[-1]
+            cbytes = 1 if fused_int8 else kbuf.dtype.itemsize
+            if window_fits_vmem(S, B, T, D, F, Hh, cache_bytes=cbytes,
+                                kv_int8=fused_int8):
+                # key bias = padding only, over the whole buffer (window
+                # columns included); the kernel owns causality (per-query
+                # clamp col <= cache_len + s)
+                pad_bt = (jnp.zeros((B, T), jnp.float32)
+                          if additive_mask is None
+                          else additive_mask[:, 0, 0, :].astype(jnp.float32))
+                bias = jnp.broadcast_to(pad_bt[:, :, None], (B, T, Hh))
+                y, nk, nv = gpt_fused_window(
+                    params["blocks"], jnp.swapaxes(h, 0, 1), bias,
+                    cache_len, kbuf, cache["v"],
+                    config=config, version=version,
+                    park_bytes=table_bytes(
+                        params.get("lm_head", params["tokens_embed"])),
+                    interpret=should_interpret())
+                new_k = fused_cache_append(kbuf, nk, cache_len, Hh)
+                new_v = fused_cache_append(cache["v"], nv, cache_len, Hh)
+                h = jnp.swapaxes(y, 0, 1)                        # (B, S, D)
+                new_cache = {"k": new_k, "v": new_v,
+                             "length": cache_len + S}
                 if version != "gpt":
                     h = layer_norm(h, params["ln_f"]["w"],
                                    params["ln_f"]["b"],

@@ -453,6 +453,291 @@ def fused_decode_step(stack, h0, bias, bias_cur, cache_k, cache_v, *,
     return y, k_out, v_out
 
 
+def _gpt_window_kernel(cl_ref, x_ref, bias_ref, ln1w, ln1b, wqkv, sqkv,
+                       bqkv, wproj, sproj, bproj, ln2w, ln2b, wfc, sfc, bfc,
+                       wfc2, sfc2, bfc2, ck_ref, sk_ref, cv_ref, sv_ref,
+                       y_ref, nk_ref, nv_ref, h_scr, *, S, B, H, D, hd, L,
+                       eps, act, scale, pre_ln, kv_int8):
+    """S-token decode window (2 <= S <= ~16): the whole stack as one
+    grid-(L,) program, like _gpt_decode_kernel, but with S current tokens
+    per row — the shape of a speculative verify window (S = draft_len + 1),
+    a draft catch-up window, or a short serving chunk. Replaces the
+    ~10-kernels-per-layer XLA chain those paths previously fell back to
+    (reference hot loop: generation_util.py:57-119 feeds multi-token
+    windows through the same per-layer module chain).
+
+    Every query is processed by a STATIC per-s loop sharing the layer's
+    streamed weights: all values stay rank <= 3 with (B, ...) trailing dims,
+    because merging the window axis into the sublane axis ((S, B, D) ->
+    (S*B, D)) is a Mosaic relayout when B % 8 != 0 — and B = 1 is the
+    flagship speculative shape. Per-s matmuls cost the same MXU blocks as a
+    batched one whenever B is a sublane multiple, and the kernel is
+    weight-stream-bound at small B anyway.
+
+    In-window attention: the window tokens' k/v (quantized, for an int8
+    cache) are INSERTED into the loaded cache block in VMEM at their true
+    buffer columns cache_len + j (cl_ref rides as a (B, 1) per-row column
+    operand, so scalar and ragged serving offsets share one code path), and
+    every query then runs the S==1 kernel's single-block masked softmax
+    with a per-query causal clamp (col <= cache_len + s). Because the
+    reductions see the same values at the same positions as the XLA
+    per-layer path (which writes the cache before attending), fp32 outputs
+    stay bit-exact — a merged-extra-columns scheme (the S==1 kernel's
+    trick) changes the reduction grouping once there is more than one
+    current column and drifts at float rounding level.
+
+    Window writes are legacy-mode only: the new k/v rows return as
+    (L, S, B, D) for a caller DUS — S contiguous head-major rows per
+    (layer, batch) are a cheap lane-contiguous update, unlike the S==1
+    scattered single-row case that needed in-kernel aliasing."""
+    l = pl.program_id(0)
+    cdt = x_ref.dtype
+    nk_dt = x_ref.dtype if kv_int8 else nk_ref.dtype
+    T = ck_ref.shape[2]
+
+    @pl.when(l == 0)
+    def _init():
+        h_scr[:] = x_ref[:]
+
+    hm = (jax.lax.broadcasted_iota(jnp.int32, (D, H), 0) // hd
+          == jax.lax.broadcasted_iota(jnp.int32, (D, H), 1)
+          ).astype(jnp.float32)
+    hmT = (jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) // hd
+           ).astype(jnp.float32)
+    if kv_int8:
+        lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1) // hd
+        iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, H), 1)
+
+        def quantize_rows(x):
+            """(B, D) -> (int-valued (B, D), per-head scales (B, H)) —
+            cache_write's symmetric int8 math (see _gpt_decode_kernel)."""
+            ax = jnp.abs(x)
+            sc_h = jnp.zeros((B, H), jnp.float32)
+            for h in range(H):
+                sel = (lane_head == h).astype(jnp.float32)
+                amax = jnp.max(ax * sel + (sel - 1.0) * 1e30,
+                               axis=1, keepdims=True)
+                sc_h = sc_h + (amax / 127.0) * (iota_h == h).astype(
+                    jnp.float32)
+            sc_h = jnp.maximum(sc_h, 1e-8)
+            sc_lanes = jnp.dot(sc_h, hmT,
+                               preferred_element_type=jnp.float32)
+            q = jnp.clip(jnp.round(x / sc_lanes), -127, 127)
+            return q, sc_h
+
+    def project(x, w, s_cols, b):
+        o = jnp.dot(x, w[0].astype(cdt),
+                    preferred_element_type=jnp.float32).astype(cdt)
+        return o * s_cols[0, 0].astype(cdt) + b[0, 0].astype(cdt)
+
+    # rank-3 column iota and (B, 1, 1) offsets: comparisons produce the
+    # (B, T, 1) masks directly — expanding a (B, T) BOOL with [:, :, None]
+    # is an i1 minor-dim insert Mosaic rejects ("only supported for 32-bit
+    # types"); int32 reshapes are fine
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (B, T, 1), 1)
+    cl3 = cl_ref[:].reshape(B, 1, 1)                         # int32
+
+    kc = ck_ref[0].astype(jnp.float32)                       # (B, T, D)
+    vc = cv_ref[0].astype(jnp.float32)
+    if kv_int8:
+        skp = sk_ref[0]                                      # (B, T, H)
+        svp = sv_ref[0]
+    bias = bias_ref[:].astype(jnp.float32)                   # (B, T, H)
+
+    # pass 1 — window qkv; insert each token's k/v (and int8 scales) into
+    # the loaded cache block at its true buffer column cache_len + s, so
+    # the attention reductions below see exactly what the XLA path reads
+    # back from the post-write cache
+    qs = []
+    for s in range(S):
+        x = h_scr[s]
+        if pre_ln:
+            x = _ln(x, ln1w, ln1b, eps, cdt)
+        qkv = jnp.dot(x, wqkv[0].astype(cdt),
+                      preferred_element_type=jnp.float32).astype(cdt)
+        qkv = qkv * sqkv[0, 0].astype(cdt) + bqkv[0, 0].astype(cdt)
+        k_t = qkv[:, D:2 * D].astype(nk_dt)
+        v_t = qkv[:, 2 * D:].astype(nk_dt)
+        nk_ref[0, s] = k_t
+        nv_ref[0, s] = v_t
+        qs.append(qkv[:, :D].astype(jnp.float32))
+        ins = col3 == cl3 + s                                # (B, T, 1)
+        if kv_int8:
+            kq_s, ksc_s = quantize_rows(k_t.astype(jnp.float32))
+            vq_s, vsc_s = quantize_rows(v_t.astype(jnp.float32))
+            kc = jnp.where(ins, kq_s[:, None, :], kc)
+            vc = jnp.where(ins, vq_s[:, None, :], vc)
+            skp = jnp.where(ins, ksc_s[:, None, :], skp)
+            svp = jnp.where(ins, vsc_s[:, None, :], svp)
+        else:
+            kc = jnp.where(ins, k_t.astype(jnp.float32)[:, None, :], kc)
+            vc = jnp.where(ins, v_t.astype(jnp.float32)[:, None, :], vc)
+
+    # pass 2 — per-query single-block attention + block epilogue
+    for s in range(S):
+        qf = qs[s]                                           # (B, D)
+        sc = jnp.dot((kc * qf[:, None, :]).reshape(B * T, D), hm,
+                     preferred_element_type=jnp.float32).reshape(B, T, H)
+        if kv_int8:
+            sc = sc * skp
+        sc = sc * scale + bias                               # (B, T, H)
+        sc = jnp.where(col3 <= cl3 + s, sc, -1e30)
+        m = jnp.max(sc, axis=1)                              # (B, H)
+        p = jnp.exp(sc - m[:, None, :])
+        den = jnp.sum(p, axis=1)                             # (B, H)
+        if kv_int8:
+            pn = (p / den[:, None, :]) * svp
+        else:
+            pn = (p / den[:, None, :]).astype(cdt).astype(jnp.float32)
+        pexp = jnp.dot(pn.reshape(B * T, H), hmT,
+                       preferred_element_type=jnp.float32).reshape(B, T, D)
+        out = jnp.sum(pexp * vc, axis=1)                     # (B, D)
+        o = project(out.astype(cdt), wproj, sproj, bproj)
+        if pre_ln:  # gpt2/gpt3 residual order (modeling_gpt.py:147-152)
+            h = h_scr[s] + o
+            u = project(_ln(h, ln2w, ln2b, eps, cdt), wfc, sfc, bfc)
+            h = h + project(act(u).astype(cdt), wfc2, sfc2, bfc2)
+        else:       # gpt post-LN (modeling_gpt.py:141-146)
+            h = _ln(h_scr[s] + o, ln1w, ln1b, eps, cdt)
+            u = project(h, wfc, sfc, bfc)
+            h = _ln(h + project(act(u).astype(cdt), wfc2, sfc2, bfc2),
+                    ln2w, ln2b, eps, cdt)
+        h_scr[s] = h
+        y_ref[s] = h
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "eps", "act", "scale",
+                                              "pre_ln", "park_bytes",
+                                              "interpret"))
+def fused_decode_window(stack, hw, bias, cache_len, cache_k, cache_v, *,
+                        n_head, eps, act, scale, pre_ln, park_bytes=0,
+                        interpret=False):
+    """S-token decode window over the whole stack (see _gpt_window_kernel).
+
+    hw: (S, B, D) embedded window tokens (compute dtype), window-major so
+      every kernel value keeps (B, ...) trailing dims.
+    bias: (B, T, H) fp32 additive KEY bias covering the whole buffer —
+      padding (and ALiBi for Bloom-family callers) at every column,
+      including the window's own columns [cache_len, cache_len + S). NO
+      causal term: the kernel owns causality (query s clamps columns
+      > cache_len + s, which also excludes stale/unwritten cache rows).
+    cache_len: scalar or (B,) per-row token offsets (traced) — where the
+      window starts in the buffer.
+
+    Returns (y (S, B, D) final hiddens pre-ln_f, new_k, new_v (L, S, B, D)
+    rows in the compute dtype) — the caller writes them with
+    fused_cache_append (which quantizes for an int8 cache)."""
+    kv_int8 = isinstance(cache_k, dict)
+    if kv_int8:
+        cache_k, sk = cache_k["q"], cache_k["s"]
+        cache_v, sv = cache_v["q"], cache_v["s"]
+    L, B, T, D = cache_k.shape
+    S = hw.shape[0]
+    H = n_head
+    hd = D // H
+    if not kv_int8:
+        sk = sv = jnp.ones((L, 1, 1, H), jnp.float32)
+    cl2d = jnp.broadcast_to(jnp.reshape(cache_len, (-1, 1)),
+                            (B, 1)).astype(jnp.int32)
+
+    def vec(p):
+        return p.reshape(L, 1, p.shape[-1])
+
+    def wpair(w):
+        if isinstance(w, dict):
+            return w["q"], vec(w["s"])
+        return w, jnp.ones((L, 1, w.shape[-1]), hw.dtype)
+
+    wqkv, sqkv = wpair(stack["wqkv"])
+    wproj, sproj = wpair(stack["wproj"])
+    wfc, sfc = wpair(stack["wfc"])
+    wfc2, sfc2 = wpair(stack["wfc2"])
+    F = wfc.shape[-1]
+
+    operands = (
+        cl2d, hw, bias,
+        vec(stack["ln1w"]), vec(stack["ln1b"]),
+        wqkv, sqkv, vec(stack["bqkv"]),
+        wproj, sproj, vec(stack["bproj"]),
+        vec(stack["ln2w"]), vec(stack["ln2b"]),
+        wfc, sfc, vec(stack["bfc"]),
+        wfc2, sfc2, vec(stack["bfc2"]),
+        cache_k, sk, cache_v, sv,
+    )
+
+    def fixed(shape):
+        return pl.BlockSpec(shape, lambda l: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_layer(shape):
+        return pl.BlockSpec((1,) + shape, lambda l: (l,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    sk_spec = per_layer((B, T, H)) if kv_int8 else per_layer((1, 1, H))
+    in_specs = [
+        fixed((B, 1)), fixed((S, B, D)), fixed((B, T, H)),
+        per_layer((1, D)), per_layer((1, D)),
+        per_layer((D, 3 * D)), per_layer((1, 3 * D)), per_layer((1, 3 * D)),
+        per_layer((D, D)), per_layer((1, D)), per_layer((1, D)),
+        per_layer((1, D)), per_layer((1, D)),
+        per_layer((D, F)), per_layer((1, F)), per_layer((1, F)),
+        per_layer((F, D)), per_layer((1, D)), per_layer((1, D)),
+        per_layer((B, T, D)), sk_spec, per_layer((B, T, D)), sk_spec,
+    ]
+    new_kv_dtype = hw.dtype if kv_int8 else cache_k.dtype
+    out_specs = [fixed((S, B, D)),
+                 per_layer((S, B, D)), per_layer((S, B, D))]
+    out_shape = [jax.ShapeDtypeStruct((S, B, D), hw.dtype),
+                 jax.ShapeDtypeStruct((L, S, B, D), new_kv_dtype),
+                 jax.ShapeDtypeStruct((L, S, B, D), new_kv_dtype)]
+
+    kernel = functools.partial(
+        _gpt_window_kernel, S=S, B=B, H=H, D=D, hd=hd, L=L,
+        eps=eps, act=ACT2FN[act], scale=scale, pre_ln=pre_ln,
+        kv_int8=kv_int8)
+
+    wbytes = sum(w.dtype.itemsize * w.size // L
+                 for w in (wqkv, wproj, wfc, wfc2))
+    cache_blk = 2 * B * T * D * cache_k.dtype.itemsize
+    planes = (2 * B * T * H * 4 if kv_int8 else 0) + B * T * H * 4
+    fixed_ops = S * B * D * hw.dtype.itemsize * 6 + S * B * H * 4
+    # the per-s loop keeps two fp32 (B, T, D) cache copies + one (B, T, D)
+    # score intermediate live — count them in the claim
+    live_f32 = 3 * B * T * D * 4
+    need = 2 * (wbytes + cache_blk + planes
+                + 2 * S * B * D * new_kv_dtype.itemsize) + fixed_ops + live_f32
+    vmem_cap = vmem_claim(need, park_bytes)
+
+    y, k_out, v_out = pl.pallas_call(
+        kernel,
+        grid=(L,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((S, B, D), hw.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_cap),
+        interpret=interpret,
+    )(*operands)
+    return y, k_out, v_out
+
+
+def window_fits_vmem(S, B, T, D, F, H, weight_bytes=2, cache_bytes=2,
+                     kv_int8=False, limit=100 * 1024 * 1024):
+    """fits_vmem for the window kernel: adds the per-s loop's live fp32
+    cache copies and the (L, S, B, D) out blocks."""
+    weights = (3 * D * D + D * D + 2 * D * F) * weight_bytes
+    cache = 2 * B * T * D * cache_bytes
+    planes = (3 if kv_int8 else 1) * B * T * H * 4
+    live_f32 = 3 * B * T * D * 4
+    outs = 2 * S * B * D * (2 if kv_int8 else cache_bytes)
+    scratch = 6 * S * B * D
+    return (2 * (weights + cache + planes + outs) + live_f32 + scratch
+            < limit)
+
+
 def table_bytes(t):
     """HBM footprint of an (optionally int8-quantized) embedding table."""
     if isinstance(t, dict):
@@ -460,13 +745,9 @@ def table_bytes(t):
     return int(t.size) * t.dtype.itemsize
 
 
-def gpt_fused_decode(blocks, h0, bias, bias_cur, cache_k, cache_v, *,
-                     config, version, cache_len=None, park_bytes=0,
-                     interpret=False):
-    """GPT adapter over fused_decode_step: init_gpt_params' block tree is
-    already contiguous-q|k|v, so this is pure renaming."""
+def _gpt_stack(blocks):
     attn_p, mlp_p = blocks["attn"], blocks["mlp"]
-    stack = {
+    return {
         "ln1w": blocks["ln_1"]["w"], "ln1b": blocks["ln_1"]["b"],
         "wqkv": attn_p["c_attn"]["w"], "bqkv": attn_p["c_attn"]["b"],
         "wproj": attn_p["c_proj"]["w"], "bproj": attn_p["c_proj"]["b"],
@@ -474,10 +755,30 @@ def gpt_fused_decode(blocks, h0, bias, bias_cur, cache_k, cache_v, *,
         "wfc": mlp_p["c_fc"]["w"], "bfc": mlp_p["c_fc"]["b"],
         "wfc2": mlp_p["c_proj"]["w"], "bfc2": mlp_p["c_proj"]["b"],
     }
+
+
+def gpt_fused_decode(blocks, h0, bias, bias_cur, cache_k, cache_v, *,
+                     config, version, cache_len=None, park_bytes=0,
+                     interpret=False):
+    """GPT adapter over fused_decode_step: init_gpt_params' block tree is
+    already contiguous-q|k|v, so this is pure renaming."""
     hd = h0.shape[-1] // config.n_head
     return fused_decode_step(
-        stack, h0, bias, bias_cur, cache_k, cache_v,
+        _gpt_stack(blocks), h0, bias, bias_cur, cache_k, cache_v,
         n_head=config.n_head, eps=config.layer_norm_epsilon,
         act=config.afn, scale=1.0 / math.sqrt(hd),
         pre_ln=(version != "gpt"), cache_len=cache_len,
         park_bytes=park_bytes, interpret=interpret)
+
+
+def gpt_fused_window(blocks, hw, bias, cache_len, cache_k, cache_v, *,
+                     config, version, park_bytes=0, interpret=False):
+    """GPT adapter over fused_decode_window (multi-token window twin of
+    gpt_fused_decode)."""
+    hd = hw.shape[-1] // config.n_head
+    return fused_decode_window(
+        _gpt_stack(blocks), hw, bias, cache_len, cache_k, cache_v,
+        n_head=config.n_head, eps=config.layer_norm_epsilon,
+        act=config.afn, scale=1.0 / math.sqrt(hd),
+        pre_ln=(version != "gpt"), park_bytes=park_bytes,
+        interpret=interpret)

@@ -69,7 +69,8 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size, collate_fn, shuffle=True, seed=0,
                  drop_last=True, shard_index=0, num_shards=1,
-                 group_by_length=False, length_fn=None, prefetch=2):
+                 group_by_length=False, length_fn=None, prefetch=2,
+                 pad_shards=False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -81,6 +82,7 @@ class DataLoader:
         self.group_by_length = group_by_length
         self.length_fn = length_fn or (lambda s: len(s.get("prompt", "")))
         self.prefetch = prefetch
+        self.pad_shards = pad_shards
         self.epoch = 0
 
     def set_epoch(self, epoch):
@@ -100,6 +102,16 @@ class DataLoader:
                 chunk = idx[s:s + window]
                 out.append(chunk[np.argsort(lengths[s:s + window], kind="stable")])
             idx = np.concatenate(out)
+        if self.pad_shards and self.num_shards > 1:
+            # equalize shards AND fill every batch by wraparound repetition
+            # (torch DistributedSampler semantics): a multi-host EVAL loop
+            # is a global computation per batch — unequal per-process batch
+            # counts would deadlock the collectives, and partial last
+            # batches couldn't be assembled into a 'data'-sharded global
+            # array (the pad_across_processes analogue, reference
+            # trainer.py:674-692)
+            per = self.num_shards * self.batch_size
+            idx = np.resize(idx, -(-n // per) * per)
         # per-host shard: contiguous strided split (each host distinct data)
         idx = idx[self.shard_index::self.num_shards]
         return idx

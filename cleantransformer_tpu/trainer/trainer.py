@@ -749,6 +749,17 @@ class Trainer:
             cb.on_prediction_step(self)
         return loss, logits, labels
 
+    @staticmethod
+    def _eval_host(x, n):
+        """Eval output -> host numpy. A multi-host 'data'-sharded output is
+        not fully addressable: all-gather it across processes first (the
+        distributed_concat analogue, reference trainer.py:1211-1218) — every
+        process then holds the full global rows, no [:n] trim."""
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)[:n]
+
     def _evaluation_loop(self, loader, prediction_loss_only=False,
                          metric_key_prefix="eval"):
         """Shared core of evaluate()/predict() (reference evaluation_loop,
@@ -761,9 +772,9 @@ class Trainer:
                 losses.append(float(loss))
                 weights.append(n)
             if logits is not None:
-                preds.append(np.asarray(logits)[:n])
+                preds.append(self._eval_host(logits, n))
                 if labels is not None:
-                    label_ids.append(np.asarray(labels)[:n])
+                    label_ids.append(self._eval_host(labels, n))
         metrics = {}
         if losses:
             metrics[f"{metric_key_prefix}_loss"] = float(
@@ -782,14 +793,25 @@ class Trainer:
                 metrics[k] = v
         return predictions, labels_all, metrics
 
+    def _eval_loader(self, ds):
+        """Eval DataLoader; under multi-host each process evaluates a
+        DISJOINT shard, wraparound-padded so per-process batch counts are
+        equal and every batch is full (DistributedSampler semantics — the
+        reference pads + truncates via pad_across_processes/
+        distributed_concat, trainer.py:674-692; wraparound duplicates a
+        tail example per uneven shard instead)."""
+        n_proc, proc = jax.process_count(), jax.process_index()
+        return DataLoader(ds, batch_size=self.args.per_device_eval_batch_size,
+                          collate_fn=self.data_collator, shuffle=False,
+                          drop_last=False, shard_index=proc,
+                          num_shards=n_proc, pad_shards=n_proc > 1)
+
     def evaluate(self, eval_dataset=None):
         """Eval loop (trainer.py:591-787): per-batch loss, optional
         prediction gathering + user compute_metrics over
         {'predictions', 'label_ids'} (the HF EvalPrediction contract)."""
         ds = eval_dataset or self.eval_dataset
-        loader = ds if isinstance(ds, DataLoader) else DataLoader(
-            ds, batch_size=self.args.per_device_eval_batch_size,
-            collate_fn=self.data_collator, shuffle=False, drop_last=False)
+        loader = ds if isinstance(ds, DataLoader) else self._eval_loader(ds)
         # logits are only materialized when compute_metrics needs them
         # (reference: prediction_loss_only = compute_metrics is None)
         _, _, metrics = self._evaluation_loop(
@@ -806,10 +828,7 @@ class Trainer:
         {'predictions', 'label_ids', 'metrics'} — the reference's
         predict()/PredictionOutput contract (trainer.py:741-787)."""
         loader = test_dataset if isinstance(test_dataset, DataLoader) else \
-            DataLoader(test_dataset,
-                       batch_size=self.args.per_device_eval_batch_size,
-                       collate_fn=self.data_collator, shuffle=False,
-                       drop_last=False)
+            self._eval_loader(test_dataset)
         predictions, label_ids, metrics = self._evaluation_loop(
             loader, metric_key_prefix=metric_key_prefix)
         for cb in self.callbacks:
@@ -873,11 +892,35 @@ class Trainer:
         # the training loop keeps appending to the live state
         trainer_state = {k: (list(v) if isinstance(v, list) else v)
                          for k, v in self.state.items()}
+        # device->host fetch: a COLLECTIVE under multi-host sharding (ZeRO-3
+        # params / ZeRO-1 moments all-gather across processes), so every
+        # process runs it — only process 0 writes files below
+        host_params = ckpt_io.gather_pytree(self.model.params)
+        host_opt = ckpt_io.gather_pytree(self.opt_state)
+        rng = np.asarray(self._rng)
+        if jax.process_count() > 1:
+            # rank-0-only writes (reference rank guard ft_bloom_DDP.py:155-156
+            # + mkdir/barrier ft_bloom_deepspeed.py:221-223): concurrent
+            # writers would race the atomic rename of the same step dir.
+            # Synchronous here — the completion barrier must mean "resumable
+            # from any process", which an async writer couldn't guarantee.
+            from jax.experimental import multihost_utils
+            if jax.process_index() == 0:
+                ckpt = ckpt_io.save_checkpoint(
+                    self.args.output_dir, self.state["global_step"],
+                    host_params, host_opt, trainer_state, rng_state=rng)
+                ckpt_io.rotate_checkpoints(
+                    self.args.output_dir, self.args.save_total_limit,
+                    self.state.get("best_model_checkpoint"))
+                for cb in self.callbacks:
+                    cb.on_save(self, ckpt)
+            multihost_utils.sync_global_devices(
+                f"ckpt-{self.state['global_step']}")
+            return step_dir
         if not getattr(self.args, "async_save", False):
             ckpt = ckpt_io.save_checkpoint(
                 self.args.output_dir, self.state["global_step"],
-                self.model.params, self.opt_state, trainer_state,
-                rng_state=np.asarray(self._rng))
+                host_params, host_opt, trainer_state, rng_state=rng)
             ckpt_io.rotate_checkpoints(self.args.output_dir,
                                        self.args.save_total_limit,
                                        self.state.get("best_model_checkpoint"))
@@ -885,13 +928,10 @@ class Trainer:
                 cb.on_save(self, ckpt)
             return ckpt
 
-        # async: the device->host fetch is synchronous (the next train step
-        # DONATES the param/opt buffers — deferring the read would race the
-        # donation), the file writes are not
+        # async: the device->host fetch above is synchronous (the next train
+        # step DONATES the param/opt buffers — deferring the read would race
+        # the donation), the file writes are not
         import threading
-        host_params = jax.tree_util.tree_map(np.asarray, self.model.params)
-        host_opt = jax.tree_util.tree_map(np.asarray, self.opt_state)
-        rng = np.asarray(self._rng)
         out_dir, step = self.args.output_dir, self.state["global_step"]
         limit = self.args.save_total_limit
         best = self.state.get("best_model_checkpoint")
@@ -946,9 +986,11 @@ class Trainer:
                 return 0
         params, opt_state, trainer_state, rng_state = ckpt_io.load_checkpoint(
             resume, self.model.params, self.opt_state)
-        self.model.params = params
+        # re-place host arrays on the template shardings (ZeRO-3/TP/
+        # multi-host resume: each process puts only its addressable shards)
+        self.model.params = ckpt_io.reshard_like(params, self.model.params)
         if opt_state is not None:
-            self.opt_state = opt_state
+            self.opt_state = ckpt_io.reshard_like(opt_state, self.opt_state)
         if trainer_state is not None:
             self.state.update(trainer_state)
         if rng_state is not None:

@@ -86,6 +86,40 @@ def unflatten_into(template, flat):
     return walk(template, "")
 
 
+def gather_pytree(tree):
+    """Device->host fetch that is safe for multi-host / sharded arrays.
+
+    Leaves whose shards all live on this process fetch directly
+    (np.asarray); non-fully-addressable leaves — ZeRO-3 params or ZeRO-1
+    optimizer moments laid out across a multi-host mesh — are all-gathered
+    across processes first (the consolidation the reference delegates to
+    FSDP FULL_STATE_DICT / DeepSpeed, trainer/trainer.py:1351-1381). The
+    gather is a COLLECTIVE: every process must call this, even though only
+    process 0 subsequently writes files."""
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+    return jax.tree_util.tree_map(fetch, tree)
+
+
+def reshard_like(loaded, template):
+    """Place checkpoint-loaded host arrays back onto the template's MESH
+    shardings (resume under ZeRO-3/TP/multi-host: each process puts only its
+    addressable shards). Leaves whose template is not mesh-sharded stay host
+    numpy — committing them to a single local device here would make the
+    trainer's later shard_params() a cross-host device transfer (unsupported
+    on CPU/gloo backends), whereas host arrays redistribute freely."""
+    def place(x, t):
+        if isinstance(t, jax.Array) and isinstance(
+                t.sharding, jax.sharding.NamedSharding):
+            return jax.device_put(x, t.sharding)
+        return x
+    return jax.tree_util.tree_map(place, loaded, template)
+
+
 def save_pytree(path, tree, metadata=None):
     flat = {k: np.asarray(v) for k, v in flatten_pytree(tree).items()}
     save_safetensors(path, flat, metadata)

@@ -90,13 +90,25 @@ def test_fused_beam_takes_dense_layout():
     assert np.array_equal(out0, out1)
 
 
-def test_fused_speculative_takes_dense_layout():
-    # prompt-lookup writes K-token verify windows at per-row ragged offsets
-    # — incompatible with the fused (L, T, B*D) layout; speculative_* must
-    # route through the dense factory and stay bit-exact.
+def _sharpen(params, key="tokens_embed", factor=16.0):
+    """Scale the tied embedding so logits are decisive: cross-kernel fp32
+    drift is ~1 ulp, so any argmax gap >> 1e-6 makes greedy deterministic
+    across the fused window kernel and the XLA per-layer path (same recipe
+    as bench_suite's acceptance workloads)."""
+    return {**params, key: params[key] * factor}
+
+
+def test_fused_speculative_rides_window_kernel():
+    # prompt-lookup verify windows (S = K+1) at per-row ragged offsets now
+    # ride the whole-stack window kernel on a fused-layout cache; committed
+    # tokens must match the dense-layout run. Logits are sharpened: the
+    # window kernel's per-query reductions differ from XLA's batched gemms
+    # by ~1 ulp, so only decisive argmaxes are cross-path deterministic.
     from cleantransformer_tpu.generation.speculative import (
         prompt_lookup_generate)
     m0, m1 = _pair("gpt2")
+    m0.params = _sharpen(m0.params)
+    m1.params = m0.params
     rs = np.random.RandomState(2)
     base = rs.randint(5, 200, (1, 6)).astype(np.int32)
     ids = np.concatenate([base, base[:, :4]], axis=1)  # repetition to match
@@ -104,6 +116,111 @@ def test_fused_speculative_takes_dense_layout():
     out0 = np.asarray(prompt_lookup_generate(m0, ids, generation_configs=gcfg))
     out1 = np.asarray(prompt_lookup_generate(m1, ids, generation_configs=gcfg))
     assert np.array_equal(out0, out1)
+
+
+def test_fused_window_kernel_parity_xla():
+    # the S>1 window kernel vs the XLA per-layer fallback ON THE SAME fused
+    # cache (fused_decode_max_window=1 forces the fallback): logits agree to
+    # float tolerance (cross-path fp32 reductions differ by ~1 ulp) and the
+    # cache k/v ROWS the window wrote agree to the same tolerance.
+    cfg = dict(vocab_size=211, n_embd=64, n_head=4, n_layer=2,
+               n_positions=256, compute_dtype=jnp.float32,
+               param_dtype=jnp.float32, fused_decode=True)
+    m0 = GPTLMHeadModel(GPTConfig(**cfg, fused_decode_max_window=1),
+                        version="gpt2", rng=jax.random.PRNGKey(0))
+    m1 = GPTLMHeadModel(GPTConfig(**cfg), version="gpt2", params=m0.params)
+    rs = np.random.RandomState(0)
+    ids = rs.randint(5, 200, (2, 18)).astype(np.int32)
+    mask = np.ones((2, 32), np.int32)
+    mask[1, :3] = 0  # left padding exercises the pad bias plane
+
+    def run(m):
+        # prefill 14 tokens: ABOVE fused_decode_max_window on both models,
+        # so both prefills take the identical XLA path; the 4-token second
+        # forward is the window-kernel-vs-fallback comparison
+        cache = m.init_cache(2, 32)
+        (l1, _), cache = m.forward_fn()(m.params, m.config, ids[:, :14],
+                                        mask, cache=cache)
+        (l2, _), cache = m.forward_fn()(m.params, m.config, ids[:, 14:],
+                                        mask, cache=cache)
+        return (np.asarray(l1), np.asarray(l2),
+                jax.tree_util.tree_map(np.asarray, cache))
+
+    a1, a2, ca = run(m0)
+    b1, b2, cb = run(m1)
+    assert np.array_equal(a1, b1)  # prefill: identical path
+    np.testing.assert_allclose(a2, b2, atol=3e-6, rtol=1e-5)
+    np.testing.assert_allclose(ca["k"][:, :, 14:18], cb["k"][:, :, 14:18],
+                               atol=3e-6, rtol=1e-5)
+    np.testing.assert_allclose(ca["v"][:, :, 14:18], cb["v"][:, :, 14:18],
+                               atol=3e-6, rtol=1e-5)
+    assert int(ca["length"]) == int(cb["length"]) == 18
+
+
+@pytest.mark.parametrize("quant", [None, "kv_cache_int8", "quantize_int8"])
+def test_fused_window_greedy_speculative_exact(quant):
+    # greedy draft-model speculation on a fused-decode target/draft pair:
+    # catch-up windows, single-token draft steps AND (K+1)-token verify all
+    # ride fused kernels; the committed stream must equal the plain fused
+    # greedy decode (sharpened logits — see above).
+    from cleantransformer_tpu.generation.speculative import (
+        speculative_generate)
+    kw = {quant: True} if quant else {}
+    m0, m1 = _pair("gpt2", **kw)
+    m1.params = _sharpen(m1.params)
+    draft = GPTLMHeadModel(
+        GPTConfig(vocab_size=211, n_embd=64, n_head=4, n_layer=1,
+                  n_positions=256, compute_dtype=jnp.float32,
+                  param_dtype=jnp.float32, fused_decode=True, **kw),
+        version="gpt2", rng=jax.random.PRNGKey(7))
+    draft.params = _sharpen(draft.params)
+    rs = np.random.RandomState(5)
+    ids = rs.randint(5, 200, (1, 7)).astype(np.int32)
+    gcfg = {"max_gen_len": 12, "do_sample": False, "pad_id": 0,
+            "end_ids": None, "no_repeat_ngram_size": 0, "beam_size": 1}
+    plain = np.asarray(m1.generate(ids, generation_configs=gcfg))
+    spec = np.asarray(speculative_generate(m1, draft, ids,
+                                           generation_configs=gcfg,
+                                           draft_len=4))
+    n = min(plain.shape[-1], spec.shape[-1])
+    assert np.array_equal(plain[..., :n], spec[..., :n])
+
+
+def test_bloom_fused_window_parity_xla():
+    # Bloom window: ALiBi over the whole buffer + padding ride the (B,T,H)
+    # bias; kernel vs XLA fallback on the same fused cache.
+    cfg = dict(vocab_size=211, hidden_size=64, n_layer=2,
+               num_attention_heads=4, compute_dtype=jnp.float32,
+               param_dtype=jnp.float32, fused_decode=True)
+
+    def mk(**kw):
+        m = BloomForCausalLM(BloomConfig(**cfg, **kw),
+                             rng=jax.random.PRNGKey(0))
+        m._tie_weight()
+        return m
+
+    m0 = mk(fused_decode_max_window=1)
+    m1 = mk()
+    m1.params = m0.params
+    from cleantransformer_tpu.generation.engine import inference_params
+    rs = np.random.RandomState(1)
+    ids = rs.randint(5, 200, (2, 18)).astype(np.int32)
+    mask = np.ones((2, 32), np.int32)
+    mask[1, :3] = 0
+
+    def run(m):
+        p = inference_params(m)  # builds qkv_fused
+        cache = m.init_cache(2, 32)
+        (l1, _), cache = m.forward_fn()(p, m.config, ids[:, :14], mask,
+                                        cache=cache)
+        (l2, _), cache = m.forward_fn()(p, m.config, ids[:, 14:], mask,
+                                        cache=cache)
+        return np.asarray(l1), np.asarray(l2)
+
+    a1, a2 = run(m0)
+    b1, b2 = run(m1)
+    assert np.array_equal(a1, b1)
+    np.testing.assert_allclose(a2, b2, atol=3e-6, rtol=1e-5)
 
 
 def _bloom_pair(n_head=4, hidden=64):
@@ -242,12 +359,11 @@ def test_bloom_fused_beam_takes_dense_layout():
 
 def test_fused_multi_token_cached_window():
     # S>1 forward at a nonzero cache offset (the serving/speculative chunk
-    # shape) bypasses the fused intercept but still reads/writes the fused
-    # cache via the 3D cache_write/cache_layer_kv paths. Stored values
-    # round-trip exactly, but the (T,B,H,hd)->(B,H,T,hd) read view changes
-    # XLA's dot reduction order, so logits agree to float tolerance, not
-    # bit-exactly (the generate() fast path, which IS bit-exact, is covered
-    # above).
+    # shape) rides the whole-stack window kernel on the fused cache (S <=
+    # fused_decode_max_window). Stored k/v values round-trip exactly, but
+    # per-query kernel reductions vs XLA's batched gemms differ at float
+    # rounding, so logits agree to tolerance, not bit-exactly (the
+    # generate() S==1 fast path, which IS bit-exact, is covered above).
     m0, m1 = _pair("gpt2")
     rs = np.random.RandomState(3)
     ids = rs.randint(5, 200, (2, 12)).astype(np.int32)
