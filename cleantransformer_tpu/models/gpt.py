@@ -369,11 +369,14 @@ def _dropout(x, rate, rng, deterministic):
 
 
 def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_len,
-               scale=True, deterministic=True, rng=None, mask_precombined=False):
+               scale=True, deterministic=True, rng=None, mask_precombined=False,
+               segments=None):
     """One transformer block. ``layer_kv`` is (k, v) buffers (B, H, T, hd) for
     this layer (or None when running cache-less), ``cache_len`` the number of
     already-cached tokens. Training mode (deterministic=False): attn/resid
-    dropout per the reference block (modeling_gpt.py:60-61, 94, 107, 136)."""
+    dropout per the reference block (modeling_gpt.py:60-61, 94, 107, 136).
+    ``segments`` (B, S) marks packed rows: attention is block-diagonal
+    (flash: segment refs; dense: additive mask term)."""
     eps = config.layer_norm_epsilon
     act = ACT2FN[config.afn]
     H = config.n_head
@@ -400,6 +403,7 @@ def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_
                 bias = jnp.zeros((x.shape[0], 1, S), jnp.float32)
             out = flash_attention_bsd(
                 q, k, v, bias, 0, n_head=H,
+                q_segments=segments, k_segments=segments,
                 scale=(1.0 / math.sqrt(hd_)) if scale else 1.0,
                 causal=True, interpret=should_interpret())
             out = linear(out, block_params["attn"]["c_proj"]["w"],
@@ -500,10 +504,19 @@ def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_
             else:
                 bias = jnp.zeros((x.shape[0], 1, k.shape[2]), jnp.float32)
             out = flash_attention(q, k, v, bias, q_offset,
+                                  q_segments=segments, k_segments=segments,
                                   scale=(1.0 / math.sqrt(q.shape[-1])) if scale else 1.0,
                                   causal=True, interpret=should_interpret())
         else:
-            out = _attend(q, k, v, cache_len, q_offset, additive_mask, scale, CAUSAL_NEG,
+            am = additive_mask
+            if segments is not None:
+                # packed rows: block-diagonal — no token attends another
+                # segment (additive form; masked scores underflow exp to 0)
+                neq = (segments[:, :, None]
+                       != segments[:, None, :])[:, None]         # (B,1,S,S)
+                blk = jnp.where(neq, jnp.finfo(jnp.float32).min, 0.0)
+                am = blk if am is None else am + blk
+            out = _attend(q, k, v, cache_len, q_offset, am, scale, CAUSAL_NEG,
                           attn_drop=(config.attn_pdrop, rngs[0], deterministic),
                           mask_precombined=mask_precombined,
                           k_scale=k_scale, v_scale=v_scale)
@@ -532,7 +545,8 @@ def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_
 
 def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=None,
                 segment_ids=None, cache=None, version="gpt", deterministic=True,
-                dropout_rng=None, remat=False, embed_noise=None):
+                dropout_rng=None, remat=False, embed_noise=None,
+                packed_segments=None):
     """GPT forward. Returns (hidden_states, new_cache).
 
     - cache-less: ``attention_mask`` is (B, S) over the inputs (or None).
@@ -542,11 +556,41 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
     - ``embed_noise``: optional (B, S, D) additive noise on the token-embedding
       output (the NEFTune hook point — reference trainer.py:867-898 hooks
       get_input_embeddings(), i.e. before position embeddings are added).
+    - ``packed_segments``: (B, S) int, 0 = pad — PACKED-SEQUENCE training
+      (trainer/data.packed_collate): several examples share one row with
+      block-diagonal-causal attention and per-segment restart of the
+      LEARNED absolute position ids (wpe rows 0..len-1, exactly what each
+      example would see unpacked). A separate kwarg because GPT's
+      ``segment_ids`` are token-TYPE embeddings (reference
+      modeling_gpt.py:169 semantics). Cache-less training only.
     """
     compute_dtype = config.compute_dtype
     B, S = input_ids.shape
 
     cache_len = cache["length"] if cache is not None else jnp.zeros((), jnp.int32)
+
+    packed = packed_segments is not None
+    if packed:
+        if cache is not None:
+            raise ValueError("packed_segments (packed sequences) are a "
+                             "cache-less training feature")
+        if getattr(config, "use_ring_attention", False):
+            raise ValueError("packed sequences are unsupported with ring "
+                             "attention (no segment refs in the ring op)")
+        seg = packed_segments.astype(jnp.int32)
+        if attention_mask is None:
+            attention_mask = (seg != 0).astype(jnp.int32)
+        if position_ids is None:
+            # within-segment positions: idx - segment start (segments are
+            # contiguous runs in a packed row); pads pinned to 0
+            idx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None],
+                                   (B, S))
+            new_seg = jnp.concatenate(
+                [jnp.ones((B, 1), bool), seg[:, 1:] != seg[:, :-1]], axis=1)
+            seg_start = jax.lax.cummax(jnp.where(new_seg, idx, 0), axis=1)
+            position_ids = (idx - seg_start) * (seg != 0)
+    else:
+        seg = None
 
     if position_ids is None:
         if jnp.ndim(cache_len) == 1:
@@ -594,7 +638,7 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
                      if dropout_rng is not None else None)
             out, _ = _gpt_block(xs, None, h_in, config, version,
                                 additive_mask, cache_len, scale,
-                                deterministic, rng_l)
+                                deterministic, rng_l, segments=seg)
             return out
         if remat:
             # per-layer remat; remat="attn" pins the flash out/lse residuals
@@ -804,7 +848,7 @@ def gpt_lm_head(params, hidden_states):
 def gpt_lm_forward(params, config, input_ids, attention_mask=None, position_ids=None,
                    segment_ids=None, cache=None, version="gpt", last_only=False,
                    deterministic=True, dropout_rng=None, remat=False,
-                   embed_noise=None):
+                   embed_noise=None, packed_segments=None):
     """Mirror of GPTLMHeadModel.forward: returns ((lm_logits, hidden), cache).
 
     ``last_only``: compute logits for the final position only — the decode
@@ -812,7 +856,8 @@ def gpt_lm_forward(params, config, input_ids, attention_mask=None, position_ids=
     prefill matmul and only row -1 is consumed)."""
     h, new_cache = gpt_forward(params, config, input_ids, attention_mask,
                                position_ids, segment_ids, cache, version,
-                               deterministic, dropout_rng, remat, embed_noise)
+                               deterministic, dropout_rng, remat, embed_noise,
+                               packed_segments)
     logits = gpt_lm_head(params, h[:, -1:] if last_only else h)
     return (logits, h), new_cache
 

@@ -20,8 +20,11 @@ SURVEY §2.3); this is a capability extension. Design:
    come back sharded exactly like the parameters — optimizer states shard
    the same way (ZeRO-along-pipe).
 
-Currently wired for Bloom (the SFT flagship); the stage body reuses
-models/bloom.py's block function unchanged.
+The schedule is model-agnostic: a small per-family adapter (embed /
+attention-context / block-scan / final-norm / tied-head-table — see
+``_family_ops``) plugs Bloom, GPT (both LN orders) and the llama family
+into the same GPipe program; ``pipeline_loss_fn(..., model_type=...)``
+selects it, and ``bloom_pipeline_loss_fn`` remains the Bloom shorthand.
 """
 
 import functools
@@ -57,16 +60,148 @@ def shard_params_for_pipeline(params, mesh):
         is_leaf=lambda x: not isinstance(x, (dict,)))
 
 
-def bloom_pipeline_loss_fn(config, mesh, num_microbatches):
+def _family_ops(config, model_type, version="gpt2"):
+    """Per-family adapter for the GPipe stage body: (embed, context,
+    run_blocks, final, head_table, hidden_dim). ``context(mask_mb)`` builds
+    the per-microbatch attention context once per tick; ``run_blocks``
+    scans the family's block function over this stage's local layers."""
+    if model_type == "bloom":
+        from cleantransformer_tpu.models.bloom import (_bloom_block,
+                                                       build_alibi_bias)
+        from cleantransformer_tpu.ops.layers import layer_norm
+        D = config.hidden_size
+
+        def embed(params, ids_mb, mask_mb):
+            emb = params["word_embeddings"][ids_mb].astype(
+                config.compute_dtype)
+            return layer_norm(emb, params["word_embeddings_layernorm"]["w"],
+                              params["word_embeddings_layernorm"]["b"],
+                              config.layer_norm_epsilon)
+
+        def context(mask_mb):
+            S = mask_mb.shape[1]
+            alibi = build_alibi_bias(mask_mb, config.n_head)
+            row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+            pad = (mask_mb == 0)[:, None, None, :]
+            return alibi, pad | (col > row)[None, None], mask_mb != 0
+
+        def run_blocks(blocks, x, ctx):
+            alibi, bool_mask, pad_mask = ctx
+
+            def body(carry, block_params):
+                out, _ = _bloom_block(block_params, None, carry, config,
+                                      alibi, bool_mask,
+                                      jnp.zeros((), jnp.int32), pad_mask)
+                return out, None
+            return jax.lax.scan(body, x, blocks)[0]
+
+        def final(params, h):
+            return layer_norm(h, params["ln_f"]["w"], params["ln_f"]["b"],
+                              config.layer_norm_epsilon)
+
+        def head_table(params):
+            return params.get("lm_head", params["word_embeddings"])
+
+    elif model_type == "gpt":
+        from cleantransformer_tpu.models.gpt import _gpt_block
+        from cleantransformer_tpu.ops.layers import layer_norm
+        D = config.n_embd
+        cdt = config.compute_dtype
+        neg = (jnp.finfo(cdt).min if jnp.issubdtype(cdt, jnp.floating)
+               else jnp.finfo(jnp.float32).min)
+
+        def embed(params, ids_mb, mask_mb):
+            # position ids from the mask cumsum (modeling_gpt.py:171-174)
+            am = mask_mb.astype(jnp.int32)
+            pos = jnp.cumsum(am, axis=-1) - 1
+            pos = jnp.where(am == 0, 1, pos)
+            h = (params["tokens_embed"][ids_mb]
+                 + params["position_embed"][pos])
+            return h.astype(cdt)
+
+        def context(mask_mb):
+            return ((1.0 - mask_mb[:, None, None, :].astype(jnp.float32))
+                    * neg,)
+
+        def run_blocks(blocks, x, ctx):
+            def body(carry, block_params):
+                out, _ = _gpt_block(block_params, None, carry, config,
+                                    version, ctx[0],
+                                    jnp.zeros((), jnp.int32))
+                return out, None
+            return jax.lax.scan(body, x, blocks)[0]
+
+        def final(params, h):
+            if version == "gpt":  # post-LN GPT-1 has no ln_f
+                return h
+            return layer_norm(h, params["ln_f"]["w"], params["ln_f"]["b"],
+                              config.layer_norm_epsilon)
+
+        def head_table(params):
+            return params.get("lm_head", params["tokens_embed"])
+
+    elif model_type == "llama":
+        from cleantransformer_tpu.models.llama import (_llama_block,
+                                                       rope_cos_sin,
+                                                       rms_norm, CAUSAL_NEG)
+        from cleantransformer_tpu.ops.activations import ACT2FN
+        D = config.hidden_size
+        act = ACT2FN[config.hidden_act]
+
+        def embed(params, ids_mb, mask_mb):
+            return params["embed_tokens"][ids_mb].astype(config.compute_dtype)
+
+        def context(mask_mb):
+            S = mask_mb.shape[1]
+            am = mask_mb.astype(jnp.int32)
+            pos = jnp.cumsum(am, axis=-1) - 1
+            pos = jnp.where(am == 0, 1, pos)
+            cos, sin = rope_cos_sin(pos, config)
+            additive = (1.0 - mask_mb[:, None, None, :].astype(jnp.float32)
+                        ) * CAUSAL_NEG
+            row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+            keep = col <= row
+            window = getattr(config, "sliding_window", None)
+            if window is not None:
+                keep = keep & (row - col < window)
+            additive = additive + jnp.where(keep, 0.0,
+                                            CAUSAL_NEG)[None, None]
+            return cos, sin, additive
+
+        def run_blocks(blocks, x, ctx):
+            cos, sin, additive = ctx
+
+            def body(carry, block_params):
+                out, _, _ = _llama_block(block_params, None, carry, cos, sin,
+                                         additive, jnp.zeros((), jnp.int32),
+                                         config, act)
+                return out, None
+            return jax.lax.scan(body, x, blocks)[0]
+
+        def final(params, h):
+            return rms_norm(h, params["norm"]["w"], config.rms_norm_eps)
+
+        def head_table(params):
+            return params.get("lm_head", params["embed_tokens"])
+    else:
+        raise ValueError(f"unknown pipeline model_type {model_type!r} "
+                         "(bloom | gpt | llama)")
+    return embed, context, run_blocks, final, head_table, D
+
+
+def pipeline_loss_fn(config, mesh, num_microbatches, model_type="bloom",
+                     version="gpt2"):
     """Returns loss_fn(params, batch) running the GPipe schedule on ``mesh``.
 
     batch: {'input_ids','attention_mask','labels'} with leading batch dim
-    divisible by num_microbatches. params: Bloom pytree with blocks sharded
-    per pipeline_param_specs.
+    divisible by num_microbatches. params: the family's pytree with blocks
+    sharded per pipeline_param_specs. ``model_type``: bloom | gpt | llama
+    (_family_ops); ``version`` selects the GPT LN order.
     """
-    from cleantransformer_tpu.models.bloom import (
-        _bloom_block, build_alibi_bias)
-    from cleantransformer_tpu.ops.layers import layer_norm
+    embed, context, run_blocks, final, head_table, D = _family_ops(
+        config, model_type, version)
 
     P_stages = mesh.shape["pipe"]
     M = num_microbatches
@@ -75,25 +210,6 @@ def bloom_pipeline_loss_fn(config, mesh, num_microbatches):
         # local shapes: blocks (L/P, ...); ids/mask/labels (M, mb, S) replicated
         s = jax.lax.axis_index("pipe")
         mb, S = ids.shape[1], ids.shape[2]
-        D = config.hidden_size
-
-        # per-microbatch attention context (cheap; recomputed per tick)
-        def context(mask_mb):
-            alibi = build_alibi_bias(mask_mb, config.n_head)
-            row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
-            col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-            not_causal = col > row
-            pad = (mask_mb == 0)[:, None, None, :]
-            return alibi, pad | not_causal[None, None]
-
-        def local_layers(x, alibi, bool_mask, pad_mask):
-            def body(carry, block_params):
-                out, _ = _bloom_block(block_params, None, carry, config,
-                                      alibi, bool_mask,
-                                      jnp.zeros((), jnp.int32), pad_mask)
-                return out, None
-            x, _ = jax.lax.scan(body, x, params["blocks"])
-            return x
 
         def tick(buf, t):
             mb_idx = jnp.clip(t - s, 0, M - 1)
@@ -102,14 +218,9 @@ def bloom_pipeline_loss_fn(config, mesh, num_microbatches):
             mask_mb = jax.lax.dynamic_index_in_dim(mask, mb_idx, 0, False)
 
             # stage 0 sources from the embeddings; others from the ring buffer
-            emb = params["word_embeddings"][ids_mb].astype(config.compute_dtype)
-            emb = layer_norm(emb, params["word_embeddings_layernorm"]["w"],
-                             params["word_embeddings_layernorm"]["b"],
-                             config.layer_norm_epsilon)
-            x_in = jnp.where(s == 0, emb, buf)
+            x_in = jnp.where(s == 0, embed(params, ids_mb, mask_mb), buf)
 
-            alibi, bool_mask = context(mask_mb)
-            y = local_layers(x_in, alibi, bool_mask, mask_mb != 0)
+            y = run_blocks(params["blocks"], x_in, context(mask_mb))
             y = jnp.where(active, y, jnp.zeros_like(y))
 
             # stack last-stage outputs; the head runs ONCE after the scan so
@@ -128,9 +239,8 @@ def bloom_pipeline_loss_fn(config, mesh, num_microbatches):
         # microbatch m completed on the last stage at tick P-1+m
         outs = jax.lax.dynamic_slice_in_dim(stacked, P_stages - 1, M, axis=0)
         h = outs.reshape(M * mb, S, D)
-        h = layer_norm(h, params["ln_f"]["w"], params["ln_f"]["b"],
-                       config.layer_norm_epsilon)
-        lm = params.get("lm_head", params["word_embeddings"])
+        h = final(params, h)
+        lm = head_table(params)
         logits = jnp.matmul(h, lm.T.astype(h.dtype)).astype(jnp.float32)
         # token-weighted global loss (equal-weighting microbatch MEANS would
         # mis-weight when labels carry ignore_index): sum over all shifted
@@ -173,10 +283,18 @@ def bloom_pipeline_loss_fn(config, mesh, num_microbatches):
     return loss_fn
 
 
-def make_pipeline_train_step(config, mesh, num_microbatches, optimizer):
+def bloom_pipeline_loss_fn(config, mesh, num_microbatches):
+    """Bloom shorthand over pipeline_loss_fn (the original API)."""
+    return pipeline_loss_fn(config, mesh, num_microbatches,
+                            model_type="bloom")
+
+
+def make_pipeline_train_step(config, mesh, num_microbatches, optimizer,
+                             model_type="bloom", version="gpt2"):
     """Jitted GPipe train step: loss + grads (sharded like the params) +
     optimizer update."""
-    loss_fn = bloom_pipeline_loss_fn(config, mesh, num_microbatches)
+    loss_fn = pipeline_loss_fn(config, mesh, num_microbatches,
+                               model_type=model_type, version=version)
     _, update_fn = optimizer
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))

@@ -272,15 +272,24 @@ class Trainer:
                 embed_noise = jax.random.uniform(rng, (B, S, D), jnp.float32,
                                                  -mag, mag)
             seg = batch.get("segment_ids")  # packed rows (packed_collate)
+            fwd_kw = {}
             if seg is not None and not (
                     hasattr(model.config, "rope_theta")       # llama family
                     or hasattr(model.config, "slow_but_exact")):  # bloom
-                # GPT consumes segment_ids as token-TYPE embeddings
-                # (reference semantics) — silently mis-training packed rows
-                # is worse than refusing
-                raise ValueError(
-                    "packed batches (segment_ids) require a llama-family or "
-                    "Bloom model (block-diagonal attention)")
+                if self._model_type() == "gpt":
+                    # GPT consumes segment_ids as token-TYPE embeddings
+                    # (reference semantics) — packed rows ride the distinct
+                    # packed_segments kwarg (block-diagonal attention +
+                    # per-segment restart of the learned positions)
+                    fwd_kw["packed_segments"] = seg
+                    seg = None
+                else:
+                    # silently mis-training packed rows is worse than
+                    # refusing
+                    raise ValueError(
+                        "packed batches (segment_ids) require a GPT, "
+                        "llama-family or Bloom model (block-diagonal "
+                        "attention)")
             if moe_aux:
                 # model's labels path: shift-CE (same -100 exclusion as
                 # below) + router_aux_loss_coef * load-balancing aux
@@ -288,7 +297,7 @@ class Trainer:
                     params, model.config, batch["input_ids"],
                     batch["attention_mask"], None, seg, None,
                     labels=batch["labels"], remat=self.args.remat,
-                    embed_noise=embed_noise)
+                    embed_noise=embed_noise, **fwd_kw)
                 if with_logits:
                     return loss, (logits.astype(jnp.float32)
                                   if logits is not None else None)
@@ -297,7 +306,7 @@ class Trainer:
                                           batch["input_ids"],
                                           batch["attention_mask"], None, seg,
                                           None, remat=self.args.remat,
-                                          embed_noise=embed_noise)
+                                          embed_noise=embed_noise, **fwd_kw)
             logits = out[0].astype(jnp.float32)
             labels = batch["labels"]
             shift_logits = logits[:, :-1]
