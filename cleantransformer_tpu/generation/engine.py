@@ -560,9 +560,13 @@ def _beam_search(model, params, input_ids, attention_mask, position_ids,
         segment_ids = jnp.repeat(jnp.asarray(segment_ids), beam_size, axis=0)
     B = bsz * beam_size
 
-    # dense layout: beam reorders the cache along the batch axis every step
-    # (jnp.take axis=1) — unsupported in the fused (L, B, T, D) decode layout
-    cache = cache_factory(model, dense=True)(model.config, B, total_len)
+    # beam reorders the cache along the batch axis every step (jnp.take
+    # axis=1) — batch is axis 1 in EVERY cache layout (dense (L,B,H,T,hd),
+    # fused (L,B,T,D), llama head-major, and their int8 dict leaves), so
+    # beam rides the model's own fast decode layout: per-step decode goes
+    # through the whole-stack fused kernel on fused_decode configs
+    # (reference KV reorder: generation_util.py:265-272)
+    cache = cache_factory(model)(model.config, B, total_len)
     tokens_buf, mask_buf, _ = _make_buffers(input_ids, attention_mask, total_len, pad_id)
     aux = _make_aux_buffers(position_ids, segment_ids, B, total_len, beam_mode=True)
 

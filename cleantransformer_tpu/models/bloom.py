@@ -98,7 +98,8 @@ def init_bloom_cache(config, batch_size, max_len, dtype=None, fused=None):
         # fused (L, B, T, D) head-major layout for the whole-stack decode
         # kernel — see models/gpt.py init_kv_cache for the full rationale
         D = config.hidden_size
-        T = -(-max_len // 8) * 8
+        tile = 256 if max_len > 2048 else 8  # see models/gpt.py
+        T = -(-max_len // tile) * tile
         if getattr(config, "kv_cache_int8", False):
             def fbuf():
                 return {"q": jnp.zeros((L, batch_size, T, D), jnp.int8),
@@ -493,13 +494,15 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
         from cleantransformer_tpu.models.gpt import (_is_fused_cache,
                                                      fused_cache_append)
         fused_layout = _is_fused_cache(kbuf)
+        _whole = False
         if fused_layout:
             from cleantransformer_tpu.ops.fused_decode import fits_vmem
             _D = h.shape[-1]
             cbytes = 1 if isinstance(kbuf, dict) else kbuf.dtype.itemsize
-            fused_layout = fits_vmem(B, T, _D, 4 * _D, config.n_head,
-                                     cache_bytes=cbytes,
-                                     kv_int8=isinstance(kbuf, dict))
+            # whole-layer blocks in VMEM, or key-block streaming (long ctx)
+            _whole = fits_vmem(B, T, _D, 4 * _D, config.n_head,
+                               cache_bytes=cbytes,
+                               kv_int8=isinstance(kbuf, dict))
         if (fused_layout and S == 1 and head_mask is None
                 and "qkv_fused" in params
                 and not config.apply_residual_connection_post_layernorm):
@@ -550,16 +553,28 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
                 "wfc2": blocks["mlp"]["dense_4h_to_h"]["w"],
                 "bfc2": blocks["mlp"]["dense_4h_to_h"]["b"],
             }
-            from cleantransformer_tpu.ops.fused_decode import table_bytes
-            y, nk, nv = fused_decode_step(
-                stack, h[:, 0, :], bias.astype(jnp.float32),
-                bias_cur.astype(jnp.float32), kbuf, cache["v"],
-                n_head=Hh, eps=config.layer_norm_epsilon, act="bloom_gelu",
-                scale=1.0 / math.sqrt(hd), pre_ln=True,
-                cache_len=None if jnp.ndim(cache_len) == 1 else cache_len,
-                park_bytes=table_bytes(
-                    params.get("lm_head", params["word_embeddings"])),
-                interpret=should_interpret())
+            from cleantransformer_tpu.ops.fused_decode import (
+                fused_decode_blocked, table_bytes)
+            if _whole:
+                y, nk, nv = fused_decode_step(
+                    stack, h[:, 0, :], bias.astype(jnp.float32),
+                    bias_cur.astype(jnp.float32), kbuf, cache["v"],
+                    n_head=Hh, eps=config.layer_norm_epsilon,
+                    act="bloom_gelu", scale=1.0 / math.sqrt(hd), pre_ln=True,
+                    cache_len=None if jnp.ndim(cache_len) == 1 else cache_len,
+                    park_bytes=table_bytes(
+                        params.get("lm_head", params["word_embeddings"])),
+                    interpret=should_interpret())
+            else:
+                # long context: stream the cache in key blocks with online-
+                # softmax partials (see models/gpt.py for the GPT twin)
+                y, nk, nv = fused_decode_blocked(
+                    stack, h[:, 0, :], bias.astype(jnp.float32),
+                    bias_cur.astype(jnp.float32), kbuf, cache["v"],
+                    n_head=Hh, eps=config.layer_norm_epsilon,
+                    act="bloom_gelu", scale=1.0 / math.sqrt(hd), pre_ln=True,
+                    key_block=getattr(config, "decode_key_block", 512),
+                    interpret=should_interpret())
             if isinstance(nk, dict) or jnp.ndim(nk) == 4:
                 new_k, new_v = nk, nv  # in-place: the updated cache buffers
             else:

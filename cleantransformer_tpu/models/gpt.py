@@ -104,7 +104,11 @@ def init_kv_cache(config, batch_size, max_len, dtype=None, fused=None):
         fused = getattr(config, "fused_decode", False)
     if fused:
         D = config.n_embd
-        T = -(-max_len // 8) * 8
+        # long contexts round the capacity to 256 so the blocked decode
+        # kernel gets key-block divisors near its 512-row target (a prime
+        # T/8 would force 8-row blocks and ~2us/block grid overhead)
+        tile = 256 if max_len > 2048 else 8
+        T = -(-max_len // tile) * tile
         if getattr(config, "kv_cache_int8", False):
             def fbuf():
                 return {"q": jnp.zeros((L, batch_size, T, D), jnp.int8),
@@ -686,7 +690,7 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
             # (a two-axis scatter for ragged serving offsets; quantizing
             # first for a fused-int8 cache).
             from cleantransformer_tpu.ops.fused_decode import (
-                gpt_fused_decode, fits_vmem)
+                gpt_fused_blocked, gpt_fused_decode, fits_vmem, table_bytes)
             from cleantransformer_tpu.ops.pallas_kernels import should_interpret
             fused_int8 = isinstance(kbuf, dict)
             L, _, T, D = (kbuf["q"] if fused_int8 else kbuf).shape
@@ -694,23 +698,21 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
             wfc = params["blocks"]["mlp"]["c_fc"]["w"]
             F = (wfc["q"] if isinstance(wfc, dict) else wfc).shape[-1]
             cbytes = 1 if fused_int8 else kbuf.dtype.itemsize
-            if not fits_vmem(B, T, D, F, Hh, cache_bytes=cbytes,
-                             kv_int8=fused_int8):
-                pass  # long-context fallback: XLA per-layer path below
+            whole = fits_vmem(B, T, D, F, Hh, cache_bytes=cbytes,
+                              kv_int8=fused_int8)
+            ragged = jnp.ndim(cache_len) == 1
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+            if ragged:  # (B,) per-row offsets (continuous batching)
+                bias_bt = jnp.where(col < cache_len[:, None], 0.0,
+                                    CAUSAL_NEG)                # (B, T)
             else:
-                ragged = jnp.ndim(cache_len) == 1
-                col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-                if ragged:  # (B,) per-row offsets (continuous batching)
-                    bias_bt = jnp.where(col < cache_len[:, None], 0.0,
-                                        CAUSAL_NEG)                # (B, T)
-                else:
-                    bias_bt = jnp.where(col < cache_len, 0.0, CAUSAL_NEG)
-                if additive_mask is not None:
-                    bias_bt = bias_bt + additive_mask[:, 0, 0, :]
-                bias_bt = jnp.broadcast_to(bias_bt, (B, T)).astype(jnp.float32)
-                bias = jnp.broadcast_to(bias_bt[:, :, None], (B, T, Hh))
-                bias_cur = jnp.zeros((B, Hh), jnp.float32)
-                from cleantransformer_tpu.ops.fused_decode import table_bytes
+                bias_bt = jnp.where(col < cache_len, 0.0, CAUSAL_NEG)
+            if additive_mask is not None:
+                bias_bt = bias_bt + additive_mask[:, 0, 0, :]
+            bias_bt = jnp.broadcast_to(bias_bt, (B, T)).astype(jnp.float32)
+            bias = jnp.broadcast_to(bias_bt[:, :, None], (B, T, Hh))
+            bias_cur = jnp.zeros((B, Hh), jnp.float32)
+            if whole:
                 y, nk, nv = gpt_fused_decode(
                     params["blocks"], h[:, 0, :], bias, bias_cur, kbuf,
                     cache["v"], config=config, version=version,
@@ -718,20 +720,30 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
                     park_bytes=table_bytes(
                         params.get("lm_head", params["tokens_embed"])),
                     interpret=should_interpret())
-                if isinstance(nk, dict) or jnp.ndim(nk) == 4:
-                    # in-place mode: nk/nv ARE the updated cache buffers
-                    new_k, new_v = nk, nv
-                else:
-                    new_k = fused_cache_append(kbuf, nk, cache_len, Hh)
-                    new_v = fused_cache_append(cache["v"], nv, cache_len, Hh)
-                h = y[:, None, :]
-                new_cache = {"k": new_k, "v": new_v,
-                             "length": cache_len + 1}
-                if version != "gpt":
-                    h = layer_norm(h, params["ln_f"]["w"],
-                                   params["ln_f"]["b"],
-                                   config.layer_norm_epsilon)
-                return h, new_cache
+            else:
+                # LONG CONTEXT: the layer's cache block exceeds VMEM —
+                # stream it in key blocks with online-softmax partials
+                # (ops/fused_decode._gpt_blocked_kernel) instead of
+                # bailing to the ~125-fusion XLA per-layer path
+                y, nk, nv = gpt_fused_blocked(
+                    params["blocks"], h[:, 0, :], bias, bias_cur, kbuf,
+                    cache["v"], config=config, version=version,
+                    key_block=getattr(config, "decode_key_block", 512),
+                    interpret=should_interpret())
+            if isinstance(nk, dict) or jnp.ndim(nk) == 4:
+                # in-place mode: nk/nv ARE the updated cache buffers
+                new_k, new_v = nk, nv
+            else:
+                new_k = fused_cache_append(kbuf, nk, cache_len, Hh)
+                new_v = fused_cache_append(cache["v"], nv, cache_len, Hh)
+            h = y[:, None, :]
+            new_cache = {"k": new_k, "v": new_v,
+                         "length": cache_len + 1}
+            if version != "gpt":
+                h = layer_norm(h, params["ln_f"]["w"],
+                               params["ln_f"]["b"],
+                               config.layer_norm_epsilon)
+            return h, new_cache
         if (fused_layout and 2 <= S <= getattr(
                 config, "fused_decode_max_window", 12) and deterministic):
             # multi-token decode WINDOW (speculative verify S = K+1, draft

@@ -738,6 +738,279 @@ def window_fits_vmem(S, B, T, D, F, H, weight_bytes=2, cache_bytes=2,
             < limit)
 
 
+def _gpt_blocked_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv, sqkv,
+                        bqkv, wproj, sproj, bproj, ln2w, ln2b, wfc, sfc, bfc,
+                        wfc2, sfc2, bfc2, ck_ref, sk_ref, cv_ref, sv_ref,
+                        y_ref, nk_ref, nv_ref, h_scr, q_scr, k_scr, v_scr,
+                        m_scr, den_scr, acc_scr, *, B, H, D, hd, L, TB, eps,
+                        act, scale, pre_ln, kv_int8):
+    """LONG-CONTEXT single-token decode: the whole stack as ONE program with
+    a (L, TB) grid — each layer's KV cache streams through VMEM in TB
+    key-blocks with online-softmax partials (flash-decode / split-K style),
+    so contexts that can't fit a whole (B, T, D) layer block in VMEM
+    (4k-32k serving) no longer bail to the ~125-fusion XLA per-layer path
+    (models/gpt.py fits_vmem fallback). Weight blocks are indexed by l only,
+    so the pallas pipeline fetches them once per layer; the per-block state
+    (running max / denominator / unnormalized accumulator) lives in VMEM
+    scratch; the block epilogue (current-column merge, normalize, proj,
+    MLP, residual) runs on the last key-block. Numerics: fp32 partials, the
+    same head-collapse matmuls as _gpt_decode_kernel — but online rescaling
+    reorders the summations, so parity with the single-block kernel/XLA is
+    float-tolerance, not bit-level (tests/test_fused_decode.py).
+
+    Capability bound this extends: the reference materializes a full
+    (n_ctx, n_ctx) tril buffer and O(s^2) scores (modeling_gpt.py:56)."""
+    l, tb = pl.program_id(0), pl.program_id(1)
+    cdt = x_ref.dtype
+    nk_dt = x_ref.dtype if kv_int8 else nk_ref.dtype
+    TK = ck_ref.shape[2]
+
+    hm = (jax.lax.broadcasted_iota(jnp.int32, (D, H), 0) // hd
+          == jax.lax.broadcasted_iota(jnp.int32, (D, H), 1)
+          ).astype(jnp.float32)
+    hmT = (jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) // hd
+           ).astype(jnp.float32)
+    if kv_int8:
+        lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1) // hd
+        iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, H), 1)
+
+        def quantize_rows(x):
+            ax = jnp.abs(x)
+            sc_h = jnp.zeros((B, H), jnp.float32)
+            for h in range(H):
+                sel = (lane_head == h).astype(jnp.float32)
+                amax = jnp.max(ax * sel + (sel - 1.0) * 1e30,
+                               axis=1, keepdims=True)
+                sc_h = sc_h + (amax / 127.0) * (iota_h == h).astype(
+                    jnp.float32)
+            sc_h = jnp.maximum(sc_h, 1e-8)
+            sc_lanes = jnp.dot(sc_h, hmT,
+                               preferred_element_type=jnp.float32)
+            q = jnp.clip(jnp.round(x / sc_lanes), -127, 127)
+            return q, sc_h
+
+    def project(x, w, s_cols, b):
+        o = jnp.dot(x, w[0].astype(cdt),
+                    preferred_element_type=jnp.float32).astype(cdt)
+        return o * s_cols[0, 0].astype(cdt) + b[0, 0].astype(cdt)
+
+    @pl.when((l == 0) & (tb == 0))
+    def _init_h():
+        h_scr[:] = x_ref[:]
+
+    # block prologue (first key-block of each layer): qkv for the current
+    # token, persist q/k/v in scratch, reset the online-softmax state
+    @pl.when(tb == 0)
+    def _prologue():
+        x = h_scr[:]
+        if pre_ln:
+            x = _ln(x, ln1w, ln1b, eps, cdt)
+        qkv = jnp.dot(x, wqkv[0].astype(cdt),
+                      preferred_element_type=jnp.float32).astype(cdt)
+        qkv = qkv * sqkv[0, 0].astype(cdt) + bqkv[0, 0].astype(cdt)
+        k_t = qkv[:, D:2 * D].astype(nk_dt)
+        v_t = qkv[:, 2 * D:].astype(nk_dt)
+        nk_ref[0] = k_t
+        nv_ref[0] = v_t
+        q_scr[:] = qkv[:, :D].astype(jnp.float32)
+        k_scr[:] = k_t.astype(jnp.float32)
+        v_scr[:] = v_t.astype(jnp.float32)
+        m_scr[:] = jnp.full((B, H), -1e30, jnp.float32)
+        den_scr[:] = jnp.zeros((B, H), jnp.float32)
+        acc_scr[:] = jnp.zeros((B, D), jnp.float32)
+
+    # online-softmax partial over this key-block
+    qf = q_scr[:]
+    kc = ck_ref[0].astype(jnp.float32)                       # (B, TK, D)
+    vc = cv_ref[0].astype(jnp.float32)
+    sc = jnp.dot((kc * qf[:, None, :]).reshape(B * TK, D), hm,
+                 preferred_element_type=jnp.float32).reshape(B, TK, H)
+    if kv_int8:
+        sc = sc * sk_ref[0]
+    sc = sc * scale + bias_ref[:].astype(jnp.float32)        # (B, TK, H)
+    m_blk = jnp.max(sc, axis=1)                              # (B, H)
+    m_new = jnp.maximum(m_scr[:], m_blk)
+    r = jnp.exp(m_scr[:] - m_new)                            # (B, H)
+    p = jnp.exp(sc - m_new[:, None, :])                      # (B, TK, H)
+    if kv_int8:
+        p = p * sv_ref[0]
+    pexp = jnp.dot(p.reshape(B * TK, H), hmT,
+                   preferred_element_type=jnp.float32).reshape(B, TK, D)
+    r_lanes = jnp.dot(r, hmT, preferred_element_type=jnp.float32)  # (B, D)
+    m_scr[:] = m_new
+    den_scr[:] = den_scr[:] * r + jnp.sum(jnp.exp(sc - m_new[:, None, :]),
+                                          axis=1)
+    acc_scr[:] = acc_scr[:] * r_lanes + jnp.sum(pexp * vc, axis=1)
+
+    # block epilogue (last key-block): merge the current token's column,
+    # normalize, proj + MLP + residual, advance the residual stream
+    @pl.when(tb == TB - 1)
+    def _epilogue():
+        kf_t, vf_t = k_scr[:], v_scr[:]
+        if kv_int8:
+            kq, sck_h = quantize_rows(kf_t)
+            vq, scv_h = quantize_rows(vf_t)
+        else:
+            kq, vq = kf_t, vf_t
+        s_cur = jnp.dot(kq * qf, hm,
+                        preferred_element_type=jnp.float32)  # (B, H)
+        if kv_int8:
+            s_cur = s_cur * sck_h
+        s_cur = s_cur * scale + bcur_ref[:].astype(jnp.float32)
+        m_fin = jnp.maximum(m_scr[:], s_cur)
+        r2 = jnp.exp(m_scr[:] - m_fin)
+        pc = jnp.exp(s_cur - m_fin)                          # (B, H)
+        den = den_scr[:] * r2 + pc
+        r2_lanes = jnp.dot(r2, hmT, preferred_element_type=jnp.float32)
+        if kv_int8:
+            pcn = (pc / den) * scv_h
+        else:
+            pcn = pc / den
+        den_lanes = jnp.dot(den, hmT, preferred_element_type=jnp.float32)
+        out = (acc_scr[:] * r2_lanes) / den_lanes
+        out = out + jnp.dot(pcn, hmT,
+                            preferred_element_type=jnp.float32) * vq
+        o = project(out.astype(cdt), wproj, sproj, bproj)
+        if pre_ln:
+            h = h_scr[:] + o
+            u = project(_ln(h, ln2w, ln2b, eps, cdt), wfc, sfc, bfc)
+            h = h + project(act(u).astype(cdt), wfc2, sfc2, bfc2)
+        else:
+            h = _ln(h_scr[:] + o, ln1w, ln1b, eps, cdt)
+            u = project(h, wfc, sfc, bfc)
+            h = _ln(h + project(act(u).astype(cdt), wfc2, sfc2, bfc2),
+                    ln2w, ln2b, eps, cdt)
+        h_scr[:] = h
+        y_ref[:] = h
+
+
+def blocked_key_block(T, target=512):
+    """Largest 8-ALIGNED key-block size <= target that divides T (T is
+    8-aligned, so TK=8 always qualifies); the (L, T // TK) grid streams
+    the cache through VMEM."""
+    n = T // 8
+    TB = -(-T // target)
+    while n % TB:
+        TB += 1
+    return T // TB
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "eps", "act", "scale",
+                                              "pre_ln", "key_block",
+                                              "interpret"))
+def fused_decode_blocked(stack, h0, bias, bias_cur, cache_k, cache_v, *,
+                         n_head, eps, act, scale, pre_ln, key_block=512,
+                         interpret=False):
+    """Long-context single-token decode step (see _gpt_blocked_kernel).
+
+    Same operand contract as fused_decode_step's legacy mode (strict-causal
+    (B, T, H) bias over cache keys, (B, H) current-column bias), but the
+    cache streams in ``key_block``-row blocks, so any context length that
+    fits HBM works. Returns (y (B, D), new_k, new_v (L, B, D) rows) for
+    fused_cache_append."""
+    kv_int8 = isinstance(cache_k, dict)
+    if kv_int8:
+        cache_k, sk = cache_k["q"], cache_k["s"]
+        cache_v, sv = cache_v["q"], cache_v["s"]
+    L, B, T, D = cache_k.shape
+    H = n_head
+    hd = D // H
+    TK = blocked_key_block(T, key_block)
+    TB = T // TK
+    if not kv_int8:
+        sk = sv = jnp.ones((L, 1, 1, H), jnp.float32)
+
+    def vec(p):
+        return p.reshape(L, 1, p.shape[-1])
+
+    def wpair(w):
+        if isinstance(w, dict):
+            return w["q"], vec(w["s"])
+        return w, jnp.ones((L, 1, w.shape[-1]), h0.dtype)
+
+    wqkv, sqkv = wpair(stack["wqkv"])
+    wproj, sproj = wpair(stack["wproj"])
+    wfc, sfc = wpair(stack["wfc"])
+    wfc2, sfc2 = wpair(stack["wfc2"])
+    F = wfc.shape[-1]
+
+    operands = (
+        h0, bias, bias_cur,
+        vec(stack["ln1w"]), vec(stack["ln1b"]),
+        wqkv, sqkv, vec(stack["bqkv"]),
+        wproj, sproj, vec(stack["bproj"]),
+        vec(stack["ln2w"]), vec(stack["ln2b"]),
+        wfc, sfc, vec(stack["bfc"]),
+        wfc2, sfc2, vec(stack["bfc2"]),
+        cache_k, sk, cache_v, sv,
+    )
+
+    def fixed(shape):
+        return pl.BlockSpec(shape, lambda l, tb: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_layer(shape):  # weights: block index changes only with l
+        return pl.BlockSpec((1,) + shape,
+                            lambda l, tb: (l,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_kblock(shape):  # cache/bias planes: stream key blocks
+        return pl.BlockSpec((1, shape[0], TK, shape[1]),
+                            lambda l, tb: (l, 0, tb, 0),
+                            memory_space=pltpu.VMEM)
+
+    def bias_kblock():
+        return pl.BlockSpec((B, TK, H), lambda l, tb: (0, tb, 0),
+                            memory_space=pltpu.VMEM)
+
+    sk_spec = per_kblock((B, H)) if kv_int8 else per_layer((1, 1, H))
+    in_specs = [
+        fixed((B, D)), bias_kblock(), fixed((B, H)),
+        per_layer((1, D)), per_layer((1, D)),
+        per_layer((D, 3 * D)), per_layer((1, 3 * D)), per_layer((1, 3 * D)),
+        per_layer((D, D)), per_layer((1, D)), per_layer((1, D)),
+        per_layer((1, D)), per_layer((1, D)),
+        per_layer((D, F)), per_layer((1, F)), per_layer((1, F)),
+        per_layer((F, D)), per_layer((1, D)), per_layer((1, D)),
+        per_kblock((B, D)), sk_spec, per_kblock((B, D)), sk_spec,
+    ]
+    new_kv_dtype = h0.dtype if kv_int8 else cache_k.dtype
+    out_specs = [fixed((B, D)),
+                 pl.BlockSpec((1, B, D), lambda l, tb: (l, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, B, D), lambda l, tb: (l, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B, D), h0.dtype),
+                 jax.ShapeDtypeStruct((L, B, D), new_kv_dtype),
+                 jax.ShapeDtypeStruct((L, B, D), new_kv_dtype)]
+
+    kernel = functools.partial(
+        _gpt_blocked_kernel, B=B, H=H, D=D, hd=hd, L=L, TB=TB,
+        eps=eps, act=ACT2FN[act], scale=scale, pre_ln=pre_ln,
+        kv_int8=kv_int8)
+
+    y, k_out, v_out = pl.pallas_call(
+        kernel,
+        grid=(L, TB),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((B, D), h0.dtype),     # h
+                        pltpu.VMEM((B, D), jnp.float32),  # q
+                        pltpu.VMEM((B, D), jnp.float32),  # k_t
+                        pltpu.VMEM((B, D), jnp.float32),  # v_t
+                        pltpu.VMEM((B, H), jnp.float32),  # m
+                        pltpu.VMEM((B, H), jnp.float32),  # den
+                        pltpu.VMEM((B, D), jnp.float32)], # acc
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+    return y, k_out, v_out
+
+
 def table_bytes(t):
     """HBM footprint of an (optionally int8-quantized) embedding table."""
     if isinstance(t, dict):
@@ -769,6 +1042,19 @@ def gpt_fused_decode(blocks, h0, bias, bias_cur, cache_k, cache_v, *,
         act=config.afn, scale=1.0 / math.sqrt(hd),
         pre_ln=(version != "gpt"), cache_len=cache_len,
         park_bytes=park_bytes, interpret=interpret)
+
+
+def gpt_fused_blocked(blocks, h0, bias, bias_cur, cache_k, cache_v, *,
+                      config, version, key_block=512, interpret=False):
+    """GPT adapter over fused_decode_blocked (long-context twin of
+    gpt_fused_decode)."""
+    hd = h0.shape[-1] // config.n_head
+    return fused_decode_blocked(
+        _gpt_stack(blocks), h0, bias, bias_cur, cache_k, cache_v,
+        n_head=config.n_head, eps=config.layer_norm_epsilon,
+        act=config.afn, scale=1.0 / math.sqrt(hd),
+        pre_ln=(version != "gpt"), key_block=key_block,
+        interpret=interpret)
 
 
 def gpt_fused_window(blocks, hw, bias, cache_len, cache_k, cache_v, *,

