@@ -231,7 +231,8 @@ def bench_llama_sft(use_flash=True):
     batch = {"input_ids": jnp.asarray(rs.randint(0, 32000, (B, S)), jnp.int32),
              "attention_mask": jnp.ones((B, S), jnp.int32)}
     batch["labels"] = batch["input_ids"]
-    remat = "attn" if use_flash else True
+    # dots_attn: fastest in the round-4 remat sweep (see bench_sft_step)
+    remat = "dots_attn" if use_flash else True
 
     def loss_fn(params, b):
         (loss, _, _), _ = llama_lm_forward(params, cfg, b["input_ids"],

@@ -263,7 +263,12 @@ def _bloom_attention(attn_params, h, residual, alibi_bias, bool_mask, layer_kv,
     # Flash covers every multi-token forward: cache-less (training/parity),
     # prefill, and nonzero-offset windows (speculative verify, chunked
     # prefill) — the kernel's causal iota takes the dynamic cache offset.
-    # (dense path only for int8 caches — the kernels take float k/v)
+    # An int8 cache dequantizes to a transient float view first (see
+    # models/gpt.py) instead of falling back to O(S^2) dense attention.
+    if use_flash and S > 1 and k_scale is not None:
+        k = (k.astype(jnp.float32) * k_scale[..., None]).astype(h.dtype)
+        v = (v.astype(jnp.float32) * v_scale[..., None]).astype(h.dtype)
+        k_scale = v_scale = None
     if use_flash and S > 1 and k_scale is None:
         from cleantransformer_tpu.ops.pallas_kernels import (
             flash_attention, should_interpret)

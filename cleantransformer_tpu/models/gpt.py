@@ -496,8 +496,15 @@ def _gpt_block(block_params, layer_kv, h, config, version, additive_mask, cache_
 
         # the kernel's causal iota takes the dynamic cache offset, so flash is
         # exact for any multi-token forward: prefill, chunked prefill, and
-        # speculative verify/catch-up windows at nonzero offsets (dense path
-        # only for int8 caches — the kernels take float k/v)
+        # speculative verify/catch-up windows at nonzero offsets. The flash
+        # kernels take float k/v: an int8 cache dequantizes first (per-token
+        # scales fold back on) — a transient float view per layer, vastly
+        # cheaper than the O(S^2) dense fallback at long prompts
+        if (getattr(config, "use_flash_attention", False) and S > 1
+                and k_scale is not None):
+            k = (k.astype(jnp.float32) * k_scale[..., None]).astype(x.dtype)
+            v = (v.astype(jnp.float32) * v_scale[..., None]).astype(x.dtype)
+            k_scale = v_scale = None
         use_flash = (getattr(config, "use_flash_attention", False) and S > 1
                      and k_scale is None)
         if use_flash:

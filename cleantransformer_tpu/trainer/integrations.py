@@ -193,11 +193,75 @@ class TensorBoardCallback(TrainerCallback):
             self.writer = None
 
 
+class WandbCallback(TrainerCallback):
+    """Weights & Biases tracker slot (the reference wires it through HF's
+    report_to integrations, trainer.py:238-248). The ``wandb`` package is
+    imported lazily at first use: constructing the Trainer works offline,
+    and a clear ImportError fires only when a run would actually start.
+    Only process 0 reports on multi-host runs (the reference's rank-0
+    logging convention)."""
+
+    def __init__(self, project=None, run_name=None, config=None):
+        self.project = project
+        self.run_name = run_name
+        self.config = config
+        self._run = None
+        self._disabled = False
+
+    def _wandb(self):
+        try:
+            import wandb
+        except ImportError as e:
+            raise ImportError(
+                "report_to='wandb' needs the wandb package (pip install "
+                "wandb); offline alternatives: report_to='jsonl' or "
+                "'tensorboard'") from e
+        return wandb
+
+    def _ensure_run(self, trainer):
+        import jax
+        if jax.process_index() != 0:
+            self._disabled = True
+            return None
+        if self._run is None:
+            cfg = self.config
+            if cfg is None and hasattr(trainer.model.config, "to_dict"):
+                cfg = {**trainer.model.config.to_dict(),
+                       **{k: v for k, v in vars(trainer.args).items()
+                          if isinstance(v, (int, float, str, bool))}}
+            self._run = self._wandb().init(
+                project=self.project or "cleantransformer-tpu",
+                name=self.run_name, config=cfg)
+        return self._run
+
+    def on_train_begin(self, trainer):
+        self._ensure_run(trainer)
+
+    def on_log(self, trainer, logs):
+        if self._disabled:
+            return
+        run = self._ensure_run(trainer)
+        if run is None:
+            return
+        step = logs.get("step", trainer.state["global_step"])
+        scalars = {k: v for k, v in logs.items()
+                   if isinstance(v, (int, float)) and k != "step"}
+        if scalars:
+            run.log(scalars, step=step)
+
+    def on_train_end(self, trainer):
+        if self._run is not None:
+            self._run.finish()
+            self._run = None
+
+
 def resolve_report_to(report_to, output_dir=None):
     """TrainingArguments.report_to -> callback instances (reference
     trainer.py:238-248). Accepts a string or list of {'none', 'jsonl',
-    'tensorboard', 'all'}; ``output_dir`` (when given) anchors the log
-    paths, else each callback falls back to ``trainer.args.output_dir``."""
+    'tensorboard', 'wandb', 'all'}; ``output_dir`` (when given) anchors the
+    log paths, else each callback falls back to ``trainer.args.output_dir``.
+    'all' expands to the offline trackers only (wandb needs explicit
+    opt-in, matching HF's removal of implicit report_to='all')."""
     if report_to in (None, "none", [], ()):
         return []
     names = [report_to] if isinstance(report_to, str) else list(report_to)
@@ -212,7 +276,9 @@ def resolve_report_to(report_to, output_dir=None):
         elif n == "tensorboard":
             out.append(TensorBoardCallback(
                 os.path.join(output_dir, "runs") if output_dir else None))
+        elif n == "wandb":
+            out.append(WandbCallback())
         elif n != "none":
             raise ValueError(f"unknown report_to target {n!r} "
-                             "(none | jsonl | tensorboard | all)")
+                             "(none | jsonl | tensorboard | wandb | all)")
     return out

@@ -57,9 +57,12 @@ def test_resolve_report_to():
     assert resolve_report_to("none", ".") == []
     cbs = resolve_report_to("all", ".")
     names = {type(c).__name__ for c in cbs}
+    # 'all' = the offline trackers; wandb is explicit opt-in
     assert names == {"JsonlLoggerCallback", "TensorBoardCallback"}
+    assert {type(c).__name__ for c in resolve_report_to("wandb", ".")} == \
+        {"WandbCallback"}
     with pytest.raises(ValueError, match="unknown report_to"):
-        resolve_report_to("wandb", ".")
+        resolve_report_to("mlflow", ".")
 
 
 def _tiny_trainer(tmp_path, report_to):
@@ -121,3 +124,62 @@ def test_trainer_report_to_all_writes_artifacts(tmp_path):
     assert [s for s, _ in got] == [s for s, _ in want]
     np.testing.assert_allclose([x for _, x in got], [x for _, x in want],
                                rtol=1e-5)
+
+
+def test_wandb_callback_slot(monkeypatch):
+    """report_to='wandb' (reference trainer.py:238-248 integration slot):
+    resolves to a WandbCallback, lazily imports wandb at run start (clear
+    ImportError offline), and drives init/log/finish when wandb exists —
+    verified against an injected fake module."""
+    import sys
+    import types
+    import pytest
+    from cleantransformer_tpu.trainer.integrations import (WandbCallback,
+                                                           resolve_report_to)
+    cbs = resolve_report_to("wandb")
+    assert len(cbs) == 1 and isinstance(cbs[0], WandbCallback)
+
+    calls = {"init": [], "log": [], "finish": 0}
+
+    class FakeRun:
+        def log(self, scalars, step=None):
+            calls["log"].append((dict(scalars), step))
+        def finish(self):
+            calls["finish"] += 1
+
+    fake = types.ModuleType("wandb")
+    fake.init = lambda **kw: (calls["init"].append(kw), FakeRun())[1]
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    class Args:
+        output_dir = None
+    class Cfg:
+        def to_dict(self):
+            return {"hidden_size": 8}
+    class Model:
+        config = Cfg()
+    class T:
+        args = Args()
+        model = Model()
+        state = {"global_step": 3}
+
+    cb = cbs[0]
+    cb.on_train_begin(T())
+    cb.on_log(T(), {"loss": 1.5, "step": 3, "msg": "x"})
+    cb.on_train_end(T())
+    assert calls["init"] and calls["init"][0]["project"]
+    assert calls["log"] == [({"loss": 1.5}, 3)]
+    assert calls["finish"] == 1
+
+    # offline (no wandb module): Trainer construction works, run start raises
+    monkeypatch.delitem(sys.modules, "wandb", raising=False)
+    import builtins
+    real_import = builtins.__import__
+    def no_wandb(name, *a, **kw):
+        if name == "wandb":
+            raise ImportError("No module named 'wandb'")
+        return real_import(name, *a, **kw)
+    monkeypatch.setattr(builtins, "__import__", no_wandb)
+    cb2 = WandbCallback()
+    with pytest.raises(ImportError, match="wandb"):
+        cb2.on_train_begin(T())

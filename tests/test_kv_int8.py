@@ -114,3 +114,46 @@ def test_serving_with_int8_cache():
     assert set(done) == set(rids)
     for rid, toks in done.items():
         assert len(toks) >= 6
+
+
+@pytest.mark.parametrize("family", ["gpt", "bloom"])
+def test_int8_cache_flash_prefill_close_to_dense(family):
+    """use_flash_attention + kv_cache_int8: multi-token cached forwards
+    dequantize the int8 cache to a transient float view and ride the flash
+    kernel instead of the O(S^2) dense fallback (the 4k-prompt prefill
+    path); logits match the dense int8 path to float tolerance (scale
+    folding order differs: q@(k_int*s) vs (q@k_int)*s)."""
+    rs = np.random.RandomState(0)
+    if family == "gpt":
+        def mk(**kw):
+            return GPTLMHeadModel(
+                GPTConfig(vocab_size=211, n_embd=64, n_positions=256,
+                          n_layer=2, n_head=2, kv_cache_int8=True, **kw),
+                version="gpt2", rng=jax.random.PRNGKey(0))
+    else:
+        def mk(**kw):
+            m = BloomForCausalLM(
+                BloomConfig(vocab_size=211, hidden_size=64, n_layer=2,
+                            num_attention_heads=2, kv_cache_int8=True, **kw),
+                rng=jax.random.PRNGKey(0))
+            m._tie_weight()
+            return m
+    m_dense = mk()
+    m_flash = mk(use_flash_attention=True)
+    m_flash.params = m_dense.params
+    ids = rs.randint(5, 200, (2, 24)).astype(np.int32)
+    mask = np.ones((2, 40), np.int32)
+
+    def run(m):
+        cache = m.init_cache(2, 40)
+        (l1, _), cache = m.forward_fn()(m.params, m.config, ids[:, :16],
+                                        mask, cache=cache)
+        # chunked continuation at a nonzero offset (serving prefill shape)
+        (l2, _), cache = m.forward_fn()(m.params, m.config, ids[:, 16:],
+                                        mask, cache=cache)
+        return np.asarray(l1), np.asarray(l2)
+
+    a1, a2 = run(m_dense)
+    b1, b2 = run(m_flash)
+    np.testing.assert_allclose(a1, b1, atol=5e-5, rtol=1e-3)
+    np.testing.assert_allclose(a2, b2, atol=5e-5, rtol=1e-3)
