@@ -1039,7 +1039,18 @@ def main():
             "offsets serve continuous batching via the legacy "
             "return-the-rows contract. int8 KV composes but measured as a "
             "LOSS below ~1k keys (keep kv_cache_int8 for memory, not "
-            "speed). Beam/speculative opt out to the dense layout.\n\n"
+            "speed at short contexts; at ctx4k the BLOCKED kernel makes it "
+            "win - see the ctx4k lines). Round 4: beam search AND "
+            "speculative ride the fused layout now; multi-token decode "
+            "WINDOWS (verify S=K+1, catch-up, short chunks) run one "
+            "whole-stack window program (_gpt_window_kernel: window k/v "
+            "insert into the cache block in VMEM, per-query causal "
+            "clamps); LONG CONTEXTS stream each layer's cache in "
+            "~512-row key blocks with online-softmax partials "
+            "(_gpt_blocked_kernel, grid (L, key-blocks)) instead of "
+            "bailing to the XLA per-layer path - ctx4k b8 decode-only "
+            "5.94 ms XLA -> 2.43 blocked bf16 -> 1.77 blocked int8-KV "
+            "(the regime int8 KV finally wins).\n\n"
             "llama head-major decode (round 3, config.decode_head_major): "
             "the llama family keeps the XLA decode path (GQA+RoPE in a "
             "Pallas whole-stack kernel isn't worth it at 91% HBM bw) but "
@@ -1070,14 +1081,23 @@ def main():
             "tinyllama 1.1B decode b8 streams 2.2 GB of bf16 weights/step "
             "at ~91% of the measured HBM bandwidth - large-model decode "
             "sits on the memory roofline.\n\n"
-            "training roofline: bloom-560m (hd=64) profiled composition: "
-            "big matmuls ~95 ms near peak, flash fwd+bwd ~52 ms (hd=64 "
-            "caps the attention kernels at ~20-25 TF/s on this toolchain "
-            "- measured identically for jax's own reference flash and "
-            "splash kernels), optimizer ~15 ms at HBM roofline, remainder "
-            "layout copies + CE. The llama-class run (hd=128, SwiGLU) "
-            "runs the flash kernels at full lane utilization - the bloom "
-            "number is architecture-bound, not framework-bound.\n\n"
+            "training roofline (round-4 re-profile, remat='dots_attn' is now "
+            "the recipe - fastest of attn/dots_attn/dots = 255.0/250.3/"
+            "272.1 ms incl RTT): the 227 ms device step decomposes into "
+            "matmuls+remat-recompute ~127 ms (the 'bitcast_dynamic-"
+            "update-slice' fusions ARE the dW matmuls at ~88% MXU), "
+            "attention kernels ~53 ms (hd=64 caps them at ~20-25 TF/s - "
+            "architecture-bound), CE ~27 ms (FLOP-bound vocab matmuls at "
+            "peak; fused_ce measured ~even), optimizer ~14 ms at HBM "
+            "roofline, plus a ~19 ms {1,2,0}-relayout add feeding the dW "
+            "contractions (a custom-vjp LayerNorm bwd measured ZERO "
+            "change - it is not LN-bound). The llama-class run (hd=128, "
+            "SwiGLU) runs the flash kernels at full lane utilization - "
+            "the bloom MFU is architecture-bound, not framework-bound. "
+            "offload_optimizer='cpu' measured 282 ms -> 95 s/step on "
+            "this TUNNELED chip (2.2 GB fp32 params round-trip a "
+            "~50 MB/s link each step) - the recipe targets co-located "
+            "hosts with PCIe.\n\n"
             "moe sft = same training recipe on a Mixtral-class sparse-MoE "
             "(8 experts, top-2): moe_impl='ragged' sorts token replicas "
             "by expert and runs each SwiGLU projection as ONE "
@@ -1108,7 +1128,15 @@ def main():
                 "programs, making\nacceptance compile-dependent (8.6 vs "
                 "4.16 tok/round for identical code);\ndecisive argmax — "
                 "what a trained model has — makes acceptance "
-                "reproducible.\n\n")
+                "reproducible.\nALL speculative benches sharpen both "
+                "models now (round 4). The *_fused lines\nroute plain "
+                "steps, draft catch-up AND the (K+1)-token verify through "
+                "the\nwhole-stack kernels: a verify round costs ~1.34 "
+                "plain steps (was ~2), so\nprompt-lookup b1 goes 2.68x "
+                "-> 3.46x. SELF-draft stays <1.0 STRUCTURALLY: a\nround "
+                "is K+2 full-cost programs for at most K+1 tokens — "
+                "speedup needs cheap\nproposals (lookup) or a small "
+                "draft.\n\n")
         f.write("```\n")
         for r in RESULTS:
             f.write(json.dumps(r) + "\n")
