@@ -298,9 +298,17 @@ def _sharpen(model, scale=16.0):
     tokens/round across recompiles. Sharp logits pin the greedy stream and
     make the acceptance (and hence the bench) reproducible."""
     p = dict(model.params)
-    p["tokens_embed"] = model.params["tokens_embed"] * scale
-    return type(model)(model.config, version=getattr(model, "version",
-                                                     "gpt2"), params=p)
+    if "tokens_embed" in p:          # GPT family (tied head)
+        p["tokens_embed"] = p["tokens_embed"] * scale
+    elif "lm_head" in p:             # llama family, untied
+        p["lm_head"] = p["lm_head"] * scale
+    else:                            # llama tied / bloom
+        k = "embed_tokens" if "embed_tokens" in p else "word_embeddings"
+        p[k] = p[k] * scale
+    kw = {"params": p}
+    if hasattr(model, "version"):
+        kw["version"] = model.version
+    return type(model)(model.config, **kw)
 
 
 def bench_prompt_lookup(model, name, vocab, gen=128, K=4):
@@ -848,12 +856,18 @@ def main():
                          params=lc0.params)
     bench_decode(lc1, "gpt2_124M_decode_b8_ctx4k_fused_blocked", 8, 4096,
                  64, 50257, two_point=True)
+    # ctx 8k: the cache stream dominates everything else, so int8 KV's
+    # halved stream wins END-TO-END here (at 4k it only wins decode-only)
+    bench_decode(lc1, "gpt2_124M_decode_b8_ctx8k_fused_blocked", 8, 8000,
+                 64, 50257, two_point=True)
     del lc1
     lc2 = GPTLMHeadModel(GPTConfig(**lc, fused_decode=True,
                                    kv_cache_int8=True),
                          version="gpt2", params=lc0.params)
     bench_decode(lc2, "gpt2_124M_decode_b8_ctx4k_fused_blocked_int8kv", 8,
                  4096, 64, 50257, two_point=True)
+    bench_decode(lc2, "gpt2_124M_decode_b8_ctx8k_fused_blocked_int8kv", 8,
+                 8000, 64, 50257, two_point=True)
     del lc0, lc2
 
     # Bloom-560m-class decode
@@ -925,6 +939,14 @@ def main():
     # model through the head-major ragged cache path, provisioned slots
     bench_serving(qlmodel, "tinyllama_1.1B_serving_tokens_per_sec_int8",
                   32000, max_slots=24, chunk_size=64)
+    # speculation on the WEIGHT-STREAMING-BOUND family: a (K+1)-token verify
+    # streams the same 1.1 GB of int8 weights as ONE plain step, so
+    # prompt-lookup's upside approaches tokens_per_round x plain (vs the
+    # ~1.34-plain-step verify on fused GPT-2)
+    bench_prompt_lookup(qlmodel, "tinyllama_1.1B_prompt_lookup_b1_int8",
+                        32000, K=8)
+    bench_prompt_lookup_batched(
+        qlmodel, "tinyllama_1.1B_prompt_lookup_b8_int8", 32000)
     del qlmodel
     _gc.collect()
 

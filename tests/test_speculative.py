@@ -421,3 +421,65 @@ def test_model_draft_batched_rejects_sampling(gpt_pair):
         speculative_generate(target, draft, ids,
                              generation_configs={"max_gen_len": 8,
                                                  "do_sample": True})
+
+
+# ---------------------------------------------------------------------------
+# llama family: GQA + RoPE + head-major cache through the verify window
+# ---------------------------------------------------------------------------
+# The llama decode path is weight-streaming-bound, so a (K+1)-token verify
+# costs ~1 plain step — speculation's best regime. The verify forward
+# exercises the head-major cache's multi-token branch (per-row ragged
+# offsets, models/llama.py `defer` gating) that plain decode never hits.
+
+from cleantransformer_tpu.config import LlamaConfig
+from cleantransformer_tpu.models.llama import LlamaForCausalLM
+
+LLAMA_T = dict(vocab_size=199, hidden_size=64, intermediate_size=160,
+               num_hidden_layers=3, num_attention_heads=4,
+               num_key_value_heads=2, max_position_embeddings=256)
+
+
+@pytest.fixture(scope="module", params=[False, True],
+                ids=["dense", "head_major"])
+def llama_target(request):
+    cfg = LlamaConfig(**LLAMA_T, decode_head_major=request.param)
+    return LlamaForCausalLM(cfg, rng=jax.random.PRNGKey(31))
+
+
+@pytest.mark.parametrize("K", [3, 5])
+def test_llama_prompt_lookup_bit_exact(llama_target, K):
+    rs = np.random.RandomState(K)
+    for plen in (2, 7):
+        prompt = rs.randint(1, 199, (plen,)).tolist()
+        want = plain_greedy(llama_target, prompt, 16)
+        got = prompt_lookup_generate(
+            llama_target, np.asarray(prompt, np.int32)[None],
+            generation_configs={"max_gen_len": 16, "do_sample": False},
+            draft_len=K)[0, 0]
+        np.testing.assert_array_equal(got, want, err_msg=f"K={K} plen={plen}")
+
+
+def test_llama_prompt_lookup_batched_bit_exact(llama_target):
+    rs = np.random.RandomState(36)
+    prompts = rs.randint(1, 199, (4, 6)).astype(np.int32)
+    got = prompt_lookup_generate(
+        llama_target, prompts,
+        generation_configs={"max_gen_len": 16, "do_sample": False},
+        draft_len=4)
+    for b in range(4):
+        want = plain_greedy(llama_target, prompts[b].tolist(), 16)
+        np.testing.assert_array_equal(got[b, 0, :len(want)], want,
+                                      err_msg=f"row {b}")
+
+
+def test_llama_model_draft_bit_exact(llama_target):
+    draft = LlamaForCausalLM(LlamaConfig(**{**LLAMA_T,
+                                            "num_hidden_layers": 1}),
+                             rng=jax.random.PRNGKey(32))
+    rs = np.random.RandomState(37)
+    prompt = rs.randint(1, 199, (5,)).tolist()
+    want = plain_greedy(llama_target, prompt, 16)
+    got = speculative_generate(
+        llama_target, draft, np.asarray(prompt, np.int32)[None],
+        generation_configs={"max_gen_len": 16}, draft_len=4)[0, 0]
+    np.testing.assert_array_equal(got, want)
