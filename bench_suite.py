@@ -692,6 +692,74 @@ def bench_prompt_lookup_batched(model, name, vocab, B=8, gen=128, K=8):
             "speedup": round(spec / base, 2)})
 
 
+def bench_lookup_machinery(model, name, vocab, B=1, gen=128, K=8):
+    """Speculation MACHINERY cost for families where no synthetic acceptance
+    workload exists. ``_sharpen``'s tied-embedding trick does not transfer to
+    llama: with untied lm_head and RoPE (no additive positional embedding to
+    drown out), scaling any single weight multiplies the top-1/top-2 gap AND
+    the bf16 program-to-program drift equally, and a random-init llama's
+    greedy stream has ZERO n-gram repetition (measured: best of 12 probes
+    sim 1.0 tokens/round) — prompt-lookup has nothing to accelerate there.
+
+    Instead this measures the two workload-independent endpoints with real
+    device cost:
+    - plain b decode tokens/s (the model as given);
+    - the lookup loop at FULL acceptance, forced bit-exactly by zeroing the
+      lm_head: every logit row is exactly 0.0 in every compiled program
+      (the matmuls still run — device cost is weight-value-independent), so
+      argmax is deterministically token 0 in plain and verify programs alike
+      and every round commits K+1 tokens.
+    Derived: round cost in plain-step units (verify-round wall / plain-step
+    wall — acceptance-independent, all shapes fixed) and the breakeven
+    tokens/round. A trained model's real speedup ~ tokens_per_round /
+    round_cost_plain_steps."""
+    from cleantransformer_tpu.generation.speculative import (
+        prompt_lookup_generate)
+    rs = np.random.RandomState(0)
+    ids = rs.randint(1, vocab, (B, 16)).astype(np.int32)
+    plain_cfg = {"beam_size": 1, "max_gen_len": gen, "do_sample": False,
+                 "pad_id": 0, "end_ids": None, "no_repeat_ngram_size": 0}
+    out = model.generate(ids, generation_configs=plain_cfg)
+    n_new = (out.shape[-1] - 16) * B
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        model.generate(ids, generation_configs=plain_cfg)
+        times.append(time.perf_counter() - t0)
+    plain_wall = min(times) - host_rtt()
+    base = n_new / max(plain_wall, 1e-9)
+
+    p = dict(model.params)
+    zk = "lm_head" if "lm_head" in p else (
+        "tokens_embed" if "tokens_embed" in p else "embed_tokens")
+    p[zk] = jnp.zeros_like(p[zk])
+    kw = {"params": p}
+    if hasattr(model, "version"):
+        kw["version"] = model.version
+    zmodel = type(model)(model.config, **kw)
+
+    cfg = {"max_gen_len": gen, "do_sample": False}
+    out, stats = prompt_lookup_generate(zmodel, ids, generation_configs=cfg,
+                                        draft_len=K, return_stats=True)
+    n_new = (out.shape[-1] - 16) * B
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        prompt_lookup_generate(zmodel, ids, generation_configs=cfg,
+                               draft_len=K)
+        times.append(time.perf_counter() - t0)
+    wall = min(times) - host_rtt()
+    spec = n_new / max(wall, 1e-9)
+    rounds = max(stats["rounds"], 1)
+    round_cost_steps = (wall / rounds) / max(plain_wall / (gen - 1), 1e-9)
+    record(name, spec, f"tokens/s (batch={B}, FORCED full acceptance)",
+           {"plain_tokens_per_sec": round(base, 1), "draft_len": K,
+            "tokens_per_round_per_row": round(stats["tokens_per_round"], 2),
+            "speedup_at_full_acceptance": round(spec / base, 2),
+            "round_cost_plain_steps": round(round_cost_steps, 2),
+            "breakeven_tokens_per_round": round(round_cost_steps, 2)})
+
+
 def bench_swa_long_context():
     """Mistral-class sliding-window attention at seq 4096: the windowed
     flash kernel (static window on the causal iota, key-block loop skips
@@ -942,11 +1010,13 @@ def main():
     # speculation on the WEIGHT-STREAMING-BOUND family: a (K+1)-token verify
     # streams the same 1.1 GB of int8 weights as ONE plain step, so
     # prompt-lookup's upside approaches tokens_per_round x plain (vs the
-    # ~1.34-plain-step verify on fused GPT-2)
-    bench_prompt_lookup(qlmodel, "tinyllama_1.1B_prompt_lookup_b1_int8",
-                        32000, K=8)
-    bench_prompt_lookup_batched(
-        qlmodel, "tinyllama_1.1B_prompt_lookup_b8_int8", 32000)
+    # ~1.34-plain-step verify on fused GPT-2). No synthetic acceptance
+    # workload exists for random-init llama (see bench_lookup_machinery) —
+    # measure the machinery endpoints instead.
+    bench_lookup_machinery(qlmodel, "tinyllama_1.1B_lookup_machinery_b1_int8",
+                           32000, B=1, K=8)
+    bench_lookup_machinery(qlmodel, "tinyllama_1.1B_lookup_machinery_b8_int8",
+                           32000, B=8, K=8)
     del qlmodel
     _gc.collect()
 
@@ -1072,7 +1142,10 @@ def main():
             "(_gpt_blocked_kernel, grid (L, key-blocks)) instead of "
             "bailing to the XLA per-layer path - ctx4k b8 decode-only "
             "5.94 ms XLA -> 2.43 blocked bf16 -> 1.77 blocked int8-KV "
-            "(the regime int8 KV finally wins).\n\n"
+            "(the regime int8 KV finally wins; at ctx8k the int8-KV "
+            "margin grows, 4.49 -> 3.78 — per_step_ms differences there "
+            "are prefill amortization, the int8 prefill pays the 8k-slab "
+            "cache quantization).\n\n"
             "llama head-major decode (round 3, config.decode_head_major): "
             "the llama family keeps the XLA decode path (GQA+RoPE in a "
             "Pallas whole-stack kernel isn't worth it at 91% HBM bw) but "
@@ -1159,6 +1232,26 @@ def main():
                 "is K+2 full-cost programs for at most K+1 tokens — "
                 "speedup needs cheap\nproposals (lookup) or a small "
                 "draft.\n\n")
+        f.write("lookup_machinery (llama family) = the sharpening trick "
+                "does NOT transfer to\nllama: with an untied lm_head and "
+                "RoPE (no additive positional embedding to\ndrown out), "
+                "scaling any one weight scales the top-1/top-2 gap and "
+                "the bf16\nprogram-to-program drift equally, and a "
+                "random-init llama's greedy stream has\nZERO n-gram "
+                "repetition (best of 12 probes: 1.0 tokens/round) — "
+                "there is no\nsynthetic acceptance workload. These lines "
+                "instead measure the two\nworkload-independent endpoints: "
+                "plain decode, and the lookup loop at FULL\nacceptance "
+                "forced bit-exactly by zeroing lm_head (all logits are "
+                "exactly 0.0 in\nevery compiled program, argmax is "
+                "deterministically token 0, the matmuls still\nrun so "
+                "device cost is unchanged). round_cost_plain_steps is "
+                "acceptance-\nindependent (fixed shapes): a trained "
+                "model's real speedup ~ its\ntokens_per_round / "
+                "round_cost_plain_steps. The 1.1B verify round costs "
+                "only\n~1.2 plain steps — weight streaming dominates, so "
+                "an S=9 window is nearly free\nand speculation upside on "
+                "the big-model family approaches tokens_per_round x.\n\n")
         f.write("```\n")
         for r in RESULTS:
             f.write(json.dumps(r) + "\n")
