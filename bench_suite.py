@@ -641,6 +641,115 @@ def bench_serving(model, name, vocab, n_requests=24, max_slots=8,
             "device_and_enqueue_s": round(dt - rtt_s, 3)})
 
 
+def bench_serving_lookup(model, name, vocab, n_requests=24, max_slots=24,
+                         max_len=256, n_new=64, depth=8, K=8):
+    """Prompt-lookup speculation INSIDE continuous batching
+    (ServingEngine(speculative='lookup')): each decode chunk runs verify
+    ROUNDS — per-slot ngram proposals checked by ONE ragged (K+1)-token
+    window-kernel forward — so the serving schedule (admission waves,
+    adaptive depth, single harvest fetch) composes with the ~tokens_per_round
+    speculation win. Workload = the regime lookup exists for: repetitive
+    continuations, probed on the logit-sharpened model exactly like
+    bench_prompt_lookup_batched. The plain engine runs the IDENTICAL
+    workload for the speedup denominator."""
+    from cleantransformer_tpu.serving import ServingEngine
+    model = _sharpen(model)
+    rs = np.random.RandomState(0)
+    plain_cfg = {"beam_size": 1, "max_gen_len": n_new, "do_sample": False,
+                 "pad_id": 0, "end_ids": None, "no_repeat_ngram_size": 0}
+    scored = []
+    for _ in range(48 // 8):
+        probe = rs.randint(1, vocab, (8, 16)).astype(np.int32)
+        out = np.asarray(model.generate(probe, generation_configs=plain_cfg))
+        for r in range(8):
+            rep = _sim_lookup_tokens_per_round(out[r, 0], 16, K)
+            scored.append((rep, probe[r]))
+    scored.sort(key=lambda x: -x[0])
+    prompts = [p.tolist() for _, p in scored[:n_requests]]
+
+    def run_engine(spec):
+        # plain chunks are 64 single-token steps; lookup chunks are 8 verify
+        # rounds (~K+1 tokens each at this workload's acceptance) — similar
+        # tokens per dispatch either way
+        eng = ServingEngine(model, max_slots=max_slots, max_len=max_len,
+                            prefill_buckets=(64,),
+                            chunk_size=(8 if spec else 64),
+                            pipeline="serial", max_dispatch_depth=depth,
+                            speculative=("lookup" if spec else None),
+                            draft_len=K)
+        eng.submit(prompts[0], max_new_tokens=4)   # compile warmup
+        list(eng.run())
+        eng.fetches = 0
+        plen = {eng.submit(p, max_new_tokens=n_new): len(p) for p in prompts}
+        t0 = time.perf_counter()
+        done = list(eng.run())
+        dt = time.perf_counter() - t0
+        gen_tokens = sum(len(t) - plen[rid] for rid, t in done)
+        return gen_tokens / dt, dt, eng
+
+    base_tps, _, _ = run_engine(False)
+    tps, dt, eng = run_engine(True)
+    rtt_s = eng.fetches * host_rtt()
+    record(name, tps, "generated tokens/s",
+           {"requests": n_requests, "slots": max_slots, "draft_len": K,
+            "rounds": eng.steps, "wall_s": round(dt, 2),
+            "fetches": eng.fetches, "rtt_s": round(rtt_s, 3),
+            "plain_engine_tokens_per_sec": round(base_tps, 1),
+            "speedup": round(tps / base_tps, 2)})
+
+
+def bench_serving_lookup_machinery(model, name, vocab, n_requests=24,
+                                   max_slots=24, max_len=256, n_new=64,
+                                   depth=8, K=8):
+    """Serving-speculation machinery endpoint for families with no synthetic
+    acceptance workload (llama — see bench_lookup_machinery): FULL
+    acceptance forced bit-exactly by zeroing the lm_head (all logits exactly
+    0.0 in every compiled program, argmax deterministically token 0; the
+    matmuls still run, so device cost is unchanged), measured through the
+    continuous-batching engine in lookup mode vs the plain engine on the
+    identical workload. A trained model's real serving speedup ~ its
+    tokens_per_round / this round cost."""
+    from cleantransformer_tpu.serving import ServingEngine
+    p = dict(model.params)
+    zk = "lm_head" if "lm_head" in p else (
+        "tokens_embed" if "tokens_embed" in p else "embed_tokens")
+    p[zk] = jnp.zeros_like(p[zk])
+    kw = {"params": p}
+    if hasattr(model, "version"):
+        kw["version"] = model.version
+    zmodel = type(model)(model.config, **kw)
+    rs = np.random.RandomState(0)
+    prompts = [rs.randint(1, vocab, (int(n),)).tolist()
+               for n in rs.randint(8, 64, n_requests)]
+
+    def run_engine(spec):
+        eng = ServingEngine(zmodel, max_slots=max_slots, max_len=max_len,
+                            prefill_buckets=(64,),
+                            chunk_size=(8 if spec else 64),
+                            pipeline="serial", max_dispatch_depth=depth,
+                            speculative=("lookup" if spec else None),
+                            draft_len=K)
+        eng.submit(prompts[0], max_new_tokens=4)   # compile warmup
+        list(eng.run())
+        eng.fetches = 0
+        plen = {eng.submit(p_, max_new_tokens=n_new): len(p_)
+                for p_ in prompts}
+        t0 = time.perf_counter()
+        done = list(eng.run())
+        dt = time.perf_counter() - t0
+        gen_tokens = sum(len(t) - plen[rid] for rid, t in done)
+        return gen_tokens / dt, dt, eng
+
+    base_tps, _, _ = run_engine(False)
+    tps, dt, eng = run_engine(True)
+    record(name, tps, "generated tokens/s (FORCED full acceptance)",
+           {"requests": n_requests, "slots": max_slots, "draft_len": K,
+            "rounds": eng.steps, "wall_s": round(dt, 2),
+            "fetches": eng.fetches,
+            "plain_engine_tokens_per_sec": round(base_tps, 1),
+            "speedup_at_full_acceptance": round(tps / base_tps, 2)})
+
+
 def bench_prompt_lookup_batched(model, name, vocab, B=8, gen=128, K=8):
     """b8 prompt-lookup vs plain b8 greedy on a repetitive continuation
     (per-row matching/acceptance — VERDICT r2 item 9). The workload is the
@@ -1017,6 +1126,12 @@ def main():
                            32000, B=1, K=8)
     bench_lookup_machinery(qlmodel, "tinyllama_1.1B_lookup_machinery_b8_int8",
                            32000, B=8, K=8)
+    # round 4: the machinery endpoint measured through the SERVING engine —
+    # a 24-slot lookup verify round streams the same 1.1 GB of int8 weights
+    # as one plain b24 step, so serving speculation upside on the 1.1B
+    # family approaches tokens_per_round x (forced-acceptance ceiling here)
+    bench_serving_lookup_machinery(
+        qlmodel, "tinyllama_1.1B_serving_lookup_machinery_int8", 32000)
     del qlmodel
     _gc.collect()
 
@@ -1039,6 +1154,12 @@ def main():
     # cut host bookkeeping between enqueues
     bench_serving(fsmodel, "gpt2_124M_serving_tokens_per_sec_fused_int8_s24",
                   50257, max_slots=24, chunk_size=64)
+    # round 4: speculation INSIDE the serving engine — lookup verify rounds
+    # through the window kernel at full slot occupancy, on the repetitive
+    # workload the feature targets (plain engine on the same workload is
+    # the denominator)
+    bench_serving_lookup(fsmodel,
+                         "gpt2_124M_serving_lookup_fused_int8_s24", 50257)
     del fsmodel
 
     # speculative decoding: self-draft = acceptance-1 upper bound on the

@@ -21,6 +21,15 @@ Greedy-only workloads keep the pure-argmax decode program; the first
 sampling request switches the engine to the row-wise sampling variant
 (one extra compile, then cached).
 
+Speculative serving (``speculative="lookup"``): decode chunks run
+prompt-lookup speculation ROUNDS instead of single-token steps — each round
+proposes ``draft_len`` tokens per slot from its own committed stream and
+verifies them in ONE ragged (K+1)-token forward (the whole-stack window
+kernel for ``config.fused_decode`` models), committing 1..K+1 tokens per
+slot per round (greedy-only; exact per row vs the plain path). The adaptive
+dispatch depth scales by a host-side tokens-per-round EMA so a depth-N
+dispatch doesn't enqueue ~K+1x more rounds than the work needs.
+
 Everything device-side is fixed-shape and compiles once per prefill bucket
 (x greedy/sampling) plus once per decode variant. The host syncs once per
 chunk (a single device_get of one packed int32 results array), never per
@@ -397,6 +406,128 @@ def _decode_chunk(params, config, forward, state, n_steps, sampling,
     return state, results
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "forward", "config", "n_rounds", "K", "ngram", "end_ids",
+    "needs_positions"), donate_argnames=("state",))
+def _decode_chunk_lookup(params, config, forward, state, n_rounds, K, ngram,
+                         end_ids, needs_positions):
+    """Advance every active slot by ``n_rounds`` prompt-lookup speculation
+    rounds (1 to K+1 tokens each, per row) instead of ``n_rounds`` plain
+    single-token steps.
+
+    Each round is the batched greedy lookup round from
+    generation/speculative.py composed with the serving slot state: per-row
+    proposals come from the slot's OWN committed stream (the most recent
+    earlier occurrence of its last ``ngram`` tokens), all K proposals verify
+    in ONE (K+1)-token forward at per-row RAGGED cache offsets — which a
+    ``config.fused_decode`` model runs through the whole-stack window kernel
+    (ops/fused_decode._gpt_window_kernel) — and each row commits its matched
+    prefix plus the target's own next token, clamped at its request limit.
+    Greedy only (the engine refuses sampling requests in lookup mode):
+    committed streams stay exact vs the plain serving decode per row.
+
+    Rows that are inactive or at their limit freeze: their verify writes are
+    idempotent (position n-1 rewrites the last committed token's k/v) or
+    land in junk buffer space past their frozen frontier, and their commits
+    are masked to 0 — the engine's token/mask/cache buffers carry a K+1
+    margin past max_len so even a frontier at max_len stays in-bounds.
+    Returns the same ``(state, results)`` packed contract as _decode_chunk."""
+    B, T = state["tokens"].shape
+    rows = jnp.arange(B)
+    col = jnp.arange(T, dtype=jnp.int32)[None]                   # (1, T)
+    W = K + 1
+
+    def body(_, state):
+        tokens, n = state["tokens"], state["lengths"]
+        keep = (state["active"] == 1) & (n < state["limit"])     # (B,) bool
+
+        # --- propose per row: last j with tokens[b, j:j+ngram] ==
+        # tokens[b, n_b-ngram:n_b]; candidates tokens[b, j+ngram:j+ngram+K]
+        # (generation/speculative.py _prompt_lookup_loop, per-slot streams)
+        pat_idx = (jnp.maximum(n - ngram, 0)[:, None]
+                   + jnp.arange(ngram, dtype=jnp.int32)[None])
+        pattern = jnp.take_along_axis(tokens, pat_idx, axis=1)   # (B, ngram)
+        match = (col + ngram) < n[:, None]                       # (B, T)
+        for g in range(ngram):
+            shifted = jnp.roll(tokens, -g, axis=1)
+            match = match & (shifted == pattern[:, g:g + 1])
+        # prefer the last match whose K-token continuation is fully
+        # committed; fall back to the very last match, then to repeating
+        # the final token (greedy exactness holds for ANY proposal source)
+        full = match & ((col + ngram + K) <= n[:, None])
+
+        def last_true(m):
+            return (T - 1) - jnp.argmax(m[:, ::-1], axis=1)
+
+        any_match = jnp.any(match, axis=1)
+        idx = jnp.where(jnp.any(full, axis=1), last_true(full),
+                        jnp.where(any_match, last_true(match), 0))
+        src = jnp.where(any_match, idx + ngram, jnp.maximum(n - 1, 0))
+        cand_idx = src[:, None] + jnp.arange(K, dtype=jnp.int32)[None]
+        cand = jnp.take_along_axis(tokens, cand_idx, axis=1)     # (B, K)
+        wr_idx = n[:, None] + jnp.arange(K, dtype=jnp.int32)[None]
+        # scatter proposals at [n_b, n_b + K) — frozen rows overwrite junk
+        # past their frontier, never committed text (margin keeps it
+        # in-bounds)
+        tokens = tokens.at[rows[:, None], wr_idx].set(cand)
+
+        # --- verify all K per row in ONE (K+1)-token forward at per-row
+        # cache offsets n-1 (the window kernel / ragged multi-token paths);
+        # clamp at 0 for never-admitted slots (n == 0), like _decode_chunk
+        base = jnp.maximum(n - 1, 0)
+        vin_idx = base[:, None] + jnp.arange(W, dtype=jnp.int32)[None]
+        v_in = jnp.take_along_axis(tokens, vin_idx, axis=1)      # (B, W)
+        cache = {"k": state["cache_k"], "v": state["cache_v"],
+                 "length": base}
+        pos = vin_idx if needs_positions else None
+        (logits, _), cache = forward(
+            params, config, v_in,
+            (col < (n + K)[:, None]).astype(jnp.int32), pos, None, cache)
+        state = dict(state)
+        state["cache_k"], state["cache_v"] = cache["k"], cache["v"]
+
+        g = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(
+            jnp.int32)                                           # (B, W)
+        match_t = (g[:, :K] == jnp.take_along_axis(tokens, wr_idx, axis=1))
+        a = jnp.sum(jnp.cumprod(match_t.astype(jnp.int32), axis=1), axis=1)
+        corr = jnp.take_along_axis(g, a[:, None], axis=1)[:, 0]  # (B,)
+        tokens = tokens.at[rows, n + a].set(corr)
+        n_committed = a + 1
+
+        # end-id scan over the committed span (stop AT the end token, like
+        # _append_token); an end past the limit clamp never commits
+        room = state["limit"] - n                                # (B,)
+        ended = jnp.zeros((B,), bool)
+        if end_ids:
+            jj = jnp.arange(W, dtype=jnp.int32)[None]
+            committed = jnp.take_along_axis(tokens, n[:, None] + jj, axis=1)
+            is_end = jnp.zeros((B, W), bool)
+            for e in end_ids:
+                is_end = is_end | (committed == e)
+            is_end = is_end & (jj < n_committed[:, None])
+            any_end = jnp.any(is_end, axis=1)
+            first_e = jnp.argmax(is_end, axis=1)
+            n_committed = jnp.where(any_end, first_e + 1, n_committed)
+            ended = any_end & ((first_e + 1) <= room)
+
+        n_committed = jnp.where(keep, jnp.minimum(n_committed, room), 0)
+        new_n = n + n_committed
+        state["tokens"] = tokens
+        state["lengths"] = new_n
+        state["mask"] = jnp.where(keep[:, None],
+                                  (col < new_n[:, None]).astype(jnp.int32),
+                                  state["mask"])
+        done = keep & (ended | (new_n >= state["limit"]))
+        state["active"] = jnp.where(done, 0, state["active"])
+        return state
+
+    state = jax.lax.fori_loop(0, n_rounds, body, state)
+    results = jnp.concatenate([
+        state["lengths"], state["prompt_len"], state["active"],
+        state["tokens"].reshape(-1)])
+    return state, results
+
+
 class Request:
     __slots__ = ("rid", "prompt", "max_new_tokens", "do_sample",
                  "temperature", "top_k", "top_p")
@@ -425,7 +556,24 @@ class ServingEngine:
                  prefill_buckets=DEFAULT_BUCKETS, chunk_size=8,
                  do_sample=False, temperature=1.0, top_k=10, top_p=0.8,
                  end_ids=None, rng=None, mesh=None, pipeline="overlap",
-                 max_dispatch_depth=1):
+                 max_dispatch_depth=1, speculative=None, draft_len=8,
+                 lookup_ngram=2):
+        # speculative="lookup": every decode chunk runs ``chunk_size``
+        # prompt-lookup speculation ROUNDS instead of single-token steps —
+        # each round proposes draft_len tokens per slot from its own
+        # committed stream and verifies them in ONE (K+1)-token ragged
+        # forward (the fused window kernel for config.fused_decode models).
+        # Greedy-only: committed streams stay exact per row; sampling
+        # requests are refused (per-row batched rejection sampling is
+        # documented future work in generation/speculative.py).
+        if speculative not in (None, "lookup"):
+            raise ValueError(f"speculative={speculative!r} (None | 'lookup')")
+        if speculative and do_sample:
+            raise ValueError("speculative serving is greedy-only "
+                             "(do_sample=False)")
+        self.speculative = speculative
+        self.draft_len = int(draft_len)
+        self.lookup_ngram = int(lookup_ngram)
         # mesh: serve a tensor-parallel-sharded model — pass params already
         # sharded (parallel.shard_params) and the mesh; the engine traces its
         # programs under it so the in-model shard_hints partition attention
@@ -492,7 +640,12 @@ class ServingEngine:
         cache_dtype = jnp.bfloat16 if (
             getattr(self.config, "quantize_int8", False)
             and cdtype == jnp.float32) else cdtype
-        B, T = max_slots, max_len
+        # lookup rounds scatter up to draft_len proposals past a row's
+        # frontier (and one correction at n + a <= n + K) before the limit
+        # clamp masks them — a K+1 margin keeps every write in-bounds even
+        # for a frontier already at max_len
+        self.buf_len = max_len + (self.draft_len + 1 if speculative else 0)
+        B, T = max_slots, self.buf_len
         if (getattr(self.config, "kv_cache_int8", False)
                 and getattr(self.config, "fused_decode", False)):
             # fused-int8: int8 rows + per-(key, head) scale planes, decode
@@ -563,6 +716,19 @@ class ServingEngine:
         # limit; harvest overwrites with exact device lengths)
         self._est_len = np.zeros(max_slots, np.int64)
         self._est_limit = np.zeros(max_slots, np.int64)
+        # lookup mode: host-side tokens-per-round estimate (EMA over exact
+        # per-slot length deltas between harvests). With the plain path's
+        # 1-token-per-step arithmetic a depth-8 dispatch would enqueue ~K+1x
+        # more verify rounds than the work needs — every one a full-width
+        # window program ground through frozen rows. Plain mode stays at
+        # exactly 1.0 (unchanged behavior); lookup mode starts at the
+        # midpoint (K+1)/2 so the FIRST wave (before any harvest corrects
+        # the EMA) neither enqueues ~K+1x the needed rounds nor collapses
+        # to one-chunk ticks.
+        self._tpr = (1.0 if not speculative
+                     else max(1.0, (self.draft_len + 1) / 2))
+        self._last_exact = np.zeros(max_slots, np.int64)
+        self._last_exact_chunk = np.zeros(max_slots, np.int64)
 
     # ------------------------------------------------------------------ API
 
@@ -584,6 +750,10 @@ class ServingEngine:
             raise ValueError(
                 f"prompt ({len(prompt_ids)}) + max_new_tokens "
                 f"({max_new_tokens}) exceeds max_len ({self.max_len})")
+        if self.speculative and (do_sample or (do_sample is None
+                                               and self.do_sample)):
+            raise ValueError("speculative serving is greedy-only "
+                             "(do_sample=False)")
         rid = self._next_rid
         self._next_rid += 1
         if streamer is not None:
@@ -659,6 +829,8 @@ class ServingEngine:
             self._slot_chunk[slot] = self._chunk_no + 1
             self._est_len[slot] = len(req.prompt) + 1
             self._est_limit[slot] = len(req.prompt) + req.max_new_tokens
+            self._last_exact[slot] = self._est_len[slot]
+            self._last_exact_chunk[slot] = self._chunk_no
 
     def _admit_chunked(self, req, slot):
         prompt = req.prompt
@@ -700,6 +872,8 @@ class ServingEngine:
         self._slot_chunk[slot] = self._chunk_no + 1
         self._est_len[slot] = total + 1  # prompt + fused first token
         self._est_limit[slot] = total + req.max_new_tokens
+        self._last_exact[slot] = self._est_len[slot]
+        self._last_exact_chunk[slot] = self._chunk_no
 
     def _harvest(self, pending):
         """Fetch and apply a decode chunk's packed results (one device_get —
@@ -714,7 +888,7 @@ class ServingEngine:
         res = np.asarray(jax.device_get(results))
         B = self.max_slots
         lengths, prompt_len, active = res[:B], res[B:2 * B], res[2 * B:3 * B]
-        tokens = res[3 * B:].reshape(B, self.max_len)
+        tokens = res[3 * B:].reshape(B, self.buf_len)
         out = []
         for slot, rid in enumerate(self.slot_rid):
             if rid is None or self._slot_chunk[slot] > chunk_no:
@@ -722,6 +896,17 @@ class ServingEngine:
                 # predates this request's prompt
                 continue
             self._est_len[slot] = int(lengths[slot])  # exact refresh
+            if self.speculative:
+                # EMA tokens-per-round sample over the harvested span; only
+                # rows still active sampled (a row frozen mid-span would
+                # bias the rate low — conservative is fine, but noisy)
+                dr = (chunk_no - self._last_exact_chunk[slot]) \
+                    * self.chunk_size
+                dn = int(lengths[slot]) - int(self._last_exact[slot])
+                if dr > 0 and dn > 0 and active[slot] == 1:
+                    self._tpr = 0.5 * self._tpr + 0.5 * max(1.0, dn / dr)
+                self._last_exact[slot] = int(lengths[slot])
+                self._last_exact_chunk[slot] = chunk_no
             if rid in self.streamers:
                 self.streamers[rid](
                     tokens[slot, prompt_len[slot]:lengths[slot]].copy())
@@ -783,7 +968,9 @@ class ServingEngine:
         if not occ:
             return 1
         rem = min(int(self._est_limit[s] - self._est_len[s]) for s in occ)
-        return int(np.clip(-(-max(rem, 1) // self.chunk_size),
+        # lookup mode: rem TOKENS take ~rem/_tpr verify ROUNDS
+        rounds = -(-max(rem, 1) // max(self._tpr, 1.0))
+        return int(np.clip(-(-rounds // self.chunk_size),
                            1, self.max_dispatch_depth))
 
     def _dispatch(self):
@@ -794,15 +981,27 @@ class ServingEngine:
             return None
         results = None
         for _ in range(self._depth()):
-            self.state, results = _decode_chunk(
-                self.params, self.config, self.forward, self.state,
-                n_steps=self.chunk_size, sampling=self._sampling_on,
-                end_ids=self.end_ids, needs_positions=self.needs_positions)
+            if self.speculative == "lookup":
+                # chunk_size speculation ROUNDS: 1..draft_len+1 tokens each
+                # per row (the host-side est_len advance below stays the
+                # conservative 1-token-per-round lower bound; harvest
+                # refreshes it exactly)
+                self.state, results = _decode_chunk_lookup(
+                    self.params, self.config, self.forward, self.state,
+                    n_rounds=self.chunk_size, K=self.draft_len,
+                    ngram=self.lookup_ngram, end_ids=self.end_ids,
+                    needs_positions=self.needs_positions)
+            else:
+                self.state, results = _decode_chunk(
+                    self.params, self.config, self.forward, self.state,
+                    n_steps=self.chunk_size, sampling=self._sampling_on,
+                    end_ids=self.end_ids, needs_positions=self.needs_positions)
             self.steps += self.chunk_size
             self._chunk_no += 1
+            adv = int(round(self.chunk_size * self._tpr))
             for s, r in enumerate(self.slot_rid):
                 if r is not None:
-                    self._est_len[s] = min(self._est_len[s] + self.chunk_size,
+                    self._est_len[s] = min(self._est_len[s] + adv,
                                            self._est_limit[s])
         return (self._chunk_no, results)
 
