@@ -30,6 +30,14 @@ slot per round (greedy-only; exact per row vs the plain path). The adaptive
 dispatch depth scales by a host-side tokens-per-round EMA so a depth-N
 dispatch doesn't enqueue ~K+1x more rounds than the work needs.
 
+Prefix caching (``register_prefix``): the KV of a shared prompt prefix
+(system prompt, few-shot preamble) is computed once and pinned device-side;
+admission seeds matching requests' slots from the store in one
+dynamic_update_slice program and chunk-prefills only the suffix at
+``cache_off = matched_len``. Bit-exact by causality (prefix k/v never
+depend on later tokens; the chunked prefill path is offset-exact), matched
+automatically at submit() by longest common prefix.
+
 Everything device-side is fixed-shape and compiles once per prefill bucket
 (x greedy/sampling) plus once per decode variant. The host syncs once per
 chunk (a single device_get of one packed int32 results array), never per
@@ -50,16 +58,15 @@ import jax.numpy as jnp
 DEFAULT_BUCKETS = (16, 32, 64, 128, 256)
 
 
-def _choose_rowwise(scores, do_sample_v, temp_v, top_k_v, top_p_v, rng):
-    """Per-row token choice with dynamic sampling params.
+def _process_scores(scores, temp_v, top_k_v, top_p_v):
+    """Row-wise temperature/top-k/top-p filtering of (N, V) scores.
 
     Reproduces the generate() wrapper chain semantics row-wise
     (reference logits_processor.py: temperature floor 1e-2 L35-41; top-k
-    keep >= kth-largest L44-56; top-p ascending-cumsum mask L59-79), with
-    per-row do_sample selecting sampled vs argmax."""
-    B, V = scores.shape
-    greedy = jnp.argmax(scores, axis=-1).astype(jnp.int32)
-
+    keep >= kth-largest L44-56; top-p ascending-cumsum mask L59-79).
+    Returns filtered log-scores (softmax of them = the sampling
+    distribution)."""
+    N, V = scores.shape
     t = jnp.maximum(temp_v, 1e-2)[:, None]
     s = scores / t
     # top-k (0 = off): mask scores strictly below the kth largest
@@ -74,9 +81,15 @@ def _choose_rowwise(scores, do_sample_v, temp_v, top_k_v, top_p_v, rng):
     cum = jnp.cumsum(jax.nn.softmax(asc, axis=-1), axis=-1)
     remove_sorted = cum <= (1.0 - top_p_v[:, None])
     remove = jnp.zeros_like(remove_sorted).at[
-        jnp.arange(B)[:, None], order].set(remove_sorted)
-    s = jnp.where(remove, -jnp.inf, s)
+        jnp.arange(N)[:, None], order].set(remove_sorted)
+    return jnp.where(remove, -jnp.inf, s)
 
+
+def _choose_rowwise(scores, do_sample_v, temp_v, top_k_v, top_p_v, rng):
+    """Per-row token choice with dynamic sampling params (see
+    _process_scores), per-row do_sample selecting sampled vs argmax."""
+    greedy = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+    s = _process_scores(scores, temp_v, top_k_v, top_p_v)
     sampled = jax.random.categorical(rng, s, axis=-1).astype(jnp.int32)
     return jnp.where(do_sample_v.astype(bool), sampled, greedy)
 
@@ -528,6 +541,129 @@ def _decode_chunk_lookup(params, config, forward, state, n_rounds, K, ngram,
     return state, results
 
 
+def _batch_window(buf, window):
+    """Live cache slice over ALL rows' first ``window`` key positions
+    (int8- and fused-layout aware)."""
+    if isinstance(buf, dict):
+        ax = 2 if _is_fused(buf) else 3
+        return {"q": jax.lax.slice_in_dim(buf["q"], 0, window, axis=ax),
+                "s": jax.lax.slice_in_dim(buf["s"], 0, window, axis=ax)}
+    ax = 2 if buf.ndim == 4 else 3
+    return jax.lax.slice_in_dim(buf, 0, window, axis=ax)
+
+
+def _seed_prefix(win, p, valid, window):
+    """Overwrite ``valid`` rows of a live (L, B, ..., window, ...) cache
+    window with a (L, 1, ..., Wp, ...) prefix store (broadcast over rows;
+    padded or sliced to the window width — padding rows sit past every
+    valid row's attention frontier until the suffix overwrites them)."""
+    def one(w, pp, ax):
+        Wp = pp.shape[ax]
+        if Wp < window:
+            pad = [(0, 0)] * pp.ndim
+            pad[ax] = (0, window - Wp)
+            pp = jnp.pad(pp, pad)
+        elif Wp > window:
+            pp = jax.lax.slice_in_dim(pp, 0, window, axis=ax)
+        pp = jnp.broadcast_to(pp.astype(w.dtype), w.shape)
+        shape = [1] * w.ndim
+        shape[1] = -1
+        return jnp.where(valid.reshape(shape).astype(bool), pp, w)
+    if isinstance(win, dict):
+        ax = 2 if _is_fused(win) else 3
+        return {"q": one(win["q"], p["q"], ax),
+                "s": one(win["s"], p["s"], ax)}
+    ax = 2 if win.ndim == 4 else 3
+    return one(win, p, ax)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "forward", "config", "bucket", "window", "sampling", "end_ids",
+    "needs_positions"), donate_argnames=("state",))
+def _prefill_batch_prefixed(params, config, forward, state, pk, pv, ptok,
+                            ids, chunk_len, cache_off, prompt_total,
+                            max_total, valid, do_sample, temperature, top_k,
+                            top_p, bucket, window, sampling, end_ids,
+                            needs_positions):
+    """Admit SEVERAL requests sharing ONE registered prefix in ONE device
+    program (`register_prefix` + same matched length): valid rows' cache
+    windows are seeded from the precomputed prefix store (a broadcast — no
+    forward over the prefix), every suffix prefills at the uniform
+    ``cache_off = matched_len``, and the first generated token fuses in.
+    The per-request `_load_prefix` + `_prefill_chunk` path gives identical
+    results; this fuses the common serving pattern (every request opens
+    with the same system prompt) into one dispatch like `_prefill_batch`
+    does for fresh short prompts. Rows with ``valid[i] == 0`` pass through
+    untouched."""
+    B = state["tokens"].shape[0]
+    T = state["tokens"].shape[1]
+    ck = _seed_prefix(_batch_window(state["cache_k"], window), pk, valid,
+                      window)
+    cv = _seed_prefix(_batch_window(state["cache_v"], window), pv, valid,
+                      window)
+    cache = {"k": ck, "v": cv, "length": cache_off}
+    col_w = jnp.arange(window, dtype=jnp.int32)
+    mask = (col_w[None] < cache_off + chunk_len[:, None]).astype(jnp.int32)
+    pos = jnp.broadcast_to(
+        (cache_off + jnp.arange(bucket, dtype=jnp.int32))[None],
+        (B, bucket)) if needs_positions else None
+    (logits, _), cache = forward(params, config, ids, mask, pos, None, cache,
+                                 last_only=False)
+
+    state = dict(state)
+    state["cache_k"] = _merge_window(state["cache_k"], cache["k"], valid,
+                                     window)
+    state["cache_v"] = _merge_window(state["cache_v"], cache["v"], valid,
+                                     window)
+
+    vb = valid.astype(bool)
+    col = jnp.arange(T, dtype=jnp.int32)
+    # token rows: prefix tokens on [0, cache_off), suffix on
+    # [cache_off, cache_off + chunk_len)
+    ptok_t = jnp.pad(ptok, ((0, 0), (0, T - ptok.shape[1]))) \
+        if ptok.shape[1] < T else ptok[:, :T]
+    ids_t = jax.lax.dynamic_update_slice(
+        jnp.zeros((B, T), jnp.int32), ids, (0, cache_off))
+    new_tok = jnp.where(col[None] < cache_off,
+                        jnp.broadcast_to(ptok_t, (B, T)), ids_t)
+    in_row = vb[:, None] & (col[None] < prompt_total[:, None])
+    state["tokens"] = jnp.where(in_row, new_tok, state["tokens"])
+    state["mask"] = jnp.where(
+        vb[:, None], (col[None] < prompt_total[:, None]).astype(jnp.int32),
+        state["mask"])
+    state["lengths"] = jnp.where(vb, prompt_total, state["lengths"])
+    state["prompt_len"] = jnp.where(vb, prompt_total, state["prompt_len"])
+    state["limit"] = jnp.where(vb, max_total, state["limit"])
+    state["active"] = jnp.where(vb, 1, state["active"])
+    state["do_sample"] = jnp.where(vb, do_sample, state["do_sample"])
+    state["temperature"] = jnp.where(vb, temperature, state["temperature"])
+    state["top_k"] = jnp.where(vb, top_k, state["top_k"])
+    state["top_p"] = jnp.where(vb, top_p, state["top_p"])
+
+    last = jnp.maximum(chunk_len - 1, 0)
+    first_scores = jnp.take_along_axis(
+        logits, last[:, None, None], axis=1)[:, 0, :].astype(jnp.float32)
+    state, toks = _choose(state, first_scores, jnp.arange(B), sampling)
+    return _append_token(state, toks, valid.astype(jnp.int32), end_ids)
+
+
+@functools.partial(jax.jit, donate_argnames=("state",))
+def _load_prefix(state, pk, pv, ptok, slot):
+    """Seed ``slot`` with a registered prefix's precomputed KV + tokens
+    (ServingEngine.register_prefix): one dynamic_update_slice per buffer at
+    offset 0 — no forward pass. The suffix chunks then prefill at
+    ``cache_off = matched_len`` (the chunked path is offset-exact), and any
+    stale prefix rows past the matched length are never attended (every
+    mask clamps at the row's frontier) and are overwritten as the suffix /
+    generation frontier advances."""
+    state = dict(state)
+    state["cache_k"] = _slot_update(state["cache_k"], pk, slot)
+    state["cache_v"] = _slot_update(state["cache_v"], pv, slot)
+    state["tokens"] = jax.lax.dynamic_update_slice(
+        state["tokens"], ptok, (slot, 0))
+    return state
+
+
 class Request:
     __slots__ = ("rid", "prompt", "max_new_tokens", "do_sample",
                  "temperature", "top_k", "top_p")
@@ -650,33 +786,32 @@ class ServingEngine:
                 and getattr(self.config, "fused_decode", False)):
             # fused-int8: int8 rows + per-(key, head) scale planes, decode
             # through the whole-stack kernel with in-kernel dequant
-            Tp = -(-T // 8) * 8
-
-            def _cache_buf():
+            def _cache_buf(B, T):
+                Tp = -(-T // 8) * 8
                 return {"q": jnp.zeros((L, B, Tp, H * hd), jnp.int8),
                         "s": jnp.zeros((L, B, Tp, H), jnp.float32)}
         elif getattr(self.config, "kv_cache_int8", False):
-            def _cache_buf():
+            def _cache_buf(B, T):
                 return {"q": jnp.zeros((L, B, H, T, hd), jnp.int8),
                         "s": jnp.zeros((L, B, H, T), jnp.float32)}
         elif getattr(self.config, "fused_decode", False):
             # fused (L, B, T, D) layout: decode steps take the whole-stack
             # Pallas kernel with ragged per-row offsets (ops/fused_decode.py;
             # falls back to the XLA path past its VMEM budget at large T)
-            Tp = -(-T // 8) * 8
-
-            def _cache_buf():
+            def _cache_buf(B, T):
+                Tp = -(-T // 8) * 8
                 return jnp.zeros((L, B, Tp, H * hd), cache_dtype)
         elif getattr(self.config, "decode_head_major", False):
             # llama-family head-major (L, B, T, Hkv*hd): decode steps write
             # one contiguous-lane row per (layer, slot) and attend straight
             # on the slab (models/llama.py _gqa_attend_headmajor, ragged
             # per-row offsets); unrounded T keeps mask widths aligned
-            def _cache_buf():
+            def _cache_buf(B, T):
                 return jnp.zeros((L, B, T, H * hd), cache_dtype)
         else:
-            def _cache_buf():
+            def _cache_buf(B, T):
                 return jnp.zeros((L, B, H, T, hd), cache_dtype)
+        self._cache_buf = _cache_buf
         self.state = {
             "tokens": jnp.zeros((B, T), jnp.int32),
             "mask": jnp.zeros((B, T), jnp.int32),
@@ -689,8 +824,8 @@ class ServingEngine:
             "temperature": jnp.ones((B,), jnp.float32),
             "top_k": jnp.zeros((B,), jnp.int32),
             "top_p": jnp.ones((B,), jnp.float32),
-            "cache_k": _cache_buf(),
-            "cache_v": _cache_buf(),
+            "cache_k": _cache_buf(B, T),
+            "cache_v": _cache_buf(B, T),
             "rng": rng if rng is not None else jax.random.PRNGKey(0),
         }
         # GPT (learned positions) and llama-family (RoPE) consume positions;
@@ -729,11 +864,83 @@ class ServingEngine:
                      else max(1.0, (self.draft_len + 1) / 2))
         self._last_exact = np.zeros(max_slots, np.int64)
         self._last_exact_chunk = np.zeros(max_slots, np.int64)
+        # prefix cache (register_prefix): handle -> precomputed device KV +
+        # token row for a shared prompt prefix; _prefix_of maps queued rids
+        # to their matched (handle, matched_len)
+        self._prefixes = {}
+        self._prefix_of = {}
+        self.prefill_calls = 0  # prefill programs dispatched (observability)
 
     # ------------------------------------------------------------------ API
 
+    def register_prefix(self, prefix_ids):
+        """Precompute and pin the KV of a shared prompt PREFIX (a system
+        prompt, few-shot preamble, …) so every future request that starts
+        with it skips that part of its prefill: admission seeds the slot
+        with the stored KV in one dynamic_update_slice program
+        (`_load_prefix`) and chunk-prefills only the suffix at
+        ``cache_off = matched_len``. Bit-exact by causality: a prefix
+        position's k/v never depends on later tokens, and the chunked
+        prefill path is already offset-exact. Matching is automatic at
+        submit() — the longest common prefix against any registered prefix
+        (partial matches reuse the first ``matched_len`` rows, equally
+        exact). Returns an opaque handle (also accepted by submit's
+        ``use_prefix=False`` opt-out).
+
+        TPU-native analogue of vLLM-style prefix caching; the reference
+        recomputes every prompt from scratch
+        (generation/generation_util.py:57-76)."""
+        prefix_ids = list(map(int, prefix_ids))
+        if not prefix_ids:
+            raise ValueError("empty prefix")
+        if len(prefix_ids) >= self.max_len:
+            raise ValueError(f"prefix ({len(prefix_ids)}) must leave room "
+                             f"under max_len ({self.max_len})")
+        import contextlib
+        from cleantransformer_tpu.parallel.mesh import use_mesh
+        ctx = use_mesh(self.mesh) if self.mesh is not None \
+            else contextlib.nullcontext()
+        bmax = self.prefill_buckets[-1]
+        W = min(-(-len(prefix_ids) // bmax) * bmax, self.buf_len)
+        mini = {"tokens": jnp.zeros((1, W), jnp.int32),
+                "cache_k": self._cache_buf(1, W),
+                "cache_v": self._cache_buf(1, W)}
+        total, off = len(prefix_ids), 0
+        with ctx:
+            return self._register_prefix_chunks(mini, prefix_ids, off, total,
+                                                bmax, W)
+
+    def _register_prefix_chunks(self, mini, prefix_ids, off, total, bmax, W):
+        while off < total:
+            chunk = prefix_ids[off: off + bmax]
+            bucket = self._bucket_for(len(chunk))
+            chunk = chunk[:bucket]
+            if off + bucket > W:  # keep the bucket's pad rows in-buffer
+                off = W - bucket  # overlap recompute is exact (see
+                chunk = prefix_ids[off: off + bucket]  # _admit_chunked)
+            window = min(W, -((off + bucket) // -bucket) * bucket)
+            if window < off + bucket:
+                window = min(W, -((off + bucket) // -8) * 8)
+            ids = np.zeros((1, bucket), np.int32)
+            ids[0, : len(chunk)] = chunk
+            mini = _prefill_chunk(
+                self.params, self.config, self.forward, mini, ids,
+                np.int32(len(chunk)), np.int32(off), np.int32(0),
+                np.int32(0), np.int32(0), np.int32(0), np.float32(1.0),
+                np.int32(0), np.float32(1.0), bucket=bucket, window=window,
+                final=False, sampling=False, end_ids=(),
+                needs_positions=self.needs_positions)
+            self.prefill_calls += 1
+            off += len(chunk)
+        handle = len(self._prefixes)
+        self._prefixes[handle] = {"ids": prefix_ids, "k": mini["cache_k"],
+                                  "v": mini["cache_v"],
+                                  "tokens": mini["tokens"]}
+        return handle
+
     def submit(self, prompt_ids, max_new_tokens=64, streamer=None,
-               do_sample=None, temperature=None, top_k=None, top_p=None):
+               do_sample=None, temperature=None, top_k=None, top_p=None,
+               use_prefix=True):
         """Queue a request. Long prompts are fine: anything up to
         ``max_len - max_new_tokens`` is prefilled in bucket-sized chunks.
 
@@ -742,7 +949,10 @@ class ServingEngine:
         ``streamer``: optional callable invoked after every decode chunk with
         the tokens generated so far for this request (numpy 1-D, prompt
         excluded) — the serving analogue of the reference's per-generate
-        streamer callbacks (bloom_interactive.py)."""
+        streamer callbacks (bloom_interactive.py).
+        ``use_prefix``: match this prompt against registered prefixes
+        (register_prefix) and skip the matched span's prefill; False opts
+        out (output is identical either way — prefix reuse is exact)."""
         prompt_ids = list(map(int, prompt_ids))
         if not prompt_ids:
             raise ValueError("empty prompt")
@@ -756,6 +966,23 @@ class ServingEngine:
                              "(do_sample=False)")
         rid = self._next_rid
         self._next_rid += 1
+        if use_prefix and self._prefixes:
+            # longest common prefix against any registered prefix; capped at
+            # len(prompt)-1 so the final chunk always has >= 1 token (the
+            # first generated token's logits come from its forward). Only
+            # worth a dedicated admission when it skips at least the
+            # smallest bucket of prefill.
+            best = None
+            for h, p in self._prefixes.items():
+                cap = min(len(p["ids"]), len(prompt_ids) - 1)
+                ul = 0
+                while ul < cap and prompt_ids[ul] == p["ids"][ul]:
+                    ul += 1
+                if ul >= self.prefill_buckets[0] and (
+                        best is None or ul > best[1]):
+                    best = (h, ul)
+            if best is not None:
+                self._prefix_of[rid] = best
         if streamer is not None:
             self.streamers[rid] = streamer
         req = Request(
@@ -784,15 +1011,90 @@ class ServingEngine:
         path (one jit call per bucket-sized chunk at rising cache offsets;
         the causal iota is offset-aware so this is exact)."""
         wave = []  # (req, slot) single-chunk admissions, fused below
+        pwaves = {}  # (handle, matched) -> [(req, slot)] shared-prefix waves
         while self.queue and free_slots:
             req = self.queue.popleft()
             slot = free_slots.pop()
+            pref = self._prefix_of.pop(req.rid, None)
+            if pref is not None:
+                h, ul = pref
+                bucket = self._bucket_for(len(req.prompt) - ul)
+                if (len(req.prompt) - ul <= self.prefill_buckets[-1]
+                        and ul + bucket <= self.buf_len):
+                    # suffix fits one bucket in-buffer: batched prefix wave
+                    pwaves.setdefault((h, ul), []).append((req, slot))
+                else:
+                    self._admit_prefixed(req, slot, h, ul)
+                continue
             if len(req.prompt) <= self.prefill_buckets[-1]:
                 wave.append((req, slot))
                 continue
             self._admit_chunked(req, slot)
         if wave:
             self._admit_wave(wave)
+        for (h, ul), group in pwaves.items():
+            self._admit_wave_prefixed(group, h, ul)
+
+    def _admit_prefixed(self, req, slot, handle, matched):
+        """Per-request admission with a registered prefix (long suffix /
+        odd matched length): seed the slot's cache/tokens from the prefix
+        store (one KV-copy program, no forward), then chunk-prefill only
+        ``prompt[matched:]`` at rising cache offsets."""
+        p = self._prefixes[handle]
+        self.state = _load_prefix(self.state, p["k"], p["v"], p["tokens"],
+                                  np.int32(slot))
+        self.prefill_calls += 1
+        self._admit_chunked(req, slot, start=matched)
+
+    def _admit_wave_prefixed(self, wave, handle, matched):
+        """One `_prefill_batch_prefixed` program admitting every (req, slot)
+        pair sharing ``handle``'s prefix at the same matched length — the
+        common serving pattern (every request opens with the same system
+        prompt) admits in ONE dispatch: prefix KV broadcast-seeded into the
+        valid rows, all suffixes prefilled at the uniform cache offset,
+        first tokens fused."""
+        p = self._prefixes[handle]
+        B = self.max_slots
+        bucket = max(self._bucket_for(len(r.prompt) - matched)
+                     for r, _ in wave)
+        window = min(self.buf_len,
+                     -((matched + bucket) // -bucket) * bucket)
+        if window < matched + bucket:
+            window = min(self.buf_len, -((matched + bucket) // -8) * 8)
+        ids = np.zeros((B, bucket), np.int32)
+        chunk_len = np.zeros((B,), np.int32)
+        prompt_total = np.zeros((B,), np.int32)
+        max_total = np.zeros((B,), np.int32)
+        valid = np.zeros((B,), np.int32)
+        do_sample = np.zeros((B,), np.int32)
+        temperature = np.ones((B,), np.float32)
+        top_k = np.zeros((B,), np.int32)
+        top_p = np.ones((B,), np.float32)
+        for req, slot in wave:
+            suf = req.prompt[matched:]
+            ids[slot, : len(suf)] = suf
+            chunk_len[slot] = len(suf)
+            prompt_total[slot] = len(req.prompt)
+            max_total[slot] = len(req.prompt) + req.max_new_tokens
+            valid[slot] = 1
+            do_sample[slot] = int(bool(req.do_sample))
+            temperature[slot] = req.temperature
+            top_k[slot] = req.top_k or 0
+            top_p[slot] = req.top_p if req.top_p is not None else 1.0
+        self.state = _prefill_batch_prefixed(
+            self.params, self.config, self.forward, self.state,
+            p["k"], p["v"], p["tokens"], ids, chunk_len, np.int32(matched),
+            prompt_total, max_total, valid, do_sample, temperature, top_k,
+            top_p, bucket=bucket, window=window, sampling=self._sampling_on,
+            end_ids=self.end_ids, needs_positions=self.needs_positions)
+        self.prefill_calls += 1
+        for req, slot in wave:
+            self.slot_rid[slot] = req.rid
+            self._slot_chunk[slot] = self._chunk_no + 1
+            self._est_len[slot] = len(req.prompt) + 1
+            self._est_limit[slot] = len(req.prompt) + req.max_new_tokens
+            self._last_exact[slot] = self._est_len[slot]
+            self._last_exact_chunk[slot] = self._chunk_no
 
     def _admit_wave(self, wave):
         """One `_prefill_batch` program admitting every (req, slot) pair."""
@@ -824,6 +1126,7 @@ class ServingEngine:
             temperature, top_k, top_p, bucket=bucket,
             sampling=self._sampling_on, end_ids=self.end_ids,
             needs_positions=self.needs_positions)
+        self.prefill_calls += 1
         for req, slot in wave:
             self.slot_rid[slot] = req.rid
             self._slot_chunk[slot] = self._chunk_no + 1
@@ -832,19 +1135,32 @@ class ServingEngine:
             self._last_exact[slot] = self._est_len[slot]
             self._last_exact_chunk[slot] = self._chunk_no
 
-    def _admit_chunked(self, req, slot):
+    def _admit_chunked(self, req, slot, start=0):
         prompt = req.prompt
         total = len(prompt)
-        off = 0
+        off = start
         while off < total:
             chunk = prompt[off: off + self.prefill_buckets[-1]]
             bucket = self._bucket_for(len(chunk))
             chunk = chunk[:bucket]
+            if off + bucket > self.buf_len:
+                # the model's chunk write is a clamping dynamic_update_slice
+                # — the bucket's junk pad rows must stay inside the buffer.
+                # Shift the chunk start back; overlapped rows recompute
+                # IDENTICAL k/v and token values (causal, offset-exact), so
+                # this is exact. Overshoot implies total - off < bucket
+                # (total <= max_len <= buf_len), so this is the final chunk
+                # and the shifted chunk still reaches ``total``.
+                off = self.buf_len - bucket
+                chunk = prompt[off: off + bucket]
             # static cache window: smallest bucket multiple covering this
-            # chunk's frontier, capped at max_len (off is host-known, so
-            # compile variants stay bounded per (bucket, window) pair)
-            window = min(self.max_len,
+            # chunk's frontier, capped at the buffer width (off is
+            # host-known, so compile variants stay bounded per
+            # (bucket, window) pair)
+            window = min(self.buf_len,
                          -((off + bucket) // -bucket) * bucket)
+            if window < off + bucket:  # bucket-multiple cap fell short
+                window = min(self.buf_len, -((off + bucket) // -8) * 8)
             final = off + len(chunk) >= total
             ids = np.zeros((1, bucket), np.int32)
             ids[0, : len(chunk)] = chunk
@@ -866,6 +1182,7 @@ class ServingEngine:
                 bucket=bucket, window=window, final=final,
                 sampling=self._sampling_on, end_ids=self.end_ids,
                 needs_positions=self.needs_positions)
+            self.prefill_calls += 1
             off += len(chunk)
         self.slot_rid[slot] = req.rid
         # first decode chunk covering this slot is the NEXT one dispatched

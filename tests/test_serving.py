@@ -506,6 +506,126 @@ def test_lookup_speculative_rejects_sampling(gpt):
         eng.submit([1, 2, 3], max_new_tokens=4, do_sample=True)
 
 
+# ---------------------------------------------------------------------------
+# prefix caching (register_prefix)
+# ---------------------------------------------------------------------------
+
+def _prefix_workload(vocab, seed=5, plen=40):
+    """A registered prefix longer than the bucket (chunked registration),
+    full-prefix prompts, a partial-prefix prompt (diverges past the first
+    bucket), and a non-matching prompt."""
+    rs = np.random.RandomState(seed)
+    prefix = rs.randint(1, vocab, (plen,)).tolist()
+    prompts = [prefix + rs.randint(1, vocab, (n,)).tolist()
+               for n in (3, 9, 21)]
+    d = plen - plen // 4  # divergence point, past the 16-token bucket
+    div = (prefix[d] % (vocab - 2)) + 1  # != prefix[d], stays in vocab
+    prompts.append(prefix[:d] + [div] + rs.randint(1, vocab, (3,)).tolist())
+    prompts.append(rs.randint(1, vocab, (12,)).tolist())
+    return prefix, prompts
+
+
+@pytest.mark.parametrize("variant", ["dense", "fused", "fused_int8"])
+def test_prefix_cache_parity(gpt, variant):
+    """register_prefix: admission seeds the slot from the precomputed KV
+    store (one dynamic_update_slice program, no forward) and chunk-prefills
+    only the suffix at cache_off=matched_len. Greedy outputs must equal the
+    standalone generate() stream for full matches, a PARTIAL prefix match
+    (longest-common-prefix reuse), and non-matching prompts — and the
+    prefixed engine must dispatch fewer prefill programs than a no-prefix
+    engine on the identical workload."""
+    if variant == "dense":
+        model = gpt
+    else:
+        model = GPTLMHeadModel(
+            GPTConfig(**GPT_SHAPE, fused_decode=True,
+                      kv_cache_int8=(variant == "fused_int8")),
+            version="gpt2", params=gpt.params)
+    vocab = model.config.vocab_size
+    prefix, prompts = _prefix_workload(vocab)
+    n_new = 8
+    counts = {}
+    for use in (False, True):
+        eng = ServingEngine(model, max_slots=2, max_len=96,
+                            prefill_buckets=(16,), chunk_size=2)
+        if use:
+            eng.register_prefix(prefix)
+        pc0 = eng.prefill_calls  # registration's own programs excluded
+        rids = {eng.submit(p, max_new_tokens=n_new, use_prefix=use): p
+                for p in prompts}
+        results = dict(eng.run())
+        counts[use] = eng.prefill_calls - pc0
+        assert set(results) == set(rids)
+        for rid, prompt in rids.items():
+            np.testing.assert_array_equal(
+                results[rid], ref_greedy(model, prompt, n_new),
+                err_msg=f"variant={variant} use_prefix={use} "
+                        f"prompt_len={len(prompt)}")
+    assert counts[True] < counts[False], counts
+
+
+def test_prefix_cache_bloom_and_lookup_compose(bloom):
+    """Prefix caching on Bloom (ALiBi, no positions) COMPOSED with lookup
+    speculative serving: prefix-seeded slots feed the verify rounds' ngram
+    proposals from the same committed token rows."""
+    vocab = bloom.config.vocab_size
+    prefix, prompts = _prefix_workload(vocab, seed=9, plen=24)
+    eng = ServingEngine(bloom, max_slots=2, max_len=96, prefill_buckets=(16,),
+                        chunk_size=2, speculative="lookup", draft_len=4)
+    eng.register_prefix(prefix)
+    rids = {eng.submit(p, max_new_tokens=8): p for p in prompts}
+    results = dict(eng.run())
+    for rid, prompt in rids.items():
+        np.testing.assert_array_equal(
+            results[rid], ref_greedy(bloom, prompt, 8),
+            err_msg=f"prompt_len={len(prompt)}")
+
+
+def test_prefix_wave_single_dispatch(gpt):
+    """Requests sharing one prefix with bucket-sized suffixes admit as ONE
+    _prefill_batch_prefixed program per wave (the broadcast-seeded batched
+    path), not per-request load+chunk pairs."""
+    vocab = gpt.config.vocab_size
+    rs = np.random.RandomState(13)
+    prefix = rs.randint(1, vocab, (40,)).tolist()
+    prompts = [prefix + rs.randint(1, vocab, (5,)).tolist() for _ in range(4)]
+    eng = ServingEngine(gpt, max_slots=4, max_len=96, prefill_buckets=(16,),
+                        chunk_size=4)
+    eng.register_prefix(prefix)
+    pc0 = eng.prefill_calls
+    rids = {eng.submit(p, max_new_tokens=6): p for p in prompts}
+    results = dict(eng.run())
+    assert eng.prefill_calls - pc0 == 1  # one admission wave, one program
+    for rid, prompt in rids.items():
+        np.testing.assert_array_equal(results[rid],
+                                      ref_greedy(gpt, prompt, 6))
+
+
+def test_chunked_admission_near_capacity_unaligned(gpt):
+    """Chunked prefill whose final bucket would overrun an unaligned
+    buffer: the model's chunk write is a clamping dynamic_update_slice, so
+    the engine shifts the final chunk back (overlap recompute is exact).
+    Before the guard, max_len=60 with a 55-token prompt wrote the last
+    16-token bucket at offset 48 into a 60-wide buffer — the clamp shifted
+    it to 44, corrupting rows 44..48."""
+    vocab = gpt.config.vocab_size
+    rs = np.random.RandomState(21)
+    prompt = rs.randint(1, vocab, (55,)).tolist()
+    eng = ServingEngine(gpt, max_slots=1, max_len=60, prefill_buckets=(16,),
+                        chunk_size=2)
+    rid = eng.submit(prompt, max_new_tokens=4)
+    results = dict(eng.run())
+    np.testing.assert_array_equal(results[rid], ref_greedy(gpt, prompt, 4))
+
+
+def test_prefix_cache_validation(gpt):
+    eng = ServingEngine(gpt, max_slots=1, max_len=32, prefill_buckets=(8,))
+    with pytest.raises(ValueError, match="empty"):
+        eng.register_prefix([])
+    with pytest.raises(ValueError, match="max_len"):
+        eng.register_prefix(list(range(1, 33)))
+
+
 def test_fused_int8_kv_serving_parity(gpt):
     # fused_decode + kv_cache_int8: serving decodes through the kernel's
     # in-kernel dequant path ({"q","s"} planes, ragged offsets) and must
