@@ -26,7 +26,9 @@ prompt-lookup speculation ROUNDS instead of single-token steps — each round
 proposes ``draft_len`` tokens per slot from its own committed stream and
 verifies them in ONE ragged (K+1)-token forward (the whole-stack window
 kernel for ``config.fused_decode`` models), committing 1..K+1 tokens per
-slot per round (greedy-only; exact per row vs the plain path). The adaptive
+slot per round. Greedy rows are bit-exact vs the plain path; sampling rows
+run per-row point-mass rejection sampling (every committed token
+distributed exactly as plain sampling). The adaptive
 dispatch depth scales by a host-side tokens-per-round EMA so a depth-N
 dispatch doesn't enqueue ~K+1x more rounds than the work needs.
 
@@ -419,11 +421,65 @@ def _decode_chunk(params, config, forward, state, n_steps, sampling,
     return state, results
 
 
+def _verify_commit(logits, proposed, do_sample_v, temp_v, top_k_v, top_p_v,
+                   rng, sampling):
+    """Per-row speculative accept/commit for deterministic (point-mass)
+    proposals — the serving analogue of generation/speculative.py's
+    rejection sampling with q_t = 1 at the proposed token:
+
+    greedy rows accept while the argmax matches; the correction is the
+    argmax at the first mismatch (bit-exact vs plain greedy decode).
+    Sampling rows accept proposal c_t with probability p_t(c_t) — p is the
+    PROCESSED per-row target distribution (temperature/top-k/top-p,
+    _process_scores); the first rejection draws from the residual
+    norm(max(p_a - q_a, 0)), which for a point-mass q is p_a with c_a
+    masked out and renormalized (categorical over the filtered scores with
+    c_a at -inf); full acceptance draws the bonus token from p_K. Every
+    committed token is distributed EXACTLY as the plain sampling path
+    conditioned on the committed prefix (standard speculative-sampling
+    identity; test_serving.py verifies the marginal empirically).
+
+    logits (B, W, V) with W = K + 1; proposed (B, K). Returns (a, corr):
+    per-row accepted proposal counts and the correction/bonus token."""
+    B, W, V = logits.shape
+    K = W - 1
+    lg = logits.astype(jnp.float32)
+    g = jnp.argmax(lg, axis=-1).astype(jnp.int32)                  # (B, W)
+    match = g[:, :K] == proposed
+    if sampling:
+        def rep(v):  # (B,) row params -> (B*W,) flattened positions
+            return jnp.repeat(v, W)
+        s = _process_scores(lg.reshape(B * W, V), rep(temp_v),
+                            rep(top_k_v), rep(top_p_v)).reshape(B, W, V)
+        p = jax.nn.softmax(s, axis=-1)
+        r_accept, r_corr = jax.random.split(rng)
+        u = jax.random.uniform(r_accept, (B, K))
+        p_prop = jnp.take_along_axis(
+            p[:, :K], proposed[..., None], axis=-1)[..., 0]        # (B, K)
+        match = jnp.where(do_sample_v.astype(bool)[:, None],
+                          u < p_prop, match)
+    a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+    corr_greedy = jnp.take_along_axis(g, a[:, None], axis=1)[:, 0]
+    if not sampling:
+        return a, corr_greedy
+    s_a = jnp.take_along_axis(s, a[:, None, None], axis=1)[:, 0]   # (B, V)
+    c_a = jnp.take_along_axis(
+        jnp.pad(proposed, ((0, 0), (0, 1)), constant_values=-1),
+        a[:, None], axis=1)[:, 0]                                  # (B,)
+    vcol = jnp.arange(V, dtype=jnp.int32)[None]
+    s_a = jnp.where(((a < K)[:, None]) & (vcol == c_a[:, None]),
+                    -jnp.inf, s_a)
+    corr_sampled = jax.random.categorical(r_corr, s_a,
+                                          axis=-1).astype(jnp.int32)
+    corr = jnp.where(do_sample_v.astype(bool), corr_sampled, corr_greedy)
+    return a, corr
+
+
 @functools.partial(jax.jit, static_argnames=(
     "forward", "config", "n_rounds", "K", "ngram", "end_ids",
-    "needs_positions"), donate_argnames=("state",))
+    "needs_positions", "sampling"), donate_argnames=("state",))
 def _decode_chunk_lookup(params, config, forward, state, n_rounds, K, ngram,
-                         end_ids, needs_positions):
+                         end_ids, needs_positions, sampling):
     """Advance every active slot by ``n_rounds`` prompt-lookup speculation
     rounds (1 to K+1 tokens each, per row) instead of ``n_rounds`` plain
     single-token steps.
@@ -436,8 +492,11 @@ def _decode_chunk_lookup(params, config, forward, state, n_rounds, K, ngram,
     ``config.fused_decode`` model runs through the whole-stack window kernel
     (ops/fused_decode._gpt_window_kernel) — and each row commits its matched
     prefix plus the target's own next token, clamped at its request limit.
-    Greedy only (the engine refuses sampling requests in lookup mode):
-    committed streams stay exact vs the plain serving decode per row.
+    Greedy rows' committed streams are bit-exact vs the plain serving
+    decode per row; with ``sampling`` the per-row accept/commit runs
+    point-mass rejection sampling (_verify_commit) — each committed token
+    distributed exactly as the plain sampling path, per-row
+    temperature/top-k/top-p honored.
 
     Rows that are inactive or at their limit freeze: their verify writes are
     idempotent (position n-1 rewrites the last committed token's k/v) or
@@ -499,11 +558,15 @@ def _decode_chunk_lookup(params, config, forward, state, n_rounds, K, ngram,
         state = dict(state)
         state["cache_k"], state["cache_v"] = cache["k"], cache["v"]
 
-        g = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(
-            jnp.int32)                                           # (B, W)
-        match_t = (g[:, :K] == jnp.take_along_axis(tokens, wr_idx, axis=1))
-        a = jnp.sum(jnp.cumprod(match_t.astype(jnp.int32), axis=1), axis=1)
-        corr = jnp.take_along_axis(g, a[:, None], axis=1)[:, 0]  # (B,)
+        if sampling:
+            rng, sub = jax.random.split(state["rng"])
+            state["rng"] = rng
+        else:
+            sub = None
+        a, corr = _verify_commit(
+            logits, jnp.take_along_axis(tokens, wr_idx, axis=1),
+            state["do_sample"], state["temperature"], state["top_k"],
+            state["top_p"], sub, sampling)
         tokens = tokens.at[rows, n + a].set(corr)
         n_committed = a + 1
 
@@ -699,14 +762,11 @@ class ServingEngine:
         # each round proposes draft_len tokens per slot from its own
         # committed stream and verifies them in ONE (K+1)-token ragged
         # forward (the fused window kernel for config.fused_decode models).
-        # Greedy-only: committed streams stay exact per row; sampling
-        # requests are refused (per-row batched rejection sampling is
-        # documented future work in generation/speculative.py).
+        # Greedy rows stay bit-exact vs plain serving; sampling rows run
+        # per-row point-mass rejection sampling (_verify_commit) — every
+        # committed token distributed exactly as the plain sampling path.
         if speculative not in (None, "lookup"):
             raise ValueError(f"speculative={speculative!r} (None | 'lookup')")
-        if speculative and do_sample:
-            raise ValueError("speculative serving is greedy-only "
-                             "(do_sample=False)")
         self.speculative = speculative
         self.draft_len = int(draft_len)
         self.lookup_ngram = int(lookup_ngram)
@@ -960,10 +1020,6 @@ class ServingEngine:
             raise ValueError(
                 f"prompt ({len(prompt_ids)}) + max_new_tokens "
                 f"({max_new_tokens}) exceeds max_len ({self.max_len})")
-        if self.speculative and (do_sample or (do_sample is None
-                                               and self.do_sample)):
-            raise ValueError("speculative serving is greedy-only "
-                             "(do_sample=False)")
         rid = self._next_rid
         self._next_rid += 1
         if use_prefix and self._prefixes:
@@ -1307,7 +1363,8 @@ class ServingEngine:
                     self.params, self.config, self.forward, self.state,
                     n_rounds=self.chunk_size, K=self.draft_len,
                     ngram=self.lookup_ngram, end_ids=self.end_ids,
-                    needs_positions=self.needs_positions)
+                    needs_positions=self.needs_positions,
+                    sampling=self._sampling_on)
             else:
                 self.state, results = _decode_chunk(
                     self.params, self.config, self.forward, self.state,

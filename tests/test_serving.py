@@ -494,16 +494,70 @@ def test_lookup_speculative_depth_matches_depth1(gpt):
     assert len(results[1]) == len(prompts)
 
 
-def test_lookup_speculative_rejects_sampling(gpt):
-    with pytest.raises(ValueError, match="greedy-only"):
-        ServingEngine(gpt, max_slots=1, max_len=32, speculative="lookup",
-                      do_sample=True)
+def test_lookup_speculative_rejects_unknown_mode(gpt):
     with pytest.raises(ValueError, match="speculative"):
         ServingEngine(gpt, max_slots=1, max_len=32, speculative="bogus")
-    eng = ServingEngine(gpt, max_slots=1, max_len=32, prefill_buckets=(8,),
-                        speculative="lookup")
-    with pytest.raises(ValueError, match="greedy-only"):
-        eng.submit([1, 2, 3], max_new_tokens=4, do_sample=True)
+
+
+def test_lookup_sampling_topk1_equals_greedy(gpt):
+    """Sampling speculative serving, greedy limit: top_k=1 collapses the
+    processed distribution to a point mass, so the rejection-sampling path
+    (accept w.p. p(c), residual draw on reject) must reproduce the greedy
+    stream exactly — covering the sampling program variant end to end,
+    mixed with a plain-greedy row in the same engine."""
+    vocab = gpt.config.vocab_size
+    prompts = _prompts(vocab, seed=77)[:4]
+    eng = ServingEngine(gpt, max_slots=2, max_len=64, prefill_buckets=(16,),
+                        chunk_size=2, speculative="lookup", draft_len=4)
+    rids = {}
+    for i, p in enumerate(prompts):
+        # alternate: even rows sample with top_k=1 (== greedy), odd rows
+        # plain greedy — both through the sampling program variant
+        rids[eng.submit(p, max_new_tokens=10, do_sample=(i % 2 == 0),
+                        top_k=1, temperature=0.7)] = p
+    results = dict(eng.run())
+    for rid, prompt in rids.items():
+        np.testing.assert_array_equal(
+            results[rid], ref_greedy(gpt, prompt, 10),
+            err_msg=f"prompt={prompt}")
+
+
+def test_verify_commit_distribution():
+    """_verify_commit marginal exactness: over many iid rows with identical
+    logits and (deliberately imperfect) point-mass proposals, the FIRST
+    committed token (proposal if accepted, else the residual draw) must be
+    distributed as the processed target distribution p_0 — the
+    speculative-sampling identity the serving commit relies on."""
+    from cleantransformer_tpu.serving.engine import (_process_scores,
+                                                     _verify_commit)
+    B, K, V = 4096, 3, 7
+    rs = np.random.RandomState(3)
+    logits_row = rs.randn(K + 1, V).astype(np.float32) * 1.5
+    logits = jnp.asarray(np.broadcast_to(logits_row, (B, K + 1, V)).copy())
+    proposed = jnp.asarray(
+        np.broadcast_to(rs.randint(0, V, (K,)), (B, K)).copy())
+    temp = jnp.full((B,), 0.9, jnp.float32)
+    top_k = jnp.zeros((B,), jnp.int32)
+    top_p = jnp.full((B,), 0.95, jnp.float32)
+    a, corr = jax.jit(_verify_commit, static_argnames=("sampling",))(
+        logits, proposed, jnp.ones((B,), jnp.int32), temp, top_k, top_p,
+        jax.random.PRNGKey(5), sampling=True)
+    a, corr = np.asarray(a), np.asarray(corr)
+    first = np.where(a >= 1, int(proposed[0, 0]), corr)
+    counts = np.bincount(first, minlength=V) / B
+    p0 = np.asarray(jax.nn.softmax(_process_scores(
+        jnp.asarray(logits_row[:1]), temp[:1], top_k[:1], top_p[:1])))[0]
+    tv = 0.5 * np.abs(counts - p0).sum()
+    assert tv < 0.03, (tv, counts, p0)
+    # greedy rows through the same call: bit-exact argmax commits
+    a_g, corr_g = jax.jit(_verify_commit, static_argnames=("sampling",))(
+        logits, proposed, jnp.zeros((B,), jnp.int32), temp, top_k, top_p,
+        jax.random.PRNGKey(5), sampling=True)
+    g = np.argmax(logits_row, axis=-1)
+    match = np.cumprod(g[:K] == np.asarray(proposed[0]))
+    a_want = int(match.sum())
+    assert np.all(np.asarray(a_g) == a_want)
+    assert np.all(np.asarray(corr_g) == g[a_want])
 
 
 # ---------------------------------------------------------------------------
