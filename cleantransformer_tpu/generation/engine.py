@@ -126,15 +126,15 @@ def generate(model, input_ids, attention_mask=None, position_ids=None,
     sampling output is distributed exactly as the plain sampler (rejection
     sampling). Defaults (incl. do_sample=True) are resolved HERE so adding
     a draft model never silently changes the decoding mode. The string
-    ``"ngram"`` selects DRAFT-FREE prompt-lookup speculation (greedy only:
-    pass do_sample=False) — proposals come from n-gram matches in the
-    committed context instead of a second model."""
+    ``"ngram"`` selects DRAFT-FREE prompt-lookup speculation — proposals
+    come from n-gram matches in the committed context instead of a second
+    model; greedy and sampling (point-mass rejection) both supported, any
+    batch size."""
     if draft_model is not None:
         from cleantransformer_tpu.generation.speculative import (
             prompt_lookup_generate, speculative_generate)
         # resolve the do_sample default (True, reference parity) up front so
-        # dispatching never silently changes the decoding mode — for "ngram"
-        # an unset flag raises the clear greedy-only error instead
+        # dispatching never silently changes the decoding mode
         cfg_resolved = {**generation_configs,
                         "do_sample": generation_configs.get("do_sample", True)}
         if isinstance(draft_model, str):
@@ -142,7 +142,8 @@ def generate(model, input_ids, attention_mask=None, position_ids=None,
                 raise ValueError(f"unknown draft mode {draft_model!r} "
                                  "(model instance or 'ngram')")
             return prompt_lookup_generate(model, input_ids, attention_mask,
-                                          cfg_resolved, draft_len=draft_len)
+                                          cfg_resolved, draft_len=draft_len,
+                                          rng=rng)
         return speculative_generate(model, draft_model, input_ids,
                                     attention_mask, cfg_resolved,
                                     draft_len=draft_len, rng=rng)

@@ -20,16 +20,21 @@ TPU-first mechanics:
    corrections) via an idempotent fixed-width catch-up window — the window's
    last position doubles as the first draft proposal, so catch-up is free.
 
-Batch size 1. Greedy speculative decoding is EXACT (bit-identical tokens);
-sampling mode (``do_sample=True``) uses the standard rejection-sampling
-scheme (Leviathan et al.): the draft SAMPLES its proposals from its own
-processed distribution q, the target accepts proposal c_i with probability
-min(1, p_i(c_i) / q_i(c_i)), and the first rejection is replaced by a draw
-from the residual norm(max(p_i - q_i, 0)); full acceptance earns a bonus
-draw from p_{K+1}. The committed stream is distributed EXACTLY as the
-target's own (temperature/top-k/top-p processed) sampler — verified
-statistically in tests/test_speculative.py. Batching would need per-row
-acceptance counts — documented future work.
+Greedy speculative decoding is EXACT (bit-identical tokens) at ANY batch
+size (per-row acceptance counts / cache offsets / end detection). Sampling
+mode (``do_sample=True``): the batch-1 draft-model loop uses the standard
+rejection-sampling scheme (Leviathan et al.) — the draft SAMPLES its
+proposals from its own processed distribution q, the target accepts
+proposal c_i with probability min(1, p_i(c_i) / q_i(c_i)), and the first
+rejection is replaced by a draw from the residual norm(max(p_i - q_i, 0));
+full acceptance earns a bonus draw from p_{K+1}. The BATCHED loops (model
+draft and prompt-lookup) keep deterministic proposals (draft argmax /
+ngram match), which makes q a point mass — the same scheme reduces to
+accept c_i w.p. p_i(c_i) with the residual = p_i excluding c_i
+(_verify_commit, shared with the serving engine). Either way the committed
+stream is distributed EXACTLY as the target's own (temperature/top-k/top-p
+processed) sampler — verified statistically in tests/test_speculative.py
+and tests/test_serving.py.
 
 Cache layout: speculation uses the model's OWN cache factory, so a
 ``config.fused_decode`` model runs its verify (S = K+1) and catch-up
@@ -59,13 +64,98 @@ def _normalize_end_ids(end_ids):
     return tuple(end_ids) if end_ids else ()
 
 
+def _process_scores(scores, temp_v, top_k_v, top_p_v):
+    """Row-wise temperature/top-k/top-p filtering of (N, V) scores.
+
+    Reproduces the generate() wrapper chain semantics row-wise
+    (reference logits_processor.py: temperature floor 1e-2 L35-41; top-k
+    keep >= kth-largest L44-56; top-p ascending-cumsum mask L59-79).
+    Returns filtered log-scores (softmax of them = the sampling
+    distribution)."""
+    N, V = scores.shape
+    t = jnp.maximum(temp_v, 1e-2)[:, None]
+    s = scores / t
+    # top-k (0 = off): mask scores strictly below the kth largest
+    k = jnp.where(top_k_v > 0, jnp.minimum(top_k_v, V), V).astype(jnp.int32)
+    sorted_desc = jnp.sort(s, axis=-1)[:, ::-1]
+    kth = jnp.take_along_axis(sorted_desc, (k - 1)[:, None], axis=-1)
+    s = jnp.where(s < kth, -jnp.inf, s)
+    # top-p (>= 1.0 = off): ascending sort, drop the low-probability tail
+    # whose cumulative mass is <= 1 - p (always keeps the top token)
+    order = jnp.argsort(s, axis=-1)
+    asc = jnp.take_along_axis(s, order, axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(asc, axis=-1), axis=-1)
+    remove_sorted = cum <= (1.0 - top_p_v[:, None])
+    remove = jnp.zeros_like(remove_sorted).at[
+        jnp.arange(N)[:, None], order].set(remove_sorted)
+    return jnp.where(remove, -jnp.inf, s)
+
+
+def _verify_commit(logits, proposed, do_sample_v, temp_v, top_k_v, top_p_v,
+                   rng, sampling):
+    """Per-row batched speculative accept/commit for deterministic
+    (point-mass) proposals — the b1 draft-model rejection sampling (module
+    docstring) specialized to q_t = 1 at the proposed token; shared by the
+    batched prompt-lookup loop and the serving engine's lookup chunks:
+
+    greedy rows accept while the argmax matches; the correction is the
+    argmax at the first mismatch (bit-exact vs plain greedy decode).
+    Sampling rows accept proposal c_t with probability p_t(c_t) — p is the
+    PROCESSED per-row target distribution (temperature/top-k/top-p,
+    _process_scores); the first rejection draws from the residual
+    norm(max(p_a - q_a, 0)), which for a point-mass q is p_a with c_a
+    masked out and renormalized (categorical over the filtered scores with
+    c_a at -inf); full acceptance draws the bonus token from p_K. Every
+    committed token is distributed EXACTLY as the plain sampling path
+    conditioned on the committed prefix (standard speculative-sampling
+    identity; test_serving.py verifies the marginal empirically).
+
+    logits (B, W, V) with W = K + 1; proposed (B, K). Returns (a, corr):
+    per-row accepted proposal counts and the correction/bonus token."""
+    B, W, V = logits.shape
+    K = W - 1
+    lg = logits.astype(jnp.float32)
+    g = jnp.argmax(lg, axis=-1).astype(jnp.int32)                  # (B, W)
+    match = g[:, :K] == proposed
+    if sampling:
+        def rep(v):  # (B,) row params -> (B*W,) flattened positions
+            return jnp.repeat(v, W)
+        s = _process_scores(lg.reshape(B * W, V), rep(temp_v),
+                            rep(top_k_v), rep(top_p_v)).reshape(B, W, V)
+        p = jax.nn.softmax(s, axis=-1)
+        r_accept, r_corr = jax.random.split(rng)
+        u = jax.random.uniform(r_accept, (B, K))
+        p_prop = jnp.take_along_axis(
+            p[:, :K], proposed[..., None], axis=-1)[..., 0]        # (B, K)
+        match = jnp.where(do_sample_v.astype(bool)[:, None],
+                          u < p_prop, match)
+    a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+    corr_greedy = jnp.take_along_axis(g, a[:, None], axis=1)[:, 0]
+    if not sampling:
+        return a, corr_greedy
+    s_a = jnp.take_along_axis(s, a[:, None, None], axis=1)[:, 0]   # (B, V)
+    c_a = jnp.take_along_axis(
+        jnp.pad(proposed, ((0, 0), (0, 1)), constant_values=-1),
+        a[:, None], axis=1)[:, 0]                                  # (B,)
+    vcol = jnp.arange(V, dtype=jnp.int32)[None]
+    s_a = jnp.where(((a < K)[:, None]) & (vcol == c_a[:, None]),
+                    -jnp.inf, s_a)
+    corr_sampled = jax.random.categorical(r_corr, s_a,
+                                          axis=-1).astype(jnp.int32)
+    corr = jnp.where(do_sample_v.astype(bool), corr_sampled, corr_greedy)
+    return a, corr
+
+
 def _batched_prefill(forward, params, config, init_cache, input_ids, T,
-                     end_ids):
+                     end_ids, rng=None, sample_params=None):
     """Shared batched-loop prologue: zero token buffer holding the prompt,
     ONE prefill forward committing the model's first token, per-row cache
     offsets (the serving-style (B,) cache "length" — the while_loop carry
     must keep one dtype/shape across rounds), initial per-row done flags.
-    Returns (tokens, n0, cache, done0, col, mask0, pos0)."""
+    ``sample_params`` (temp_v, top_k_v, top_p_v per-row vectors) + ``rng``
+    switch the first token from argmax to a categorical draw over the
+    processed distribution (the same sampler the plain generate path
+    applies). Returns (tokens, n0, cache, done0, col, mask0, pos0)."""
     B, S0 = input_ids.shape
     col = jnp.arange(T, dtype=jnp.int32)[None]                   # (1, T)
     tokens = jnp.zeros((B, T), jnp.int32)
@@ -76,8 +166,14 @@ def _batched_prefill(forward, params, config, init_cache, input_ids, T,
     mask0 = (col < S0).astype(jnp.int32) * jnp.ones((B, 1), jnp.int32)
     (logits, _), cache = forward(params, config, input_ids, mask0, pos0,
                                  None, cache, last_only=True)
-    first = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1).astype(
-        jnp.int32)                                               # (B,)
+    if sample_params is not None:
+        temp_v, top_k_v, top_p_v = sample_params
+        s = _process_scores(logits[:, -1].astype(jnp.float32), temp_v,
+                            top_k_v, top_p_v)
+        first = jax.random.categorical(rng, s, axis=-1).astype(jnp.int32)
+    else:
+        first = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1).astype(
+            jnp.int32)                                           # (B,)
     tokens = tokens.at[:, S0].set(first)
     n0 = jnp.full((B,), S0 + 1, jnp.int32)
     cache = {**cache, "length": jnp.full((B,), S0, jnp.int32)}
@@ -88,14 +184,18 @@ def _batched_prefill(forward, params, config, init_cache, input_ids, T,
 
 
 def _verify_commit_round(t_forward, t_params, t_config, tokens, n, t_cache,
-                         done, col, K, end_ids, total_len):
-    """Shared greedy batched verify/commit: score the K proposals sitting at
+                         done, col, K, end_ids, total_len, rng=None,
+                         sample_params=None):
+    """Shared batched verify/commit: score the K proposals sitting at
     tokens[b, n_b:n_b+K] with ONE (K+1)-token target forward at per-row
-    cache offsets, commit the matched prefix plus the target's own next
-    token (correction on mismatch, bonus on full acceptance), scan the
-    committed span for end ids, and freeze rows that were already done at
-    round entry (they commit 0 and only overwrite junk past their frozen
-    frontier). Returns (tokens, n, t_cache, done)."""
+    cache offsets, commit the accepted prefix plus the correction/bonus
+    token, scan the committed span for end ids, and freeze rows that were
+    already done at round entry (they commit 0 and only overwrite junk past
+    their frozen frontier). Greedy (default): accept while the argmax
+    matches, correction = argmax at the first mismatch. ``sample_params``
+    (temp_v, top_k_v, top_p_v per-row vectors) + ``rng``: point-mass
+    rejection sampling (_verify_commit) — exact in distribution per
+    committed token. Returns (tokens, n, t_cache, done)."""
     B = tokens.shape[0]
     W = K + 1
     bidx = jnp.arange(B)
@@ -106,13 +206,16 @@ def _verify_commit_round(t_forward, t_params, t_config, tokens, n, t_cache,
     (t_logits, _), t_cache = t_forward(
         t_params, t_config, v_in,
         (col < (n + K)[:, None]).astype(jnp.int32), vin_idx, None, t_cache)
-    g = jnp.argmax(t_logits.astype(jnp.float32), axis=-1).astype(
-        jnp.int32)                                               # (B, W)
     cand_idx = n[:, None] + jnp.arange(K, dtype=jnp.int32)[None]
     cand = jnp.take_along_axis(tokens, cand_idx, axis=1)         # (B, K)
-    match = (g[:, :K] == cand)
-    a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
-    corr = jnp.take_along_axis(g, a[:, None], axis=1)[:, 0]      # (B,)
+    if sample_params is not None:
+        temp_v, top_k_v, top_p_v = sample_params
+        a, corr = _verify_commit(t_logits, cand, jnp.ones((B,), jnp.int32),
+                                 temp_v, top_k_v, top_p_v, rng,
+                                 sampling=True)
+    else:
+        a, corr = _verify_commit(t_logits, cand, jnp.zeros((B,), jnp.int32),
+                                 None, None, None, None, sampling=False)
     tokens = tokens.at[bidx, n + a].set(corr)
     n_committed = a + 1
 
@@ -332,26 +435,46 @@ def _speculative_loop(t_params, d_params, t_config, d_config, t_forward,
 
 @functools.partial(jax.jit, static_argnames=(
     "t_forward", "d_forward", "t_config", "d_config", "t_init_cache",
-    "d_init_cache", "K", "end_ids", "total_len"))
+    "d_init_cache", "K", "end_ids", "total_len", "do_sample", "temperature",
+    "top_k", "top_p"))
 def _speculative_loop_batched(t_params, d_params, t_config, d_config,
                               t_forward, d_forward, t_init_cache,
-                              d_init_cache, input_ids, K, end_ids, total_len):
-    """Batched GREEDY draft-model speculation: the batch-1 round structure
+                              d_init_cache, input_ids, K, end_ids, total_len,
+                              rng=None, do_sample=False, temperature=1.0,
+                              top_k=10, top_p=0.8):
+    """Batched draft-model speculation: the batch-1 round structure
     (draft catch-up window -> K proposals -> one (K+1)-token target verify)
     with every per-round quantity vectorized per row — committed length
     ``n`` (B,), per-row KV-cache offsets (the serving-style (B,) cache
     "length" the forwards already accept), per-row accepted-prefix length,
     per-row end detection. Rows that finish freeze (commit 0) while the
     rest keep speculating, writing only into junk buffer space past their
-    frontier. Greedy bit-exactness per row holds for any proposal source.
-    Returns (tokens (B, T), n_final (B,), rounds)."""
+    frontier. Greedy (default) is bit-exact per row for any proposal
+    source. ``do_sample=True`` (static): the draft still proposes its
+    greedy argmax — a DETERMINISTIC proposal, so the point-mass rejection
+    sampler (_verify_commit) applies and every committed token is exact in
+    distribution vs the target's plain sampler (a q-distribution accept
+    like the b1 loop's would only raise ACCEPTANCE, never change the
+    committed distribution). Returns (tokens (B, T), n_final (B,),
+    rounds)."""
     B, S0 = input_ids.shape
     T = total_len + K + 1
     W = K + 1
     bidx = jnp.arange(B)
+    if do_sample:
+        rng = jnp.asarray(rng, jnp.uint32)
+        rng, sub = jax.random.split(rng)
+        sp = (jnp.full((B,), temperature, jnp.float32),
+              jnp.full((B,), int(top_k or 0), jnp.int32),
+              jnp.full((B,), float(top_p if top_p is not None else 1.0),
+                       jnp.float32))
+    else:
+        sub, sp = None, None
+    rng0 = rng if do_sample else jnp.zeros((2,), jnp.uint32)
     # target prefill commits the prompt + the target's first token
     tokens, n0, t_cache, done0, col, mask0, pos0 = _batched_prefill(
-        t_forward, t_params, t_config, t_init_cache, input_ids, T, end_ids)
+        t_forward, t_params, t_config, t_init_cache, input_ids, T, end_ids,
+        rng=sub, sample_params=sp)
     # draft prefill warms the draft cache on the prompt
     d_cache = d_init_cache(d_config, B, T)
     _, d_cache = d_forward(d_params, d_config, input_ids, mask0, pos0, None,
@@ -363,7 +486,7 @@ def _speculative_loop_batched(t_params, d_params, t_config, d_config,
         return jnp.any(jnp.logical_not(done) & (n < total_len))
 
     def body(state):
-        tokens, n, t_cache, d_cache, done, rounds = state
+        tokens, n, t_cache, d_cache, done, rounds, rng = state
 
         # --- draft catch-up + first proposal: per-row window of the last W
         # committed tokens (idempotent re-writes for keys the draft cache
@@ -399,21 +522,28 @@ def _speculative_loop_batched(t_params, d_params, t_config, d_config,
                                             (tokens, d_cache))
 
         # --- target verifies all K per row in one (K+1)-token forward
+        if do_sample:
+            rng, sub = jax.random.split(rng)
+        else:
+            sub = None
         tokens, n, t_cache, done = _verify_commit_round(
             t_forward, t_params, t_config, tokens, n, t_cache, done, col,
-            K, end_ids, total_len)
-        return tokens, n, t_cache, d_cache, done, rounds + 1
+            K, end_ids, total_len, rng=sub, sample_params=sp)
+        return tokens, n, t_cache, d_cache, done, rounds + 1, rng
 
-    state = (tokens, n0, t_cache, d_cache, done0, jnp.zeros((), jnp.int32))
-    tokens, n, _, _, _, rounds = jax.lax.while_loop(cond, body, state)
+    state = (tokens, n0, t_cache, d_cache, done0, jnp.zeros((), jnp.int32),
+             rng0)
+    tokens, n, _, _, _, rounds, _ = jax.lax.while_loop(cond, body, state)
     return tokens, jnp.minimum(n, total_len), rounds
 
 
 @functools.partial(jax.jit, static_argnames=(
     "t_forward", "t_config", "t_init_cache", "K", "ngram", "end_ids",
-    "total_len"))
+    "total_len", "do_sample", "temperature", "top_k", "top_p"))
 def _prompt_lookup_loop(t_params, t_config, t_forward, t_init_cache,
-                        input_ids, K, ngram, end_ids, total_len):
+                        input_ids, K, ngram, end_ids, total_len,
+                        rng=None, do_sample=False, temperature=1.0,
+                        top_k=10, top_p=0.8):
     """Draft-FREE speculation (prompt-lookup / n-gram decoding): each round
     proposes the K tokens that followed the most recent earlier occurrence
     of the last ``ngram`` committed tokens, then verifies all K with one
@@ -428,19 +558,38 @@ def _prompt_lookup_loop(t_params, t_config, t_forward, t_init_cache,
     "length"), per-row n-gram match/acceptance, per-row end/done. Rows that
     finish early keep re-verifying junk past their frozen frontier (their
     commits are masked to 0), the standard padded-batch trade. Returns
-    (tokens (B, T), n_final (B,), rounds)."""
+    (tokens (B, T), n_final (B,), rounds).
+
+    ``do_sample=True`` (static) commits SAMPLED streams: the prefill's
+    first token draws from the processed distribution and each round's
+    accept/commit runs point-mass rejection sampling (_verify_commit) with
+    the uniform temperature/top-k/top-p — every committed token exact in
+    distribution vs the plain sampler. Greedy proposals still come from
+    the committed stream's own n-gram matches (proposal quality only
+    affects speed, never the distribution)."""
     B, S0 = input_ids.shape
     T = total_len + K + 1
     bidx = jnp.arange(B)
+    if do_sample:
+        rng = jnp.asarray(rng, jnp.uint32)
+        rng, sub = jax.random.split(rng)
+        sp = (jnp.full((B,), temperature, jnp.float32),
+              jnp.full((B,), int(top_k or 0), jnp.int32),
+              jnp.full((B,), float(top_p if top_p is not None else 1.0),
+                       jnp.float32))
+    else:
+        sub, sp = None, None
     tokens, n0, t_cache, done0, col, _, _ = _batched_prefill(
-        t_forward, t_params, t_config, t_init_cache, input_ids, T, end_ids)
+        t_forward, t_params, t_config, t_init_cache, input_ids, T, end_ids,
+        rng=sub, sample_params=sp)
+    rng0 = rng if do_sample else jnp.zeros((2,), jnp.uint32)
 
     def cond(state):
         n, done = state[1], state[3]
         return jnp.any(jnp.logical_not(done) & (n < total_len))
 
     def body(state):
-        tokens, n, t_cache, done, rounds = state
+        tokens, n, t_cache, done, rounds, rng = state
 
         # --- propose per row: last j with tokens[b, j:j+ngram] ==
         # tokens[b, n_b-ngram:n_b]; candidates tokens[b, j+ngram:j+ngram+K]
@@ -472,21 +621,28 @@ def _prompt_lookup_loop(t_params, t_config, t_forward, t_init_cache,
         tokens = tokens.at[bidx[:, None], wr_idx].set(cand)
 
         # --- verify all K per row in one forward (per-row cache offsets)
+        if do_sample:
+            rng, sub = jax.random.split(rng)
+        else:
+            sub = None
         tokens, n, t_cache, done = _verify_commit_round(
             t_forward, t_params, t_config, tokens, n, t_cache, done, col,
-            K, end_ids, total_len)
-        return tokens, n, t_cache, done, rounds + 1
+            K, end_ids, total_len, rng=sub, sample_params=sp)
+        return tokens, n, t_cache, done, rounds + 1, rng
 
-    state = (tokens, n0, t_cache, done0, jnp.zeros((), jnp.int32))
-    tokens, n, _, _, rounds = jax.lax.while_loop(cond, body, state)
+    state = (tokens, n0, t_cache, done0, jnp.zeros((), jnp.int32), rng0)
+    tokens, n, _, _, rounds, _ = jax.lax.while_loop(cond, body, state)
     return tokens, jnp.minimum(n, total_len), rounds
 
 
 def prompt_lookup_generate(model, input_ids, attention_mask=None,
                            generation_configs=None, draft_len=8, ngram=2,
-                           return_stats=False):
-    """Draft-free speculative decoding (prompt-lookup): greedy only,
-    bit-exact vs ``model.generate(do_sample=False, beam_size=1)`` per row.
+                           return_stats=False, rng=None):
+    """Draft-free speculative decoding (prompt-lookup). Greedy (default) is
+    bit-exact vs ``model.generate(do_sample=False, beam_size=1)`` per row;
+    ``do_sample=True`` commits streams distributed exactly as the plain
+    temperature/top-k/top-p sampler (point-mass rejection sampling — the
+    deterministic proposals only affect speed, never the distribution).
     Shines when the continuation repeats earlier context (extraction, code,
     chat-with-quoting); on non-repetitive text it degrades gracefully to
     ~one committed token per verify forward.
@@ -498,13 +654,15 @@ def prompt_lookup_generate(model, input_ids, attention_mask=None,
     their end token padded by ``pad_id``."""
     cfg = generation_configs or {}
     assert cfg.get("beam_size", 1) == 1, "prompt-lookup is beam-free"
-    assert not cfg.get("do_sample", False), \
-        "prompt-lookup speculation is greedy-only (deterministic proposals)"
     assert not cfg.get("no_repeat_ngram_size", 0), \
         "ngram processors are unsupported in speculative decoding"
     max_gen_len = cfg.get("max_gen_len", 100)
     pad_id = cfg.get("pad_id", 0) or 0
     end_ids = _normalize_end_ids(cfg.get("end_ids", None))
+    do_sample = bool(cfg.get("do_sample", False))
+    if do_sample and rng is None:
+        # raw legacy uint32 key, host-built (no eager device op)
+        rng = np.asarray([0, np.random.randint(0, 2 ** 31 - 1)], np.uint32)
 
     # host-side conversion: an eager jnp.asarray is a device_put (+ the mask
     # check a blocking sum) per call — measurable on remote tunnels
@@ -522,7 +680,9 @@ def prompt_lookup_generate(model, input_ids, attention_mask=None,
         inference_params(model), model.config, model.forward_fn(),
         cache_factory(model), np.asarray(input_ids, np.int32),
         K=int(draft_len), ngram=int(ngram), end_ids=end_ids,
-        total_len=total_len)
+        total_len=total_len, rng=rng, do_sample=do_sample,
+        temperature=float(cfg.get("temperature", 1.0)),
+        top_k=cfg.get("top_k", 10), top_p=cfg.get("top_p", 0.8))
     return _finish_batched(tokens, n, rounds, S0, pad_id, return_stats)
 
 
@@ -552,9 +712,6 @@ def speculative_generate(model, draft_model, input_ids, attention_mask=None,
     end_ids = _normalize_end_ids(cfg.get("end_ids", None))
 
     input_ids = np.asarray(input_ids, np.int32)
-    assert input_ids.shape[0] == 1 or not do_sample, (
-        "batched speculative decoding is greedy-only (per-row rejection "
-        "sampling is batch-1; use do_sample=False for batch > 1)")
     if attention_mask is not None:
         assert (np.asarray(attention_mask) != 0).all(), \
             "padded prompts are unsupported in speculative decoding"
@@ -570,19 +727,21 @@ def speculative_generate(model, draft_model, input_ids, attention_mask=None,
     t_forward = model.forward_fn()
     d_forward = draft_model.forward_fn()
 
-    if B > 1:  # batched greedy rounds with per-row acceptance/offsets
+    if rng is None:
+        # raw legacy uint32 key, host-built (no eager device op)
+        rng = np.asarray([0, np.random.randint(0, 2 ** 31 - 1)], np.uint32)
+
+    if B > 1:  # batched rounds with per-row acceptance/offsets; sampling
+        # rows commit via point-mass rejection (_verify_commit)
         tokens, n, rounds = _speculative_loop_batched(
             t_params, d_params, model.config, draft_model.config, t_forward,
             d_forward, cache_factory(model),
             cache_factory(draft_model),
             np.asarray(input_ids, np.int32), K=K, end_ids=end_ids,
-            total_len=total_len)
+            total_len=total_len, rng=rng, do_sample=do_sample,
+            temperature=temperature, top_k=top_k, top_p=top_p)
         return _finish_batched(tokens, n, rounds, S0,
                                cfg.get("pad_id", 0) or 0, return_stats)
-
-    if rng is None:
-        # raw legacy uint32 key, host-built (no eager device op)
-        rng = np.asarray([0, np.random.randint(0, 2 ** 31 - 1)], np.uint32)
 
     tokens, n, rounds = _speculative_loop(
         t_params, d_params, model.config, draft_model.config, t_forward,

@@ -57,34 +57,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from cleantransformer_tpu.generation.speculative import (_process_scores,
+                                                         _verify_commit)
+
 DEFAULT_BUCKETS = (16, 32, 64, 128, 256)
-
-
-def _process_scores(scores, temp_v, top_k_v, top_p_v):
-    """Row-wise temperature/top-k/top-p filtering of (N, V) scores.
-
-    Reproduces the generate() wrapper chain semantics row-wise
-    (reference logits_processor.py: temperature floor 1e-2 L35-41; top-k
-    keep >= kth-largest L44-56; top-p ascending-cumsum mask L59-79).
-    Returns filtered log-scores (softmax of them = the sampling
-    distribution)."""
-    N, V = scores.shape
-    t = jnp.maximum(temp_v, 1e-2)[:, None]
-    s = scores / t
-    # top-k (0 = off): mask scores strictly below the kth largest
-    k = jnp.where(top_k_v > 0, jnp.minimum(top_k_v, V), V).astype(jnp.int32)
-    sorted_desc = jnp.sort(s, axis=-1)[:, ::-1]
-    kth = jnp.take_along_axis(sorted_desc, (k - 1)[:, None], axis=-1)
-    s = jnp.where(s < kth, -jnp.inf, s)
-    # top-p (>= 1.0 = off): ascending sort, drop the low-probability tail
-    # whose cumulative mass is <= 1 - p (always keeps the top token)
-    order = jnp.argsort(s, axis=-1)
-    asc = jnp.take_along_axis(s, order, axis=-1)
-    cum = jnp.cumsum(jax.nn.softmax(asc, axis=-1), axis=-1)
-    remove_sorted = cum <= (1.0 - top_p_v[:, None])
-    remove = jnp.zeros_like(remove_sorted).at[
-        jnp.arange(N)[:, None], order].set(remove_sorted)
-    return jnp.where(remove, -jnp.inf, s)
 
 
 def _choose_rowwise(scores, do_sample_v, temp_v, top_k_v, top_p_v, rng):
@@ -419,60 +395,6 @@ def _decode_chunk(params, config, forward, state, n_steps, sampling,
         state["lengths"], state["prompt_len"], state["active"],
         state["tokens"].reshape(-1)])
     return state, results
-
-
-def _verify_commit(logits, proposed, do_sample_v, temp_v, top_k_v, top_p_v,
-                   rng, sampling):
-    """Per-row speculative accept/commit for deterministic (point-mass)
-    proposals — the serving analogue of generation/speculative.py's
-    rejection sampling with q_t = 1 at the proposed token:
-
-    greedy rows accept while the argmax matches; the correction is the
-    argmax at the first mismatch (bit-exact vs plain greedy decode).
-    Sampling rows accept proposal c_t with probability p_t(c_t) — p is the
-    PROCESSED per-row target distribution (temperature/top-k/top-p,
-    _process_scores); the first rejection draws from the residual
-    norm(max(p_a - q_a, 0)), which for a point-mass q is p_a with c_a
-    masked out and renormalized (categorical over the filtered scores with
-    c_a at -inf); full acceptance draws the bonus token from p_K. Every
-    committed token is distributed EXACTLY as the plain sampling path
-    conditioned on the committed prefix (standard speculative-sampling
-    identity; test_serving.py verifies the marginal empirically).
-
-    logits (B, W, V) with W = K + 1; proposed (B, K). Returns (a, corr):
-    per-row accepted proposal counts and the correction/bonus token."""
-    B, W, V = logits.shape
-    K = W - 1
-    lg = logits.astype(jnp.float32)
-    g = jnp.argmax(lg, axis=-1).astype(jnp.int32)                  # (B, W)
-    match = g[:, :K] == proposed
-    if sampling:
-        def rep(v):  # (B,) row params -> (B*W,) flattened positions
-            return jnp.repeat(v, W)
-        s = _process_scores(lg.reshape(B * W, V), rep(temp_v),
-                            rep(top_k_v), rep(top_p_v)).reshape(B, W, V)
-        p = jax.nn.softmax(s, axis=-1)
-        r_accept, r_corr = jax.random.split(rng)
-        u = jax.random.uniform(r_accept, (B, K))
-        p_prop = jnp.take_along_axis(
-            p[:, :K], proposed[..., None], axis=-1)[..., 0]        # (B, K)
-        match = jnp.where(do_sample_v.astype(bool)[:, None],
-                          u < p_prop, match)
-    a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
-    corr_greedy = jnp.take_along_axis(g, a[:, None], axis=1)[:, 0]
-    if not sampling:
-        return a, corr_greedy
-    s_a = jnp.take_along_axis(s, a[:, None, None], axis=1)[:, 0]   # (B, V)
-    c_a = jnp.take_along_axis(
-        jnp.pad(proposed, ((0, 0), (0, 1)), constant_values=-1),
-        a[:, None], axis=1)[:, 0]                                  # (B,)
-    vcol = jnp.arange(V, dtype=jnp.int32)[None]
-    s_a = jnp.where(((a < K)[:, None]) & (vcol == c_a[:, None]),
-                    -jnp.inf, s_a)
-    corr_sampled = jax.random.categorical(r_corr, s_a,
-                                          axis=-1).astype(jnp.int32)
-    corr = jnp.where(do_sample_v.astype(bool), corr_sampled, corr_greedy)
-    return a, corr
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -344,8 +344,10 @@ def test_prompt_lookup_batched_end_ids_ragged_rows(gpt_pair):
 
 def test_generate_ngram_dispatch(gpt_pair):
     """generate(draft_model='ngram') routes to prompt-lookup; unset
-    do_sample resolves to the reference default (True) and raises the
-    greedy-only error instead of silently flipping modes."""
+    do_sample resolves to the reference default (True) and runs the
+    point-mass rejection-sampling path — with top_k=1 that path must
+    reproduce the greedy stream exactly (the processed distribution is a
+    point mass, so acceptance/residual draws are deterministic)."""
     target, _ = gpt_pair
     ids = np.asarray([[4, 9, 2, 7]], np.int32)
     want = plain_greedy(target, [4, 9, 2, 7], 12)
@@ -354,15 +356,68 @@ def test_generate_ngram_dispatch(gpt_pair):
                                               "do_sample": False},
         draft_model="ngram", draft_len=4))
     np.testing.assert_array_equal(got[0, 0], want)
-    with pytest.raises(AssertionError, match="greedy-only"):
-        target.generate(jnp.asarray(ids),
-                        generation_configs={"max_gen_len": 12},
-                        draft_model="ngram")
+    got = np.asarray(target.generate(
+        jnp.asarray(ids), generation_configs={"max_gen_len": 12, "top_k": 1},
+        draft_model="ngram", draft_len=4))  # do_sample resolves to True
+    np.testing.assert_array_equal(got[0, 0], want)
     with pytest.raises(ValueError, match="unknown draft mode"):
         target.generate(jnp.asarray(ids),
                         generation_configs={"max_gen_len": 12,
                                             "do_sample": False},
                         draft_model="lookahead")
+
+
+def test_prompt_lookup_sampling_topk1_equals_greedy_batched(gpt_pair):
+    """Batched sampling prompt-lookup at the greedy limit (top_k=1): every
+    row's stream equals its plain greedy stream, including ragged per-row
+    end behavior through the rejection-sampling program."""
+    target, _ = gpt_pair
+    rs = np.random.RandomState(6)
+    prompts = rs.randint(1, 211, (3, 6)).astype(np.int32)
+    got = prompt_lookup_generate(
+        target, prompts,
+        generation_configs={"max_gen_len": 14, "do_sample": True,
+                            "top_k": 1, "temperature": 0.7},
+        draft_len=4, rng=np.asarray([0, 42], np.uint32))
+    for b in range(3):
+        want = plain_greedy(target, prompts[b].tolist(), 14)
+        np.testing.assert_array_equal(got[b, 0, : len(want)], want,
+                                      err_msg=f"row {b}")
+
+
+def test_prompt_lookup_sampling_first_token_distribution(gpt_pair):
+    """Sampling prompt-lookup marginal exactness end-to-end: over many iid
+    rows with the same prompt, the first generated token's empirical
+    distribution matches the analytically processed target distribution
+    (temperature/top-k/top-p softmax of the model's own logits)."""
+    from cleantransformer_tpu.generation.engine import (cache_factory,
+                                                        inference_params)
+    from cleantransformer_tpu.generation.speculative import _process_scores
+    target, _ = gpt_pair
+    prompt = [4, 9, 2, 7]
+    B = 2048
+    out = prompt_lookup_generate(
+        target, np.tile(np.asarray(prompt, np.int32), (B, 1)),
+        generation_configs={"max_gen_len": 1, "do_sample": True,
+                            "temperature": 0.9, "top_k": 10, "top_p": 0.9},
+        draft_len=4, rng=np.asarray([0, 7], np.uint32))
+    first = np.asarray(out)[:, 0, len(prompt)]
+    # analytic target: the model's own last-position logits, processed
+    fwd = target.forward_fn()
+    ids = np.asarray(prompt, np.int32)[None]
+    cache = cache_factory(target)(target.config, 1, len(prompt) + 4)
+    col = np.arange(len(prompt) + 4, dtype=np.int32)[None]
+    (logits, _), _ = fwd(inference_params(target), target.config, ids,
+                         (col < len(prompt)).astype(np.int32),
+                         np.arange(len(prompt), dtype=np.int32)[None], None,
+                         cache, last_only=True)
+    s = _process_scores(jnp.asarray(logits)[:, -1].astype(jnp.float32),
+                        jnp.full((1,), 0.9), jnp.full((1,), 10, jnp.int32),
+                        jnp.full((1,), 0.9))
+    p = np.asarray(jax.nn.softmax(s, axis=-1))[0]
+    counts = np.bincount(first, minlength=p.shape[0]) / B
+    tv = 0.5 * np.abs(counts - p).sum()
+    assert tv < 0.06, tv
 
 
 def test_model_draft_batched_bit_exact(gpt_pair):
@@ -414,13 +469,23 @@ def test_model_draft_batched_self_draft_and_end_ids(gpt_pair):
     assert len(lens) > 1, "rows should finish at different lengths"
 
 
-def test_model_draft_batched_rejects_sampling(gpt_pair):
+def test_model_draft_batched_sampling_topk1_equals_greedy(gpt_pair):
+    """Batched draft-model SAMPLING (formerly greedy-only): the draft's
+    argmax proposals are deterministic, so the point-mass rejection sampler
+    commits exact-in-distribution streams — at top_k=1 that collapses to
+    the greedy stream per row, end to end."""
     target, draft = gpt_pair
-    ids = np.zeros((2, 4), np.int32) + 5
-    with pytest.raises(AssertionError, match="greedy-only"):
-        speculative_generate(target, draft, ids,
-                             generation_configs={"max_gen_len": 8,
-                                                 "do_sample": True})
+    rs = np.random.RandomState(14)
+    prompts = rs.randint(1, 211, (2, 5)).astype(np.int32)
+    got = speculative_generate(
+        target, draft, prompts,
+        generation_configs={"max_gen_len": 10, "do_sample": True,
+                            "top_k": 1, "temperature": 0.8},
+        draft_len=3, rng=np.asarray([0, 9], np.uint32))
+    for b in range(2):
+        want = plain_greedy(target, prompts[b].tolist(), 10)
+        np.testing.assert_array_equal(got[b, 0, : len(want)], want,
+                                      err_msg=f"row {b}")
 
 
 # ---------------------------------------------------------------------------
