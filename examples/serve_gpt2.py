@@ -7,6 +7,11 @@ engine; requests are admitted as slots free up, so the batch stays full.
 
   python examples/serve_gpt2.py --model_dir checkpoints/gpt2 --requests 16
   python examples/serve_gpt2.py --demo
+  # prompt-lookup speculation inside the engine (verify rounds instead of
+  # single-token steps; greedy bit-exact, sampling exact in distribution)
+  python examples/serve_gpt2.py --demo --speculative lookup
+  # shared system prompt computed once (prefix caching)
+  python examples/serve_gpt2.py --demo --prefix_len 64
 """
 
 import argparse
@@ -29,6 +34,16 @@ def main():
     parser.add_argument("--max_new_tokens", type=int, default=32)
     parser.add_argument("--do_sample", action="store_true")
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--speculative", type=str, default=None,
+                        choices=["lookup"],
+                        help="decode chunks run prompt-lookup speculation "
+                             "rounds (propose from each slot's committed "
+                             "stream, verify K+1 tokens in one forward)")
+    parser.add_argument("--prefix_len", type=int, default=0,
+                        help="share a system prompt of this many tokens "
+                             "across all requests and register it once "
+                             "(prefix caching — admission seeds the KV "
+                             "from the store and prefills only the tail)")
     args = parser.parse_args()
 
     import jax
@@ -54,10 +69,15 @@ def main():
 
     eng = ServingEngine(model, max_slots=args.slots, max_len=256,
                         prefill_buckets=(16, 32, 64), chunk_size=8,
-                        do_sample=args.do_sample)
+                        do_sample=args.do_sample,
+                        speculative=args.speculative)
 
     rs = np.random.RandomState(0)
-    prompts = [rs.randint(1, config.vocab_size, (int(n),)).tolist()
+    prefix = rs.randint(1, config.vocab_size,
+                        (args.prefix_len,)).tolist() if args.prefix_len else []
+    if prefix:
+        eng.register_prefix(prefix)
+    prompts = [prefix + rs.randint(1, config.vocab_size, (int(n),)).tolist()
                for n in rs.randint(4, 48, args.requests)]
     rids = {eng.submit(p, max_new_tokens=args.max_new_tokens): i
             for i, p in enumerate(prompts)}

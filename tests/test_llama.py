@@ -209,6 +209,35 @@ def test_serving_engine_llama(pair):
         np.testing.assert_array_equal(done[rid][:len(p) + 6], want)
 
 
+def test_serving_llama_headmajor_prefix_and_lookup(pair):
+    """Prefix caching + lookup speculation compose on the llama family's
+    HEAD-MAJOR (L, B, T, Hkv*hd) cache layout: the prefix store, broadcast
+    seed, batched prefixed admission, and (K+1)-token verify rounds all run
+    on the 4D slab with RoPE positions and GQA, matching standalone greedy
+    generate() exactly."""
+    from cleantransformer_tpu.serving.engine import ServingEngine
+    hf, _ = pair
+    cfg = LlamaConfig(**CFG, decode_head_major=True)
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    ours = LlamaForCausalLM(cfg, params=llama_params_from_state_dict(sd, cfg))
+    rs = np.random.RandomState(8)
+    prefix = rs.randint(1, 128, (24,)).tolist()
+    prompts = [prefix + rs.randint(1, 128, (n,)).tolist() for n in (3, 8)]
+    prompts.append(rs.randint(1, 128, (5,)).tolist())  # no match
+    eng = ServingEngine(ours, max_slots=2, max_len=96,
+                        prefill_buckets=(16,), chunk_size=2,
+                        speculative="lookup", draft_len=4)
+    eng.register_prefix(prefix)
+    g = {"beam_size": 1, "do_sample": False, "max_gen_len": 8}
+    rids = {eng.submit(p, max_new_tokens=8): p for p in prompts}
+    done = dict(eng.run())
+    for rid, p in rids.items():
+        want = np.asarray(ours.generate(
+            jnp.asarray([p]), generation_configs=g))[0, 0, : len(p) + 8]
+        np.testing.assert_array_equal(done[rid][: len(p) + 8], want,
+                                      err_msg=f"prompt_len={len(p)}")
+
+
 def test_trainer_smoke():
     """Trainer trains a tiny llama (default causal-LM loss path)."""
     from cleantransformer_tpu.trainer.trainer import Trainer, TrainingArguments
