@@ -851,6 +851,7 @@ class ServingEngine:
         # to their matched (handle, matched_len)
         self._prefixes = {}
         self._prefix_of = {}
+        self._next_prefix = 0
         self.prefill_calls = 0  # prefill programs dispatched (observability)
 
     # ------------------------------------------------------------------ API
@@ -914,11 +915,22 @@ class ServingEngine:
                 needs_positions=self.needs_positions)
             self.prefill_calls += 1
             off += len(chunk)
-        handle = len(self._prefixes)
+        handle = self._next_prefix
+        self._next_prefix += 1
         self._prefixes[handle] = {"ids": prefix_ids, "k": mini["cache_k"],
                                   "v": mini["cache_v"],
                                   "tokens": mini["tokens"]}
         return handle
+
+    def unregister_prefix(self, handle):
+        """Drop a registered prefix (frees its device KV store). Requests
+        already queued with it admit normally — their matched handle is
+        resolved at admission, so unregister only after the queue drains,
+        or re-submit affected requests."""
+        for rid, (h, _) in list(self._prefix_of.items()):
+            if h == handle:
+                del self._prefix_of[rid]
+        del self._prefixes[handle]
 
     def submit(self, prompt_ids, max_new_tokens=64, streamer=None,
                do_sample=None, temperature=None, top_k=None, top_p=None,

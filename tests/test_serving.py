@@ -680,6 +680,23 @@ def test_prefix_cache_validation(gpt):
         eng.register_prefix(list(range(1, 33)))
 
 
+def test_prefix_cache_unregister(gpt):
+    """Unregistered prefixes free their store; queued matches are dropped
+    and those requests full-prefill normally with identical output."""
+    vocab = gpt.config.vocab_size
+    rs = np.random.RandomState(41)
+    prefix = rs.randint(1, vocab, (20,)).tolist()
+    prompt = prefix + rs.randint(1, vocab, (4,)).tolist()
+    eng = ServingEngine(gpt, max_slots=1, max_len=64, prefill_buckets=(16,),
+                        chunk_size=2)
+    h = eng.register_prefix(prefix)
+    rid = eng.submit(prompt, max_new_tokens=6)  # matched while registered
+    eng.unregister_prefix(h)                    # dropped before admission
+    assert not eng._prefixes and not eng._prefix_of
+    results = dict(eng.run())
+    np.testing.assert_array_equal(results[rid], ref_greedy(gpt, prompt, 6))
+
+
 def test_fused_int8_kv_serving_parity(gpt):
     # fused_decode + kv_cache_int8: serving decodes through the kernel's
     # in-kernel dequant path ({"q","s"} planes, ragged offsets) and must
