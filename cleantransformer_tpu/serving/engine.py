@@ -512,18 +512,37 @@ def _decode_chunk_lookup(params, config, forward, state, n_rounds, K, ngram,
         new_n = n + n_committed
         state["tokens"] = tokens
         state["lengths"] = new_n
-        state["mask"] = jnp.where(keep[:, None],
-                                  (col < new_n[:, None]).astype(jnp.int32),
-                                  state["mask"])
         done = keep & (ended | (new_n >= state["limit"]))
         state["active"] = jnp.where(done, 0, state["active"])
         return state
 
     state = jax.lax.fori_loop(0, n_rounds, body, state)
+    # restore the mask == (col < lengths) invariant ONCE per chunk, not per
+    # round: nothing inside the loop reads it (the verify forward builds its
+    # own (col < n + K) window mask, and _decode_chunk — the only decode-time
+    # mask reader — never runs when speculative='lookup'). Unconditional is
+    # exact: admitted rows already satisfy the invariant and virgin rows have
+    # lengths == 0 == all-zero mask.
+    state["mask"] = (col < state["lengths"][:, None]).astype(jnp.int32)
     results = jnp.concatenate([
         state["lengths"], state["prompt_len"], state["active"],
         state["tokens"].reshape(-1)])
     return state, results
+
+
+def _window_for(off, bucket, cap):
+    """Static cache-window width for a prefill chunk at host-known offset
+    ``off``: the smallest ``bucket`` multiple covering the chunk's frontier
+    ``off + bucket``, capped at the buffer width ``cap`` (keeps compile
+    variants bounded per (bucket, window) pair). When the bucket-multiple
+    grid can't reach the frontier under the cap, fall back to 8-row
+    granularity — the window must always satisfy ``off + bucket <= window``
+    (<= cap) because the model's chunk write is a CLAMPING
+    dynamic_update_slice (see _admit_chunked's shift-back guard)."""
+    window = min(cap, -((off + bucket) // -bucket) * bucket)
+    if window < off + bucket:
+        window = min(cap, -((off + bucket) // -8) * 8)
+    return window
 
 
 def _batch_window(buf, window):
@@ -901,9 +920,7 @@ class ServingEngine:
             if off + bucket > W:  # keep the bucket's pad rows in-buffer
                 off = W - bucket  # overlap recompute is exact (see
                 chunk = prefix_ids[off: off + bucket]  # _admit_chunked)
-            window = min(W, -((off + bucket) // -bucket) * bucket)
-            if window < off + bucket:
-                window = min(W, -((off + bucket) // -8) * 8)
+            window = _window_for(off, bucket, W)
             ids = np.zeros((1, bucket), np.int32)
             ids[0, : len(chunk)] = chunk
             mini = _prefill_chunk(
@@ -923,10 +940,13 @@ class ServingEngine:
         return handle
 
     def unregister_prefix(self, handle):
-        """Drop a registered prefix (frees its device KV store). Requests
-        already queued with it admit normally — their matched handle is
-        resolved at admission, so unregister only after the queue drains,
-        or re-submit affected requests."""
+        """Drop a registered prefix (frees its device KV store). Queued
+        requests that had matched it lose the match and admit with a full
+        from-scratch prefill — output is identical either way (prefix reuse
+        is exact), they just stop skipping the prefix's prefill work."""
+        if handle not in self._prefixes:
+            raise KeyError(f"unknown prefix handle {handle!r} "
+                           "(never registered, or already unregistered)")
         for rid, (h, _) in list(self._prefix_of.items()):
             if h == handle:
                 del self._prefix_of[rid]
@@ -1044,13 +1064,28 @@ class ServingEngine:
         valid rows, all suffixes prefilled at the uniform cache offset,
         first tokens fused."""
         p = self._prefixes[handle]
-        B = self.max_slots
         bucket = max(self._bucket_for(len(r.prompt) - matched)
                      for r, _ in wave)
-        window = min(self.buf_len,
-                     -((matched + bucket) // -bucket) * bucket)
-        if window < matched + bucket:
-            window = min(self.buf_len, -((matched + bucket) // -8) * 8)
+        window = _window_for(matched, bucket, self.buf_len)
+        marshalled = self._marshal_wave(wave, bucket, matched=matched)
+        self.state = _prefill_batch_prefixed(
+            self.params, self.config, self.forward, self.state,
+            p["k"], p["v"], p["tokens"], marshalled[0], marshalled[1],
+            np.int32(matched), *marshalled[2:],
+            bucket=bucket, window=window, sampling=self._sampling_on,
+            end_ids=self.end_ids, needs_positions=self.needs_positions)
+        self.prefill_calls += 1
+        self._stamp_admitted(wave)
+
+    def _marshal_wave(self, wave, bucket, matched=0):
+        """Pack an admission wave's per-request parameters into full-width
+        (max_slots,) arrays for the fused prefill programs — row ``slot``
+        carries request ``req``, rows not in the wave stay padding
+        (valid == 0). ``matched`` > 0 marshals only the un-matched prompt
+        SUFFIX into ids/chunk_len (shared-prefix admission); totals always
+        count the whole prompt. Single definition so plain and prefixed
+        waves can never desynchronize sampling-parameter normalization."""
+        B = self.max_slots
         ids = np.zeros((B, bucket), np.int32)
         chunk_len = np.zeros((B,), np.int32)
         prompt_total = np.zeros((B,), np.int32)
@@ -1071,13 +1106,13 @@ class ServingEngine:
             temperature[slot] = req.temperature
             top_k[slot] = req.top_k or 0
             top_p[slot] = req.top_p if req.top_p is not None else 1.0
-        self.state = _prefill_batch_prefixed(
-            self.params, self.config, self.forward, self.state,
-            p["k"], p["v"], p["tokens"], ids, chunk_len, np.int32(matched),
-            prompt_total, max_total, valid, do_sample, temperature, top_k,
-            top_p, bucket=bucket, window=window, sampling=self._sampling_on,
-            end_ids=self.end_ids, needs_positions=self.needs_positions)
-        self.prefill_calls += 1
+        return (ids, chunk_len, prompt_total, max_total, valid, do_sample,
+                temperature, top_k, top_p)
+
+    def _stamp_admitted(self, wave):
+        """Host-side bookkeeping for a just-admitted wave: slot ownership,
+        first covering decode chunk, and the adaptive-depth length
+        estimates."""
         for req, slot in wave:
             self.slot_rid[slot] = req.rid
             self._slot_chunk[slot] = self._chunk_no + 1
@@ -1088,28 +1123,9 @@ class ServingEngine:
 
     def _admit_wave(self, wave):
         """One `_prefill_batch` program admitting every (req, slot) pair."""
-        B, T = self.max_slots, self.max_len
         bucket = max(self._bucket_for(len(r.prompt)) for r, _ in wave)
-        ids = np.zeros((B, bucket), np.int32)
-        chunk_len = np.zeros((B,), np.int32)
-        prompt_total = np.zeros((B,), np.int32)
-        max_total = np.zeros((B,), np.int32)
-        valid = np.zeros((B,), np.int32)
-        do_sample = np.zeros((B,), np.int32)
-        temperature = np.ones((B,), np.float32)
-        top_k = np.zeros((B,), np.int32)
-        top_p = np.ones((B,), np.float32)
-        for req, slot in wave:
-            n = len(req.prompt)
-            ids[slot, :n] = req.prompt
-            chunk_len[slot] = n
-            prompt_total[slot] = n
-            max_total[slot] = n + req.max_new_tokens
-            valid[slot] = 1
-            do_sample[slot] = int(bool(req.do_sample))
-            temperature[slot] = req.temperature
-            top_k[slot] = req.top_k or 0
-            top_p[slot] = req.top_p if req.top_p is not None else 1.0
+        (ids, chunk_len, prompt_total, max_total, valid, do_sample,
+         temperature, top_k, top_p) = self._marshal_wave(wave, bucket)
         self.state = _prefill_batch(
             self.params, self.config, self.forward, self.state, ids,
             chunk_len, prompt_total, max_total, valid, do_sample,
@@ -1117,13 +1133,7 @@ class ServingEngine:
             sampling=self._sampling_on, end_ids=self.end_ids,
             needs_positions=self.needs_positions)
         self.prefill_calls += 1
-        for req, slot in wave:
-            self.slot_rid[slot] = req.rid
-            self._slot_chunk[slot] = self._chunk_no + 1
-            self._est_len[slot] = len(req.prompt) + 1
-            self._est_limit[slot] = len(req.prompt) + req.max_new_tokens
-            self._last_exact[slot] = self._est_len[slot]
-            self._last_exact_chunk[slot] = self._chunk_no
+        self._stamp_admitted(wave)
 
     def _admit_chunked(self, req, slot, start=0):
         prompt = req.prompt
@@ -1143,14 +1153,7 @@ class ServingEngine:
                 # and the shifted chunk still reaches ``total``.
                 off = self.buf_len - bucket
                 chunk = prompt[off: off + bucket]
-            # static cache window: smallest bucket multiple covering this
-            # chunk's frontier, capped at the buffer width (off is
-            # host-known, so compile variants stay bounded per
-            # (bucket, window) pair)
-            window = min(self.buf_len,
-                         -((off + bucket) // -bucket) * bucket)
-            if window < off + bucket:  # bucket-multiple cap fell short
-                window = min(self.buf_len, -((off + bucket) // -8) * 8)
+            window = _window_for(off, bucket, self.buf_len)
             final = off + len(chunk) >= total
             ids = np.zeros((1, bucket), np.int32)
             ids[0, : len(chunk)] = chunk
@@ -1197,6 +1200,7 @@ class ServingEngine:
         lengths, prompt_len, active = res[:B], res[B:2 * B], res[2 * B:3 * B]
         tokens = res[3 * B:].reshape(B, self.buf_len)
         out = []
+        tpr_samples = []
         for slot, rid in enumerate(self.slot_rid):
             if rid is None or self._slot_chunk[slot] > chunk_no:
                 # admitted after that chunk was dispatched — the snapshot
@@ -1204,14 +1208,14 @@ class ServingEngine:
                 continue
             self._est_len[slot] = int(lengths[slot])  # exact refresh
             if self.speculative:
-                # EMA tokens-per-round sample over the harvested span; only
+                # tokens-per-round sample over the harvested span; only
                 # rows still active sampled (a row frozen mid-span would
                 # bias the rate low — conservative is fine, but noisy)
                 dr = (chunk_no - self._last_exact_chunk[slot]) \
                     * self.chunk_size
                 dn = int(lengths[slot]) - int(self._last_exact[slot])
                 if dr > 0 and dn > 0 and active[slot] == 1:
-                    self._tpr = 0.5 * self._tpr + 0.5 * max(1.0, dn / dr)
+                    tpr_samples.append(dn / dr)
                 self._last_exact[slot] = int(lengths[slot])
                 self._last_exact_chunk[slot] = chunk_no
             if rid in self.streamers:
@@ -1222,6 +1226,14 @@ class ServingEngine:
                 self.finished[rid] = out[-1][1]
                 self.slot_rid[slot] = None
                 self.streamers.pop(rid, None)
+        if tpr_samples:
+            # ONE EMA step per harvest on the batch-mean rate: folding each
+            # slot's sample separately at weight 0.5 would down-weight slot
+            # i's contribution by 0.5^(slots after i) — the estimate would
+            # track only the last-iterated slots under heterogeneous
+            # acceptance and mis-size the adaptive dispatch depth
+            self._tpr = 0.5 * self._tpr + 0.5 * max(
+                1.0, sum(tpr_samples) / len(tpr_samples))
         return out
 
     def step(self):
@@ -1290,9 +1302,10 @@ class ServingEngine:
         for _ in range(self._depth()):
             if self.speculative == "lookup":
                 # chunk_size speculation ROUNDS: 1..draft_len+1 tokens each
-                # per row (the host-side est_len advance below stays the
-                # conservative 1-token-per-round lower bound; harvest
-                # refreshes it exactly)
+                # per row (the host-side est_len advance below uses the EMA
+                # tokens-per-round estimate; each harvest refreshes it to
+                # the exact device value, bounding any drift to one
+                # dispatch window)
                 self.state, results = _decode_chunk_lookup(
                     self.params, self.config, self.forward, self.state,
                     n_rounds=self.chunk_size, K=self.draft_len,

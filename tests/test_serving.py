@@ -693,8 +693,23 @@ def test_prefix_cache_unregister(gpt):
     rid = eng.submit(prompt, max_new_tokens=6)  # matched while registered
     eng.unregister_prefix(h)                    # dropped before admission
     assert not eng._prefixes and not eng._prefix_of
+    with pytest.raises(KeyError, match="prefix handle"):
+        eng.unregister_prefix(h)  # double-unregister: clear error, no trace
     results = dict(eng.run())
     np.testing.assert_array_equal(results[rid], ref_greedy(gpt, prompt, 6))
+
+
+def test_window_for_covers_frontier():
+    """Every (off, bucket, cap) with off + bucket <= cap must yield a window
+    with off + bucket <= window <= cap — the model's chunk write is a
+    clamping dynamic_update_slice, so an under-sized window would shift the
+    write backward over committed rows."""
+    from cleantransformer_tpu.serving.engine import _window_for
+    for cap in (24, 64, 120, 1024):
+        for bucket in (8, 16, 64):
+            for off in range(0, cap - bucket + 1, 4):
+                w = _window_for(off, bucket, cap)
+                assert off + bucket <= w <= cap, (off, bucket, cap, w)
 
 
 def test_fused_int8_kv_serving_parity(gpt):
