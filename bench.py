@@ -93,6 +93,13 @@ def main():
         "unit": "tokens/s (batch=8, prompt=32, gen=128, bf16)",
         "vs_baseline": round(ours / ref, 2) if ref else None,
     }
+    # Ceiling note (stderr; stdout stays one JSON line): on this tunneled
+    # host, wall = device decode (~47 ms for gen=128) + ONE ~26 ms host RTT,
+    # so even zero device time caps this metric at ~1.5x its current value.
+    # Device-side wins past that show up in BENCH_DETAILS.md (fused/int8/
+    # serving/speculative lines), not here.
+    print("note: e2e metric is tunnel-RTT-bound (wall = device + ~26 ms RTT); "
+          "see BENCH_DETAILS.md for device-side paths", file=sys.stderr)
     print(json.dumps(result))
 
 

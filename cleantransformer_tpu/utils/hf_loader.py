@@ -51,10 +51,107 @@ def _load_safetensors(path):
     return out
 
 
+# torch storage-class name -> (numpy dtype to read raw bytes as, bf16 flag).
+# bf16 has no numpy dtype: read uint16 and widen to f32 (<<16 into the
+# mantissa-aligned position, same trick as the safetensors reader above).
+_TORCH_STORAGE_DTYPES = {
+    "DoubleStorage": (np.float64, False), "FloatStorage": (np.float32, False),
+    "HalfStorage": (np.float16, False), "BFloat16Storage": (np.uint16, True),
+    "LongStorage": (np.int64, False), "IntStorage": (np.int32, False),
+    "ShortStorage": (np.int16, False), "CharStorage": (np.int8, False),
+    "ByteStorage": (np.uint8, False), "BoolStorage": (np.bool_, False),
+}
+
+
+def _load_torch_bin(path):
+    """Self-contained reader for torch's zipfile checkpoint format — no torch.
+
+    A ``pytorch_model.bin`` saved by modern torch is a zip archive holding
+    ``<name>/data.pkl`` (a pickle whose tensors are persistent-id stubs) plus
+    one raw little-endian buffer per storage at ``<name>/data/<key>``. We run
+    a restricted unpickler: persistent ids ``('storage', Type, key, loc, n)``
+    resolve to lazily-read numpy buffers, and ``torch._utils._rebuild_tensor*``
+    is replaced by an as_strided view + copy (torch strides are in elements,
+    numpy's in bytes). Anything else rebuildable is rejected — this reads
+    weights, it does not execute checkpoint code.
+    """
+    import pickle
+    import zipfile
+
+    zf = zipfile.ZipFile(path)
+    names = zf.namelist()
+    pkl = [n for n in names if n.endswith("/data.pkl")]
+    if not pkl:
+        raise ValueError(f"{path}: not a torch zipfile checkpoint")
+    prefix = pkl[0][: -len("data.pkl")]
+
+    def load_storage(storage_cls, key):
+        np_dtype, is_bf16 = _TORCH_STORAGE_DTYPES[storage_cls]
+        raw = zf.read(f"{prefix}data/{key}")
+        arr = np.frombuffer(raw, dtype=np_dtype)
+        if is_bf16:
+            arr = (arr.astype(np.uint32) << 16).view(np.float32)
+        return arr
+
+    class _Stub:
+        # placeholder for torch.FloatStorage etc. — carries only the name
+        def __init__(self, name):
+            self.name = name
+
+    def rebuild_tensor(storage, storage_offset, size, stride, *unused):
+        if not size:  # 0-dim tensor
+            return storage[storage_offset:storage_offset + 1].copy().reshape(())
+        item = storage.itemsize
+        view = np.lib.stride_tricks.as_strided(
+            storage[storage_offset:], shape=tuple(size),
+            strides=tuple(s * item for s in stride))
+        return view.copy()
+
+    _ALLOWED = {
+        ("collections", "OrderedDict"): dict,
+        ("torch._utils", "_rebuild_tensor_v2"): rebuild_tensor,
+        ("torch._utils", "_rebuild_tensor"): rebuild_tensor,
+        ("torch.serialization", "_get_layout"): lambda name: None,
+        ("torch", "Size"): tuple,
+    }
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if (module, name) in _ALLOWED:
+                return _ALLOWED[(module, name)]
+            if module == "torch" and name.endswith("Storage"):
+                return _Stub(name)
+            raise pickle.UnpicklingError(
+                f"blocked unpickle of {module}.{name} in {path}")
+
+        def persistent_load(self, pid):
+            kind, storage_type, key = pid[0], pid[1], pid[2]
+            if kind != "storage":
+                raise pickle.UnpicklingError(f"unknown persistent id {pid!r}")
+            name = storage_type.name if isinstance(storage_type, _Stub) \
+                else storage_type.__name__
+            return load_storage(name, key)
+
+    with zf.open(pkl[0]) as f:
+        sd = _Unpickler(f).load()
+    if not isinstance(sd, dict):
+        raise ValueError(f"{path}: checkpoint root is not a state dict")
+    return {k: v.astype(np.float32) if v.dtype == np.float16 else v
+            for k, v in sd.items() if isinstance(v, np.ndarray)}
+
+
 def load_state_dict(path):
-    """Load a checkpoint file (.safetensors or torch .bin/.pt) to numpy dict."""
+    """Load a checkpoint file (.safetensors or torch .bin/.pt) to numpy dict.
+
+    torch zipfile checkpoints are read by the self-contained numpy reader
+    (deployment stays torch-free); legacy (non-zip) torch saves fall back to
+    torch when it is importable.
+    """
     if path.endswith(".safetensors"):
         return _load_safetensors(path)
+    import zipfile
+    if zipfile.is_zipfile(path):
+        return _load_torch_bin(path)
     import torch
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if not isinstance(sd, dict):
