@@ -653,6 +653,10 @@ def prompt_lookup_generate(model, input_ids, attention_mask=None,
     length), like the draft-model path. Returns (B, 1, L) with rows past
     their end token padded by ``pad_id``."""
     cfg = generation_configs or {}
+    if getattr(model.config, "swa_ring_cache", False):
+        raise ValueError("speculative decoding does not support "
+                         "swa_ring_cache models (verify windows assume "
+                         "cache slot == absolute position)")
     assert cfg.get("beam_size", 1) == 1, "prompt-lookup is beam-free"
     assert not cfg.get("no_repeat_ngram_size", 0), \
         "ngram processors are unsupported in speculative decoding"
@@ -699,6 +703,10 @@ def speculative_generate(model, draft_model, input_ids, attention_mask=None,
     do_sample / temperature / top_k / top_p (beam_size must be 1, no ngram
     ban)."""
     cfg = generation_configs or {}
+    if getattr(model.config, "swa_ring_cache", False):
+        raise ValueError("speculative decoding does not support "
+                         "swa_ring_cache models (verify windows assume "
+                         "cache slot == absolute position)")
     assert cfg.get("beam_size", 1) == 1, "speculative decoding is beam-free"
     assert not cfg.get("no_repeat_ngram_size", 0), \
         "ngram processors are unsupported in speculative decoding"

@@ -116,13 +116,35 @@ def init_llama_params(config, rng):
     return params
 
 
+def swa_ring_rows(config, max_len):
+    """Row capacity of a sliding-window RING cache (config.swa_ring_cache):
+    the window rounded up to a sublane multiple, capped by the horizon. A
+    Mistral-class 32k context with window 4096 keeps 4096 cache rows instead
+    of 32768 — both the KV memory and the per-step cache stream become
+    window-bounded. When max_len fits inside the ring the mod arithmetic
+    degenerates to the plain layout (slot == position), so short generates
+    are unchanged."""
+    W = -(-int(config.sliding_window) // 8) * 8
+    return min(max_len, W)
+
+
 def init_llama_cache(config, batch_size, max_len, dtype=None,
                      head_major=None):
     """KV cache over ``num_key_value_heads`` (GQA: H/Hkv x smaller than a
     full-head cache). Same {'k','v','length'} layout as models/gpt.py, so
-    the generic cache_write/cache_layer_kv helpers (incl. int8 mode) apply."""
+    the generic cache_write/cache_layer_kv helpers (incl. int8 mode) apply.
+
+    With ``config.swa_ring_cache`` (requires ``sliding_window``) the buffer
+    holds only ``swa_ring_rows`` rows written at ``position % rows`` —
+    llama_forward owns the ring masking/writes."""
     L, Hkv, hd = config.n_layer, config.num_key_value_heads, config.head_dim
     dtype = dtype or config.compute_dtype
+    if (getattr(config, "swa_ring_cache", False)
+            and getattr(config, "sliding_window", None)):
+        if getattr(config, "kv_cache_int8", False):
+            raise ValueError("swa_ring_cache does not compose with "
+                             "kv_cache_int8 (use one or the other)")
+        max_len = swa_ring_rows(config, max_len)
     if head_major is None:
         head_major = getattr(config, "decode_head_major", False)
     if getattr(config, "kv_cache_int8", False):
@@ -217,6 +239,22 @@ def apply_rope(x, cos, sin):
     c = cos[:, None].astype(x.dtype)
     s = sin[:, None].astype(x.dtype)
     return x * c + _rotate_half(x) * s
+
+
+def apply_rope_headmajor(x, cos, sin, n_head):
+    """RoPE on a head-major (B, S, n_head*hd) tensor — the projection
+    output's native layout, so the flash-bsd attention path never pays the
+    (B, S, H, hd) -> (B, H, S, hd) relayout copies (at hd=64 XLA
+    materializes those around pallas custom-calls at ~28 GB/s). Math is
+    identical to apply_rope per head; cos/sin: (B, S, hd) fp32."""
+    B, S, D = x.shape
+    hd = D // n_head
+    x4 = x.reshape(B, S, n_head, hd)
+    c = cos[:, :, None, :].astype(x.dtype)
+    s = sin[:, :, None, :].astype(x.dtype)
+    x1, x2 = jnp.split(x4, 2, axis=-1)
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    return (x4 * c + rot * s).reshape(B, S, D)
 
 
 # ---------------------------------------------------------------------------
@@ -353,6 +391,18 @@ def _gqa_attend(q, k, v, additive_mask, scale, k_scale=None, v_scale=None):
     return out.reshape(B, H, S, hd)
 
 
+def _hm_write(kv_cache, li, x_hm, offset):
+    """Write S head-major rows (B, S, Dkv) into the (L, B, T, Dkv) cache for
+    layer ``li`` at a scalar or (B,) ragged offset — no head transposes."""
+    if jnp.ndim(offset) == 0:
+        return jax.lax.dynamic_update_slice(
+            kv_cache, x_hm[None].astype(kv_cache.dtype), (li, 0, offset, 0))
+    B, S, _ = x_hm.shape
+    pos = offset[:, None] + jnp.arange(S, dtype=jnp.int32)[None]
+    rows = jnp.arange(B)[:, None]
+    return kv_cache.at[li, rows, pos].set(x_hm.astype(kv_cache.dtype))
+
+
 def _llama_attention(attn_params, h, cos, sin, additive_mask, layer_kv,
                      cache_len, config, segments=None):
     B, S, D = h.shape
@@ -362,6 +412,77 @@ def _llama_attention(attn_params, h, cos, sin, additive_mask, layer_kv,
     q = linear(h, p["q_proj"]["w"], p["q_proj"].get("b"))
     k = linear(h, p["k_proj"]["w"], p["k_proj"].get("b"))
     v = linear(h, p["v_proj"]["w"], p["v_proj"].get("b"))
+
+    # multi-token flash fast path on the HEAD-MAJOR layout: the projection
+    # outputs are already (B, S, heads*hd) — exactly flash_attention_bsd's
+    # layout, whose 128-lane head-group blocks run hd=64 heads at FULL lane
+    # utilization (the 4D kernel measured ~37 TF/s on a tinyllama ctx4k
+    # prefill vs ~2x through bsd; GPT/Bloom took this path in round 2,
+    # models/gpt.py:396-416). RoPE applies head-major (apply_rope_headmajor)
+    # so no (B, H, S, hd) relayout copies exist anywhere on the path. GQA
+    # K/V still expand over the group axis (kernel wants matching lanes);
+    # the sliding-window kernel (Mistral) stays on the 4D path (bsd carries
+    # no window), as do int8 caches (flash wants float k/v).
+    int8_cache = (layer_kv is not None and not isinstance(layer_kv, str)
+                  and isinstance(layer_kv[0], dict))
+    use_bsd = (getattr(config, "use_flash_attention", False) and S > 1
+               and getattr(config, "sliding_window", None) is None
+               and 128 % hd == 0 and not int8_cache
+               and not isinstance(additive_mask, tuple))
+    if use_bsd:
+        from cleantransformer_tpu.ops.pallas_kernels import (
+            flash_attention_bsd, should_interpret)
+        g = H // Hkv
+        q_hm = apply_rope_headmajor(q, cos, sin, H)
+        k_hm = apply_rope_headmajor(k, cos, sin, Hkv)
+        collect = isinstance(layer_kv, str)
+        if layer_kv is None or collect:
+            # cache-less (training / ring prefill): attend the chunk itself
+            kv_ret = ((k_hm.reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3),
+                       v.reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3))
+                      if collect else (None, None))
+            k_slab, v_slab = k_hm, v
+            Tk = S
+        else:
+            k_cache, v_cache, li = layer_kv
+            if k_cache.ndim == 4:        # head-major buffer: direct writes
+                new_k = _hm_write(k_cache, li, k_hm, cache_len)
+                new_v = _hm_write(v_cache, li, v, cache_len)
+                Tk = k_cache.shape[2]
+                k_slab = jax.lax.dynamic_slice_in_dim(new_k, li, 1, 0)[0]
+                v_slab = jax.lax.dynamic_slice_in_dim(new_v, li, 1, 0)[0]
+            else:
+                from cleantransformer_tpu.models.gpt import (cache_write,
+                                                             cache_layer_kv)
+                k4 = k_hm.reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3)
+                v4 = v.reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3)
+                new_k = cache_write(k_cache, li, k4, cache_len)
+                new_v = cache_write(v_cache, li, v4, cache_len)
+                Tk = k_cache.shape[3]
+                ks, _ = cache_layer_kv(new_k, li, B, Hkv, Tk, hd)
+                vs, _ = cache_layer_kv(new_v, li, B, Hkv, Tk, hd)
+                k_slab = ks.transpose(0, 2, 1, 3).reshape(B, Tk, Hkv * hd)
+                v_slab = vs.transpose(0, 2, 1, 3).reshape(B, Tk, Hkv * hd)
+            kv_ret = (new_k, new_v)
+        if g > 1:
+            k_slab = jnp.repeat(k_slab.reshape(B, Tk, Hkv, hd), g,
+                                axis=2).reshape(B, Tk, H * hd)
+            v_slab = jnp.repeat(v_slab.reshape(B, Tk, Hkv, hd), g,
+                                axis=2).reshape(B, Tk, H * hd)
+        k_slab = k_slab.astype(q_hm.dtype)
+        v_slab = v_slab.astype(q_hm.dtype)
+        bias = (additive_mask[:, :, 0, :] if additive_mask is not None
+                else jnp.zeros((B, 1, Tk), jnp.float32))
+        off = (jnp.zeros((), jnp.int32) if (layer_kv is None or collect)
+               else cache_len)
+        out = flash_attention_bsd(
+            q_hm, k_slab, v_slab, bias, off,
+            q_segments=segments, k_segments=segments, n_head=H,
+            scale=1.0 / math.sqrt(hd), causal=True,
+            interpret=should_interpret())
+        out = linear(out, p["o_proj"]["w"], p["o_proj"].get("b"))
+        return out, kv_ret
+
     q = q.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3)
@@ -371,8 +492,15 @@ def _llama_attention(attn_params, h, cos, sin, additive_mask, layer_kv,
 
     k_scale = v_scale = None
     defer = isinstance(additive_mask, tuple)
-    if layer_kv is None:
-        new_k, new_v = None, None
+    if layer_kv is None or (isinstance(layer_kv, str)
+                            and layer_kv == "collect"):
+        # "collect": cache-less attention over the chunk's own k/v, but the
+        # rotated (k, v) return as scan outputs — the ring-cache prefill
+        # (llama_forward swa_ring_cache) writes them to ring slots post-scan
+        collect = layer_kv is not None
+        new_k = k if collect else None
+        new_v = v if collect else None
+        layer_kv = None
     elif defer:
         # merged-column decode: the cache is read-only here; the caller
         # batches every layer's (k, v) rows into two post-scan writes
@@ -662,6 +790,124 @@ def llama_forward(params, config, input_ids, attention_mask=None,
                 return run_block(carry, xs), None
             h, _ = jax.lax.scan(body, h, params["blocks"])
         new_cache = None
+    elif (window is not None and getattr(config, "swa_ring_cache", False)):
+        # ----- sliding-window RING cache (Mistral long-context decode) -----
+        # The buffer holds only the last R ≈ window rows, written at
+        # position % R; masks map each ring slot back to its absolute
+        # position. Supported flows: prefill FROM AN EMPTY cache (generate /
+        # beam admit whole prompts) and S==1 decode with a scalar offset.
+        # Speculative verify windows and the serving engine's chunked
+        # re-prefill assume slot == position and must not use ring caches
+        # (guarded at their entry points).
+        kbuf = cache["k"]
+        if isinstance(kbuf, dict):
+            raise ValueError("swa_ring_cache does not compose with "
+                             "kv_cache_int8")
+        if jnp.ndim(cache_len) == 1:
+            raise ValueError("swa_ring_cache does not support ragged "
+                             "per-row offsets (serving)")
+        head_major = kbuf.ndim == 4
+        R = kbuf.shape[2] if head_major else kbuf.shape[3]
+        Hkv, hd = config.num_key_value_heads, config.head_dim
+        aux = None
+        if S > 1:
+            # prefill from empty: attention is over the chunk's own k/v
+            # (cache-less semantics), the rotated rows land in ring slots
+            pad_chunk = None
+            if attention_mask is not None:
+                pad_chunk = jax.lax.dynamic_slice(
+                    attention_mask.astype(jnp.float32), (0, cache_len),
+                    (B, S))
+            if flash_cfg:
+                # causal + window ride the flash kernel's iota; bias = pads
+                am = (jnp.zeros((B, 1, 1, S), jnp.float32)
+                      if pad_chunk is None
+                      else ((1.0 - pad_chunk) * CAUSAL_NEG)[:, None, None, :])
+            else:
+                row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+                col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+                keep = (col <= row) & (row - col < window)
+                am = jnp.where(keep, 0.0, CAUSAL_NEG)[None, None]
+                if pad_chunk is not None:
+                    am = am + ((1.0 - pad_chunk)
+                               * CAUSAL_NEG)[:, None, None, :]
+
+            def body(carry, block_params):
+                out, (nk, nv), _ = _llama_block(
+                    block_params, "collect", carry, cos, sin, am,
+                    jnp.zeros((), jnp.int32), config, act)
+                return out, (nk, nv)
+            h, (nks, nvs) = jax.lax.scan(body, h, params["blocks"])
+            # write the last min(S, R) rows at their ring slots
+            if S >= R:
+                slots = (cache_len + S - R + jnp.arange(R)) % R
+                nks, nvs = nks[:, :, :, S - R:], nvs[:, :, :, S - R:]
+            else:
+                slots = (cache_len + jnp.arange(S)) % R
+            if head_major:
+                Sw = nks.shape[3]
+                rk = nks.transpose(0, 1, 3, 2, 4).reshape(
+                    nks.shape[0], B, Sw, Hkv * hd)
+                rv = nvs.transpose(0, 1, 3, 2, 4).reshape(
+                    nvs.shape[0], B, Sw, Hkv * hd)
+                new_k = cache["k"].at[:, :, slots, :].set(
+                    rk.astype(cache["k"].dtype))
+                new_v = cache["v"].at[:, :, slots, :].set(
+                    rv.astype(cache["v"].dtype))
+            else:
+                new_k = cache["k"].at[:, :, :, slots, :].set(
+                    nks.astype(cache["k"].dtype))
+                new_v = cache["v"].at[:, :, :, slots, :].set(
+                    nvs.astype(cache["v"].dtype))
+        else:
+            # S == 1 decode: defer-style read-only pass over the ring slab.
+            # Slot c holds absolute position p = q-1-((q-1-c) mod R) (the
+            # most recent write ≤ q-1 landing on c; negative = never
+            # written); keep it iff written and inside the window. The
+            # current token rides the merged extra column (mask_cur).
+            q_idx = cache_len
+            c = jnp.arange(R, dtype=jnp.int32)
+            p = q_idx - 1 - jnp.mod(q_idx - 1 - c, R)
+            keep = (p >= 0) & (p > q_idx - window)
+            mask_cache = jnp.where(keep, 0.0, CAUSAL_NEG)[None, None, None, :]
+            if attention_mask is not None:
+                amf = attention_mask.astype(jnp.float32)
+                idx = jnp.broadcast_to(
+                    jnp.clip(p, 0, amf.shape[1] - 1)[None, :], (B, R))
+                pad = jnp.take_along_axis(amf, idx, axis=1)     # (B, R)
+                mask_cache = mask_cache + ((1.0 - pad)
+                                           * CAUSAL_NEG)[:, None, None, :]
+                pad_cur = jax.lax.dynamic_slice(amf, (0, cache_len), (B, 1))
+                mask_cur = ((1.0 - pad_cur) * CAUSAL_NEG)[:, None, None, :]
+            else:
+                mask_cur = jnp.zeros((1, 1, 1, 1), jnp.float32)
+            ring_mask = (mask_cache, mask_cur)
+
+            def body(carry, block_params):
+                h_in, li = carry
+                out, (nk, nv), _ = _llama_block(
+                    block_params, (cache["k"], cache["v"], li), h_in, cos,
+                    sin, ring_mask, cache_len, config, act)
+                return (out, li + 1), (nk, nv)
+            (h, _), (nks, nvs) = jax.lax.scan(
+                body, (h, jnp.zeros((), jnp.int32)), params["blocks"],
+                unroll=getattr(config, "decode_unroll", 1))
+            slot = jnp.mod(cache_len, R)
+            if head_major:
+                new_k = jax.lax.dynamic_update_slice(
+                    cache["k"], nks[:, :, None, :].astype(cache["k"].dtype),
+                    (0, 0, slot, 0))
+                new_v = jax.lax.dynamic_update_slice(
+                    cache["v"], nvs[:, :, None, :].astype(cache["v"].dtype),
+                    (0, 0, slot, 0))
+            else:
+                new_k = jax.lax.dynamic_update_slice(
+                    cache["k"], nks.astype(cache["k"].dtype),
+                    (0, 0, 0, slot, 0))
+                new_v = jax.lax.dynamic_update_slice(
+                    cache["v"], nvs.astype(cache["v"].dtype),
+                    (0, 0, 0, slot, 0))
+        new_cache = {"k": new_k, "v": new_v, "length": cache_len + S}
     else:
         kbuf = cache["k"]
         _tb = kbuf["q"] if isinstance(kbuf, dict) else kbuf

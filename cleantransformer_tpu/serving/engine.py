@@ -708,6 +708,12 @@ class ServingEngine:
         # committed token distributed exactly as the plain sampling path.
         if speculative not in (None, "lookup"):
             raise ValueError(f"speculative={speculative!r} (None | 'lookup')")
+        if getattr(model.config, "swa_ring_cache", False):
+            # the engine's chunked re-prefill and ragged verify windows
+            # assume cache slot == absolute position; a sliding-window ring
+            # cache (models/llama.py) breaks that invariant
+            raise ValueError("ServingEngine does not support "
+                             "config.swa_ring_cache models")
         self.speculative = speculative
         self.draft_len = int(draft_len)
         self.lookup_ngram = int(lookup_ngram)
