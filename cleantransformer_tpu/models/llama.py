@@ -148,6 +148,21 @@ def init_llama_cache(config, batch_size, max_len, dtype=None,
     if head_major is None:
         head_major = getattr(config, "decode_head_major", False)
     if getattr(config, "kv_cache_int8", False):
+        if head_major:
+            # int8 HEAD-MAJOR slab: {"q": (L, B, T, Hkv*hd) int8, "s":
+            # (L, B, T, Hkv) f32} — S==1 decode streams it through the
+            # blocked GQA kernel (ops/gqa_decode.py) at the true int8
+            # byte rate; capacity tile-rounds so key-block divisors exist
+            # (models/gpt.py init_kv_cache fused branch rationale)
+            tile = 256 if max_len > 2048 else 8
+            T = -(-max_len // tile) * tile
+            def fbuf():
+                return {"q": jnp.zeros((L, batch_size, T, Hkv * hd),
+                                       jnp.int8),
+                        "s": jnp.zeros((L, batch_size, T, Hkv),
+                                       jnp.float32)}
+            return {"k": fbuf(), "v": fbuf(),
+                    "length": jnp.zeros((), jnp.int32)}
         def buf():
             return {"q": jnp.zeros((L, batch_size, Hkv, max_len, hd), jnp.int8),
                     "s": jnp.zeros((L, batch_size, Hkv, max_len), jnp.float32)}
@@ -320,6 +335,76 @@ def _gqa_attend_headmajor(q, k_slab, v_slab, k_cur, v_cur, mask_cache,
     return diag.reshape(B, H * hd).astype(cdt)
 
 
+def _gqa_blocked_attend(q, k_cur, v_cur, k_cache, v_cache, li, mask_cache,
+                        mask_cur, scale, config):
+    """S==1 GQA attention on an int8 HEAD-MAJOR cache slab ({"q":
+    (L, B, T, Dkv) int8, "s": (L, B, T, Hkv) f32}).
+
+    The cache columns stream through the blocked pallas kernel
+    (ops/gqa_decode.gqa_blocked_partials — int8 bytes read exactly once,
+    dequant on the VMEM side); this epilogue merges the current token's
+    column, normalizes, and extracts the block diagonal — all small-tensor
+    XLA. The current k/v are quantize-ROUNDTRIPPED with cache_write's exact
+    math before scoring, because the post-scan write stores them quantized
+    and later steps read them back — the merged column must see the same
+    rounding (ops/fused_decode.py applies the same rule in-kernel).
+
+    q: (B, H, 1, hd) roped; k_cur/v_cur: (B, Hkv, 1, hd) roped;
+    mask_cache: (B?, 1, 1, T) fp32 additive (strict causal + padding);
+    mask_cur: (B?, 1, 1, 1). Returns (out (B, H*hd), k_row, v_row (B, Dkv)
+    FLOAT rows — the caller's post-scan write quantizes them)."""
+    B, H, _, hd = q.shape
+    Hkv = k_cur.shape[1]
+    Dkv = Hkv * hd
+    g = H // Hkv
+    cdt = q.dtype
+    # block-diagonal q_tilde (B, Dkv, H) — _gqa_attend_headmajor's trick
+    qr = q[:, :, 0, :].reshape(B, Hkv, g, hd)
+    qT = qr.transpose(0, 1, 3, 2)
+    eye = jnp.eye(Hkv, dtype=cdt)
+    qt = qT[:, None] * eye[None, :, :, None, None]
+    q_tilde = qt.transpose(0, 1, 3, 2, 4).reshape(B, Dkv, H)
+
+    T = k_cache["q"].shape[2]
+    bias = jnp.maximum(jnp.broadcast_to(mask_cache[:, 0, 0, :], (B, T)),
+                       -1e30)[..., None]
+    from cleantransformer_tpu.ops.gqa_decode import gqa_blocked_partials
+    from cleantransformer_tpu.ops.pallas_kernels import should_interpret
+    m, den, acc = gqa_blocked_partials(
+        q_tilde, k_cache["q"], k_cache["s"], v_cache["q"], v_cache["s"],
+        bias, li, kv_heads=Hkv, scale=scale,
+        key_block=getattr(config, "blocked_key_rows", 1024),
+        interpret=should_interpret())
+    m, den = m[:, 0, :], den[:, 0, :]
+
+    k_row = k_cur[:, :, 0, :].reshape(B, Dkv)
+    v_row = v_cur[:, :, 0, :].reshape(B, Dkv)
+
+    def roundtrip(x):
+        r = x.reshape(B, Hkv, hd).astype(jnp.float32)
+        amax = jnp.max(jnp.abs(r), axis=-1)
+        sc = jnp.maximum(amax / 127.0, 1e-8)                  # (B, Hkv)
+        qv = jnp.clip(jnp.round(r / sc[..., None]), -127, 127)
+        return qv, sc
+
+    kq_c, ks_c = roundtrip(k_row)
+    vq_c, vs_c = roundtrip(v_row)
+    s_cur = jnp.einsum('bd,bdh->bh', kq_c.reshape(B, Dkv).astype(cdt),
+                       q_tilde, preferred_element_type=jnp.float32)
+    s_cur = s_cur * jnp.repeat(ks_c, g, axis=1) * scale       # (B, H)
+    s_cur = s_cur + mask_cur[:, 0, 0, :]
+    m_f = jnp.maximum(m, s_cur)
+    r2 = jnp.exp(m - m_f)
+    pc = jnp.exp(s_cur - m_f)
+    den_f = den * r2 + pc
+    v_deq = (vq_c * vs_c[..., None]).reshape(B, Dkv)          # fp32
+    out_dk = (acc * r2[:, None, :]
+              + v_deq[:, :, None] * pc[:, None, :]) / den_f[:, None, :]
+    od = out_dk.reshape(B, Hkv, hd, Hkv, g)
+    diag = jnp.einsum('bidkj,ik->bijd', od, jnp.eye(Hkv, dtype=out_dk.dtype))
+    return diag.reshape(B, H * hd).astype(cdt), k_row, v_row
+
+
 def _gqa_attend_merged(q, k, v, k_cur, v_cur, mask_cache, mask_cur, scale):
     """Grouped-query attention over [cache | current] column groups.
 
@@ -425,13 +510,14 @@ def _llama_attention(attn_params, h, cos, sin, additive_mask, layer_kv,
     # no window), as do int8 caches (flash wants float k/v).
     int8_cache = (layer_kv is not None and not isinstance(layer_kv, str)
                   and isinstance(layer_kv[0], dict))
+    int8_hm_kv = int8_cache and layer_kv[0]["q"].ndim == 4
     use_bsd = (getattr(config, "use_flash_attention", False) and S > 1
                and getattr(config, "sliding_window", None) is None
-               and 128 % hd == 0 and not int8_cache
+               and 128 % hd == 0 and (not int8_cache or int8_hm_kv)
                and not isinstance(additive_mask, tuple))
     if use_bsd:
         from cleantransformer_tpu.ops.pallas_kernels import (
-            flash_attention_bsd, should_interpret)
+            bsd_gqa_supported, flash_attention_bsd, should_interpret)
         g = H // Hkv
         q_hm = apply_rope_headmajor(q, cos, sin, H)
         k_hm = apply_rope_headmajor(k, cos, sin, Hkv)
@@ -445,7 +531,28 @@ def _llama_attention(attn_params, h, cos, sin, additive_mask, layer_kv,
             Tk = S
         else:
             k_cache, v_cache, li = layer_kv
-            if k_cache.ndim == 4:        # head-major buffer: direct writes
+            if int8_hm_kv:
+                # int8 head-major slab: write the chunk quantized (the
+                # generic dict-4D cache_write), then DEQUANTIZE the slab to
+                # the compute dtype for the flash kernel (flash wants float
+                # k/v) — this replaces the old dense O(S*T) fp32-score
+                # fallback int8 prefill paid at long contexts
+                from cleantransformer_tpu.models.gpt import cache_write
+                k4 = k_hm.reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3)
+                v4 = v.reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3)
+                new_k = cache_write(k_cache, li, k4, cache_len)
+                new_v = cache_write(v_cache, li, v4, cache_len)
+                Tk = k_cache["q"].shape[2]
+                cdt = q_hm.dtype
+
+                def deq(buf):
+                    qv = jax.lax.dynamic_slice_in_dim(buf["q"], li, 1, 0)[0]
+                    sc = jax.lax.dynamic_slice_in_dim(buf["s"], li, 1, 0)[0]
+                    return qv.astype(cdt) * jnp.repeat(
+                        sc, hd, axis=-1).astype(cdt)
+                k_slab = deq(new_k)
+                v_slab = deq(new_v)
+            elif k_cache.ndim == 4:      # head-major buffer: direct writes
                 new_k = _hm_write(k_cache, li, k_hm, cache_len)
                 new_v = _hm_write(v_cache, li, v, cache_len)
                 Tk = k_cache.shape[2]
@@ -464,22 +571,33 @@ def _llama_attention(attn_params, h, cos, sin, additive_mask, layer_kv,
                 k_slab = ks.transpose(0, 2, 1, 3).reshape(B, Tk, Hkv * hd)
                 v_slab = vs.transpose(0, 2, 1, 3).reshape(B, Tk, Hkv * hd)
             kv_ret = (new_k, new_v)
-        if g > 1:
-            k_slab = jnp.repeat(k_slab.reshape(B, Tk, Hkv, hd), g,
-                                axis=2).reshape(B, Tk, H * hd)
-            v_slab = jnp.repeat(v_slab.reshape(B, Tk, Hkv, hd), g,
-                                axis=2).reshape(B, Tk, H * hd)
         k_slab = k_slab.astype(q_hm.dtype)
         v_slab = v_slab.astype(q_hm.dtype)
         bias = (additive_mask[:, :, 0, :] if additive_mask is not None
                 else jnp.zeros((B, 1, Tk), jnp.float32))
         off = (jnp.zeros((), jnp.int32) if (layer_kv is None or collect)
                else cache_len)
-        out = flash_attention_bsd(
-            q_hm, k_slab, v_slab, bias, off,
-            q_segments=segments, k_segments=segments, n_head=H,
-            scale=1.0 / math.sqrt(hd), causal=True,
-            interpret=should_interpret())
+        cached = layer_kv is not None and not collect
+        if cached and g > 1 and bsd_gqa_supported(H, Hkv, hd):
+            # inference prefill: GQA-native kv blocks — the group-repeated
+            # K/V never materialize and the kv stream shrinks g-fold
+            from cleantransformer_tpu.ops.pallas_kernels import (
+                flash_attention_bsd_gqa)
+            out = flash_attention_bsd_gqa(
+                q_hm, k_slab, v_slab, bias, off, n_head=H, kv_heads=Hkv,
+                scale=1.0 / math.sqrt(hd), causal=True,
+                interpret=should_interpret())
+        else:
+            if g > 1:
+                k_slab = jnp.repeat(k_slab.reshape(B, Tk, Hkv, hd), g,
+                                    axis=2).reshape(B, Tk, H * hd)
+                v_slab = jnp.repeat(v_slab.reshape(B, Tk, Hkv, hd), g,
+                                    axis=2).reshape(B, Tk, H * hd)
+            out = flash_attention_bsd(
+                q_hm, k_slab, v_slab, bias, off,
+                q_segments=segments, k_segments=segments, n_head=H,
+                scale=1.0 / math.sqrt(hd), causal=True,
+                interpret=should_interpret())
         out = linear(out, p["o_proj"]["w"], p["o_proj"].get("b"))
         return out, kv_ret
 
@@ -507,6 +625,15 @@ def _llama_attention(attn_params, h, cos, sin, additive_mask, layer_kv,
         # (_gqa_attend_merged docstring has the profile numbers)
         k_cache, v_cache, li = layer_kv
         mask_cache, mask_cur = additive_mask
+        if isinstance(k_cache, dict):
+            # int8 head-major slab: blocked pallas partials + XLA epilogue
+            # (ops/gqa_decode.py); S==1 only (llama_forward gates defer)
+            out, k_row, v_row = _gqa_blocked_attend(
+                q, k, v, k_cache, v_cache, li, mask_cache, mask_cur,
+                1.0 / math.sqrt(hd), config)
+            out = linear(out[:, None, :], p["o_proj"]["w"],
+                         p["o_proj"].get("b"))
+            return out, (k_row, v_row)
         if k_cache.ndim == 4:
             # head-major slab: S==1 only (llama_forward gates defer on it)
             kc = jax.lax.dynamic_slice_in_dim(k_cache, li, 1, 0)[0]
@@ -534,8 +661,8 @@ def _llama_attention(attn_params, h, cos, sin, additive_mask, layer_kv,
         new_k = cache_write(k_cache, li, k, cache_len)
         new_v = cache_write(v_cache, li, v, cache_len)
         _cb = k_cache["q"] if isinstance(k_cache, dict) else k_cache
-        T = _cb.shape[2] if (not isinstance(k_cache, dict)
-                             and _cb.ndim == 4) else _cb.shape[3]
+        # head-major layouts (dense 4D and int8 dict-4D) keep T at axis 2
+        T = _cb.shape[2] if _cb.ndim == 4 else _cb.shape[3]
         k, k_scale = cache_layer_kv(new_k, li, B, Hkv, T, hd)
         v, v_scale = cache_layer_kv(new_v, li, B, Hkv, T, hd)
 
@@ -912,12 +1039,20 @@ def llama_forward(params, config, input_ids, attention_mask=None,
         kbuf = cache["k"]
         _tb = kbuf["q"] if isinstance(kbuf, dict) else kbuf
         head_major = not isinstance(kbuf, dict) and kbuf.ndim == 4
-        T = _tb.shape[2] if head_major else _tb.shape[3]
+        int8_hm = isinstance(kbuf, dict) and kbuf["q"].ndim == 4
+        T = _tb.shape[2] if (head_major or int8_hm) else _tb.shape[3]
+        if additive_mask is not None and additive_mask.shape[-1] < T:
+            # int8-hm capacity is tile-padded past the engine's mask
+            # buffers; padded key slots carry bias 0 — the causal term
+            # (col bounded by cache_len) already excludes them everywhere
+            additive_mask = jnp.pad(
+                additive_mask, ((0, 0), (0, 0), (0, 0),
+                                (0, T - additive_mask.shape[-1])))
         # fold causal (+ sliding window + padding) into ONE fp32 additive
         # bias shared by all layers (see models/gpt.py decode fast path);
         # for S>1 windows the flash kernel's q_offset iota covers causal
         use_flash_window = (flash_cfg and S > 1
-                            and not getattr(config, "kv_cache_int8", False))
+                            and (not isinstance(kbuf, dict) or int8_hm))
         # merged-column decode (scalar offsets, dense cache, dense attention):
         # blocks read the cache and emit their (k, v) rows as scan outputs;
         # TWO batched dynamic-update-slices then write all layers at once
@@ -930,9 +1065,13 @@ def llama_forward(params, config, input_ids, attention_mask=None,
         # are supported head-major at S==1 — ragged rows are by definition
         # live generated tokens, never padding.
         ragged = jnp.ndim(cache_len) == 1
-        defer = (not isinstance(kbuf, dict) and not use_flash_window
-                 and (not head_major or S == 1)
-                 and (not ragged or (head_major and S == 1)))
+        # int8-hm S==1 decode also defers: blocks read the slab through the
+        # blocked GQA kernel and return FLOAT k/v rows; the post-scan write
+        # quantizes them once (same math as cache_write's dict-4D branch)
+        defer = ((not isinstance(kbuf, dict) or int8_hm)
+                 and not use_flash_window
+                 and ((not head_major and not int8_hm) or S == 1)
+                 and (not ragged or ((head_major or int8_hm) and S == 1)))
         if defer:
             row = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)
@@ -992,7 +1131,48 @@ def llama_forward(params, config, input_ids, attention_mask=None,
             (h, _), (nks, nvs) = jax.lax.scan(
                 body, (h, jnp.zeros((), jnp.int32)), params["blocks"],
                 unroll=getattr(config, "decode_unroll", 1))
-            if head_major and jnp.ndim(cache_len) == 1:
+            if int8_hm:
+                # quantize the float rows ONCE for all layers (cache_write's
+                # dict-4D math — the in-scan epilogue roundtripped the
+                # current column identically, so decode reads stay
+                # bit-consistent) and write both planes in one update each
+                Hkv, hd = config.num_key_value_heads, config.head_dim
+
+                def quant_rows(rows_f):
+                    r = rows_f.astype(jnp.float32).reshape(
+                        rows_f.shape[0], B, Hkv, hd)
+                    amax = jnp.max(jnp.abs(r), axis=-1)          # (L,B,Hkv)
+                    sc = jnp.maximum(amax / 127.0, 1e-8)
+                    qv = jnp.clip(jnp.round(r / sc[..., None]), -127,
+                                  127).astype(jnp.int8)
+                    return qv.reshape(rows_f.shape[0], B, Hkv * hd), sc
+
+                kq_r, ks_r = quant_rows(nks)
+                vq_r, vs_r = quant_rows(nvs)
+                if jnp.ndim(cache_len) == 1:
+                    rows = jnp.arange(B)
+                    new_k = {"q": cache["k"]["q"].at[:, rows, cache_len].set(
+                                 kq_r),
+                             "s": cache["k"]["s"].at[:, rows, cache_len].set(
+                                 ks_r)}
+                    new_v = {"q": cache["v"]["q"].at[:, rows, cache_len].set(
+                                 vq_r),
+                             "s": cache["v"]["s"].at[:, rows, cache_len].set(
+                                 vs_r)}
+                else:
+                    new_k = {"q": jax.lax.dynamic_update_slice(
+                                 cache["k"]["q"], kq_r[:, :, None, :],
+                                 (0, 0, cache_len, 0)),
+                             "s": jax.lax.dynamic_update_slice(
+                                 cache["k"]["s"], ks_r[:, :, None, :],
+                                 (0, 0, cache_len, 0))}
+                    new_v = {"q": jax.lax.dynamic_update_slice(
+                                 cache["v"]["q"], vq_r[:, :, None, :],
+                                 (0, 0, cache_len, 0)),
+                             "s": jax.lax.dynamic_update_slice(
+                                 cache["v"]["s"], vs_r[:, :, None, :],
+                                 (0, 0, cache_len, 0))}
+            elif head_major and jnp.ndim(cache_len) == 1:
                 # ragged rows (serving): scatter each batch row at its own
                 # offset — still one contiguous-lane run per (layer, batch)
                 rows = jnp.arange(B)

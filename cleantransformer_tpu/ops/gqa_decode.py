@@ -1,0 +1,177 @@
+"""Blocked GQA decode attention over int8 head-major KV slabs.
+
+Long-context llama-family decode is cache-stream-bound: at ctx4k b8 the XLA
+head-major path already runs at ~99% of the HBM roofline for a bf16 cache
+(measured: 4.20 ms/step vs 4.15 roofline — BENCH_DETAILS.md), so the only
+lever left is SMALLER cache bytes. int8 KV through XLA loses the saving to
+materialized int8->bf16 convert buffers (the dot can't fuse a convert into
+its operand stream, so the effective traffic is ~2.5x the int8 bytes); this
+kernel streams the int8 slab exactly once, dequantizing on the VMEM side.
+
+One pallas_call per LAYER (inside the decode scan), grid (TB,) over
+``key_block``-row cache blocks. The whole stacked (L, B, T, Dkv) cache is
+the operand and the LAYER is picked by a scalar-prefetch index in the block
+index_map — slicing the layer out in XLA first would materialize a copy of
+the slab and triple the traffic. A whole-stack kernel (the GPT design,
+ops/fused_decode.py) is impossible for this family: a tinyllama layer is
+88 MB of bf16 weights, which cannot double-buffer in 128 MB of VMEM.
+
+Per block, per batch row b (static loop — rank-3 refs indexed on leading
+dims, 2D MXU dots):
+
+    scores (TK, H) = K_block_b^bf16 @ q_tilde_b        # (TK,Dkv)@(Dkv,H)
+    scores *= k_scales_b @ E                           # (TK,Hkv)@(Hkv,H)
+    online-softmax update; AV: V_block_b^T @ probs     # (TK,Dkv)^T(TK,H)
+
+q_tilde is the block-diagonal query expansion of models/llama.py
+_gqa_attend_headmajor (q-head h lives in its kv group's lane rows), built
+in XLA — it is (B, Dkv, H), tiny. The kernel returns the ONLINE PARTIALS
+(m, den, acc) over the cache columns; the caller merges the current token's
+column (quantize-roundtripped to match the later cache write), normalizes,
+and extracts the block diagonal — all small-tensor XLA work.
+
+Causality/padding ride the (B, T, 1) additive bias plane (strict
+col < cache_len — the current token is the caller's merged column), clamped
+to -1e30 so exp underflows masked columns to exactly 0.
+
+Numerics mirror the XLA int8 decode path (models/llama.py _gqa_attend):
+bf16 dot operands (int8 values are exact in bf16), fp32 accumulation and
+scale folding, probs cast to bf16 before AV. Online block rescaling
+reorders the summations, so parity is float-tolerance, not bit-level
+(same contract as ops/fused_decode._gpt_blocked_kernel).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cleantransformer_tpu.ops.fused_decode import blocked_key_block
+
+
+def _gqa_blocked_kernel(scal_ref, qt_ref, kq_ref, ks_ref, vq_ref, vs_ref,
+                        bias_ref, m_out, den_out, acc_out,
+                        m_scr, den_scr, acc_scr, *, B, H, Hkv, TB, scale,
+                        kv_int8):
+    tb = pl.program_id(0)
+    cdt = qt_ref.dtype
+
+    @pl.when(tb == 0)
+    def _init():
+        m_scr[:] = jnp.full((B, 1, H), -1e30, jnp.float32)
+        den_scr[:] = jnp.zeros((B, 1, H), jnp.float32)
+        acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    g = H // Hkv
+    if kv_int8:
+        # (Hkv, H) head-expansion: scale column h <- kv head h // g
+        expand = (jax.lax.broadcasted_iota(jnp.int32, (Hkv, H), 0)
+                  == jax.lax.broadcasted_iota(jnp.int32, (Hkv, H), 1) // g
+                  ).astype(jnp.float32)
+    kb = kq_ref[0].astype(cdt)                     # (B, TK, Dkv)
+    vb = vq_ref[0].astype(cdt)
+    for b in range(B):
+        s_b = jax.lax.dot_general(kb[b], qt_ref[b],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        if kv_int8:
+            s_b = s_b * jnp.dot(ks_ref[0, b], expand,
+                                preferred_element_type=jnp.float32)
+        s_b = s_b * scale + bias_ref[b]            # bias block (TK, 1)
+        m_old = m_scr[b]                           # (1, H)
+        m_new = jnp.maximum(m_old, jnp.max(s_b, axis=0, keepdims=True))
+        r = jnp.exp(m_old - m_new)
+        p = jnp.exp(s_b - m_new)                   # (TK, H) fp32
+        den_scr[b] = den_scr[b] * r + jnp.sum(p, axis=0, keepdims=True)
+        if kv_int8:
+            p = p * jnp.dot(vs_ref[0, b], expand,
+                            preferred_element_type=jnp.float32)
+        av = jax.lax.dot_general(vb[b], p.astype(cdt),
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        m_scr[b] = m_new
+        acc_scr[b] = acc_scr[b] * r + av           # (Dkv, H)
+
+    @pl.when(tb == TB - 1)
+    def _fin():
+        m_out[:] = m_scr[:]
+        den_out[:] = den_scr[:]
+        acc_out[:] = acc_scr[:]
+
+
+@functools.partial(jax.jit, static_argnames=("kv_heads", "scale",
+                                             "key_block", "interpret"))
+def gqa_blocked_partials(q_tilde, kq, ks, vq, vs, bias, li, *, kv_heads,
+                         scale, key_block=1024, interpret=False):
+    """Online-softmax partials of layer ``li``'s cache attention.
+
+    q_tilde: (B, Dkv, H) block-diagonal queries (compute dtype).
+    kq/vq: (L, B, T, Dkv) int8 (or float for a bf16 slab) — the FULL stacked
+      cache; the layer is picked by the scalar-prefetched ``li`` in the
+      block index maps so no layer slice is ever materialized.
+    ks/vs: (L, B, T, kv_heads) fp32 dequant scales, or None for a float slab.
+    bias: (B, T, 1) fp32 additive (strict causality + padding), >= -1e30.
+    Returns (m (B, 1, H), den (B, 1, H), acc (B, Dkv, H)) fp32 partials.
+    """
+    L, B, T, Dkv = kq.shape
+    H = q_tilde.shape[-1]
+    kv_int8 = ks is not None
+    Hkv = kv_heads
+    TK = blocked_key_block(T, key_block)
+    TB = T // TK
+    if not kv_int8:
+        ks = vs = jnp.ones((L, 1, 1, 1), jnp.float32)
+
+    def fixed(shape):
+        return pl.BlockSpec(shape, lambda tb, s: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_kblock(last):
+        return pl.BlockSpec((1, B, TK, last),
+                            lambda tb, s: (s[0], 0, tb, 0),
+                            memory_space=pltpu.VMEM)
+
+    ks_spec = per_kblock(Hkv) if kv_int8 else \
+        pl.BlockSpec((1, 1, 1, 1), lambda tb, s: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+    in_specs = [
+        fixed((B, Dkv, H)),
+        per_kblock(Dkv), ks_spec,
+        per_kblock(Dkv), ks_spec,
+        pl.BlockSpec((B, TK, 1), lambda tb, s: (0, tb, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [fixed((B, 1, H)), fixed((B, 1, H)), fixed((B, Dkv, H))]
+    out_shape = [jax.ShapeDtypeStruct((B, 1, H), jnp.float32),
+                 jax.ShapeDtypeStruct((B, 1, H), jnp.float32),
+                 jax.ShapeDtypeStruct((B, Dkv, H), jnp.float32)]
+
+    kernel = functools.partial(
+        _gqa_blocked_kernel, B=B, H=H, Hkv=Hkv, TB=TB, scale=scale,
+        kv_int8=kv_int8)
+
+    blk = (2 * B * TK * Dkv * kq.dtype.itemsize
+           + (2 * B * TK * Hkv * 4 if kv_int8 else 0) + B * TK * 4)
+    need = 2 * blk + 3 * B * Dkv * H * 4 + B * Dkv * H * q_tilde.dtype.itemsize
+    vmem_cap = min(max(int(need * 1.5), 32 * 1024 * 1024),
+                   110 * 1024 * 1024)
+
+    m, den, acc = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(TB,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((B, 1, H), jnp.float32),
+                            pltpu.VMEM((B, 1, H), jnp.float32),
+                            pltpu.VMEM((B, Dkv, H), jnp.float32)]),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_cap),
+        interpret=interpret,
+    )(jnp.reshape(li, (1,)).astype(jnp.int32), q_tilde, kq, ks, vq, vs, bias)
+    return m, den, acc

@@ -577,7 +577,7 @@ def _heads_per_group(hd):
 
 
 def _packed_fwd_kernel(qoff_ref, *refs, scale, causal, segmented, block_k,
-                       seq_k, hd, ppg):
+                       seq_k, hd, ppg, kv_shared=False):
     if segmented:
         (q_ref, k_ref, v_ref, bias_ref, qseg_ref, kseg_ref,
          out_ref, lse_ref) = refs
@@ -594,10 +594,20 @@ def _packed_fwd_kernel(qoff_ref, *refs, scale, causal, segmented, block_k,
     else:
         num_kb_eff = num_kb
 
+    # kv_shared (GQA-native): the k/v block is ONE kv head's (block_k, hd)
+    # lanes shared by every q sub-head in this group — no per-g lane slice,
+    # and the group-repeated K/V never materialize (flash_attention_bsd_gqa)
+    def kvs(x, lo):
+        return x if kv_shared else x[:, lo:lo + hd]
+
     def body(kb, carry):
         accs, ms, ls = carry
-        kb_ = k_ref[0, pl.ds(kb * block_k, block_k), :]
-        vb = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        if kv_shared:
+            kb_ = k_ref[0, 0, pl.ds(kb * block_k, block_k), :]
+            vb = v_ref[0, 0, pl.ds(kb * block_k, block_k), :]
+        else:
+            kb_ = k_ref[0, pl.ds(kb * block_k, block_k), :]
+            vb = v_ref[0, pl.ds(kb * block_k, block_k), :]
         keep = None
         if causal:
             row = q_off + qi * block_q + jax.lax.broadcasted_iota(
@@ -616,7 +626,7 @@ def _packed_fwd_kernel(qoff_ref, *refs, scale, causal, segmented, block_k,
         for g in range(ppg):
             lo = g * hd
             s = jax.lax.dot_general(
-                qb[:, lo:lo + hd], kb_[:, lo:lo + hd],
+                qb[:, lo:lo + hd], kvs(kb_, lo),
                 (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
             if scale != 1.0:
                 s = s * scale
@@ -629,7 +639,7 @@ def _packed_fwd_kernel(qoff_ref, *refs, scale, causal, segmented, block_k,
             corr = jnp.exp(m - m_new)
             new_ls.append(l * corr + jnp.sum(p, axis=-1, keepdims=True))
             new_accs.append(acc * corr + jax.lax.dot_general(
-                p.astype(vb.dtype), vb[:, lo:lo + hd],
+                p.astype(vb.dtype), kvs(vb, lo),
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32))
             new_ms.append(m_new)
         return tuple(new_accs), tuple(new_ms), tuple(new_ls)
@@ -837,7 +847,8 @@ def _bsd_seg_flat(seg, B, S0, pad):
 
 
 def _packed_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q, block_k,
-                     interpret, n_head, q_segments=None, k_segments=None):
+                     interpret, n_head, q_segments=None, k_segments=None,
+                     kv_heads=None):
     B, Sq0, D = q.shape
     Sk0 = k.shape[1]
     hd, ppg, G, block_q, block_k, pad_q, pad_k, bias_p = _packed_prep(
@@ -851,6 +862,22 @@ def _packed_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q, block_k,
     qoff = _qoff_batch(q_offset, B)
     lanes = ppg * hd
 
+    # GQA-native kv (flash_attention_bsd_gqa): k/v arrive with kv_heads*hd
+    # lanes; each q-group's kv head is selected by the BLOCK INDEX MAP, so
+    # the group-repeated K/V never materialize and the kv stream shrinks
+    # n_head/kv_heads-fold (consecutive q-groups sharing a kv head reuse the
+    # fetched block — the grid iterates q-blocks innermost).
+    gqa = kv_heads is not None and kv_heads != n_head
+    if gqa:
+        r = n_head // kv_heads
+        assert n_head % kv_heads == 0 and r % ppg == 0, \
+            (n_head, kv_heads, ppg)
+        k = k.reshape(B, Sk, kv_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, Sk, kv_heads, hd).transpose(0, 2, 1, 3)
+        rg = r // ppg  # q-groups per kv head
+        kv_spec = pl.BlockSpec((1, 1, Sk, hd),
+                               lambda b, g, qi, s: (b, g // rg, 0, 0))
+
     segmented = q_segments is not None
     seg_ops, seg_specs = [], []
     if segmented:
@@ -862,13 +889,15 @@ def _packed_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q, block_k,
         ]
 
     Gv = G
+    if not gqa:
+        kv_spec = pl.BlockSpec((1, Sk, lanes), lambda b, g, qi, s: (b, 0, g))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, G, Sq // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, lanes), lambda b, g, qi, s: (b, qi, g)),
-            pl.BlockSpec((1, Sk, lanes), lambda b, g, qi, s: (b, 0, g)),
-            pl.BlockSpec((1, Sk, lanes), lambda b, g, qi, s: (b, 0, g)),
+            kv_spec,
+            kv_spec,
             pl.BlockSpec((1, ppg, Sk),
                          lambda b, g, qi, s, G=Gv: (b * G + g, 0, 0)),
         ] + seg_specs,
@@ -881,7 +910,7 @@ def _packed_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q, block_k,
     out, lse = pl.pallas_call(
         functools.partial(_packed_fwd_kernel, scale=scale, causal=causal,
                           segmented=segmented, block_k=block_k, seq_k=Sk,
-                          hd=hd, ppg=ppg),
+                          hd=hd, ppg=ppg, kv_shared=gqa),
         out_shape=(jax.ShapeDtypeStruct((B, Sq, D), q.dtype),
                    jax.ShapeDtypeStruct((B * G, ppg, Sq), jnp.float32)),
         grid_spec=grid_spec,
@@ -890,6 +919,33 @@ def _packed_fwd_impl(q, k, v, bias, q_offset, scale, causal, block_q, block_k,
     if pad_q:
         out = out[:, :Sq0]
     return out, lse
+
+
+def bsd_gqa_supported(n_head, kv_heads, hd):
+    """flash_attention_bsd_gqa eligibility: every q sub-head in a 128-lane
+    group must map to the same kv head."""
+    ppg = _heads_per_group(hd)
+    return (kv_heads > 0 and n_head % kv_heads == 0
+            and (n_head // kv_heads) % ppg == 0)
+
+
+def flash_attention_bsd_gqa(q, k, v, bias, q_offset=0, q_segments=None,
+                            k_segments=None, n_head=1, kv_heads=1, scale=1.0,
+                            causal=True, block_q=DEFAULT_BLOCK_Q,
+                            block_k=DEFAULT_BLOCK_K, interpret=False):
+    """GQA-native flash_attention_bsd: k/v stay (B, Sk, kv_heads*hd).
+
+    The group-repeated K/V of the expansion path cost n_head/kv_heads x the
+    kv HBM stream (a tinyllama ctx4k prefill re-fetched 269 MB of expanded
+    kv per layer vs the 16.8 MB slab); here the kv head is selected by the
+    block index map and consecutive q-groups reuse the fetched block.
+    FORWARD-ONLY (no vjp) — inference paths; training keeps
+    flash_attention_bsd's expansion, whose backward accumulates dk/dv."""
+    assert bsd_gqa_supported(n_head, kv_heads, q.shape[-1] // n_head)
+    out, _ = _packed_fwd_impl(q, k, v, bias, q_offset, scale, causal,
+                              block_q, block_k, interpret, n_head,
+                              q_segments, k_segments, kv_heads=kv_heads)
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))

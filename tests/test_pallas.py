@@ -284,6 +284,65 @@ class TestFlashBsdSegments:
                                    rtol=1e-4, atol=1e-5)
 
 
+class TestBsdGqa:
+    """flash_attention_bsd_gqa (GQA-native kv blocks) vs the expansion path."""
+
+    def _mk(self, seed=0, B=2, S=48, H=8, Hkv=2, hd=32):
+        rs = np.random.RandomState(seed)
+        q = jnp.asarray(rs.randn(B, S, H * hd).astype(np.float32))
+        k = jnp.asarray(rs.randn(B, S, Hkv * hd).astype(np.float32))
+        v = jnp.asarray(rs.randn(B, S, Hkv * hd).astype(np.float32))
+        bias = jnp.asarray(rs.randn(B, 1, S).astype(np.float32)) * 0.1
+        return q, k, v, bias, H, Hkv, hd
+
+    def test_matches_expanded(self):
+        from cleantransformer_tpu.ops.pallas_kernels import (
+            bsd_gqa_supported, flash_attention_bsd_gqa)
+        q, k, v, bias, H, Hkv, hd = self._mk()
+        assert bsd_gqa_supported(H, Hkv, hd)
+        B, S, _ = q.shape
+        g = H // Hkv
+        got = flash_attention_bsd_gqa(q, k, v, bias, 0, n_head=H,
+                                      kv_heads=Hkv, scale=0.2, causal=True,
+                                      block_q=16, block_k=16, interpret=True)
+        k_e = jnp.repeat(k.reshape(B, S, Hkv, hd), g, axis=2).reshape(
+            B, S, H * hd)
+        v_e = jnp.repeat(v.reshape(B, S, Hkv, hd), g, axis=2).reshape(
+            B, S, H * hd)
+        want = flash_attention_bsd(q, k_e, v_e, bias, 0, n_head=H, scale=0.2,
+                                   causal=True, block_q=16, block_k=16,
+                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_cache_offset(self):
+        from cleantransformer_tpu.ops.pallas_kernels import (
+            flash_attention_bsd_gqa)
+        # queries at a nonzero cache offset over a longer key buffer
+        q, k, v, bias, H, Hkv, hd = self._mk(seed=1)
+        B, S, _ = q.shape
+        g = H // Hkv
+        q8 = q[:, :16]
+        got = flash_attention_bsd_gqa(q8, k, v, bias, 13, n_head=H,
+                                      kv_heads=Hkv, scale=0.2, causal=True,
+                                      block_q=16, block_k=16, interpret=True)
+        k_e = jnp.repeat(k.reshape(B, S, Hkv, hd), g, axis=2).reshape(
+            B, S, H * hd)
+        v_e = jnp.repeat(v.reshape(B, S, Hkv, hd), g, axis=2).reshape(
+            B, S, H * hd)
+        want = flash_attention_bsd(q8, k_e, v_e, bias, 13, n_head=H,
+                                   scale=0.2, causal=True, block_q=16,
+                                   block_k=16, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_eligibility(self):
+        from cleantransformer_tpu.ops.pallas_kernels import bsd_gqa_supported
+        assert bsd_gqa_supported(32, 4, 64)      # tinyllama: r=8, ppg=2
+        assert not bsd_gqa_supported(8, 8, 64) or (8 // 8) % 2 == 0
+        assert not bsd_gqa_supported(6, 4, 64)   # H not a multiple of Hkv
+
+
 class TestFusedLayerNorm:
     def test_matches_layer_norm(self):
         rs = np.random.RandomState(0)
