@@ -797,6 +797,78 @@ def bench_serving_lookup_machinery(model, name, vocab, n_requests=24,
             "speedup_at_full_acceptance": round(tps / base_tps, 2)})
 
 
+def bench_serving_lookup_adversarial(model, name, vocab, n_requests=24,
+                                     max_slots=24, max_len=256, n_new=64,
+                                     depth=8, K=8):
+    """AUTO-FALLBACK under adversarial traffic (VERDICT r4 #4 'done'
+    criterion): random-init llama greedy streams have ZERO n-gram
+    repetition, so prompt-lookup commits ~1 token/round while a verify
+    round costs 1.32-1.77 plain steps — a lookup engine WITHOUT fallback
+    runs that factor slower than plain. With auto-fallback (default
+    lookup_round_cost) the tokens-per-round EMA detects the dead workload
+    after the first harvests and decode waves revert to plain chunks
+    (re-probing every lookup_reprobe_every waves), recovering >=0.95x the
+    plain engine. Three engines, identical workload: plain / lookup with
+    fallback DISABLED (lookup_round_cost=0) / lookup with fallback."""
+    from cleantransformer_tpu.serving import ServingEngine
+    rs = np.random.RandomState(0)
+    prompts = [rs.randint(1, vocab, (int(n),)).tolist()
+               for n in rs.randint(8, 64, n_requests)]
+
+    def run_engine(spec, round_cost=None):
+        kw = {}
+        if round_cost is not None:
+            kw["lookup_round_cost"] = round_cost
+        eng = ServingEngine(model, max_slots=max_slots, max_len=max_len,
+                            prefill_buckets=(64,),
+                            chunk_size=(8 if spec else 64),
+                            pipeline="serial", max_dispatch_depth=depth,
+                            speculative=("lookup" if spec else None),
+                            draft_len=K, **kw)
+        eng.submit(prompts[0], max_new_tokens=4)   # compile warmup
+        list(eng.run())
+        eng.fetches = 0
+        plen = {eng.submit(p_, max_new_tokens=n_new): len(p_)
+                for p_ in prompts}
+        t0 = time.perf_counter()
+        done = list(eng.run())
+        dt = time.perf_counter() - t0
+        gen_tokens = sum(len(t) - plen[rid] for rid, t in done)
+        return gen_tokens / dt, dt, eng
+
+    plain_tps, _, _ = run_engine(False)
+    naive_tps, _, _ = run_engine(True, round_cost=0.0)   # fallback disabled
+    tps, dt, eng = run_engine(True)                      # fallback on
+    record(name, tps, "generated tokens/s (adversarial, fallback on)",
+           {"requests": n_requests, "slots": max_slots, "draft_len": K,
+            "wall_s": round(dt, 2), "fetches": eng.fetches,
+            "plain_engine_tokens_per_sec": round(plain_tps, 1),
+            "lookup_no_fallback_tokens_per_sec": round(naive_tps, 1),
+            "vs_plain": round(tps / plain_tps, 2),
+            "no_fallback_vs_plain": round(naive_tps / plain_tps, 2),
+            "plain_steps": int(eng._psteps),
+            "lookup_rounds": int(eng._lrounds)})
+
+
+def bench_adversarial_serving():
+    """Zero-arg wrapper for the selective runner: the tinyllama-1.1B int8
+    adversarial auto-fallback line (same model config as main())."""
+    from cleantransformer_tpu.config import LlamaConfig
+    from cleantransformer_tpu.models.llama import LlamaForCausalLM
+    cfg = LlamaConfig(vocab_size=32000, hidden_size=2048,
+                      intermediate_size=5632, num_hidden_layers=22,
+                      num_attention_heads=32, num_key_value_heads=4,
+                      max_position_embeddings=2048,
+                      compute_dtype="bfloat16", decode_unroll=22,
+                      decode_head_major=True, quantize_int8=True)
+    m = LlamaForCausalLM(cfg, rng=jax.random.PRNGKey(0))
+    bench_serving_lookup_adversarial(
+        m, "tinyllama_1.1B_serving_lookup_adversarial_int8", 32000)
+    del m
+    import gc
+    gc.collect()
+
+
 def bench_prompt_lookup_batched(model, name, vocab, B=8, gen=128, K=8):
     """b8 prompt-lookup vs plain b8 greedy on a repetitive continuation
     (per-row matching/acceptance — VERDICT r2 item 9). The workload is the
@@ -964,6 +1036,70 @@ def bench_swa_long_context():
            {"dense_ms": round(t_dense * 1e3, 1),
             "speedup_vs_dense": round(t_dense / t_flash, 2)})
     import gc
+    gc.collect()
+
+
+def bench_llama_longcontext():
+    """tinyllama-1.1B-class LONG-CONTEXT decode (VERDICT r4 #1/#6): the
+    bf16 head-major slab (XLA attention, measured at the HBM roofline) vs
+    the int8 head-major slab streamed by the blocked GQA pallas kernel
+    (ops/gqa_decode.py — int8 cache bytes read exactly once, dequant on the
+    VMEM side; XLA int8 attention loses the saving to materialized convert
+    buffers). Weights int8 in both so the cache stream is the variable.
+    decode_only_step_ms (two-point slope) is the honest long-context
+    number; per_step_ms folds prefill amortization over gen=64."""
+    from cleantransformer_tpu.config import LlamaConfig
+    from cleantransformer_tpu.models.llama import LlamaForCausalLM
+    base = dict(vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+                num_hidden_layers=22, num_attention_heads=32,
+                num_key_value_heads=4, max_position_embeddings=8192,
+                compute_dtype="bfloat16", decode_unroll=22,
+                decode_head_major=True, use_flash_attention=True,
+                quantize_int8=True)
+    m = LlamaForCausalLM(LlamaConfig(**base), rng=jax.random.PRNGKey(0))
+    bench_decode(m, "tinyllama_ctx4k_b8_int8w_headmajor", 8, 4096, 64,
+                 32000, two_point=True)
+    bench_decode(m, "tinyllama_ctx8k_b8_int8w_headmajor", 8, 8000, 64,
+                 32000, two_point=True)
+    q = LlamaForCausalLM(LlamaConfig(**{**base, "kv_cache_int8": True}),
+                         params=m.params)
+    del m
+    import gc
+    gc.collect()
+    bench_decode(q, "tinyllama_ctx4k_b8_int8w_int8kv_blocked", 8, 4096, 64,
+                 32000, two_point=True)
+    bench_decode(q, "tinyllama_ctx8k_b8_int8w_int8kv_blocked", 8, 8000, 64,
+                 32000, two_point=True)
+    del q
+    gc.collect()
+
+
+def bench_mistral_swa_ring_decode():
+    """Mistral-class sliding-window DECODE (VERDICT r4 #1b): 8k prompt,
+    window 4096. The ring cache (config.swa_ring_cache) keeps only ~window
+    rows (write at pos % rows), so cache memory AND the per-step cache
+    stream are window-bounded; the full-buffer path allocates/streams every
+    position and only masks out-of-window keys. int8 weights, bf16
+    head-major cache in both (ring doesn't compose with int8 KV)."""
+    from cleantransformer_tpu.config import LlamaConfig
+    from cleantransformer_tpu.models.llama import LlamaForCausalLM
+    base = dict(vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+                num_hidden_layers=22, num_attention_heads=32,
+                num_key_value_heads=4, max_position_embeddings=16384,
+                sliding_window=4096, compute_dtype="bfloat16",
+                decode_unroll=22, decode_head_major=True,
+                use_flash_attention=True, quantize_int8=True)
+    full = LlamaForCausalLM(LlamaConfig(**base), rng=jax.random.PRNGKey(0))
+    bench_decode(full, "mistral_swa_ctx8k_b8_int8w_fullbuffer", 8, 8192, 64,
+                 32000, two_point=True)
+    ring = LlamaForCausalLM(LlamaConfig(**base, swa_ring_cache=True),
+                            params=full.params)
+    del full
+    import gc
+    gc.collect()
+    bench_decode(ring, "mistral_swa_ctx8k_b8_int8w_ring", 8, 8192, 64,
+                 32000, two_point=True)
+    del ring
     gc.collect()
 
 
@@ -1179,6 +1315,11 @@ def main():
     # family approaches tokens_per_round x (forced-acceptance ceiling here)
     bench_serving_lookup_machinery(
         qlmodel, "tinyllama_1.1B_serving_lookup_machinery_int8", 32000)
+    # round 5: auto-fallback — random-init llama traffic has zero n-gram
+    # repetition, the worst case for lookup; the EMA must detect it and
+    # revert waves to plain chunks (>=0.95x plain vs ~1/1.3-1.8x without)
+    bench_serving_lookup_adversarial(
+        qlmodel, "tinyllama_1.1B_serving_lookup_adversarial_int8", 32000)
     del qlmodel
     _gc.collect()
 
@@ -1269,6 +1410,9 @@ def main():
     import gc
     del model, bmodel, draft2  # qmodel/lmodel freed right after their benches
     gc.collect()
+
+    bench_llama_longcontext()
+    bench_mistral_swa_ring_decode()
 
     bench_sft_step(use_flash=True)
     bench_sft_step(use_flash=False)
@@ -1432,4 +1576,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1:
+        # selective run: `python bench_suite.py bench_llama_longcontext ...`
+        # runs only the named zero-arg bench functions and APPENDS their
+        # json lines to BENCH_DETAILS.md (the full run rewrites the file)
+        for fn_name in sys.argv[1:]:
+            globals()[fn_name]()
+        with open("/root/repo/BENCH_DETAILS.md", "a") as f:
+            for r in RESULTS:
+                f.write(json.dumps(r) + "\n")
+    else:
+        main()

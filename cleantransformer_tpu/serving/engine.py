@@ -519,10 +519,11 @@ def _decode_chunk_lookup(params, config, forward, state, n_rounds, K, ngram,
     state = jax.lax.fori_loop(0, n_rounds, body, state)
     # restore the mask == (col < lengths) invariant ONCE per chunk, not per
     # round: nothing inside the loop reads it (the verify forward builds its
-    # own (col < n + K) window mask, and _decode_chunk — the only decode-time
-    # mask reader — never runs when speculative='lookup'). Unconditional is
-    # exact: admitted rows already satisfy the invariant and virgin rows have
-    # lengths == 0 == all-zero mask.
+    # own (col < n + K) window mask). _decode_chunk — the only decode-time
+    # mask reader — runs between lookup chunks only in auto-fallback waves,
+    # which see the restored invariant. Unconditional is exact: admitted
+    # rows already satisfy the invariant and virgin rows have lengths == 0
+    # == all-zero mask.
     state["mask"] = (col < state["lengths"][:, None]).astype(jnp.int32)
     results = jnp.concatenate([
         state["lengths"], state["prompt_len"], state["active"],
@@ -697,7 +698,8 @@ class ServingEngine:
                  do_sample=False, temperature=1.0, top_k=10, top_p=0.8,
                  end_ids=None, rng=None, mesh=None, pipeline="overlap",
                  max_dispatch_depth=1, speculative=None, draft_len=8,
-                 lookup_ngram=2):
+                 lookup_ngram=2, lookup_round_cost=1.5,
+                 lookup_reprobe_every=8):
         # speculative="lookup": every decode chunk runs ``chunk_size``
         # prompt-lookup speculation ROUNDS instead of single-token steps —
         # each round proposes draft_len tokens per slot from its own
@@ -717,6 +719,19 @@ class ServingEngine:
         self.speculative = speculative
         self.draft_len = int(draft_len)
         self.lookup_ngram = int(lookup_ngram)
+        # AUTO-FALLBACK (lookup mode): a verify round costs
+        # ``lookup_round_cost`` plain decode steps on this toolchain
+        # (measured 1.32-1.77, BENCH_DETAILS lookup_machinery lines), so on
+        # non-repetitive traffic committing ~1 token/round a lookup engine
+        # would run that factor SLOWER than plain. When the tokens-per-round
+        # EMA drops below the round cost, dispatch waves revert to PLAIN
+        # decode chunks; every ``lookup_reprobe_every`` fallback waves one
+        # lookup wave re-probes the workload (its harvest refreshes the EMA,
+        # so a workload that turns repetitive again is re-detected at
+        # bounded cost: ~1/reprobe_every of the fallback waves).
+        self.lookup_round_cost = float(lookup_round_cost)
+        self.lookup_reprobe_every = max(1, int(lookup_reprobe_every))
+        self._since_probe = 0
         # mesh: serve a tensor-parallel-sharded model — pass params already
         # sharded (parallel.shard_params) and the mesh; the engine traces its
         # programs under it so the in-model shard_hints partition attention
@@ -871,6 +886,17 @@ class ServingEngine:
                      else max(1.0, (self.draft_len + 1) / 2))
         self._last_exact = np.zeros(max_slots, np.int64)
         self._last_exact_chunk = np.zeros(max_slots, np.int64)
+        # cumulative LOOKUP rounds / PLAIN steps dispatched (fallback mode
+        # mixes both): the tpr sample for a harvest span is
+        # (dn - d_plain_steps) / d_lookup_rounds — an active row commits
+        # exactly 1 token per plain step, so the plain contribution
+        # subtracts out exactly. _counts_at snapshots the counters per
+        # dispatched chunk (pruned at harvest; pipelining lags one wave).
+        self._lrounds = 0
+        self._psteps = 0
+        self._counts_at = {}
+        self._last_lr = np.zeros(max_slots, np.int64)
+        self._last_ps = np.zeros(max_slots, np.int64)
         # prefix cache (register_prefix): handle -> precomputed device KV +
         # token row for a shared prompt prefix; _prefix_of maps queued rids
         # to their matched (handle, matched_len)
@@ -1126,6 +1152,8 @@ class ServingEngine:
             self._est_limit[slot] = len(req.prompt) + req.max_new_tokens
             self._last_exact[slot] = self._est_len[slot]
             self._last_exact_chunk[slot] = self._chunk_no
+            self._last_lr[slot] = self._lrounds
+            self._last_ps[slot] = self._psteps
 
     def _admit_wave(self, wave):
         """One `_prefill_batch` program admitting every (req, slot) pair."""
@@ -1190,6 +1218,8 @@ class ServingEngine:
         self._est_limit[slot] = total + req.max_new_tokens
         self._last_exact[slot] = self._est_len[slot]
         self._last_exact_chunk[slot] = self._chunk_no
+        self._last_lr[slot] = self._lrounds
+        self._last_ps[slot] = self._psteps
 
     def _harvest(self, pending):
         """Fetch and apply a decode chunk's packed results (one device_get —
@@ -1216,14 +1246,22 @@ class ServingEngine:
             if self.speculative:
                 # tokens-per-round sample over the harvested span; only
                 # rows still active sampled (a row frozen mid-span would
-                # bias the rate low — conservative is fine, but noisy)
-                dr = (chunk_no - self._last_exact_chunk[slot]) \
-                    * self.chunk_size
-                dn = int(lengths[slot]) - int(self._last_exact[slot])
-                if dr > 0 and dn > 0 and active[slot] == 1:
-                    tpr_samples.append(dn / dr)
+                # bias the rate low — conservative is fine, but noisy).
+                # Fallback waves mix PLAIN chunks into the span: an active
+                # row commits exactly 1 token per plain step, so the plain
+                # contribution subtracts out and the sample measures only
+                # the lookup rounds.
+                lr_now, ps_now = self._counts_at.get(
+                    chunk_no, (self._lrounds, self._psteps))
+                dlr = lr_now - int(self._last_lr[slot])
+                dn = (int(lengths[slot]) - int(self._last_exact[slot])
+                      - (ps_now - int(self._last_ps[slot])))
+                if dlr > 0 and dn > 0 and active[slot] == 1:
+                    tpr_samples.append(dn / dlr)
                 self._last_exact[slot] = int(lengths[slot])
                 self._last_exact_chunk[slot] = chunk_no
+                self._last_lr[slot] = lr_now
+                self._last_ps[slot] = ps_now
             if rid in self.streamers:
                 self.streamers[rid](
                     tokens[slot, prompt_len[slot]:lengths[slot]].copy())
@@ -1240,6 +1278,9 @@ class ServingEngine:
             # acceptance and mis-size the adaptive dispatch depth
             self._tpr = 0.5 * self._tpr + 0.5 * max(
                 1.0, sum(tpr_samples) / len(tpr_samples))
+        if self.speculative:
+            self._counts_at = {c: v for c, v in self._counts_at.items()
+                               if c > chunk_no}
         return out
 
     def step(self):
@@ -1282,11 +1323,12 @@ class ServingEngine:
         if free and self.queue:
             self._admit(free)
 
-    def _depth(self):
+    def _depth(self, rate=None):
         """Adaptive dispatch depth: enough chunks to (by host estimate)
         finish the earliest-finishing occupied slot, so one result fetch
         covers its whole remaining generation; capped at
-        max_dispatch_depth."""
+        max_dispatch_depth. ``rate`` = expected tokens per chunk unit
+        (1.0 for plain steps, the tpr EMA for lookup rounds)."""
         if self.max_dispatch_depth <= 1:
             return 1
         occ = [s for s, r in enumerate(self.slot_rid) if r is not None]
@@ -1294,7 +1336,8 @@ class ServingEngine:
             return 1
         rem = min(int(self._est_limit[s] - self._est_len[s]) for s in occ)
         # lookup mode: rem TOKENS take ~rem/_tpr verify ROUNDS
-        rounds = -(-max(rem, 1) // max(self._tpr, 1.0))
+        rounds = -(-max(rem, 1) // max(rate if rate is not None
+                                       else self._tpr, 1.0))
         return int(np.clip(-(-rounds // self.chunk_size),
                            1, self.max_dispatch_depth))
 
@@ -1305,8 +1348,22 @@ class ServingEngine:
         if not any(r is not None for r in self.slot_rid):
             return None
         results = None
-        for _ in range(self._depth()):
-            if self.speculative == "lookup":
+        # auto-fallback (lookup mode): when the tokens-per-round EMA says a
+        # verify round no longer pays for its lookup_round_cost plain steps,
+        # this WAVE runs plain decode chunks instead; every
+        # lookup_reprobe_every fallback waves a depth-1 lookup wave
+        # re-probes (its harvest refreshes the EMA)
+        lookup_wave = self.speculative == "lookup"
+        probing = False
+        if lookup_wave and self._tpr < self.lookup_round_cost:
+            probing = self._since_probe >= self.lookup_reprobe_every
+            lookup_wave = probing
+        if self.speculative == "lookup":
+            self._since_probe = 0 if lookup_wave else self._since_probe + 1
+        rate = self._tpr if lookup_wave else 1.0
+        depth = 1 if probing else self._depth(rate)
+        for _ in range(depth):
+            if lookup_wave:
                 # chunk_size speculation ROUNDS: 1..draft_len+1 tokens each
                 # per row (the host-side est_len advance below uses the EMA
                 # tokens-per-round estimate; each harvest refreshes it to
@@ -1325,7 +1382,14 @@ class ServingEngine:
                     end_ids=self.end_ids, needs_positions=self.needs_positions)
             self.steps += self.chunk_size
             self._chunk_no += 1
-            adv = int(round(self.chunk_size * self._tpr))
+            if lookup_wave:
+                self._lrounds += self.chunk_size
+            else:
+                self._psteps += self.chunk_size
+            if self.speculative:
+                self._counts_at[self._chunk_no] = (self._lrounds,
+                                                   self._psteps)
+            adv = int(round(self.chunk_size * rate))
             for s, r in enumerate(self.slot_rid):
                 if r is not None:
                     self._est_len[s] = min(self._est_len[s] + adv,

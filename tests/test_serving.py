@@ -522,6 +522,74 @@ def test_lookup_sampling_topk1_equals_greedy(gpt):
             err_msg=f"prompt={prompt}")
 
 
+def test_lookup_auto_fallback_parity_and_reprobe(gpt):
+    """AUTO-FALLBACK: when the tokens-per-round EMA drops below
+    lookup_round_cost (a verify round's measured price in plain decode
+    steps), dispatch waves revert to PLAIN decode chunks, with one depth-1
+    lookup wave every lookup_reprobe_every fallback waves re-probing the
+    workload. Forced here with an impossibly high round cost so the FIRST
+    post-EMA wave falls back regardless of traffic: outputs must stay
+    bit-identical to generate() (plain chunks run on the lookup engine's
+    wider buffers/state), plain chunks must actually run, and re-probe
+    lookup waves must keep firing."""
+    vocab = gpt.config.vocab_size
+    prompts = _prompts(vocab, seed=77)
+    eng = ServingEngine(gpt, max_slots=2, max_len=64, prefill_buckets=(16,),
+                        chunk_size=2, speculative="lookup", draft_len=4,
+                        lookup_round_cost=1e9, lookup_reprobe_every=2)
+    rids = {eng.submit(p, max_new_tokens=12): p for p in prompts}
+    results = dict(eng.run())
+    assert set(results) == set(rids)
+    for rid, prompt in rids.items():
+        np.testing.assert_array_equal(
+            results[rid], ref_greedy(gpt, prompt, 12),
+            err_msg=f"prompt={prompt}")
+    assert eng._psteps > 0, "fallback never engaged"
+    assert eng._lrounds > 0, "re-probe lookup waves never fired"
+    assert eng.utilization() == 0.0
+
+
+def test_lookup_auto_fallback_zero_cost_stays_lookup(gpt):
+    """lookup_round_cost=0 disables fallback (the EMA can never go below
+    it): every dispatched chunk must be a lookup round and the stream must
+    match generate() — pins the pure-lookup path through the new wave
+    bookkeeping (_lrounds/_psteps/_counts_at)."""
+    vocab = gpt.config.vocab_size
+    prompts = _prompts(vocab, seed=51)[:3]
+    eng = ServingEngine(gpt, max_slots=2, max_len=64, prefill_buckets=(16,),
+                        chunk_size=2, speculative="lookup", draft_len=4,
+                        lookup_round_cost=0.0)
+    rids = {eng.submit(p, max_new_tokens=12): p for p in prompts}
+    results = dict(eng.run())
+    for rid, prompt in rids.items():
+        np.testing.assert_array_equal(
+            results[rid], ref_greedy(gpt, prompt, 12),
+            err_msg=f"prompt={prompt}")
+    assert eng._psteps == 0
+    assert eng._lrounds == eng.steps
+
+
+def test_lookup_auto_fallback_sampling_topk1(gpt):
+    """Fallback waves under SAMPLING: plain chunks use the per-row
+    categorical sampler, lookup waves the rejection sampler — at top_k=1
+    both collapse to greedy, so a forced-fallback engine mixing the two
+    must still reproduce the greedy stream exactly."""
+    vocab = gpt.config.vocab_size
+    prompts = _prompts(vocab, seed=77)[:4]
+    eng = ServingEngine(gpt, max_slots=2, max_len=64, prefill_buckets=(16,),
+                        chunk_size=2, speculative="lookup", draft_len=4,
+                        lookup_round_cost=1e9, lookup_reprobe_every=2)
+    rids = {eng.submit(p, max_new_tokens=10, do_sample=(i % 2 == 0),
+                       top_k=1, temperature=0.7): p
+            for i, p in enumerate(prompts)}
+    results = dict(eng.run())
+    for rid, prompt in rids.items():
+        np.testing.assert_array_equal(
+            results[rid], ref_greedy(gpt, prompt, 10),
+            err_msg=f"prompt={prompt}")
+    assert eng._psteps > 0
+
+
 def test_verify_commit_distribution():
     """_verify_commit marginal exactness: over many iid rows with identical
     logits and (deliberately imperfect) point-mass proposals, the FIRST
