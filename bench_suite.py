@@ -264,6 +264,108 @@ def bench_llama_sft(use_flash=True):
             "params_millions": round(n_params / 1e6, 1)})
 
 
+def _llama_sft_time(cfg, B, S, accum=1, remat="dots_attn"):
+    """One llama-family AdamW train-step timing (donated params+opt, remat,
+    fused program). accum > 1 scans ``accum`` microbatches of B rows inside
+    the jitted step (fp32 grad accumulation, mean-reduced). Returns
+    (seconds, n_params)."""
+    from cleantransformer_tpu.models.llama import (LlamaForCausalLM,
+                                                   llama_lm_forward)
+    model = LlamaForCausalLM(cfg, rng=jax.random.PRNGKey(0))
+    model._tie_weight()
+    n_params = count_params(model.params)
+    init_fn, update_fn = adamw_decoupled(lr=1e-5)
+    opt_state = init_fn(model.params)
+    rs = np.random.RandomState(0)
+    shape = (accum, B, S) if accum > 1 else (B, S)
+    ids = jnp.asarray(rs.randint(0, cfg.vocab_size, shape), jnp.int32)
+
+    def loss_fn(params, ids_):
+        (loss, _, _), _ = llama_lm_forward(params, cfg, ids_,
+                                           jnp.ones_like(ids_), labels=ids_,
+                                           remat=remat)
+        return loss
+
+    if accum == 1:
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, ids_):
+            loss, grads = jax.value_and_grad(loss_fn)(params, ids_)
+            params, opt_state = update_fn(grads, opt_state, params)
+            return params, opt_state, loss
+    else:
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, ids_):
+            def micro(acc, mb):
+                loss, grads = jax.value_and_grad(loss_fn)(params, mb)
+                return jax.tree_util.tree_map(jnp.add, acc, grads), loss
+            zero = jax.tree_util.tree_map(
+                lambda x: jnp.zeros_like(x)
+                if jnp.issubdtype(x.dtype, jnp.floating) else None, params)
+            grads, losses = jax.lax.scan(micro, zero, ids_)
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+            params, opt_state = update_fn(grads, opt_state, params)
+            return params, opt_state, losses.mean()
+
+    params = model.params
+    params, opt_state, loss = step(params, opt_state, ids)
+    float(loss)  # sync fetch — block_until_ready doesn't sync on axon
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        params, opt_state, loss = step(params, opt_state, ids)
+        float(loss)
+        times.append(time.perf_counter() - t0)
+    return max(min(times) - host_rtt(), 1e-9), n_params
+
+
+def bench_training_scale():
+    """Training beyond the b8/s1024 comfort zone (VERDICT r4 #5): a seq-2048
+    line (flash + remat regime where attention FLOPs quadruple per row), a
+    grad-accum line (4 x b2 microbatches scanned inside one jitted step —
+    same tokens as the b8 baseline, so overhead = accumulation cost), and a
+    1.1B-class (tinyllama-shape) step at the edge of the 16 GB chip
+    (fp32 master params + AdamW m/v = 13.2 GB; fused_ce never materializes
+    the (B, S, V) logits)."""
+    from cleantransformer_tpu.config import LlamaConfig
+    import gc
+    l360 = dict(vocab_size=32000, hidden_size=1280, intermediate_size=3456,
+                num_hidden_layers=16, num_attention_heads=10,
+                num_key_value_heads=10, max_position_embeddings=4096,
+                compute_dtype="bfloat16", use_flash_attention=True)
+
+    dt, n = _llama_sft_time(LlamaConfig(**l360), B=4, S=2048)
+    flops = transformer_flops(n, 2048, 1280, 16) * 4 * 2048
+    record("llama360m_sft_step_time_s2048", dt * 1e3,
+           "ms (batch=4, seq=2048, bf16, flash+dots_attn remat)",
+           {"tokens_per_sec": round(4 * 2048 / dt, 1),
+            "mfu": round(flops / dt / device_peak_flops(), 3),
+            "params_millions": round(n / 1e6, 1)})
+    gc.collect()
+
+    dt, n = _llama_sft_time(LlamaConfig(**l360), B=2, S=1024, accum=4)
+    flops = transformer_flops(n, 1024, 1280, 16) * 8 * 1024
+    record("llama360m_sft_step_time_accum4x2", dt * 1e3,
+           "ms (4 accum microbatches x batch=2, seq=1024, bf16)",
+           {"tokens_per_sec": round(8 * 1024 / dt, 1),
+            "mfu": round(flops / dt / device_peak_flops(), 3),
+            "params_millions": round(n / 1e6, 1)})
+    gc.collect()
+
+    t11 = dict(vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+               num_hidden_layers=22, num_attention_heads=32,
+               num_key_value_heads=4, max_position_embeddings=2048,
+               compute_dtype="bfloat16", use_flash_attention=True,
+               fused_ce=True)
+    dt, n = _llama_sft_time(LlamaConfig(**t11), B=4, S=1024)
+    flops = transformer_flops(n, 1024, 2048, 22) * 4 * 1024
+    record("tinyllama1.1B_sft_step_time", dt * 1e3,
+           "ms (batch=4, seq=1024, bf16, flash+dots_attn remat, fused_ce)",
+           {"tokens_per_sec": round(4 * 1024 / dt, 1),
+            "mfu": round(flops / dt / device_peak_flops(), 3),
+            "params_millions": round(n / 1e6, 1)})
+    gc.collect()
+
+
 def _sim_lookup_tokens_per_round(stream, S0, K, ngram=2):
     """Host-side simulation of _prompt_lookup_loop's matcher on a greedy
     stream (greedy is deterministic, so the simulated acceptance is EXACT
@@ -1103,6 +1205,51 @@ def bench_mistral_swa_ring_decode():
     gc.collect()
 
 
+def bench_moe_decode():
+    """Mixtral-class MoE DECODE + serving (VERDICT r4 #3): ragged vs dense
+    dispatch at S==1 (with B*k replicas spread over E experts nearly every
+    expert is hit, so both stream all expert bytes — the question is
+    whether ragged's sort/gather overhead beats dense's E/k overcompute at
+    8-32 tokens), and int8 expert weights (ops/quant.py quantizes the
+    (L, E, D, I) stacks; the dequant rides the dispatch dots, so decode
+    streams half the expert bytes). ~880M expert params: decode is
+    weight-streaming-bound exactly like the dense tinyllama bench."""
+    from cleantransformer_tpu.config import MixtralConfig
+    from cleantransformer_tpu.models.llama import LlamaForCausalLM
+    from cleantransformer_tpu.serving import ServingEngine
+    import gc
+    base = dict(vocab_size=32000, hidden_size=1024, intermediate_size=3584,
+                num_hidden_layers=8, num_attention_heads=16,
+                num_key_value_heads=4, max_position_embeddings=2048,
+                num_local_experts=8, num_experts_per_tok=2,
+                compute_dtype="bfloat16", decode_unroll=8,
+                decode_head_major=True)
+    m = LlamaForCausalLM(MixtralConfig(**base, moe_impl="dense"),
+                         rng=jax.random.PRNGKey(0))
+    bench_decode(m, "mixtral8x_decode_b8_bf16_dense", 8, 32, 128, 32000)
+    r = LlamaForCausalLM(MixtralConfig(**base, moe_impl="ragged"),
+                         params=m.params)
+    del m
+    gc.collect()
+    bench_decode(r, "mixtral8x_decode_b8_bf16_ragged", 8, 32, 128, 32000)
+    qd = LlamaForCausalLM(
+        MixtralConfig(**base, moe_impl="dense", quantize_int8=True),
+        params=r.params)
+    bench_decode(qd, "mixtral8x_decode_b8_int8_dense", 8, 32, 128, 32000)
+    qr = LlamaForCausalLM(
+        MixtralConfig(**base, moe_impl="ragged", quantize_int8=True),
+        params=r.params)
+    del r, qd
+    gc.collect()
+    bench_decode(qr, "mixtral8x_decode_b8_int8_ragged", 8, 32, 128, 32000)
+    bench_decode(qr, "mixtral8x_decode_b32_int8_ragged", 32, 32, 128, 32000)
+    # production-serving datapoint on the quantized ragged path
+    bench_serving(qr, "mixtral8x_serving_tokens_per_sec_int8", 32000,
+                  max_slots=24, chunk_size=64)
+    del qr
+    gc.collect()
+
+
 def bench_speculative(model, draft, name, vocab, gen=128, K=4):
     """Batch-1 latency with speculative decoding vs plain greedy. With an
     untrained draft the acceptance rate has no meaning; the self-draft
@@ -1413,6 +1560,7 @@ def main():
 
     bench_llama_longcontext()
     bench_mistral_swa_ring_decode()
+    bench_moe_decode()
 
     bench_sft_step(use_flash=True)
     bench_sft_step(use_flash=False)
@@ -1583,7 +1731,9 @@ if __name__ == "__main__":
         for fn_name in sys.argv[1:]:
             globals()[fn_name]()
         with open("/root/repo/BENCH_DETAILS.md", "a") as f:
+            f.write("\n```\n")
             for r in RESULTS:
                 f.write(json.dumps(r) + "\n")
+            f.write("```\n")
     else:
         main()

@@ -603,34 +603,35 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
             # modeling_bloom.py:309-331, so one (B, T, H) plane serves every
             # query); the kernel owns causality.
             from cleantransformer_tpu.ops.fused_decode import (
-                fused_decode_window, table_bytes, window_fits_vmem)
+                fused_decode_blocked_window, fused_decode_window,
+                table_bytes, window_fits_vmem)
             from cleantransformer_tpu.ops.pallas_kernels import should_interpret
             D = h.shape[-1]
             Hh = config.n_head
             hd = D // Hh
             cbytes = 1 if isinstance(kbuf, dict) else kbuf.dtype.itemsize
+            ab = jnp.broadcast_to(alibi_bias[:, :, 0, :], (B, Hh, T))
+            pad_bt = jnp.where(attention_mask != 0, 0.0,
+                               jnp.finfo(jnp.float32).min)         # (B, T)
+            blocks = params["blocks"]
+            stack = {
+                "ln1w": blocks["input_layernorm"]["w"],
+                "ln1b": blocks["input_layernorm"]["b"],
+                "wqkv": params["qkv_fused"]["w"],
+                "bqkv": params["qkv_fused"]["b"],
+                "wproj": blocks["self_attention"]["dense"]["w"],
+                "bproj": blocks["self_attention"]["dense"]["b"],
+                "ln2w": blocks["post_attention_layernorm"]["w"],
+                "ln2b": blocks["post_attention_layernorm"]["b"],
+                "wfc": blocks["mlp"]["dense_h_to_4h"]["w"],
+                "bfc": blocks["mlp"]["dense_h_to_4h"]["b"],
+                "wfc2": blocks["mlp"]["dense_4h_to_h"]["w"],
+                "bfc2": blocks["mlp"]["dense_4h_to_h"]["b"],
+            }
             if window_fits_vmem(S, B, T, D, 4 * D, Hh, cache_bytes=cbytes,
                                 kv_int8=isinstance(kbuf, dict)):
-                ab = jnp.broadcast_to(alibi_bias[:, :, 0, :], (B, Hh, T))
-                pad_bt = jnp.where(attention_mask != 0, 0.0,
-                                   jnp.finfo(jnp.float32).min)     # (B, T)
                 bias = (pad_bt[:, :, None]
                         + jnp.transpose(ab, (0, 2, 1))).astype(jnp.float32)
-                blocks = params["blocks"]
-                stack = {
-                    "ln1w": blocks["input_layernorm"]["w"],
-                    "ln1b": blocks["input_layernorm"]["b"],
-                    "wqkv": params["qkv_fused"]["w"],
-                    "bqkv": params["qkv_fused"]["b"],
-                    "wproj": blocks["self_attention"]["dense"]["w"],
-                    "bproj": blocks["self_attention"]["dense"]["b"],
-                    "ln2w": blocks["post_attention_layernorm"]["w"],
-                    "ln2b": blocks["post_attention_layernorm"]["b"],
-                    "wfc": blocks["mlp"]["dense_h_to_4h"]["w"],
-                    "bfc": blocks["mlp"]["dense_h_to_4h"]["b"],
-                    "wfc2": blocks["mlp"]["dense_4h_to_h"]["w"],
-                    "bfc2": blocks["mlp"]["dense_4h_to_h"]["b"],
-                }
                 y, nk, nv = fused_decode_window(
                     stack, jnp.swapaxes(h, 0, 1), bias, cache_len, kbuf,
                     cache["v"], n_head=Hh, eps=config.layer_norm_epsilon,
@@ -638,14 +639,44 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
                     park_bytes=table_bytes(
                         params.get("lm_head", params["word_embeddings"])),
                     interpret=should_interpret())
-                new_k = fused_cache_append(kbuf, nk, cache_len, Hh)
-                new_v = fused_cache_append(cache["v"], nv, cache_len, Hh)
-                h = jnp.swapaxes(y, 0, 1)                        # (B, S, D)
-                new_cache = {"k": new_k, "v": new_v,
-                             "length": cache_len + S}
-                h = layer_norm(h, params["ln_f"]["w"], params["ln_f"]["b"],
-                               config.layer_norm_epsilon)
-                return h, new_cache
+            else:
+                # LONG-CONTEXT window: stream the cache in key blocks (see
+                # ops/fused_decode._gpt_blocked_window_kernel). The stream
+                # bias strictly masks col >= cache_len (committed keys
+                # only); the window's own columns ride the epilogue merge
+                # with their ALiBi ramp values at cache_len + s as bias_cur.
+                col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+                if jnp.ndim(cache_len) == 1:  # ragged serving offsets
+                    strict = jnp.where(col < cache_len[:, None], 0.0,
+                                       jnp.finfo(jnp.float32).min)  # (B, T)
+                else:
+                    strict = jnp.where(col < cache_len, 0.0,
+                                       jnp.finfo(jnp.float32).min)  # (1, T)
+                bias = (pad_bt[:, :, None]
+                        + jnp.broadcast_to(strict, (B, T))[:, :, None]
+                        + jnp.transpose(ab, (0, 2, 1))).astype(jnp.float32)
+                cl_rows = jnp.broadcast_to(
+                    jnp.reshape(cache_len, (-1,)), (B,)).astype(jnp.int32)
+                idx = jnp.minimum(cl_rows[None, :] + jnp.arange(S)[:, None],
+                                  T - 1)                           # (S, B)
+                bias_cur = jnp.take_along_axis(
+                    jnp.broadcast_to(ab[None], (S, B, Hh, T)),
+                    idx[:, :, None, None], axis=3)[..., 0]         # (S, B, H)
+                y, nk, nv = fused_decode_blocked_window(
+                    stack, jnp.swapaxes(h, 0, 1), bias,
+                    bias_cur.astype(jnp.float32), kbuf, cache["v"],
+                    n_head=Hh, eps=config.layer_norm_epsilon,
+                    act="bloom_gelu", scale=1.0 / math.sqrt(hd), pre_ln=True,
+                    key_block=getattr(config, "decode_key_block", 512),
+                    interpret=should_interpret())
+            new_k = fused_cache_append(kbuf, nk, cache_len, Hh)
+            new_v = fused_cache_append(cache["v"], nv, cache_len, Hh)
+            h = jnp.swapaxes(y, 0, 1)                            # (B, S, D)
+            new_cache = {"k": new_k, "v": new_v,
+                         "length": cache_len + S}
+            h = layer_norm(h, params["ln_f"]["w"], params["ln_f"]["b"],
+                           config.layer_norm_epsilon)
+            return h, new_cache
 
         def body(carry, block_params):
             h_in, k_cache, v_cache, li = carry

@@ -762,7 +762,8 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
             # causality, and their k/v rows return for one contiguous
             # cache append.
             from cleantransformer_tpu.ops.fused_decode import (
-                gpt_fused_window, table_bytes, window_fits_vmem)
+                gpt_fused_blocked_window, gpt_fused_window, table_bytes,
+                window_fits_vmem)
             from cleantransformer_tpu.ops.pallas_kernels import should_interpret
             fused_int8 = isinstance(kbuf, dict)
             L, _, T, D = (kbuf["q"] if fused_int8 else kbuf).shape
@@ -770,8 +771,45 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
             wfc = params["blocks"]["mlp"]["c_fc"]["w"]
             F = (wfc["q"] if isinstance(wfc, dict) else wfc).shape[-1]
             cbytes = 1 if fused_int8 else kbuf.dtype.itemsize
-            if window_fits_vmem(S, B, T, D, F, Hh, cache_bytes=cbytes,
-                                kv_int8=fused_int8):
+            whole_window = window_fits_vmem(S, B, T, D, F, Hh,
+                                            cache_bytes=cbytes,
+                                            kv_int8=fused_int8)
+            if not whole_window:
+                # LONG-CONTEXT window (speculative verify / serving chunk
+                # past ~2-4k keys): stream the cache in key blocks with
+                # per-query online-softmax partials instead of bailing to
+                # the ~125-fusion XLA path. The stream bias strictly masks
+                # col >= cache_len (committed keys only); the window's own
+                # columns ride the kernel's epilogue merge (bias_cur=0: no
+                # positional/pad term at fresh columns).
+                col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+                if jnp.ndim(cache_len) == 1:  # ragged serving offsets
+                    bias_bt = jnp.where(col < cache_len[:, None], 0.0,
+                                        CAUSAL_NEG)
+                else:
+                    bias_bt = jnp.where(col < cache_len, 0.0, CAUSAL_NEG)
+                if additive_mask is not None:
+                    bias_bt = bias_bt + additive_mask[:, 0, 0, :]
+                bias_bt = jnp.broadcast_to(bias_bt, (B, T)).astype(
+                    jnp.float32)
+                bias = jnp.broadcast_to(bias_bt[:, :, None], (B, T, Hh))
+                bias_cur = jnp.zeros((S, B, Hh), jnp.float32)
+                y, nk, nv = gpt_fused_blocked_window(
+                    params["blocks"], jnp.swapaxes(h, 0, 1), bias, bias_cur,
+                    kbuf, cache["v"], config=config, version=version,
+                    key_block=getattr(config, "decode_key_block", 512),
+                    interpret=should_interpret())
+                new_k = fused_cache_append(kbuf, nk, cache_len, Hh)
+                new_v = fused_cache_append(cache["v"], nv, cache_len, Hh)
+                h = jnp.swapaxes(y, 0, 1)                        # (B, S, D)
+                new_cache = {"k": new_k, "v": new_v,
+                             "length": cache_len + S}
+                if version != "gpt":
+                    h = layer_norm(h, params["ln_f"]["w"],
+                                   params["ln_f"]["b"],
+                                   config.layer_norm_epsilon)
+                return h, new_cache
+            if whole_window:
                 # key bias = padding only, over the whole buffer (window
                 # columns included); the kernel owns causality (per-query
                 # clamp col <= cache_len + s)

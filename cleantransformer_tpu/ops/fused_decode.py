@@ -1011,6 +1011,317 @@ def fused_decode_blocked(stack, h0, bias, bias_cur, cache_k, cache_v, *,
     return y, k_out, v_out
 
 
+def _gpt_blocked_window_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv,
+                               sqkv, bqkv, wproj, sproj, bproj, ln2w, ln2b,
+                               wfc, sfc, bfc, wfc2, sfc2, bfc2, ck_ref,
+                               sk_ref, cv_ref, sv_ref, y_ref, nk_ref, nv_ref,
+                               h_scr, q_scr, kw_scr, vw_scr, skw_scr,
+                               svw_scr, m_scr, den_scr, acc_scr, *, S, B, H,
+                               D, hd, L, TB, eps, act, scale, pre_ln,
+                               kv_int8):
+    """LONG-CONTEXT S-token decode window: _gpt_blocked_kernel's key-block
+    online-softmax streaming married to _gpt_window_kernel's multi-query
+    window — grid (L, TB), per-QUERY running (max, denominator, accumulator)
+    state in VMEM scratch, weights fetched once per layer. This is the
+    speculative-verify / serving-chunk shape at contexts too long for the
+    whole-block window kernel (window_fits_vmem fails past ~2-4k keys), so
+    speculation and continuous batching no longer bail to the ~125-fusion
+    XLA per-layer path exactly where a verify round is most expensive.
+
+    Window columns do NOT get inserted into the streamed blocks (that would
+    re-run S selects over every block): the caller's bias strictly masks
+    every column >= the row's cache_len, and the block epilogue merges the
+    window's own k/v (computed in the tb==0 prologue, persisted in scratch,
+    quantized first for an int8 cache) as per-query extra columns — query s
+    merges columns j = 0..s, the static in-window causal triangle, each via
+    the S==1 blocked kernel's single-column online-softmax update. Ragged
+    per-row offsets therefore never enter the kernel: they live entirely in
+    the caller's bias plane (stream) and bcur rows (window ALiBi/padding).
+    Numerics: fp32 partials; online rescaling reorders summations, so
+    parity with the XLA path is float-tolerance, not bit-level (same
+    contract as _gpt_blocked_kernel; tests/test_fused_decode.py).
+
+    Capability bound this extends: the reference replays the whole prompt
+    through dense O(s^2) attention for every generated token
+    (generation_util.py:57-119, modeling_gpt.py:56)."""
+    l, tb = pl.program_id(0), pl.program_id(1)
+    cdt = x_ref.dtype
+    nk_dt = x_ref.dtype if kv_int8 else nk_ref.dtype
+    TK = ck_ref.shape[2]
+
+    hm = (jax.lax.broadcasted_iota(jnp.int32, (D, H), 0) // hd
+          == jax.lax.broadcasted_iota(jnp.int32, (D, H), 1)
+          ).astype(jnp.float32)
+    hmT = (jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) // hd
+           ).astype(jnp.float32)
+    if kv_int8:
+        lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1) // hd
+        iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, H), 1)
+
+        def quantize_rows(x):
+            ax = jnp.abs(x)
+            sc_h = jnp.zeros((B, H), jnp.float32)
+            for h in range(H):
+                sel = (lane_head == h).astype(jnp.float32)
+                amax = jnp.max(ax * sel + (sel - 1.0) * 1e30,
+                               axis=1, keepdims=True)
+                sc_h = sc_h + (amax / 127.0) * (iota_h == h).astype(
+                    jnp.float32)
+            sc_h = jnp.maximum(sc_h, 1e-8)
+            sc_lanes = jnp.dot(sc_h, hmT,
+                               preferred_element_type=jnp.float32)
+            q = jnp.clip(jnp.round(x / sc_lanes), -127, 127)
+            return q, sc_h
+
+    def project(x, w, s_cols, b):
+        o = jnp.dot(x, w[0].astype(cdt),
+                    preferred_element_type=jnp.float32).astype(cdt)
+        return o * s_cols[0, 0].astype(cdt) + b[0, 0].astype(cdt)
+
+    @pl.when((l == 0) & (tb == 0))
+    def _init_h():
+        h_scr[:] = x_ref[:]
+
+    # block prologue (first key-block of each layer): the whole window's
+    # qkv; persist q and the (quantized) window k/v in scratch, emit the
+    # new cache rows, reset every query's online-softmax state
+    @pl.when(tb == 0)
+    def _prologue():
+        for s in range(S):
+            x = h_scr[s]
+            if pre_ln:
+                x = _ln(x, ln1w, ln1b, eps, cdt)
+            qkv = jnp.dot(x, wqkv[0].astype(cdt),
+                          preferred_element_type=jnp.float32).astype(cdt)
+            qkv = qkv * sqkv[0, 0].astype(cdt) + bqkv[0, 0].astype(cdt)
+            k_t = qkv[:, D:2 * D].astype(nk_dt)
+            v_t = qkv[:, 2 * D:].astype(nk_dt)
+            nk_ref[0, s] = k_t
+            nv_ref[0, s] = v_t
+            q_scr[s] = qkv[:, :D].astype(jnp.float32)
+            if kv_int8:
+                kq_s, ksc_s = quantize_rows(k_t.astype(jnp.float32))
+                vq_s, vsc_s = quantize_rows(v_t.astype(jnp.float32))
+                kw_scr[s] = kq_s
+                vw_scr[s] = vq_s
+                skw_scr[s] = ksc_s
+                svw_scr[s] = vsc_s
+            else:
+                kw_scr[s] = k_t.astype(jnp.float32)
+                vw_scr[s] = v_t.astype(jnp.float32)
+            m_scr[s] = jnp.full((B, H), -1e30, jnp.float32)
+            den_scr[s] = jnp.zeros((B, H), jnp.float32)
+            acc_scr[s] = jnp.zeros((B, D), jnp.float32)
+
+    # online-softmax partial over this key-block, every query sharing the
+    # one streamed (B, TK, D) block fetch
+    kc = ck_ref[0].astype(jnp.float32)
+    vc = cv_ref[0].astype(jnp.float32)
+    biasb = bias_ref[:].astype(jnp.float32)                  # (B, TK, H)
+    for s in range(S):
+        qf = q_scr[s]
+        sc = jnp.dot((kc * qf[:, None, :]).reshape(B * TK, D), hm,
+                     preferred_element_type=jnp.float32).reshape(B, TK, H)
+        if kv_int8:
+            sc = sc * sk_ref[0]
+        sc = sc * scale + biasb
+        m_new = jnp.maximum(m_scr[s], jnp.max(sc, axis=1))
+        r = jnp.exp(m_scr[s] - m_new)                        # (B, H)
+        p = jnp.exp(sc - m_new[:, None, :])                  # (B, TK, H)
+        den_scr[s] = den_scr[s] * r + jnp.sum(p, axis=1)
+        if kv_int8:
+            p = p * sv_ref[0]
+        pexp = jnp.dot(p.reshape(B * TK, H), hmT,
+                       preferred_element_type=jnp.float32).reshape(B, TK, D)
+        r_lanes = jnp.dot(r, hmT, preferred_element_type=jnp.float32)
+        m_scr[s] = m_new
+        acc_scr[s] = acc_scr[s] * r_lanes + jnp.sum(pexp * vc, axis=1)
+
+    # block epilogue (last key-block): merge each query's in-window columns
+    # (the static causal triangle), normalize, proj + MLP + residual
+    @pl.when(tb == TB - 1)
+    def _epilogue():
+        for s in range(S):
+            qf = q_scr[s]
+            m_s, den_s, acc_s = m_scr[s], den_scr[s], acc_scr[s]
+            for j in range(s + 1):
+                s_cur = jnp.dot(kw_scr[j] * qf, hm,
+                                preferred_element_type=jnp.float32)  # (B,H)
+                if kv_int8:
+                    s_cur = s_cur * skw_scr[j]
+                s_cur = s_cur * scale + bcur_ref[j].astype(jnp.float32)
+                m_new = jnp.maximum(m_s, s_cur)
+                r = jnp.exp(m_s - m_new)
+                pc = jnp.exp(s_cur - m_new)                  # (B, H)
+                r_lanes = jnp.dot(r, hmT,
+                                  preferred_element_type=jnp.float32)
+                pv = pc * svw_scr[j] if kv_int8 else pc
+                acc_s = acc_s * r_lanes + jnp.dot(
+                    pv, hmT, preferred_element_type=jnp.float32) * vw_scr[j]
+                den_s = den_s * r + pc
+                m_s = m_new
+            den_lanes = jnp.dot(den_s, hmT,
+                                preferred_element_type=jnp.float32)
+            out = acc_s / den_lanes
+            o = project(out.astype(cdt), wproj, sproj, bproj)
+            if pre_ln:  # gpt2/gpt3 residual order (modeling_gpt.py:147-152)
+                h = h_scr[s] + o
+                u = project(_ln(h, ln2w, ln2b, eps, cdt), wfc, sfc, bfc)
+                h = h + project(act(u).astype(cdt), wfc2, sfc2, bfc2)
+            else:       # gpt post-LN (modeling_gpt.py:141-146)
+                h = _ln(h_scr[s] + o, ln1w, ln1b, eps, cdt)
+                u = project(h, wfc, sfc, bfc)
+                h = _ln(h + project(act(u).astype(cdt), wfc2, sfc2, bfc2),
+                        ln2w, ln2b, eps, cdt)
+            h_scr[s] = h
+            y_ref[s] = h
+
+
+def blocked_window_key_block(S, B, T, D, F, H, weight_bytes=2, cache_bytes=2,
+                             kv_int8=False, target=512,
+                             limit=100 * 1024 * 1024):
+    """Largest streaming key-block for the blocked WINDOW kernel whose
+    double-buffered working set fits VMEM (large B shrinks TK; the window
+    scratch grows with S)."""
+    weights = 2 * (3 * D * D + D * D + 2 * D * F) * weight_bytes
+    scratch = S * B * (D * 2 + 4 * D * 4 + 4 * H * 4) + 2 * S * B * D * 2
+    while target > 8:
+        TK = blocked_key_block(T, target)
+        blocks = 2 * (2 * B * TK * D * cache_bytes
+                      + (3 if kv_int8 else 1) * B * TK * H * 4)
+        live = 3 * B * TK * D * 4 + 2 * B * TK * H * 4
+        if weights + scratch + blocks + live < limit:
+            return TK
+        target //= 2
+    return blocked_key_block(T, 8)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "eps", "act", "scale",
+                                              "pre_ln", "key_block",
+                                              "interpret"))
+def fused_decode_blocked_window(stack, hw, bias, bias_cur, cache_k, cache_v,
+                                *, n_head, eps, act, scale, pre_ln,
+                                key_block=512, interpret=False):
+    """Long-context S-token decode window (see _gpt_blocked_window_kernel).
+
+    hw: (S, B, D) embedded window tokens (compute dtype).
+    bias: (B, T, H) fp32 additive KEY bias over the streamed cache that
+      STRICTLY masks every column >= the row's cache_len (committed keys
+      only — the window's own buffer region is stale) plus padding/ALiBi.
+    bias_cur: (S, B, H) fp32 bias rows for the window's own columns
+      (zeros for GPT; the ALiBi ramp at cache_len + s for Bloom).
+
+    Returns (y (S, B, D), new_k, new_v (L, S, B, D) compute-dtype rows) for
+    fused_cache_append — identical contract to fused_decode_window."""
+    kv_int8 = isinstance(cache_k, dict)
+    if kv_int8:
+        cache_k, sk = cache_k["q"], cache_k["s"]
+        cache_v, sv = cache_v["q"], cache_v["s"]
+    L, B, T, D = cache_k.shape
+    S = hw.shape[0]
+    H = n_head
+    hd = D // H
+    if not kv_int8:
+        sk = sv = jnp.ones((L, 1, 1, H), jnp.float32)
+
+    def vec(p):
+        return p.reshape(L, 1, p.shape[-1])
+
+    def wpair(w):
+        if isinstance(w, dict):
+            return w["q"], vec(w["s"])
+        return w, jnp.ones((L, 1, w.shape[-1]), hw.dtype)
+
+    wqkv, sqkv = wpair(stack["wqkv"])
+    wproj, sproj = wpair(stack["wproj"])
+    wfc, sfc = wpair(stack["wfc"])
+    wfc2, sfc2 = wpair(stack["wfc2"])
+    F = wfc.shape[-1]
+    TK = blocked_window_key_block(
+        S, B, T, D, F, H, weight_bytes=wqkv.dtype.itemsize,
+        cache_bytes=cache_k.dtype.itemsize, kv_int8=kv_int8,
+        target=key_block)
+    TB = T // TK
+
+    operands = (
+        hw, bias, bias_cur,
+        vec(stack["ln1w"]), vec(stack["ln1b"]),
+        wqkv, sqkv, vec(stack["bqkv"]),
+        wproj, sproj, vec(stack["bproj"]),
+        vec(stack["ln2w"]), vec(stack["ln2b"]),
+        wfc, sfc, vec(stack["bfc"]),
+        wfc2, sfc2, vec(stack["bfc2"]),
+        cache_k, sk, cache_v, sv,
+    )
+
+    def fixed(shape):
+        return pl.BlockSpec(shape, lambda l, tb: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_layer(shape):
+        return pl.BlockSpec((1,) + shape,
+                            lambda l, tb: (l,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_kblock(shape):
+        return pl.BlockSpec((1, shape[0], TK, shape[1]),
+                            lambda l, tb: (l, 0, tb, 0),
+                            memory_space=pltpu.VMEM)
+
+    def bias_kblock():
+        return pl.BlockSpec((B, TK, H), lambda l, tb: (0, tb, 0),
+                            memory_space=pltpu.VMEM)
+
+    sk_spec = per_kblock((B, H)) if kv_int8 else per_layer((1, 1, H))
+    in_specs = [
+        fixed((S, B, D)), bias_kblock(), fixed((S, B, H)),
+        per_layer((1, D)), per_layer((1, D)),
+        per_layer((D, 3 * D)), per_layer((1, 3 * D)), per_layer((1, 3 * D)),
+        per_layer((D, D)), per_layer((1, D)), per_layer((1, D)),
+        per_layer((1, D)), per_layer((1, D)),
+        per_layer((D, F)), per_layer((1, F)), per_layer((1, F)),
+        per_layer((F, D)), per_layer((1, D)), per_layer((1, D)),
+        per_kblock((B, D)), sk_spec, per_kblock((B, D)), sk_spec,
+    ]
+    new_kv_dtype = hw.dtype if kv_int8 else cache_k.dtype
+    out_specs = [fixed((S, B, D)),
+                 pl.BlockSpec((1, S, B, D), lambda l, tb: (l, 0, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, S, B, D), lambda l, tb: (l, 0, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((S, B, D), hw.dtype),
+                 jax.ShapeDtypeStruct((L, S, B, D), new_kv_dtype),
+                 jax.ShapeDtypeStruct((L, S, B, D), new_kv_dtype)]
+
+    kernel = functools.partial(
+        _gpt_blocked_window_kernel, S=S, B=B, H=H, D=D, hd=hd, L=L, TB=TB,
+        eps=eps, act=ACT2FN[act], scale=scale, pre_ln=pre_ln,
+        kv_int8=kv_int8)
+
+    y, k_out, v_out = pl.pallas_call(
+        kernel,
+        grid=(L, TB),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((S, B, D), hw.dtype),     # h
+                        pltpu.VMEM((S, B, D), jnp.float32),  # q
+                        pltpu.VMEM((S, B, D), jnp.float32),  # window k
+                        pltpu.VMEM((S, B, D), jnp.float32),  # window v
+                        pltpu.VMEM((S, B, H), jnp.float32),  # window k scales
+                        pltpu.VMEM((S, B, H), jnp.float32),  # window v scales
+                        pltpu.VMEM((S, B, H), jnp.float32),  # m
+                        pltpu.VMEM((S, B, H), jnp.float32),  # den
+                        pltpu.VMEM((S, B, D), jnp.float32)], # acc
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+    return y, k_out, v_out
+
+
 def table_bytes(t):
     """HBM footprint of an (optionally int8-quantized) embedding table."""
     if isinstance(t, dict):
@@ -1067,4 +1378,18 @@ def gpt_fused_window(blocks, hw, bias, cache_len, cache_k, cache_v, *,
         n_head=config.n_head, eps=config.layer_norm_epsilon,
         act=config.afn, scale=1.0 / math.sqrt(hd),
         pre_ln=(version != "gpt"), park_bytes=park_bytes,
+        interpret=interpret)
+
+
+def gpt_fused_blocked_window(blocks, hw, bias, bias_cur, cache_k, cache_v,
+                             *, config, version, key_block=512,
+                             interpret=False):
+    """GPT adapter over fused_decode_blocked_window (long-context twin of
+    gpt_fused_window)."""
+    hd = hw.shape[-1] // config.n_head
+    return fused_decode_blocked_window(
+        _gpt_stack(blocks), hw, bias, bias_cur, cache_k, cache_v,
+        n_head=config.n_head, eps=config.layer_norm_epsilon,
+        act=config.afn, scale=1.0 / math.sqrt(hd),
+        pre_ln=(version != "gpt"), key_block=key_block,
         interpret=interpret)

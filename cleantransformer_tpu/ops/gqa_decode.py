@@ -155,7 +155,11 @@ def gqa_blocked_partials(q_tilde, kq, ks, vq, vs, bias, li, *, kv_heads,
     blk = (2 * B * TK * Dkv * kq.dtype.itemsize
            + (2 * B * TK * Hkv * 4 if kv_int8 else 0) + B * TK * 4)
     need = 2 * blk + 3 * B * Dkv * H * 4 + B * Dkv * H * q_tilde.dtype.itemsize
-    vmem_cap = min(max(int(need * 1.5), 32 * 1024 * 1024),
+    # claim TIGHT (need*1.5): this call runs inside the decode while-loop,
+    # where XLA's own stack values co-live in VMEM — a generous floor
+    # (32 MiB) pushed the ctx8k b8 int8 program 1 MB over the scoped-vmem
+    # limit at compile time (the kernel itself needs ~10 MB double-buffered)
+    vmem_cap = min(max(int(need * 1.5), 16 * 1024 * 1024),
                    110 * 1024 * 1024)
 
     m, den, acc = pl.pallas_call(

@@ -70,15 +70,34 @@ def router_topk(x, gate_w, num_experts_per_tok):
     return logits, probs, top_w, top_i.astype(jnp.int32)
 
 
+def _wpair(w):
+    """Expert-stacked weight operand: int8 {"q": (E, D, I), "s": (E, I)}
+    (ops/quant.py per-(expert, out-column) quantization) or a raw array.
+    Returns (int-or-float weight, scales-or-None)."""
+    if isinstance(w, dict):
+        return w["q"], w["s"]
+    return w, None
+
+
 def _expert_ffn(experts, x_e, act):
-    """Batched SwiGLU over the expert axis. x_e: (E, *, D) -> (E, *, D)."""
-    wg = experts["gate_proj"]["w"]  # (E, D, I)
-    wu = experts["up_proj"]["w"]
-    wd = experts["down_proj"]["w"]  # (E, I, D)
-    hidden = act(jnp.einsum("e...d,edi->e...i", x_e, wg.astype(x_e.dtype)))
-    hidden = hidden * jnp.einsum("e...d,edi->e...i", x_e, wu.astype(x_e.dtype))
+    """Batched SwiGLU over the expert axis. x_e: (E, *, D) -> (E, *, D).
+    int8 expert weights dequantize INSIDE the einsum (the convert rides the
+    dot operand, so HBM streams int8 bytes); scales apply per (expert,
+    out-column) before the activation."""
+    wg, sg = _wpair(experts["gate_proj"]["w"])  # (E, D, I)
+    wu, su = _wpair(experts["up_proj"]["w"])
+    wd, sd = _wpair(experts["down_proj"]["w"])  # (E, I, D)
+
+    def proj(x, w, s, eq):
+        y = jnp.einsum(eq, x, w.astype(x.dtype))
+        if s is not None:
+            y = y * jnp.expand_dims(s, 1).astype(y.dtype)
+        return y
+
+    hidden = act(proj(x_e, wg, sg, "e...d,edi->e...i"))
+    hidden = hidden * proj(x_e, wu, su, "e...d,edi->e...i")
     hidden = shard_hint(hidden, ("expert", None, "model"))
-    return jnp.einsum("e...i,eid->e...d", hidden, wd.astype(x_e.dtype))
+    return proj(hidden, wd, sd, "e...i,eid->e...d")
 
 
 def moe_mlp_dense(moe_params, h, num_experts_per_tok, act):
@@ -165,12 +184,22 @@ def moe_mlp_ragged(moe_params, h, num_experts_per_tok, act):
 
     xs = jnp.take(x, tok, axis=0)                    # (T*k, D) gathered rows
     experts = moe_params["experts"]
-    wg = experts["gate_proj"]["w"].astype(xs.dtype)  # (E, D, I)
-    wu = experts["up_proj"]["w"].astype(xs.dtype)
-    wd = experts["down_proj"]["w"].astype(xs.dtype)  # (E, I, D)
-    hidden = act(jax.lax.ragged_dot(xs, wg, group_sizes)) \
-        * jax.lax.ragged_dot(xs, wu, group_sizes)    # (T*k, I)
-    ys = jax.lax.ragged_dot(hidden, wd, group_sizes)  # (T*k, D)
+    wg, sg = _wpair(experts["gate_proj"]["w"])       # (E, D, I)
+    wu, su = _wpair(experts["up_proj"]["w"])
+    wd, sd = _wpair(experts["down_proj"]["w"])       # (E, I, D)
+    e_sorted = jnp.take(flat_e, order)               # expert id per sorted row
+
+    def rdot(x_rows, w, s):
+        # int8 expert weights: the convert rides the grouped dot; each
+        # output row scales by ITS expert's per-column scales (a (T*k, I)
+        # gather — k*T rows, cheap next to the weight stream)
+        y = jax.lax.ragged_dot(x_rows, w.astype(x_rows.dtype), group_sizes)
+        if s is not None:
+            y = y * jnp.take(s, e_sorted, axis=0).astype(y.dtype)
+        return y
+
+    hidden = act(rdot(xs, wg, sg)) * rdot(xs, wu, su)  # (T*k, I)
+    ys = rdot(hidden, wd, sd)                          # (T*k, D)
 
     w_sorted = jnp.take(top_w.reshape(-1), order)    # fp32 routing weights
     # combine in fp32 (k small): scatter-add replicas back to their token
@@ -192,6 +221,20 @@ def moe_mlp_ragged_ep(moe_params, h, num_experts_per_tok, act, mesh):
     parallel/sharding.llama_param_specs."""
     from jax.sharding import PartitionSpec as P
     from cleantransformer_tpu.parallel.mesh import compat_shard_map
+
+    experts = moe_params["experts"]
+    if any(isinstance(experts[k]["w"], dict)
+           for k in ("gate_proj", "up_proj", "down_proj")):
+        # int8 expert weights don't ride the shard_map specs (one
+        # PartitionSpec per array leaf); EP inference is a multi-host
+        # serving niche, so dequantize here rather than fork the specs —
+        # the single-device ragged/dense/capacity paths stream int8
+        from cleantransformer_tpu.ops.quant import dequantize_weight
+        moe_params = dict(moe_params)
+        moe_params["experts"] = {
+            k: {"w": (dequantize_weight(v["w"], h.dtype)
+                      if isinstance(v["w"], dict) else v["w"])}
+            for k, v in experts.items()}
 
     B, S, D = h.shape
     k = num_experts_per_tok

@@ -71,10 +71,12 @@ def quantize_params_for_inference(params, include_embeddings=True,
         x = jnp.asarray(node)
         if not jnp.issubdtype(x.dtype, jnp.floating):
             return x
-        if key == "w" and parent in _LINEAR_PARENTS and x.ndim in (2, 3):
-            # ndim 2 = single layer, 3 = layer-stacked (scan params). ndim 4
-            # (expert-stacked MoE weights) stays dense: the grouped-matmul
-            # dispatch paths (ops/moe.py einsum/ragged_dot) take raw arrays.
+        if key == "w" and parent in _LINEAR_PARENTS and x.ndim in (2, 3, 4):
+            # ndim 2 = single layer, 3 = layer-stacked (scan params), 4 =
+            # layer-stacked expert weights ((L, E, D, I) — per-(expert,
+            # out-column) scales; the MoE dispatch paths in ops/moe.py
+            # dequantize inside their einsums/ragged dots, so MoE decode
+            # streams int8 expert bytes).
             return quantize_weight(x, compute_dtype)
         if include_embeddings and key in _EMBED_KEYS and x.ndim == 2:
             # per-hidden-dim scales: table (V, D) -> q (V, D), s (D,)

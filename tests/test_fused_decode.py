@@ -245,6 +245,148 @@ def test_blocked_decode_matches_single_block(kv_int8):
                                atol=1e-6, rtol=1e-5)
 
 
+@pytest.mark.parametrize("kv_int8", [False, True])
+@pytest.mark.parametrize("ragged", [False, True])
+def test_blocked_window_matches_window_kernel(kv_int8, ragged):
+    """Long-context S-token window (_gpt_blocked_window_kernel, grid
+    (L, key-blocks), per-query online-softmax scratch, window columns merged
+    in the epilogue) vs the whole-block window kernel on the same fused
+    cache: float tolerance (online rescaling reorders reductions). Ragged
+    per-row offsets live entirely in the caller bias — the serving lookup
+    chunk's shape."""
+    import math
+    from cleantransformer_tpu.ops.fused_decode import (
+        _gpt_stack, blocked_window_key_block, fused_decode_blocked_window,
+        fused_decode_window)
+    assert blocked_window_key_block(8, 8, 4096, 768, 3072, 12) % 8 == 0
+
+    B, T, D, Hh, L, S = 2, 64, 64, 4, 3, 5
+    cl = np.array([37, 11], np.int32) if ragged else 37
+    cfg = GPTConfig(vocab_size=97, n_embd=D, n_head=Hh, n_layer=L,
+                    n_positions=256, compute_dtype=jnp.float32,
+                    param_dtype=jnp.float32, fused_decode=True)
+    m = GPTLMHeadModel(cfg, version="gpt2", rng=jax.random.PRNGKey(0))
+    rs = np.random.RandomState(0)
+    live = (np.arange(T)[None, None, :, None]
+            < np.reshape(cl, (1, -1, 1, 1)))
+    if kv_int8:
+        ck = {"q": jnp.asarray(rs.randint(-100, 100, (L, B, T, D))
+                               * live, jnp.int8),
+              "s": jnp.asarray(np.abs(rs.randn(L, B, T, Hh)) * 0.01,
+                               jnp.float32)}
+        cv = {"q": jnp.asarray(rs.randint(-100, 100, (L, B, T, D))
+                               * live, jnp.int8),
+              "s": jnp.asarray(np.abs(rs.randn(L, B, T, Hh)) * 0.01,
+                               jnp.float32)}
+    else:
+        ck = jnp.asarray(rs.randn(L, B, T, D) * 0.3 * live, jnp.float32)
+        cv = jnp.asarray(rs.randn(L, B, T, D) * 0.3 * live, jnp.float32)
+    hw = jnp.asarray(rs.randn(S, B, D) * 0.3, jnp.float32)
+    col = np.arange(T)[None, :, None]
+    # window kernel: pad-only bias (kernel owns causality via cache_len);
+    # blocked window: strict col < cache_len stream bias + zero bias_cur
+    bias_pad = jnp.zeros((B, T, Hh), jnp.float32)
+    bias_strict = jnp.asarray(
+        np.where(col < np.reshape(cl, (-1, 1, 1)), 0.0, -1e30)
+        * np.ones((B, 1, Hh)), jnp.float32)
+    stack = _gpt_stack(m.params["blocks"])
+    kw = dict(n_head=Hh, eps=cfg.layer_norm_epsilon, act=cfg.afn,
+              scale=1.0 / math.sqrt(D // Hh), pre_ln=True, interpret=True)
+    y0, nk0, nv0 = fused_decode_window(stack, hw, bias_pad,
+                                       jnp.asarray(cl), ck, cv, **kw)
+    y1, nk1, nv1 = fused_decode_blocked_window(
+        stack, hw, bias_strict, jnp.zeros((S, B, Hh), jnp.float32), ck, cv,
+        key_block=16, **kw)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(nk0).astype(np.float64),
+                               np.asarray(nk1).astype(np.float64),
+                               atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(nv0).astype(np.float64),
+                               np.asarray(nv1).astype(np.float64),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_blocked_window_model_parity_xla(monkeypatch):
+    """End-to-end: force window_fits_vmem off so a 4-token second forward
+    rides the blocked window kernel; logits + written cache rows match the
+    XLA per-layer fallback (fused_decode_max_window=1 model) to float
+    tolerance, including left padding."""
+    import cleantransformer_tpu.ops.fused_decode as fd
+    cfg = dict(vocab_size=211, n_embd=64, n_head=4, n_layer=2,
+               n_positions=256, compute_dtype=jnp.float32,
+               param_dtype=jnp.float32, fused_decode=True,
+               decode_key_block=16)
+    m0 = GPTLMHeadModel(GPTConfig(**cfg, fused_decode_max_window=1),
+                        version="gpt2", rng=jax.random.PRNGKey(0))
+    m1 = GPTLMHeadModel(GPTConfig(**cfg), version="gpt2", params=m0.params)
+    monkeypatch.setattr(fd, "window_fits_vmem", lambda *a, **k: False)
+    rs = np.random.RandomState(0)
+    ids = rs.randint(5, 200, (2, 18)).astype(np.int32)
+    mask = np.ones((2, 32), np.int32)
+    mask[1, :3] = 0
+
+    def run(m):
+        cache = m.init_cache(2, 32)
+        (l1, _), cache = m.forward_fn()(m.params, m.config, ids[:, :14],
+                                        mask, cache=cache)
+        (l2, _), cache = m.forward_fn()(m.params, m.config, ids[:, 14:],
+                                        mask, cache=cache)
+        return (np.asarray(l1), np.asarray(l2),
+                jax.tree_util.tree_map(np.asarray, cache))
+
+    a1, a2, ca = run(m0)
+    b1, b2, cb = run(m1)
+    assert np.array_equal(a1, b1)  # prefill: identical XLA path
+    np.testing.assert_allclose(a2, b2, atol=3e-6, rtol=1e-5)
+    np.testing.assert_allclose(ca["k"][:, :, 14:18], cb["k"][:, :, 14:18],
+                               atol=3e-6, rtol=1e-5)
+    np.testing.assert_allclose(ca["v"][:, :, 14:18], cb["v"][:, :, 14:18],
+                               atol=3e-6, rtol=1e-5)
+    assert int(ca["length"]) == int(cb["length"]) == 18
+
+
+def test_bloom_blocked_window_parity_xla(monkeypatch):
+    """Bloom long-context window: the ALiBi ramp rides the stream bias AND
+    the per-window-column bias_cur rows (take_along_axis at cache_len + s);
+    vs the XLA fallback to float tolerance."""
+    import cleantransformer_tpu.ops.fused_decode as fd
+    cfg = dict(vocab_size=211, hidden_size=64, n_layer=2,
+               num_attention_heads=4, compute_dtype=jnp.float32,
+               param_dtype=jnp.float32, fused_decode=True,
+               decode_key_block=16)
+
+    def mk(**kw):
+        m = BloomForCausalLM(BloomConfig(**cfg, **kw),
+                             rng=jax.random.PRNGKey(0))
+        m._tie_weight()
+        return m
+
+    m0 = mk(fused_decode_max_window=1)
+    m1 = mk()
+    m1.params = m0.params
+    monkeypatch.setattr(fd, "window_fits_vmem", lambda *a, **k: False)
+    from cleantransformer_tpu.generation.engine import inference_params
+    rs = np.random.RandomState(1)
+    ids = rs.randint(5, 200, (2, 18)).astype(np.int32)
+    mask = np.ones((2, 32), np.int32)
+    mask[1, :3] = 0
+
+    def run(m):
+        p = inference_params(m)  # builds qkv_fused
+        cache = m.init_cache(2, 32)
+        (l1, _), cache = m.forward_fn()(p, m.config, ids[:, :14], mask,
+                                        cache=cache)
+        (l2, _), cache = m.forward_fn()(p, m.config, ids[:, 14:], mask,
+                                        cache=cache)
+        return np.asarray(l1), np.asarray(l2)
+
+    a1, a2 = run(m0)
+    b1, b2 = run(m1)
+    assert np.array_equal(a1, b1)
+    np.testing.assert_allclose(a2, b2, atol=3e-6, rtol=1e-5)
+
+
 def test_blocked_decode_greedy_vs_dense_model(monkeypatch):
     """End-to-end: force the fits_vmem gate off so generate() rides the
     blocked kernel for every step; greedy tokens must match the dense-layout

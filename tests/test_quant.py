@@ -1,6 +1,7 @@
 """Int8 weight-only quantization: numerics and end-to-end decode."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -118,9 +119,7 @@ def test_llama_family_projections_are_quantized():
     assert (a == b).mean() > 0.7  # int8 is approximate; most tokens agree
 
 
-def test_mixtral_expert_weights_stay_dense():
-    """Expert-stacked (ndim-4) MoE weights must NOT be quantized — the
-    grouped-matmul dispatch paths take raw arrays."""
+def _mixtral_quant_fixture():
     from cleantransformer_tpu.config import MixtralConfig
     from cleantransformer_tpu.models.llama import init_llama_params
     cfg = MixtralConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
@@ -128,8 +127,79 @@ def test_mixtral_expert_weights_stay_dense():
                         num_key_value_heads=2, max_position_embeddings=128,
                         num_local_experts=4, num_experts_per_tok=2)
     params = init_llama_params(cfg, jax.random.PRNGKey(0))
-    qp = quantize_params_for_inference(params)
+    qp = quantize_params_for_inference(params, compute_dtype=jnp.float32)
+    return cfg, params, qp
+
+
+def test_mixtral_expert_weights_quantized():
+    """Expert-stacked (ndim-4) MoE weights quantize to int8 with
+    per-(expert, out-column) scales (VERDICT r4 #3: MoE decode streams the
+    expert bytes — int8 halves them exactly like dense-model decode)."""
+    cfg, params, qp = _mixtral_quant_fixture()
     moe = qp["blocks"]["block_sparse_moe"]
     for k in ("gate_proj", "up_proj", "down_proj"):
-        assert not is_quantized(moe["experts"][k]["w"]), k
+        wq = moe["experts"][k]["w"]
+        assert is_quantized(wq), k
+        raw = params["blocks"]["block_sparse_moe"]["experts"][k]["w"]
+        assert wq["q"].shape == raw.shape and wq["q"].dtype == jnp.int8
+        assert wq["s"].shape == raw.shape[:2] + raw.shape[-1:]  # (L, E, out)
     assert is_quantized(qp["blocks"]["self_attn"]["q_proj"]["w"])
+
+
+def test_moe_dispatch_paths_agree_on_int8_experts():
+    """dense / capacity / ragged dispatch on the SAME int8 expert weights:
+    all three dequantize inside their dots (einsum or ragged_dot + the
+    per-row expert-scale gather) and must agree with each other and with
+    dense dispatch on explicitly dequantized weights to rounding
+    tolerance."""
+    from cleantransformer_tpu.ops.moe import (moe_mlp_capacity,
+                                              moe_mlp_dense, moe_mlp_ragged)
+    cfg, params, qp = _mixtral_quant_fixture()
+    layer0 = jax.tree_util.tree_map(lambda x: x[0],
+                                    qp["blocks"]["block_sparse_moe"])
+    rs = np.random.RandomState(3)
+    h = jnp.asarray(rs.randn(2, 5, 64) * 0.3, jnp.float32)
+    act = jax.nn.silu
+    out_d, _ = moe_mlp_dense(layer0, h, 2, act)
+    out_c, _ = moe_mlp_capacity(layer0, h, 2, act, capacity=10)  # no drops
+    out_r, _ = moe_mlp_ragged(layer0, h, 2, act)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_c),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_r),
+                               atol=2e-5, rtol=1e-4)
+    # vs dense weights dequantized OUTSIDE the dots: pure rounding error
+    deq = dict(layer0, experts={
+        k: {"w": dequantize_weight(v["w"], jnp.float32)}
+        for k, v in layer0["experts"].items()})
+    out_f, _ = moe_mlp_dense(deq, h, 2, act)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_f),
+                               atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("impl", ["dense", "ragged"])
+def test_mixtral_int8_decode_end_to_end(impl):
+    """Quantized-expert Mixtral through the model: teacher-forced logits
+    stay close to the bf16 model's (the int8 rounding rides on top of the
+    bf16 compute policy both share), and greedy decode runs the cached
+    path end to end on both dispatch impls."""
+    from cleantransformer_tpu.config import MixtralConfig
+    from cleantransformer_tpu.generation.engine import inference_params
+    from cleantransformer_tpu.models.llama import LlamaForCausalLM
+    cfg, params, _ = _mixtral_quant_fixture()
+    base = {**cfg.to_dict(), "compute_dtype": "bfloat16", "moe_impl": impl}
+    m = LlamaForCausalLM(MixtralConfig(**base), params=params)
+    mq = LlamaForCausalLM(MixtralConfig(**{**base, "quantize_int8": True}),
+                          params=params)
+    rs = np.random.RandomState(0)
+    ids = rs.randint(1, 128, (2, 7)).astype(np.int32)
+    (lf, _), _ = m.forward_fn()(inference_params(m), m.config,
+                                jnp.asarray(ids))
+    (lq, _), _ = mq.forward_fn()(inference_params(mq), mq.config,
+                                 jnp.asarray(ids))
+    lf, lq = np.asarray(lf, np.float32), np.asarray(lq, np.float32)
+    assert np.abs(lq - lf).max() < 0.15 * np.abs(lf).max()
+    gcfg = {"beam_size": 1, "max_gen_len": 6, "do_sample": False,
+            "end_ids": None, "pad_id": 0, "no_repeat_ngram_size": 0}
+    out = np.asarray(mq.generate(jnp.asarray(ids), generation_configs=gcfg))
+    assert out.shape[-1] >= 13  # prompt 7 + 6 new (buffer may round up)
+    np.testing.assert_array_equal(out[:, 0, :7], ids)  # prompt preserved
