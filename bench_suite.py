@@ -1205,6 +1205,146 @@ def bench_mistral_swa_ring_decode():
     gc.collect()
 
 
+def bench_longctx_speculation():
+    """Speculation x long context (VERDICT r4 #2 'done'): gpt2-class
+    fused-int8 at ctx4k b8 — cache blocks exceed VMEM, so every plain step
+    rides the blocked S==1 kernel and every lookup verify window the NEW
+    blocked window kernel (round 5) instead of the ~125-fusion XLA path
+    that made long-context verify rounds cost ~2 plain steps. Workload:
+    8 repetitive seeds greedy-extended on-device to ~4k tokens (sharpened
+    logits keep the cycles going), so prompt-lookup accepts at the long
+    offset. Reports whole-call tokens/s AND the decode-only slope ratio
+    (prefill is identical on both sides)."""
+    from cleantransformer_tpu.generation.speculative import (
+        prompt_lookup_generate)
+    B, K, CTX = 8, 8, 4064
+    cfg = GPTConfig(vocab_size=50257, n_embd=768, n_positions=4352,
+                    n_layer=12, n_head=12, n_ctx=4352,
+                    compute_dtype="bfloat16", decode_unroll=12,
+                    fused_decode=True, quantize_int8=True)
+    model = _sharpen(GPTLMHeadModel(cfg, version="gpt2",
+                                    rng=jax.random.PRNGKey(0)))
+    rs = np.random.RandomState(0)
+    probe_cfg = {"beam_size": 1, "max_gen_len": 128, "do_sample": False,
+                 "pad_id": 0, "end_ids": None, "no_repeat_ngram_size": 0}
+    scored = []
+    for _ in range(4):
+        probe = rs.randint(1, 50257, (B, 16)).astype(np.int32)
+        out = np.asarray(model.generate(probe, generation_configs=probe_cfg))
+        for r in range(B):
+            scored.append((_sim_lookup_tokens_per_round(out[r, 0], 16, K),
+                           probe[r]))
+    scored.sort(key=lambda x: -x[0])
+    seeds = np.stack([p for _, p in scored[:B]], axis=0)
+    long_out = np.asarray(model.generate(
+        seeds, generation_configs={**probe_cfg, "max_gen_len": CTX - 16}))
+    ids = long_out[:, 0, :CTX].astype(np.int32)      # (B, ~4k) cycling rows
+
+    def plain(g):
+        gcfg = {**probe_cfg, "max_gen_len": g}
+        out = model.generate(ids, generation_configs=gcfg)
+        n_new = out.shape[-1] - CTX
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            model.generate(ids, generation_configs=gcfg)
+            times.append(time.perf_counter() - t0)
+        return n_new, max(min(times) - host_rtt(), 1e-9)
+
+    def spec(g):
+        gcfg = {"max_gen_len": g, "do_sample": False}
+        out, stats = prompt_lookup_generate(model, ids,
+                                            generation_configs=gcfg,
+                                            draft_len=K, return_stats=True)
+        n_new = out.shape[-1] - CTX
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            prompt_lookup_generate(model, ids, generation_configs=gcfg,
+                                   draft_len=K)
+            times.append(time.perf_counter() - t0)
+        return n_new, max(min(times) - host_rtt(), 1e-9), stats
+
+    n64, tp64 = plain(64)
+    n8, tp8 = plain(8)
+    s64, ts64, stats = spec(64)
+    s8, ts8, _ = spec(8)
+    plain_slope = (tp64 - tp8) / max(n64 - n8, 1)
+    spec_slope = (ts64 - ts8) / max(s64 - s8, 1)
+    record("gpt2_ctx4k_b8_int8_prompt_lookup", B * s64 / ts64,
+           "tokens/s (batch=8, ~4k ctx, blocked window verify)",
+           {"plain_tokens_per_sec": round(B * n64 / tp64, 1),
+            "draft_len": K,
+            "tokens_per_round_per_row": round(stats["tokens_per_round"], 2),
+            "speedup": round((B * s64 / ts64) / (B * n64 / tp64), 2),
+            "decode_only_speedup": round(plain_slope / spec_slope, 2)})
+    del model
+    import gc
+    gc.collect()
+
+
+def bench_longctx_serving_lookup():
+    """Serving speculation x long context (VERDICT r4 #2 'done'): lookup
+    decode chunks at ~4k-token contexts ride the blocked window kernel
+    inside continuous batching; plain engine on the identical workload for
+    the denominator. Same extended-cycling-prompt workload as
+    bench_longctx_speculation."""
+    from cleantransformer_tpu.serving import ServingEngine
+    B, K, CTX = 8, 8, 4000
+    cfg = GPTConfig(vocab_size=50257, n_embd=768, n_positions=4352,
+                    n_layer=12, n_head=12, n_ctx=4352,
+                    compute_dtype="bfloat16", decode_unroll=12,
+                    fused_decode=True, quantize_int8=True)
+    model = _sharpen(GPTLMHeadModel(cfg, version="gpt2",
+                                    rng=jax.random.PRNGKey(0)))
+    rs = np.random.RandomState(0)
+    probe_cfg = {"beam_size": 1, "max_gen_len": 128, "do_sample": False,
+                 "pad_id": 0, "end_ids": None, "no_repeat_ngram_size": 0}
+    scored = []
+    for _ in range(4):
+        probe = rs.randint(1, 50257, (B, 16)).astype(np.int32)
+        out = np.asarray(model.generate(probe, generation_configs=probe_cfg))
+        for r in range(B):
+            scored.append((_sim_lookup_tokens_per_round(out[r, 0], 16, K),
+                           probe[r]))
+    scored.sort(key=lambda x: -x[0])
+    seeds = np.stack([p for _, p in scored[:B]], axis=0)
+    long_out = np.asarray(model.generate(
+        seeds, generation_configs={**probe_cfg, "max_gen_len": CTX - 16}))
+    prompts = [long_out[r, 0, :CTX].astype(np.int32).tolist()
+               for r in range(B)]
+    n_new = 64
+
+    def run_engine(sp):
+        eng = ServingEngine(model, max_slots=8, max_len=CTX + n_new,
+                            prefill_buckets=(512,),
+                            chunk_size=(8 if sp else 64),
+                            pipeline="serial", max_dispatch_depth=8,
+                            speculative=("lookup" if sp else None),
+                            draft_len=K)
+        eng.submit(prompts[0][:64], max_new_tokens=4)
+        list(eng.run())    # compile warmup (prefill + chunk programs)
+        eng.fetches = 0
+        plen = {eng.submit(p, max_new_tokens=n_new): len(p)
+                for p in prompts}
+        t0 = time.perf_counter()
+        done = list(eng.run())
+        dt = time.perf_counter() - t0
+        gen = sum(len(t) - plen[rid] for rid, t in done)
+        return gen / dt, dt, eng
+
+    base_tps, _, _ = run_engine(False)
+    tps, dt, eng = run_engine(True)
+    record("gpt2_ctx4k_serving_lookup_tokens_per_sec", tps,
+           "generated tokens/s (8 slots, ~4k ctx, blocked window chunks)",
+           {"plain_engine_tokens_per_sec": round(base_tps, 1),
+            "draft_len": K, "rounds": eng.steps, "wall_s": round(dt, 2),
+            "speedup": round(tps / base_tps, 2)})
+    del model
+    import gc
+    gc.collect()
+
+
 def bench_moe_decode():
     """Mixtral-class MoE DECODE + serving (VERDICT r4 #3): ragged vs dense
     dispatch at S==1 (with B*k replicas spread over E experts nearly every
@@ -1561,6 +1701,8 @@ def main():
     bench_llama_longcontext()
     bench_mistral_swa_ring_decode()
     bench_moe_decode()
+    bench_longctx_speculation()
+    bench_longctx_serving_lookup()
 
     bench_sft_step(use_flash=True)
     bench_sft_step(use_flash=False)
@@ -1729,11 +1871,18 @@ if __name__ == "__main__":
         # runs only the named zero-arg bench functions and APPENDS their
         # json lines to BENCH_DETAILS.md (the full run rewrites the file)
         for fn_name in sys.argv[1:]:
-            globals()[fn_name]()
-        with open("/root/repo/BENCH_DETAILS.md", "a") as f:
-            f.write("\n```\n")
-            for r in RESULTS:
-                f.write(json.dumps(r) + "\n")
-            f.write("```\n")
+            done = len(RESULTS)
+            try:
+                globals()[fn_name]()
+            except Exception as e:   # keep the batch alive; flush what ran
+                import traceback
+                traceback.print_exc()
+                print(f"BENCH FAIL {fn_name}: {e!r}", file=sys.stderr)
+            if len(RESULTS) > done:
+                with open("/root/repo/BENCH_DETAILS.md", "a") as f:
+                    f.write("\n```\n")
+                    for r in RESULTS[done:]:
+                        f.write(json.dumps(r) + "\n")
+                    f.write("```\n")
     else:
         main()

@@ -119,7 +119,14 @@ def gqa_blocked_partials(q_tilde, kq, ks, vq, vs, bias, li, *, kv_heads,
     H = q_tilde.shape[-1]
     kv_int8 = ks is not None
     Hkv = kv_heads
-    TK = blocked_key_block(T, key_block)
+    # past ~4.6k keys, halve the streaming block: XLA parks the int8
+    # embed/lm_head tables in VMEM around this call inside the decode loop,
+    # and 1024-row double-buffered blocks pushed the ctx8k b8 program ~1 MB
+    # over the scoped-vmem budget at compile time. The extra grid steps
+    # cost ~2 us each (~+0.35 ms/step at ctx8k x22 layers) — losing the
+    # table parking would cost more. ctx4k (T=4352, TK=544) fits as-is and
+    # keeps the larger block.
+    TK = blocked_key_block(T, min(key_block, 512) if T > 4608 else key_block)
     TB = T // TK
     if not kv_int8:
         ks = vs = jnp.ones((L, 1, 1, 1), jnp.float32)
@@ -155,11 +162,14 @@ def gqa_blocked_partials(q_tilde, kq, ks, vq, vs, bias, li, *, kv_heads,
     blk = (2 * B * TK * Dkv * kq.dtype.itemsize
            + (2 * B * TK * Hkv * 4 if kv_int8 else 0) + B * TK * 4)
     need = 2 * blk + 3 * B * Dkv * H * 4 + B * Dkv * H * q_tilde.dtype.itemsize
-    # claim TIGHT (need*1.5): this call runs inside the decode while-loop,
-    # where XLA's own stack values co-live in VMEM — a generous floor
-    # (32 MiB) pushed the ctx8k b8 int8 program 1 MB over the scoped-vmem
-    # limit at compile time (the kernel itself needs ~10 MB double-buffered)
-    vmem_cap = min(max(int(need * 1.5), 16 * 1024 * 1024),
+    # the 32 MiB floor is a RESERVATION, not waste: vmem_limit_bytes keeps
+    # XLA's scheduler from parking its own values (int8 embed/lm_head
+    # tables) into the space this call transits — shrinking the claim to
+    # need*1.5 made the ctx4k program FAIL scoped-vmem accounting (XLA
+    # parked more around the smaller claim), while 32 MiB compiled and
+    # measured 527 tok/s. ctx8k additionally needs the TK=512 block shrink
+    # above (it was ~1 MB over even at 32 MiB with 1024-row blocks).
+    vmem_cap = min(max(int(need * 1.5), 32 * 1024 * 1024),
                    110 * 1024 * 1024)
 
     m, den, acc = pl.pallas_call(

@@ -110,3 +110,21 @@ def test_fused_beam_sampling_shape_and_validity(pair):
                                     generation_configs=gen))
     assert out.shape[:2] == (2, 3)
     assert (out >= 0).all() and (out < 97).all()
+
+
+def test_top_k_small_matches_lax_top_k():
+    """_top_k_small (k iterated argmax+mask reductions — replaces
+    lax.top_k's sort over beam*V lanes, the dominant beam-step cost) must
+    be BIT-identical to lax.top_k, including tie order (both break ties to
+    the lowest index)."""
+    import jax
+    from cleantransformer_tpu.generation.beam_fused import _top_k_small
+    rs = np.random.RandomState(0)
+    x = rs.randn(3, 1000).astype(np.float32)
+    x[:, 100] = x[:, 50]   # exact ties across distant indices
+    x[1, 200] = -np.inf    # and non-finite entries
+    x = jnp.asarray(x)
+    v0, i0 = jax.lax.top_k(x, 6)
+    v1, i1 = _top_k_small(x, 6)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
