@@ -1345,6 +1345,60 @@ def bench_longctx_serving_lookup():
     gc.collect()
 
 
+def bench_gpt_int8kv_crossover():
+    """VERDICT r4 #6: STATE the int8-KV long-context crossover. At ctx8k the
+    int8 cache wins the decode-only slope (blocked kernel streams half the
+    bytes) but pays prefill-side slab quantization + the flash path's
+    transient dequant, so short generations lose end-to-end. Two-point
+    timings (gen 8 vs 192) of both variants solve the generation length
+    where total time crosses: int8 KV wins past it."""
+    import gc
+    lc = dict(vocab_size=50257, n_embd=768, n_positions=8192, n_layer=12,
+              n_head=12, n_ctx=8192, compute_dtype="bfloat16",
+              use_flash_attention=True, decode_unroll=12, fused_decode=True)
+    rs = np.random.RandomState(0)
+    ids = rs.randint(0, 50257, (8, 8000)).astype(np.int32)
+    mask = np.ones((8, 8000), np.int32)
+
+    def two_point(model):
+        def timed(g):
+            cfg = {"beam_size": 1, "max_gen_len": g, "do_sample": False,
+                   "end_ids": None, "pad_id": 0, "no_repeat_ngram_size": 0}
+            out = model.generate(ids, mask, generation_configs=cfg)
+            n_new = out.shape[-1] - 8000
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                model.generate(ids, mask, generation_configs=cfg)
+                times.append(time.perf_counter() - t0)
+            return n_new, max(min(times) - host_rtt(), 1e-9)
+        n_long, t_long = timed(192)
+        n_short, t_short = timed(8)
+        slope = (t_long - t_short) / max(n_long - n_short, 1)
+        prefill = t_short - n_short * slope
+        return prefill, slope, n_long, t_long
+
+    m_bf = GPTLMHeadModel(GPTConfig(**lc), version="gpt2",
+                          rng=jax.random.PRNGKey(0))
+    p_bf, s_bf, n_bf, t_bf = two_point(m_bf)
+    m_q = GPTLMHeadModel(GPTConfig(**lc, kv_cache_int8=True),
+                         version="gpt2", params=m_bf.params)
+    del m_bf
+    gc.collect()
+    p_q, s_q, n_q, t_q = two_point(m_q)
+    cross = ((p_q - p_bf) / (s_bf - s_q)) if s_bf > s_q else float("inf")
+    record("gpt2_ctx8k_int8kv_crossover_gen", round(cross, 1),
+           "generated tokens (int8 KV beats bf16 end-to-end past this)",
+           {"bf16_prefill_s": round(p_bf, 4),
+            "bf16_decode_step_ms": round(s_bf * 1e3, 3),
+            "int8kv_prefill_s": round(p_q, 4),
+            "int8kv_decode_step_ms": round(s_q * 1e3, 3),
+            "gen192_int8kv_tokens_per_sec": round(8 * n_q / t_q, 1),
+            "gen192_bf16_tokens_per_sec": round(8 * n_bf / t_bf, 1)})
+    del m_q
+    gc.collect()
+
+
 def bench_moe_decode():
     """Mixtral-class MoE DECODE + serving (VERDICT r4 #3): ragged vs dense
     dispatch at S==1 (with B*k replicas spread over E experts nearly every
@@ -1703,6 +1757,7 @@ def main():
     bench_moe_decode()
     bench_longctx_speculation()
     bench_longctx_serving_lookup()
+    bench_gpt_int8kv_crossover()
 
     bench_sft_step(use_flash=True)
     bench_sft_step(use_flash=False)
