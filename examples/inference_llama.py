@@ -34,10 +34,36 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_dir", type=str, default=None)
     parser.add_argument("--demo", action="store_true")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 weight-only quantized decode "
+                             "(quantize_int8; halves the weight stream)")
+    parser.add_argument("--int8_kv", action="store_true",
+                        help="int8 KV cache (kv_cache_int8; halves cache "
+                             "memory — wins speed past ~4k-key contexts "
+                             "via the blocked GQA kernel)")
+    parser.add_argument("--ring", action="store_true",
+                        help="sliding-window RING cache (swa_ring_cache; "
+                             "Mistral-style checkpoints: cache memory and "
+                             "per-step stream bounded by the window)")
+    parser.add_argument("--moe_impl", type=str, default=None,
+                        choices=["dense", "capacity", "ragged"],
+                        help="MoE dispatch for Mixtral checkpoints "
+                             "(ragged = lax.ragged_dot grouped matmuls)")
     args, _ = parser.parse_known_args()
 
     import jax
     from cleantransformer_tpu.config import LlamaConfig
+
+    overrides = {"compute_dtype": "bfloat16", "decode_head_major": True,
+                 "use_flash_attention": True}
+    if args.int8:
+        overrides["quantize_int8"] = True
+    if args.int8_kv:
+        overrides["kv_cache_int8"] = True
+    if args.ring:
+        overrides["swa_ring_cache"] = True
+    if args.moe_impl:
+        overrides["moe_impl"] = args.moe_impl
 
     texts = ["when we talk about something for the first time,",
              "New York City plans to"]
@@ -45,7 +71,9 @@ def main():
     if args.demo or not args.model_dir:
         config = LlamaConfig(vocab_size=4096, hidden_size=256,
                              intermediate_size=688, num_hidden_layers=4,
-                             num_attention_heads=8, num_key_value_heads=4)
+                             num_attention_heads=8, num_key_value_heads=4,
+                             **{k: v for k, v in overrides.items()
+                                if k != "swa_ring_cache"})
         from cleantransformer_tpu.models.llama import LlamaForCausalLM
         model = LlamaForCausalLM(config, rng=jax.random.PRNGKey(0))
         tokenizer = None
@@ -54,7 +82,8 @@ def main():
         attention_mask = np.ones_like(input_ids)
         eos, pad = 2, 0
     else:
-        config = load_config(os.path.join(args.model_dir, "config.json"))
+        config = load_config(os.path.join(args.model_dir, "config.json"),
+                             **overrides)
         model = load_model(config, args.model_dir)
         try:
             from transformers import AutoTokenizer
