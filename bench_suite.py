@@ -971,6 +971,31 @@ def bench_adversarial_serving():
     gc.collect()
 
 
+def bench_beam_gpt2():
+    """Zero-arg wrapper for the selective runner: re-measure the beam-3
+    lines (plain XLA + fused layouts) after the round-5 iterated-argmax
+    top-k (lax.top_k over (bsz, beam*V) was a ~150k-lane sort network;
+    2*beam argmax+mask passes are linear reductions, bit-identical
+    including tie order). The greedy b8 fused line re-runs alongside so
+    the VERDICT r4 #7 target (beam3 <= 2x greedy per-ROW step cost) is
+    checkable from one batch."""
+    cfg = GPTConfig(vocab_size=50257, n_embd=768, n_positions=1024,
+                    n_layer=12, n_head=12, n_ctx=1024,
+                    compute_dtype="bfloat16", decode_unroll=12)
+    model = GPTLMHeadModel(cfg, version="gpt2", rng=jax.random.PRNGKey(0))
+    bench_beam(model, "gpt2_124M_beam3", 50257)
+    fmodel = GPTLMHeadModel(
+        GPTConfig(vocab_size=50257, n_embd=768, n_positions=1024, n_layer=12,
+                  n_head=12, n_ctx=1024, compute_dtype="bfloat16",
+                  fused_decode=True),
+        version="gpt2", params=model.params)
+    bench_beam(fmodel, "gpt2_124M_beam3_fused", 50257)
+    bench_decode(fmodel, "gpt2_124M_decode_b8_fused", 8, 32, 128, 50257)
+    del model, fmodel
+    import gc
+    gc.collect()
+
+
 def bench_prompt_lookup_batched(model, name, vocab, B=8, gen=128, K=8):
     """b8 prompt-lookup vs plain b8 greedy on a repetitive continuation
     (per-row matching/acceptance — VERDICT r2 item 9). The workload is the
