@@ -1402,5 +1402,41 @@ class ServingEngine:
                or any(r is not None for r in self.slot_rid)):
             yield from self.step()
 
+    def warmup(self, prompt_len=8):
+        """Compile every device program serving traffic can dispatch,
+        BEFORE traffic arrives: the bucketed prefill, the configured decode
+        chunk, and — on a speculative engine with auto-fallback enabled —
+        the PLAIN decode chunk a fallback wave reverts to. Without the last
+        one, the first dead-workload fallback pays a full XLA compile in
+        the middle of live traffic (measured 7.6 s wall for ~0.2 s of
+        device work on the tunneled chip, BENCH_DETAILS adversarial line).
+        Runs tiny throwaway requests; the speculation EMA, wave counters,
+        and fetch count are restored so the engine starts traffic clean."""
+        snap = (self._tpr, self._lrounds, self._psteps, self._since_probe,
+                self._chunk_no)
+
+        def _mini():
+            rs = np.random.RandomState(0)
+            vocab = getattr(self.config, "vocab_size", 2)
+            self.submit(rs.randint(1, max(vocab - 1, 2),
+                                   (prompt_len,)).tolist(),
+                        max_new_tokens=min(2 * self.chunk_size,
+                                           self.max_len - prompt_len))
+            for _ in self.run():
+                pass
+
+        _mini()
+        if self.speculative == "lookup" and self.lookup_round_cost > 0:
+            sp, self.speculative = self.speculative, None
+            try:
+                _mini()                      # the fallback PLAIN chunk
+            finally:
+                self.speculative = sp
+        (self._tpr, self._lrounds, self._psteps, self._since_probe,
+         self._chunk_no) = snap
+        self._counts_at = {}
+        self.fetches = 0
+        self.steps = 0
+
     def utilization(self):
         return sum(r is not None for r in self.slot_rid) / self.max_slots

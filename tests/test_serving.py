@@ -797,3 +797,46 @@ def test_fused_int8_kv_serving_parity(gpt):
         np.testing.assert_array_equal(
             results[rid], ref_greedy(model, prompt, n_new),
             err_msg=f"prompt={prompt}")
+
+
+def test_warmup_compiles_clean_and_serves_identically(gpt):
+    """warmup() must leave the engine in a virgin-traffic state (EMA, wave
+    counters, fetch/step counts restored) while having exercised the
+    prefill, the configured chunk, AND — on a fallback-enabled speculative
+    engine — the plain chunk a fallback wave dispatches. Outputs after
+    warmup must be bit-identical to an un-warmed engine's (and to
+    generate()); the fallback engine must still engage plain waves."""
+    vocab = gpt.config.vocab_size
+    prompts = _prompts(vocab, seed=31)
+
+    def build():
+        return ServingEngine(gpt, max_slots=2, max_len=64,
+                             prefill_buckets=(16,), chunk_size=2,
+                             speculative="lookup", draft_len=4,
+                             lookup_round_cost=1e9, lookup_reprobe_every=2)
+
+    warm = build()
+    warm.warmup()
+    assert warm._psteps == 0 and warm._lrounds == 0 and warm.steps == 0
+    assert warm.fetches == 0 and warm._counts_at == {}
+    assert warm._tpr == build()._tpr    # EMA restored to the virgin prior
+    assert warm.speculative == "lookup"
+
+    rids = {warm.submit(p, max_new_tokens=12): p for p in prompts}
+    results = dict(warm.run())
+    for rid, prompt in rids.items():
+        np.testing.assert_array_equal(
+            results[rid], ref_greedy(gpt, prompt, 12),
+            err_msg=f"prompt={prompt}")
+    assert warm._psteps > 0, "fallback never engaged after warmup"
+
+    # plain engine warmup: same restore contract
+    plain = ServingEngine(gpt, max_slots=2, max_len=64,
+                          prefill_buckets=(16,), chunk_size=4)
+    plain.warmup()
+    assert plain.steps == 0 and plain.fetches == 0
+    rids = {plain.submit(p, max_new_tokens=8): p for p in prompts[:3]}
+    results = dict(plain.run())
+    for rid, prompt in rids.items():
+        np.testing.assert_array_equal(results[rid],
+                                      ref_greedy(gpt, prompt, 8))
