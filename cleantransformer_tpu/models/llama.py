@@ -358,12 +358,13 @@ def _gqa_blocked_attend(q, k_cur, v_cur, k_cache, v_cache, li, mask_cache,
     Dkv = Hkv * hd
     g = H // Hkv
     cdt = q.dtype
-    # block-diagonal q_tilde (B, Dkv, H) — _gqa_attend_headmajor's trick
+    # block-diagonal q_tilde (B, H, Dkv) — _gqa_attend_headmajor's trick in
+    # the kernel's flash orientation: q-head h = (i, j) occupies kv group
+    # i's hd lanes of row h
     qr = q[:, :, 0, :].reshape(B, Hkv, g, hd)
-    qT = qr.transpose(0, 1, 3, 2)
     eye = jnp.eye(Hkv, dtype=cdt)
-    qt = qT[:, None] * eye[None, :, :, None, None]
-    q_tilde = qt.transpose(0, 1, 3, 2, 4).reshape(B, Dkv, H)
+    qt = qr[:, :, :, None, :] * eye[None, :, None, :, None]
+    q_tilde = qt.reshape(B, H, Dkv)
 
     T = k_cache["q"].shape[2]
     bias = jnp.maximum(jnp.broadcast_to(mask_cache[:, 0, 0, :], (B, T)),
@@ -375,7 +376,7 @@ def _gqa_blocked_attend(q, k_cur, v_cur, k_cache, v_cache, li, mask_cache,
         bias, li, kv_heads=Hkv, scale=scale,
         key_block=getattr(config, "blocked_key_rows", 1024),
         interpret=should_interpret())
-    m, den = m[:, 0, :], den[:, 0, :]
+    m, den = m[:, :, 0], den[:, :, 0]
 
     k_row = k_cur[:, :, 0, :].reshape(B, Dkv)
     v_row = v_cur[:, :, 0, :].reshape(B, Dkv)
@@ -389,7 +390,7 @@ def _gqa_blocked_attend(q, k_cur, v_cur, k_cache, v_cache, li, mask_cache,
 
     kq_c, ks_c = roundtrip(k_row)
     vq_c, vs_c = roundtrip(v_row)
-    s_cur = jnp.einsum('bd,bdh->bh', kq_c.reshape(B, Dkv).astype(cdt),
+    s_cur = jnp.einsum('bd,bhd->bh', kq_c.reshape(B, Dkv).astype(cdt),
                        q_tilde, preferred_element_type=jnp.float32)
     s_cur = s_cur * jnp.repeat(ks_c, g, axis=1) * scale       # (B, H)
     s_cur = s_cur + mask_cur[:, 0, 0, :]
@@ -398,10 +399,10 @@ def _gqa_blocked_attend(q, k_cur, v_cur, k_cache, v_cache, li, mask_cache,
     pc = jnp.exp(s_cur - m_f)
     den_f = den * r2 + pc
     v_deq = (vq_c * vs_c[..., None]).reshape(B, Dkv)          # fp32
-    out_dk = (acc * r2[:, None, :]
-              + v_deq[:, :, None] * pc[:, None, :]) / den_f[:, None, :]
-    od = out_dk.reshape(B, Hkv, hd, Hkv, g)
-    diag = jnp.einsum('bidkj,ik->bijd', od, jnp.eye(Hkv, dtype=out_dk.dtype))
+    out_hd = (acc * r2[..., None]
+              + v_deq[:, None, :] * pc[..., None]) / den_f[..., None]
+    od = out_hd.reshape(B, Hkv, g, Hkv, hd)
+    diag = jnp.einsum('bijkd,ik->bijd', od, jnp.eye(Hkv, dtype=out_hd.dtype))
     return diag.reshape(B, H * hd).astype(cdt), k_row, v_row
 
 

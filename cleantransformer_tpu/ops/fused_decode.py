@@ -1016,9 +1016,9 @@ def _gpt_blocked_window_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv,
                                wfc, sfc, bfc, wfc2, sfc2, bfc2, ck_ref,
                                sk_ref, cv_ref, sv_ref, y_ref, nk_ref, nv_ref,
                                h_scr, q_scr, kw_scr, vw_scr, skw_scr,
-                               svw_scr, m_scr, den_scr, acc_scr, *, S, B, H,
-                               D, hd, L, TB, eps, act, scale, pre_ln,
-                               kv_int8):
+                               svw_scr, m_scr, den_scr, acc_scr, ao_scr, *,
+                               S, B, H, D, hd, L, TB, eps, act, scale,
+                               pre_ln, kv_int8):
     """LONG-CONTEXT S-token decode window: _gpt_blocked_kernel's key-block
     online-softmax streaming married to _gpt_window_kernel's multi-query
     window — grid (L, TB), per-QUERY running (max, denominator, accumulator)
@@ -1028,18 +1028,30 @@ def _gpt_blocked_window_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv,
     speculation and continuous batching no longer bail to the ~125-fusion
     XLA per-layer path exactly where a verify round is most expensive.
 
+    FLASH ORIENTATION (round-5 reprofile): the first version looped the S
+    queries over the streamed block with (TK, H)-shaped scores — H=12 on
+    the 128-wide lanes (9% utilization) and S x 2 narrow head-collapse
+    matmuls per block made a ctx4k verify round cost ~9.7 plain blocked
+    steps (compute-bound; the S==1 kernel is stream-bound at the same
+    shapes). Here all S queries batch into ONE NT contraction per batch
+    row: q_tilde rows (s, h) hold q[s, head h] in head h's lanes, scores
+    (S*H, TK) = q_tilde_b @ K_block_b^T keep keys on lanes, softmax
+    reduces over lanes, AV is a full-width (S*H, TK) @ (TK, D) NN dot, and
+    the epilogue merges the whole in-window causal triangle as ONE
+    (S*H, S) NT dot per row (+ per-(query, column) scale/ALiBi planes via
+    NT dots against the constant (S*H, H) head one-hot).
+
     Window columns do NOT get inserted into the streamed blocks (that would
     re-run S selects over every block): the caller's bias strictly masks
     every column >= the row's cache_len, and the block epilogue merges the
     window's own k/v (computed in the tb==0 prologue, persisted in scratch,
-    quantized first for an int8 cache) as per-query extra columns — query s
-    merges columns j = 0..s, the static in-window causal triangle, each via
-    the S==1 blocked kernel's single-column online-softmax update. Ragged
-    per-row offsets therefore never enter the kernel: they live entirely in
-    the caller's bias plane (stream) and bcur rows (window ALiBi/padding).
-    Numerics: fp32 partials; online rescaling reorders summations, so
-    parity with the XLA path is float-tolerance, not bit-level (same
-    contract as _gpt_blocked_kernel; tests/test_fused_decode.py).
+    quantized first for an int8 cache) behind the static causal triangle.
+    Ragged per-row offsets therefore never enter the kernel: they live
+    entirely in the caller's bias plane (stream) and bcur rows (window
+    ALiBi/padding). Numerics: fp32 partials; online rescaling reorders
+    summations, so parity with the XLA path is float-tolerance, not
+    bit-level (same contract as _gpt_blocked_kernel;
+    tests/test_fused_decode.py).
 
     Capability bound this extends: the reference replays the whole prompt
     through dense O(s^2) attention for every generated token
@@ -1048,13 +1060,19 @@ def _gpt_blocked_window_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv,
     cdt = x_ref.dtype
     nk_dt = x_ref.dtype if kv_int8 else nk_ref.dtype
     TK = ck_ref.shape[2]
+    SH = S * H
+    nt = (((1,), (1,)), ((), ()))                  # contract both minors
 
-    hm = (jax.lax.broadcasted_iota(jnp.int32, (D, H), 0) // hd
-          == jax.lax.broadcasted_iota(jnp.int32, (D, H), 1)
-          ).astype(jnp.float32)
-    hmT = (jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
+    hm2 = (jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
            == jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) // hd
-           ).astype(jnp.float32)
+           ).astype(jnp.float32)                   # row h <- head h's lanes
+    qh = (jax.lax.broadcasted_iota(jnp.int32, (SH, H), 0) % H
+          == jax.lax.broadcasted_iota(jnp.int32, (SH, H), 1)
+          ).astype(jnp.float32)                    # row (s,h) -> one-hot h
+    # static in-window causal triangle: query row (s, h) sees column j <= s
+    tri = ((jax.lax.broadcasted_iota(jnp.int32, (SH, S), 1)
+            <= jax.lax.broadcasted_iota(jnp.int32, (SH, S), 0) // H
+            ).astype(jnp.float32) - 1.0) * 1e30
     if kv_int8:
         lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1) // hd
         iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, H), 1)
@@ -1069,8 +1087,9 @@ def _gpt_blocked_window_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv,
                 sc_h = sc_h + (amax / 127.0) * (iota_h == h).astype(
                     jnp.float32)
             sc_h = jnp.maximum(sc_h, 1e-8)
-            sc_lanes = jnp.dot(sc_h, hmT,
-                               preferred_element_type=jnp.float32)
+            sc_lanes = jax.lax.dot_general(
+                sc_h, hm2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             q = jnp.clip(jnp.round(x / sc_lanes), -127, 127)
             return q, sc_h
 
@@ -1084,8 +1103,8 @@ def _gpt_blocked_window_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv,
         h_scr[:] = x_ref[:]
 
     # block prologue (first key-block of each layer): the whole window's
-    # qkv; persist q and the (quantized) window k/v in scratch, emit the
-    # new cache rows, reset every query's online-softmax state
+    # qkv; persist the lane-expanded queries and the (quantized) window k/v
+    # in scratch, emit the new cache rows, reset the online-softmax state
     @pl.when(tb == 0)
     def _prologue():
         for s in range(S):
@@ -1099,71 +1118,88 @@ def _gpt_blocked_window_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv,
             v_t = qkv[:, 2 * D:].astype(nk_dt)
             nk_ref[0, s] = k_t
             nv_ref[0, s] = v_t
-            q_scr[s] = qkv[:, :D].astype(jnp.float32)
+            # q rows lane-expanded to the (H, D) block-diagonal
+            q_scr[:, s] = (qkv[:, None, :D].astype(jnp.float32)
+                           * hm2[None])            # (B, H, D)
             if kv_int8:
                 kq_s, ksc_s = quantize_rows(k_t.astype(jnp.float32))
                 vq_s, vsc_s = quantize_rows(v_t.astype(jnp.float32))
-                kw_scr[s] = kq_s
-                vw_scr[s] = vq_s
-                skw_scr[s] = ksc_s
-                svw_scr[s] = vsc_s
+                kw_scr[:, s] = kq_s
+                vw_scr[:, s] = vq_s
+                skw_scr[:, s] = ksc_s
+                svw_scr[:, s] = vsc_s
             else:
-                kw_scr[s] = k_t.astype(jnp.float32)
-                vw_scr[s] = v_t.astype(jnp.float32)
-            m_scr[s] = jnp.full((B, H), -1e30, jnp.float32)
-            den_scr[s] = jnp.zeros((B, H), jnp.float32)
-            acc_scr[s] = jnp.zeros((B, D), jnp.float32)
+                kw_scr[:, s] = k_t.astype(jnp.float32)
+                vw_scr[:, s] = v_t.astype(jnp.float32)
+        m_scr[:] = jnp.full((B, SH, 1), -1e30, jnp.float32)
+        den_scr[:] = jnp.zeros((B, SH, 1), jnp.float32)
+        acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
 
-    # online-softmax partial over this key-block, every query sharing the
-    # one streamed (B, TK, D) block fetch
-    kc = ck_ref[0].astype(jnp.float32)
-    vc = cv_ref[0].astype(jnp.float32)
-    biasb = bias_ref[:].astype(jnp.float32)                  # (B, TK, H)
-    for s in range(S):
-        qf = q_scr[s]
-        sc = jnp.dot((kc * qf[:, None, :]).reshape(B * TK, D), hm,
-                     preferred_element_type=jnp.float32).reshape(B, TK, H)
+    # online-softmax partial over this key-block: per batch row, ALL S*H
+    # query rows share one NT score dot against the streamed block
+    kc = ck_ref[0].astype(cdt)                     # (B, TK, D)
+    vc = cv_ref[0].astype(cdt)
+    eye_h = (jax.lax.broadcasted_iota(jnp.int32, (H, H), 0)
+             == jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
+             ).astype(jnp.float32)
+    for b in range(B):
+        qe = q_scr[b].reshape(SH, D).astype(cdt)   # leading-dim merge
+        sc = jax.lax.dot_general(qe, kc[b], nt,
+                                 preferred_element_type=jnp.float32)
+        if kv_int8:                                # (SH, TK) scale plane
+            sc = sc * jax.lax.dot_general(
+                qh, sk_ref[0, b], nt, preferred_element_type=jnp.float32)
+        # the bias streams on SUBLANES ((B, TK, H) blocks — a (.., H, TK)
+        # lane block would need TK % 128 == 0); the identity NT dot is the
+        # legal MXU transpose and is EXACT (one 1.0*x product per element)
+        bias_b = jax.lax.dot_general(eye_h, bias_ref[b], nt,
+                                     preferred_element_type=jnp.float32)
+        sc = sc * scale + jnp.broadcast_to(
+            bias_b[None], (S, H, TK)).reshape(SH, TK)
+        m_old = m_scr[b]                           # (SH, 1)
+        m_new = jnp.maximum(m_old, jnp.max(sc, axis=1, keepdims=True))
+        r = jnp.exp(m_old - m_new)
+        p = jnp.exp(sc - m_new)                    # (SH, TK) fp32
+        den_scr[b] = den_scr[b] * r + jnp.sum(p, axis=1, keepdims=True)
         if kv_int8:
-            sc = sc * sk_ref[0]
-        sc = sc * scale + biasb
-        m_new = jnp.maximum(m_scr[s], jnp.max(sc, axis=1))
-        r = jnp.exp(m_scr[s] - m_new)                        # (B, H)
-        p = jnp.exp(sc - m_new[:, None, :])                  # (B, TK, H)
-        den_scr[s] = den_scr[s] * r + jnp.sum(p, axis=1)
-        if kv_int8:
-            p = p * sv_ref[0]
-        pexp = jnp.dot(p.reshape(B * TK, H), hmT,
-                       preferred_element_type=jnp.float32).reshape(B, TK, D)
-        r_lanes = jnp.dot(r, hmT, preferred_element_type=jnp.float32)
-        m_scr[s] = m_new
-        acc_scr[s] = acc_scr[s] * r_lanes + jnp.sum(pexp * vc, axis=1)
+            p = p * jax.lax.dot_general(qh, sv_ref[0, b], nt,
+                                        preferred_element_type=jnp.float32)
+        av = jnp.dot(p.astype(cdt), vc[b],
+                     preferred_element_type=jnp.float32)
+        m_scr[b] = m_new
+        acc_scr[b] = acc_scr[b] * r + av           # (SH, D)
 
-    # block epilogue (last key-block): merge each query's in-window columns
-    # (the static causal triangle), normalize, proj + MLP + residual
+    # block epilogue (last key-block): merge every query's in-window
+    # columns as ONE (SH, S) NT dot behind the static causal triangle,
+    # normalize, head-collapse, then proj + MLP + residual per token
     @pl.when(tb == TB - 1)
     def _epilogue():
+        for b in range(B):
+            qe = q_scr[b].reshape(SH, D).astype(cdt)
+            kw_b = kw_scr[b].astype(cdt)           # (S, D)
+            s_w = jax.lax.dot_general(qe, kw_b, nt,
+                                      preferred_element_type=jnp.float32)
+            if kv_int8:
+                s_w = s_w * jax.lax.dot_general(
+                    qh, skw_scr[b], nt, preferred_element_type=jnp.float32)
+            s_w = s_w * scale + jax.lax.dot_general(
+                qh, bcur_ref[b], nt,
+                preferred_element_type=jnp.float32) + tri
+            m_old = m_scr[b]
+            m_f = jnp.maximum(m_old, jnp.max(s_w, axis=1, keepdims=True))
+            r1 = jnp.exp(m_old - m_f)
+            p_w = jnp.exp(s_w - m_f)               # (SH, S); masked -> 0
+            den_f = den_scr[b] * r1 + jnp.sum(p_w, axis=1, keepdims=True)
+            if kv_int8:
+                p_w = p_w * jax.lax.dot_general(
+                    qh, svw_scr[b], nt, preferred_element_type=jnp.float32)
+            acc_f = acc_scr[b] * r1 + jnp.dot(
+                p_w.astype(cdt), vw_scr[b].astype(cdt),
+                preferred_element_type=jnp.float32)
+            nrm = (acc_f / den_f).reshape(S, H, D)  # leading-dim split
+            ao_scr[b] = jnp.sum(nrm * hm2[None], axis=1)  # head-collapse
         for s in range(S):
-            qf = q_scr[s]
-            m_s, den_s, acc_s = m_scr[s], den_scr[s], acc_scr[s]
-            for j in range(s + 1):
-                s_cur = jnp.dot(kw_scr[j] * qf, hm,
-                                preferred_element_type=jnp.float32)  # (B,H)
-                if kv_int8:
-                    s_cur = s_cur * skw_scr[j]
-                s_cur = s_cur * scale + bcur_ref[j].astype(jnp.float32)
-                m_new = jnp.maximum(m_s, s_cur)
-                r = jnp.exp(m_s - m_new)
-                pc = jnp.exp(s_cur - m_new)                  # (B, H)
-                r_lanes = jnp.dot(r, hmT,
-                                  preferred_element_type=jnp.float32)
-                pv = pc * svw_scr[j] if kv_int8 else pc
-                acc_s = acc_s * r_lanes + jnp.dot(
-                    pv, hmT, preferred_element_type=jnp.float32) * vw_scr[j]
-                den_s = den_s * r + pc
-                m_s = m_new
-            den_lanes = jnp.dot(den_s, hmT,
-                                preferred_element_type=jnp.float32)
-            out = acc_s / den_lanes
+            out = ao_scr[:, s]                     # (B, D)
             o = project(out.astype(cdt), wproj, sproj, bproj)
             if pre_ln:  # gpt2/gpt3 residual order (modeling_gpt.py:147-152)
                 h = h_scr[s] + o
@@ -1182,15 +1218,20 @@ def blocked_window_key_block(S, B, T, D, F, H, weight_bytes=2, cache_bytes=2,
                              kv_int8=False, target=512,
                              limit=100 * 1024 * 1024):
     """Largest streaming key-block for the blocked WINDOW kernel whose
-    double-buffered working set fits VMEM (large B shrinks TK; the window
-    scratch grows with S)."""
+    double-buffered working set fits VMEM (large B shrinks TK; the
+    flash-oriented window scratch grows with S*H: the lane-expanded queries
+    and the per-(query, head)-row accumulator are both (B, S*H, D) fp32)."""
     weights = 2 * (3 * D * D + D * D + 2 * D * F) * weight_bytes
-    scratch = S * B * (D * 2 + 4 * D * 4 + 4 * H * 4) + 2 * S * B * D * 2
+    scratch = (S * B * D * 2                       # residual (cdt)
+               + 2 * S * B * H * D * 4             # q expanded + acc
+               + 2 * S * B * D * 4 + S * B * D * 4  # window k/v + attn out
+               + 2 * S * B * H * 4 + 2 * S * B * H * 4)  # scales + m/den
     while target > 8:
         TK = blocked_key_block(T, target)
         blocks = 2 * (2 * B * TK * D * cache_bytes
                       + (3 if kv_int8 else 1) * B * TK * H * 4)
-        live = 3 * B * TK * D * 4 + 2 * B * TK * H * 4
+        # live per-row temporaries: scores/probs (S*H, TK) fp32 x ~3
+        live = 3 * S * H * TK * 4 + B * TK * D * 2
         if weights + scratch + blocks + live < limit:
             return TK
         target //= 2
@@ -1209,7 +1250,9 @@ def fused_decode_blocked_window(stack, hw, bias, bias_cur, cache_k, cache_v,
     bias: (B, T, H) fp32 additive KEY bias over the streamed cache that
       STRICTLY masks every column >= the row's cache_len (committed keys
       only — the window's own buffer region is stale) plus padding/ALiBi.
-    bias_cur: (S, B, H) fp32 bias rows for the window's own columns
+      Keys stay on sublanes (lane-legality); the kernel transposes each
+      row's block with an exact identity NT dot.
+    bias_cur: (B, S, H) fp32 bias rows for the window's own columns
       (zeros for GPT; the ALiBi ramp at cache_len + s for Bloom).
 
     Returns (y (S, B, D), new_k, new_v (L, S, B, D) compute-dtype rows) for
@@ -1275,7 +1318,7 @@ def fused_decode_blocked_window(stack, hw, bias, bias_cur, cache_k, cache_v,
 
     sk_spec = per_kblock((B, H)) if kv_int8 else per_layer((1, 1, H))
     in_specs = [
-        fixed((S, B, D)), bias_kblock(), fixed((S, B, H)),
+        fixed((S, B, D)), bias_kblock(), fixed((B, S, H)),
         per_layer((1, D)), per_layer((1, D)),
         per_layer((D, 3 * D)), per_layer((1, 3 * D)), per_layer((1, 3 * D)),
         per_layer((D, D)), per_layer((1, D)), per_layer((1, D)),
@@ -1305,15 +1348,16 @@ def fused_decode_blocked_window(stack, hw, bias, bias_cur, cache_k, cache_v,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((S, B, D), hw.dtype),     # h
-                        pltpu.VMEM((S, B, D), jnp.float32),  # q
-                        pltpu.VMEM((S, B, D), jnp.float32),  # window k
-                        pltpu.VMEM((S, B, D), jnp.float32),  # window v
-                        pltpu.VMEM((S, B, H), jnp.float32),  # window k scales
-                        pltpu.VMEM((S, B, H), jnp.float32),  # window v scales
-                        pltpu.VMEM((S, B, H), jnp.float32),  # m
-                        pltpu.VMEM((S, B, H), jnp.float32),  # den
-                        pltpu.VMEM((S, B, D), jnp.float32)], # acc
+        scratch_shapes=[pltpu.VMEM((S, B, D), hw.dtype),       # h
+                        pltpu.VMEM((B, S, H, D), jnp.float32),  # q expanded
+                        pltpu.VMEM((B, S, D), jnp.float32),     # window k
+                        pltpu.VMEM((B, S, D), jnp.float32),     # window v
+                        pltpu.VMEM((B, S, H), jnp.float32),     # window k sc
+                        pltpu.VMEM((B, S, H), jnp.float32),     # window v sc
+                        pltpu.VMEM((B, S * H, 1), jnp.float32),  # m
+                        pltpu.VMEM((B, S * H, 1), jnp.float32),  # den
+                        pltpu.VMEM((B, S * H, D), jnp.float32),  # acc
+                        pltpu.VMEM((B, S, D), jnp.float32)],    # attn out
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=110 * 1024 * 1024),

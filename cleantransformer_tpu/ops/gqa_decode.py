@@ -17,18 +17,19 @@ ops/fused_decode.py) is impossible for this family: a tinyllama layer is
 88 MB of bf16 weights, which cannot double-buffer in 128 MB of VMEM.
 
 Per block, per batch row b (static loop — rank-3 refs indexed on leading
-dims, 2D MXU dots):
+dims, 2D MXU dots in the FLASH orientation: keys on lanes):
 
-    scores (TK, H) = K_block_b^bf16 @ q_tilde_b        # (TK,Dkv)@(Dkv,H)
-    scores *= k_scales_b @ E                           # (TK,Hkv)@(Hkv,H)
-    online-softmax update; AV: V_block_b^T @ probs     # (TK,Dkv)^T(TK,H)
+    scores (H, TK) = q_tilde_b @ K_block_b^T           # NT: minors contract
+    scores *= E @ k_scales_b^T                         # (H,Hkv)x(TK,Hkv) NT
+    online-softmax over lanes; AV (H, Dkv) = probs @ V_block_b
 
 q_tilde is the block-diagonal query expansion of models/llama.py
-_gqa_attend_headmajor (q-head h lives in its kv group's lane rows), built
-in XLA — it is (B, Dkv, H), tiny. The kernel returns the ONLINE PARTIALS
-(m, den, acc) over the cache columns; the caller merges the current token's
-column (quantize-roundtripped to match the later cache write), normalizes,
-and extracts the block diagonal — all small-tensor XLA work.
+_gqa_attend_headmajor (q-head h lives in its kv group's hd lanes of row h),
+built in XLA — it is (B, H, Dkv), tiny. The kernel returns the ONLINE
+PARTIALS (m, den, acc) over the cache columns; the caller merges the
+current token's column (quantize-roundtripped to match the later cache
+write), normalizes, and extracts the block diagonal — all small-tensor XLA
+work.
 
 Causality/padding ride the (B, T, 1) additive bias plane (strict
 col < cache_len — the current token is the caller's merged column), clamped
@@ -55,44 +56,62 @@ def _gqa_blocked_kernel(scal_ref, qt_ref, kq_ref, ks_ref, vq_ref, vs_ref,
                         bias_ref, m_out, den_out, acc_out,
                         m_scr, den_scr, acc_scr, *, B, H, Hkv, TB, scale,
                         kv_int8):
+    # FLASH ORIENTATION (round-5 reprofile): every score/probability tensor
+    # carries the key dimension TK on the 128-wide LANES and the H=32 query
+    # heads on sublanes. The first version put H on lanes ((TK, H) scores
+    # via (TK,Dkv)@(Dkv,H) per-row dots): 25% lane utilization on all VPU
+    # softmax math and N=32 MXU dots padded 4x — profiled at 202 us per
+    # layer call vs an 89 us cache-stream roofline (compute-bound). Here
+    # scores are the standard flash q@k^T NT contraction (both minors
+    # contract — Mosaic lowers it natively), the int8 scale expansion rides
+    # an NT dot against the constant (H, Hkv) group expander instead of a
+    # transpose, AV is a full-width (H,TK)@(TK,Dkv) NN dot, and the online
+    # rescale broadcasts an (H, 1) column over lanes (the old layout needed
+    # an hmT matmul just to expand it).
     tb = pl.program_id(0)
     cdt = qt_ref.dtype
 
     @pl.when(tb == 0)
     def _init():
-        m_scr[:] = jnp.full((B, 1, H), -1e30, jnp.float32)
-        den_scr[:] = jnp.zeros((B, 1, H), jnp.float32)
+        m_scr[:] = jnp.full((B, H, 1), -1e30, jnp.float32)
+        den_scr[:] = jnp.zeros((B, H, 1), jnp.float32)
         acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
 
     g = H // Hkv
     if kv_int8:
-        # (Hkv, H) head-expansion: scale column h <- kv head h // g
-        expand = (jax.lax.broadcasted_iota(jnp.int32, (Hkv, H), 0)
-                  == jax.lax.broadcasted_iota(jnp.int32, (Hkv, H), 1) // g
+        # (H, Hkv) head-expansion: row h reads kv head h // g's scale
+        expand = (jax.lax.broadcasted_iota(jnp.int32, (H, Hkv), 0) // g
+                  == jax.lax.broadcasted_iota(jnp.int32, (H, Hkv), 1)
                   ).astype(jnp.float32)
+    nt = (((1,), (1,)), ((), ()))                  # contract both minors
+    one = jnp.ones((1, 1), jnp.float32)
     kb = kq_ref[0].astype(cdt)                     # (B, TK, Dkv)
     vb = vq_ref[0].astype(cdt)
     for b in range(B):
-        s_b = jax.lax.dot_general(kb[b], qt_ref[b],
-                                  (((1,), (0,)), ((), ())),
+        s_b = jax.lax.dot_general(qt_ref[b], kb[b], nt,
                                   preferred_element_type=jnp.float32)
-        if kv_int8:
-            s_b = s_b * jnp.dot(ks_ref[0, b], expand,
-                                preferred_element_type=jnp.float32)
-        s_b = s_b * scale + bias_ref[b]            # bias block (TK, 1)
-        m_old = m_scr[b]                           # (1, H)
-        m_new = jnp.maximum(m_old, jnp.max(s_b, axis=0, keepdims=True))
+        if kv_int8:                                # (H, TK) scale plane
+            s_b = s_b * jax.lax.dot_general(
+                expand, ks_ref[0, b], nt, preferred_element_type=jnp.float32)
+        # bias streams on SUBLANES ((B, TK, 1) blocks — a (.., 1, TK) lane
+        # block is Mosaic-illegal for TK % 128 != 0); the identity NT dot
+        # is the legal MXU transpose and is EXACT (one 1.0*x product per
+        # output element)
+        bias_b = jax.lax.dot_general(one, bias_ref[b], nt,
+                                     preferred_element_type=jnp.float32)
+        s_b = s_b * scale + bias_b                 # (1, TK) broadcasts
+        m_old = m_scr[b]                           # (H, 1)
+        m_new = jnp.maximum(m_old, jnp.max(s_b, axis=1, keepdims=True))
         r = jnp.exp(m_old - m_new)
-        p = jnp.exp(s_b - m_new)                   # (TK, H) fp32
-        den_scr[b] = den_scr[b] * r + jnp.sum(p, axis=0, keepdims=True)
+        p = jnp.exp(s_b - m_new)                   # (H, TK) fp32
+        den_scr[b] = den_scr[b] * r + jnp.sum(p, axis=1, keepdims=True)
         if kv_int8:
-            p = p * jnp.dot(vs_ref[0, b], expand,
-                            preferred_element_type=jnp.float32)
-        av = jax.lax.dot_general(vb[b], p.astype(cdt),
-                                 (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+            p = p * jax.lax.dot_general(expand, vs_ref[0, b], nt,
+                                        preferred_element_type=jnp.float32)
+        av = jnp.dot(p.astype(cdt), vb[b],
+                     preferred_element_type=jnp.float32)
         m_scr[b] = m_new
-        acc_scr[b] = acc_scr[b] * r + av           # (Dkv, H)
+        acc_scr[b] = acc_scr[b] * r + av           # (H, Dkv)
 
     @pl.when(tb == TB - 1)
     def _fin():
@@ -107,16 +126,20 @@ def gqa_blocked_partials(q_tilde, kq, ks, vq, vs, bias, li, *, kv_heads,
                          scale, key_block=1024, interpret=False):
     """Online-softmax partials of layer ``li``'s cache attention.
 
-    q_tilde: (B, Dkv, H) block-diagonal queries (compute dtype).
+    q_tilde: (B, H, Dkv) block-diagonal queries (compute dtype) — q-head
+      h's vector lives in its kv group's hd lanes of row h, zeros elsewhere.
     kq/vq: (L, B, T, Dkv) int8 (or float for a bf16 slab) — the FULL stacked
       cache; the layer is picked by the scalar-prefetched ``li`` in the
       block index maps so no layer slice is ever materialized.
     ks/vs: (L, B, T, kv_heads) fp32 dequant scales, or None for a float slab.
-    bias: (B, T, 1) fp32 additive (strict causality + padding), >= -1e30.
-    Returns (m (B, 1, H), den (B, 1, H), acc (B, Dkv, H)) fp32 partials.
+    bias: (B, T, 1) fp32 additive (strict causality + padding), >= -1e30 —
+      keys on SUBLANES (a lane-oriented (B, 1, TK) block would need
+      TK % 128 == 0); the kernel transposes each row with an exact
+      identity NT dot.
+    Returns (m (B, H, 1), den (B, H, 1), acc (B, H, Dkv)) fp32 partials.
     """
     L, B, T, Dkv = kq.shape
-    H = q_tilde.shape[-1]
+    H = q_tilde.shape[1]
     kv_int8 = ks is not None
     Hkv = kv_heads
     # past ~4.6k keys, halve the streaming block: XLA parks the int8
@@ -144,16 +167,16 @@ def gqa_blocked_partials(q_tilde, kq, ks, vq, vs, bias, li, *, kv_heads,
         pl.BlockSpec((1, 1, 1, 1), lambda tb, s: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM)
     in_specs = [
-        fixed((B, Dkv, H)),
+        fixed((B, H, Dkv)),
         per_kblock(Dkv), ks_spec,
         per_kblock(Dkv), ks_spec,
         pl.BlockSpec((B, TK, 1), lambda tb, s: (0, tb, 0),
                      memory_space=pltpu.VMEM),
     ]
-    out_specs = [fixed((B, 1, H)), fixed((B, 1, H)), fixed((B, Dkv, H))]
-    out_shape = [jax.ShapeDtypeStruct((B, 1, H), jnp.float32),
-                 jax.ShapeDtypeStruct((B, 1, H), jnp.float32),
-                 jax.ShapeDtypeStruct((B, Dkv, H), jnp.float32)]
+    out_specs = [fixed((B, H, 1)), fixed((B, H, 1)), fixed((B, H, Dkv))]
+    out_shape = [jax.ShapeDtypeStruct((B, H, 1), jnp.float32),
+                 jax.ShapeDtypeStruct((B, H, 1), jnp.float32),
+                 jax.ShapeDtypeStruct((B, H, Dkv), jnp.float32)]
 
     kernel = functools.partial(
         _gqa_blocked_kernel, B=B, H=H, Hkv=Hkv, TB=TB, scale=scale,
@@ -179,9 +202,9 @@ def gqa_blocked_partials(q_tilde, kq, ks, vq, vs, bias, li, *, kv_heads,
             grid=(TB,),
             in_specs=in_specs,
             out_specs=out_specs,
-            scratch_shapes=[pltpu.VMEM((B, 1, H), jnp.float32),
-                            pltpu.VMEM((B, 1, H), jnp.float32),
-                            pltpu.VMEM((B, Dkv, H), jnp.float32)]),
+            scratch_shapes=[pltpu.VMEM((B, H, 1), jnp.float32),
+                            pltpu.VMEM((B, H, 1), jnp.float32),
+                            pltpu.VMEM((B, H, Dkv), jnp.float32)]),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

@@ -152,7 +152,7 @@ def test_blocked_partials_unit():
     ks = np.abs(rs.randn(L, B, T, Hkv)).astype(np.float32) * 0.05 + 0.01
     vq = rs.randint(-127, 128, (L, B, T, Dkv)).astype(np.int8)
     vs = np.abs(rs.randn(L, B, T, Hkv)).astype(np.float32) * 0.05 + 0.01
-    qt = rs.randn(B, Dkv, H).astype(np.float32) * 0.3
+    qt = rs.randn(B, H, Dkv).astype(np.float32) * 0.3
     cl = 19
     bias = np.where(np.arange(T) < cl, 0.0, -1e30).astype(np.float32)
     bias = np.broadcast_to(bias, (B, T)).copy()[..., None]
@@ -160,19 +160,18 @@ def test_blocked_partials_unit():
         lambda *a: gqa_blocked_partials(*a, kv_heads=Hkv, scale=0.5,
                                         key_block=8, interpret=True))(
         qt, kq, ks, vq, vs, bias, np.int32(1))
-    # dense oracle on layer 1
-    kf = kq[1].astype(np.float32) * np.repeat(ks[1], hd, axis=-1)
-    vf = vq[1].astype(np.float32) * np.repeat(vs[1], hd, axis=-1)
+    # dense oracle on layer 1 (flash orientation: m/den (B, H, 1), acc
+    # (B, H, Dkv))
     for b in range(B):
-        s = (kq[1, b].astype(np.float32) @ qt[b])          # (T, H)
-        s = s * np.repeat(ks[1, b], g, axis=-1) * 0.5 + bias[b]
-        mm = s.max(0)
-        p = np.exp(s - mm)
-        dd = p.sum(0)
-        pv = p * np.repeat(vs[1, b], g, axis=-1)
-        aa = vq[1, b].astype(np.float32).T @ pv            # (Dkv, H)
-        np.testing.assert_allclose(np.asarray(m)[b, 0], mm, rtol=2e-4,
+        s = (qt[b] @ kq[1, b].astype(np.float32).T)        # (H, T)
+        s = s * np.repeat(ks[1, b], g, axis=-1).T * 0.5 + bias[b]
+        mm = s.max(1)
+        p = np.exp(s - mm[:, None])
+        dd = p.sum(1)
+        pv = p * np.repeat(vs[1, b], g, axis=-1).T
+        aa = pv @ vq[1, b].astype(np.float32)              # (H, Dkv)
+        np.testing.assert_allclose(np.asarray(m)[b, :, 0], mm, rtol=2e-4,
                                    atol=1e-5)
-        np.testing.assert_allclose(np.asarray(den)[b, 0], dd, rtol=2e-3)
+        np.testing.assert_allclose(np.asarray(den)[b, :, 0], dd, rtol=2e-3)
         np.testing.assert_allclose(np.asarray(acc)[b], aa, rtol=2e-2,
                                    atol=2e-2)
