@@ -264,17 +264,19 @@ def bench_llama_sft(use_flash=True):
             "params_millions": round(n_params / 1e6, 1)})
 
 
-def _llama_sft_time(cfg, B, S, accum=1, remat="dots_attn"):
+def _llama_sft_time(cfg, B, S, accum=1, remat="dots_attn",
+                    moment_dtype=None):
     """One llama-family AdamW train-step timing (donated params+opt, remat,
     fused program). accum > 1 scans ``accum`` microbatches of B rows inside
     the jitted step (fp32 grad accumulation, mean-reduced). Returns
-    (seconds, n_params)."""
+    (seconds, n_params). ``moment_dtype=jnp.float32`` with a bf16
+    param_dtype config is the big-model-on-one-chip recipe (optim.py)."""
     from cleantransformer_tpu.models.llama import (LlamaForCausalLM,
                                                    llama_lm_forward)
     model = LlamaForCausalLM(cfg, rng=jax.random.PRNGKey(0))
     model._tie_weight()
     n_params = count_params(model.params)
-    init_fn, update_fn = adamw_decoupled(lr=1e-5)
+    init_fn, update_fn = adamw_decoupled(lr=1e-5, moment_dtype=moment_dtype)
     opt_state = init_fn(model.params)
     rs = np.random.RandomState(0)
     shape = (accum, B, S) if accum > 1 else (B, S)
@@ -351,15 +353,22 @@ def bench_training_scale():
             "params_millions": round(n / 1e6, 1)})
     gc.collect()
 
+    # 1.1B on ONE 16 GB chip: fp32-master AdamW alone is 13.2 GB and the
+    # per-step whole-model fp32->bf16 cast adds 2.2 GB of convert buffers —
+    # the b4 fp32-master attempt OOM'd at compile (20.9 > 15.75 GB). The
+    # single-chip recipe is bf16 params + fp32 moments (optim.py
+    # moment_dtype): 6 bytes/param of state, no cast copies.
     t11 = dict(vocab_size=32000, hidden_size=2048, intermediate_size=5632,
                num_hidden_layers=22, num_attention_heads=32,
                num_key_value_heads=4, max_position_embeddings=2048,
-               compute_dtype="bfloat16", use_flash_attention=True,
-               fused_ce=True)
-    dt, n = _llama_sft_time(LlamaConfig(**t11), B=4, S=1024)
+               compute_dtype="bfloat16", param_dtype="bfloat16",
+               use_flash_attention=True, fused_ce=True)
+    dt, n = _llama_sft_time(LlamaConfig(**t11), B=4, S=1024, remat="attn",
+                            moment_dtype=jnp.float32)
     flops = transformer_flops(n, 1024, 2048, 22) * 4 * 1024
     record("tinyllama1.1B_sft_step_time", dt * 1e3,
-           "ms (batch=4, seq=1024, bf16, flash+dots_attn remat, fused_ce)",
+           "ms (batch=4, seq=1024, bf16 params + fp32 moments, flash+attn "
+           "remat, fused_ce)",
            {"tokens_per_sec": round(4 * 1024 / dt, 1),
             "mfu": round(flops / dt / device_peak_flops(), 3),
             "params_millions": round(n / 1e6, 1)})
@@ -927,9 +936,11 @@ def bench_serving_lookup_adversarial(model, name, vocab, n_requests=24,
                             pipeline="serial", max_dispatch_depth=depth,
                             speculative=("lookup" if spec else None),
                             draft_len=K, **kw)
-        eng.submit(prompts[0], max_new_tokens=4)   # compile warmup
-        list(eng.run())
-        eng.fetches = 0
+        # engine-level warmup: compiles the prefill, the configured chunk
+        # AND (fallback engines) the plain chunk a fallback wave dispatches
+        # — without it the fallback engine paid that compile mid-traffic
+        # (7.6 s wall for ~0.2 s of device work)
+        eng.warmup()
         plen = {eng.submit(p_, max_new_tokens=n_new): len(p_)
                 for p_ in prompts}
         t0 = time.perf_counter()
@@ -1347,9 +1358,14 @@ def bench_longctx_serving_lookup():
                             pipeline="serial", max_dispatch_depth=8,
                             speculative=("lookup" if sp else None),
                             draft_len=K)
-        eng.submit(prompts[0][:64], max_new_tokens=4)
+        # warm with a FULL-length prompt: _prefill_chunk's attention window
+        # is static (host-known), so a ~4k prompt through 512-token buckets
+        # is EIGHT distinct programs — a short warmup left them all to
+        # compile inside the timed region (~40 s of the measured wall)
+        eng.submit(prompts[0], max_new_tokens=4)
         list(eng.run())    # compile warmup (prefill + chunk programs)
         eng.fetches = 0
+        eng.steps = 0
         plen = {eng.submit(p, max_new_tokens=n_new): len(p)
                 for p in prompts}
         t0 = time.perf_counter()
@@ -1458,14 +1474,20 @@ def bench_moe_decode():
     qr = LlamaForCausalLM(
         MixtralConfig(**base, moe_impl="ragged", quantize_int8=True),
         params=r.params)
-    del r, qd
+    del r
     gc.collect()
     bench_decode(qr, "mixtral8x_decode_b8_int8_ragged", 8, 32, 128, 32000)
     bench_decode(qr, "mixtral8x_decode_b32_int8_ragged", 32, 32, 128, 32000)
-    # production-serving datapoint on the quantized ragged path
-    bench_serving(qr, "mixtral8x_serving_tokens_per_sec_int8", 32000,
-                  max_slots=24, chunk_size=64)
     del qr
+    gc.collect()
+    # production-serving datapoint on the DECODE-winning dispatch: at S==1
+    # every expert is hit anyway (B*k replicas over E), so both impls
+    # stream all expert bytes and dense's one batched einsum beats ragged's
+    # sort + per-group grouped dots (measured 1.15 vs 2.96 ms b8 int8) —
+    # dense is the decode/serving recipe, ragged the training one
+    bench_serving(qd, "mixtral8x_serving_tokens_per_sec_int8_dense", 32000,
+                  max_slots=24, chunk_size=64)
+    del qd
     gc.collect()
 
 

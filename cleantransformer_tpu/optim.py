@@ -100,7 +100,7 @@ def adamw(lr=1e-3, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0):
 
 
 def adamw_decoupled(lr=1e-3, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0,
-                    mask=None):
+                    mask=None, moment_dtype=None):
     """True decoupled AdamW (torch.optim.AdamW semantics) — the trainer's
     default, replacing the reference trainer's torch AdamW + decay-param
     grouping (trainer/trainer.py:812-865).
@@ -108,17 +108,33 @@ def adamw_decoupled(lr=1e-3, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0,
     ``mask``: optional pytree-of-bools (or callable params->pytree) selecting
     which leaves receive weight decay (the trainer uses this to exclude
     biases and LayerNorm weights, mirroring trainer.py:820-833).
+
+    ``moment_dtype``: None (default) keeps m/v in the params' dtype — the
+    exact legacy behavior. jnp.float32 with bf16 params is the
+    single-chip LARGE-MODEL recipe: bf16 weights (no per-step fp32->bf16
+    cast copies of the whole model) with fp32 first/second moments and
+    fp32 update math, 6 bytes/param of optimizer+param state instead of
+    12 — a 1.1B AdamW step fits a 16 GB chip (fp32 masters alone are
+    13.2 GB; BENCH_DETAILS tinyllama1.1B_sft line).
     """
     beta1, beta2 = betas
 
     def init_fn(params):
-        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-        return AdamState(count=jnp.zeros((), jnp.int32), mu=zeros,
-                         nu=jax.tree_util.tree_map(jnp.zeros_like, params))
+        if moment_dtype is None:
+            z = jnp.zeros_like
+        else:
+            def z(p):
+                return jnp.zeros(p.shape, moment_dtype)
+        return AdamState(count=jnp.zeros((), jnp.int32),
+                         mu=jax.tree_util.tree_map(z, params),
+                         nu=jax.tree_util.tree_map(z, params))
 
     def update_fn(grads, state, params, lr_override=None):
         lr_ = lr if lr_override is None else lr_override
         count = state.count + 1
+        if moment_dtype is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g: g.astype(moment_dtype), grads)
         mu = jax.tree_util.tree_map(lambda m, g: beta1 * m + (1 - beta1) * g, state.mu, grads)
         nu = jax.tree_util.tree_map(lambda n, g: beta2 * n + (1 - beta2) * g * g, state.nu, grads)
         count_f = count.astype(jnp.result_type(float))
@@ -127,10 +143,12 @@ def adamw_decoupled(lr=1e-3, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0,
         wd_mask = mask(params) if callable(mask) else mask
 
         def upd(p, m, n, decay_on):
+            pf = p if moment_dtype is None else p.astype(moment_dtype)
             step = lr_ * (m / bc1) / (jnp.sqrt(n / bc2) + eps)
             if weight_decay:
-                step = jnp.where(decay_on, step + lr_ * weight_decay * p, step)
-            return p - step
+                step = jnp.where(decay_on, step + lr_ * weight_decay * pf,
+                                 step)
+            return (pf - step).astype(p.dtype)
 
         if wd_mask is None:
             wd_mask = jax.tree_util.tree_map(lambda _: True, params)

@@ -17,7 +17,10 @@ explain.
 """
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -93,5 +96,44 @@ def profile_llama_sft():
                      indent=1))
 
 
+def profile_gqa_blocked(ctx=8000):
+    """Round-5 diagnosis: the blocked int8-KV GQA kernel measured SLOWER
+    than the bf16 XLA head-major path at ctx4k/ctx8k (BENCH_DETAILS
+    tinyllama_ctx* lines) despite streaming half the cache bytes. Trace one
+    decode-only window of both variants and print per-step op tables —
+    bytes_accessed on the pallas call vs the int8 slab size says whether
+    the DMA pads the (TK, Hkv=4) scale blocks; per-op durations say whether
+    the 22 per-layer kernel launches + XLA epilogue fusions eat the
+    saving."""
+    from cleantransformer_tpu.config import LlamaConfig
+    from cleantransformer_tpu.models.llama import LlamaForCausalLM
+    import gc
+    base = dict(vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+                num_hidden_layers=22, num_attention_heads=32,
+                num_key_value_heads=4, max_position_embeddings=8192,
+                compute_dtype="bfloat16", decode_unroll=22,
+                decode_head_major=True, use_flash_attention=True,
+                quantize_int8=True)
+    rs = np.random.RandomState(0)
+    ids = rs.randint(0, 32000, (8, ctx)).astype(np.int32)
+    mask = np.ones((8, ctx), np.int32)
+    gen = 8   # the bench's short-gen point — its programs are cache-warm
+    gcfg = {"beam_size": 1, "max_gen_len": gen, "do_sample": False,
+            "end_ids": None, "pad_id": 0, "no_repeat_ngram_size": 0}
+    for tag, kw in (("bf16kv_xla", {}),
+                    ("int8kv_blocked", {"kv_cache_int8": True})):
+        m = LlamaForCausalLM(LlamaConfig(**{**base, **kw}),
+                             rng=jax.random.PRNGKey(0))
+        np.asarray(m.generate(ids, mask, generation_configs=gcfg))  # warm
+        with trace(f"/tmp/jax-trace-gqa-{tag}") as d:
+            np.asarray(m.generate(ids, mask, generation_configs=gcfg))
+        rows = summarize_trace(d, top=25, per=gen)
+        print(json.dumps({"profile": f"tinyllama_ctx{ctx}_{tag}_per_step_us",
+                          "ops": rows}, indent=1))
+        del m
+        gc.collect()
+
+
 if __name__ == "__main__":
-    {"beam": profile_beam, "llama_sft": profile_llama_sft}[sys.argv[1]]()
+    {"beam": profile_beam, "llama_sft": profile_llama_sft,
+     "gqa_blocked": profile_gqa_blocked}[sys.argv[1]]()

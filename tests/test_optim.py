@@ -110,3 +110,31 @@ def test_adamw_decoupled_mask_excludes_leaves():
     new_params, _ = update_fn(grads, state, params)
     assert np.all(np.asarray(new_params["ln_w"]) == 1.0)  # no decay applied
     assert np.all(np.asarray(new_params["w"]) < 1.0)      # decay applied
+
+
+def test_adamw_fp32_moments_on_bf16_params_tracks_fp32_master():
+    """moment_dtype=float32 with bf16 params (the 1.1B-on-one-chip recipe,
+    optim.py): moments and update math run in fp32 and only the final
+    parameter cast is bf16, so the trajectory must track the fp32-master
+    run within bf16 resolution; moments must actually BE fp32."""
+    rs = np.random.RandomState(0)
+    w0 = rs.randn(16, 8).astype(np.float32)
+    gs = [rs.randn(16, 8).astype(np.float32) * 0.1 for _ in range(20)]
+
+    def run(params, moment_dtype):
+        init_fn, update_fn = adamw_decoupled(lr=0.01, weight_decay=0.01,
+                                             moment_dtype=moment_dtype)
+        state = init_fn(params)
+        for g in gs:
+            params, state = update_fn(
+                jax.tree_util.tree_map(lambda _: jnp.asarray(g, _.dtype),
+                                       params), state, params)
+        return params, state
+
+    ref, _ = run({"w": jnp.asarray(w0)}, None)                # fp32 master
+    got, st = run({"w": jnp.asarray(w0, jnp.bfloat16)}, jnp.float32)
+    assert got["w"].dtype == jnp.bfloat16
+    assert st.mu["w"].dtype == jnp.float32
+    assert st.nu["w"].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got["w"], np.float32),
+                               np.asarray(ref["w"]), rtol=0.02, atol=0.02)
