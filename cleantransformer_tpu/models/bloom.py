@@ -657,10 +657,11 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
                         + jnp.transpose(ab, (0, 2, 1))).astype(jnp.float32)
                 cl_rows = jnp.broadcast_to(
                     jnp.reshape(cache_len, (-1,)), (B,)).astype(jnp.int32)
-                idx = jnp.minimum(cl_rows[:, None] + jnp.arange(S)[None, :],
-                                  T - 1)                           # (B, S)
-                bias_cur = jnp.swapaxes(jnp.take_along_axis(
-                    ab, idx[:, None, :], axis=2), 1, 2)            # (B, S, H)
+                idx = jnp.minimum(cl_rows[None, :] + jnp.arange(S)[:, None],
+                                  T - 1)                           # (S, B)
+                bias_cur = jnp.take_along_axis(
+                    jnp.broadcast_to(ab[None], (S, B, Hh, T)),
+                    idx[:, :, None, None], axis=3)[..., 0]         # (S, B, H)
                 y, nk, nv = fused_decode_blocked_window(
                     stack, jnp.swapaxes(h, 0, 1), bias,
                     bias_cur.astype(jnp.float32), kbuf, cache["v"],

@@ -793,7 +793,7 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
                 bias_bt = jnp.broadcast_to(bias_bt, (B, T)).astype(
                     jnp.float32)
                 bias = jnp.broadcast_to(bias_bt[:, :, None], (B, T, Hh))
-                bias_cur = jnp.zeros((B, S, Hh), jnp.float32)
+                bias_cur = jnp.zeros((S, B, Hh), jnp.float32)
                 y, nk, nv = gpt_fused_blocked_window(
                     params["blocks"], jnp.swapaxes(h, 0, 1), bias, bias_cur,
                     kbuf, cache["v"], config=config, version=version,

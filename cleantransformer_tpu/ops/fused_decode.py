@@ -1118,19 +1118,22 @@ def _gpt_blocked_window_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv,
             v_t = qkv[:, 2 * D:].astype(nk_dt)
             nk_ref[0, s] = k_t
             nv_ref[0, s] = v_t
-            # q rows lane-expanded to the (H, D) block-diagonal
-            q_scr[:, s] = (qkv[:, None, :D].astype(jnp.float32)
-                           * hm2[None])            # (B, H, D)
+            # q rows lane-expanded to the (H, D) block-diagonal. Scratch is
+            # written/read ONLY through static LEADING indices (ref[s] /
+            # ref[s, b]): a ref[:, s] middle-dim index lowers to a gather,
+            # which hardware Mosaic rejects inside pl.when branches.
+            q_scr[s] = (qkv[:, None, :D].astype(jnp.float32)
+                        * hm2[None])               # (B, H, D)
             if kv_int8:
                 kq_s, ksc_s = quantize_rows(k_t.astype(jnp.float32))
                 vq_s, vsc_s = quantize_rows(v_t.astype(jnp.float32))
-                kw_scr[:, s] = kq_s
-                vw_scr[:, s] = vq_s
-                skw_scr[:, s] = ksc_s
-                svw_scr[:, s] = vsc_s
+                kw_scr[s] = kq_s
+                vw_scr[s] = vq_s
+                skw_scr[s] = ksc_s
+                svw_scr[s] = vsc_s
             else:
-                kw_scr[:, s] = k_t.astype(jnp.float32)
-                vw_scr[:, s] = v_t.astype(jnp.float32)
+                kw_scr[s] = k_t.astype(jnp.float32)
+                vw_scr[s] = v_t.astype(jnp.float32)
         m_scr[:] = jnp.full((B, SH, 1), -1e30, jnp.float32)
         den_scr[:] = jnp.zeros((B, SH, 1), jnp.float32)
         acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
@@ -1143,7 +1146,8 @@ def _gpt_blocked_window_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv,
              == jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
              ).astype(jnp.float32)
     for b in range(B):
-        qe = q_scr[b].reshape(SH, D).astype(cdt)   # leading-dim merge
+        qe = jnp.concatenate([q_scr[s, b] for s in range(S)],
+                             axis=0).astype(cdt)   # (S*H, D)
         sc = jax.lax.dot_general(qe, kc[b], nt,
                                  preferred_element_type=jnp.float32)
         if kv_int8:                                # (SH, TK) scale plane
@@ -1175,16 +1179,28 @@ def _gpt_blocked_window_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv,
     @pl.when(tb == TB - 1)
     def _epilogue():
         for b in range(B):
-            qe = q_scr[b].reshape(SH, D).astype(cdt)
-            kw_b = kw_scr[b].astype(cdt)           # (S, D)
+            qe = jnp.concatenate([q_scr[s, b] for s in range(S)],
+                                 axis=0).astype(cdt)       # (S*H, D)
+            # all reads below keep 2-D shapes via static (lead, lead-slice)
+            # indexing — 1-D ref reads and middle-dim gathers are
+            # Mosaic-hostile
+            kw_b = jnp.concatenate([kw_scr[j, b:b + 1] for j in range(S)],
+                                   axis=0).astype(cdt)     # (S, D)
+            vw_b = jnp.concatenate([vw_scr[j, b:b + 1] for j in range(S)],
+                                   axis=0)
             s_w = jax.lax.dot_general(qe, kw_b, nt,
                                       preferred_element_type=jnp.float32)
             if kv_int8:
+                skw_b = jnp.concatenate(
+                    [skw_scr[j, b:b + 1] for j in range(S)], axis=0)
+                svw_b = jnp.concatenate(
+                    [svw_scr[j, b:b + 1] for j in range(S)], axis=0)
                 s_w = s_w * jax.lax.dot_general(
-                    qh, skw_scr[b], nt, preferred_element_type=jnp.float32)
+                    qh, skw_b, nt, preferred_element_type=jnp.float32)
+            bc_b = jnp.concatenate([bcur_ref[j, b:b + 1] for j in range(S)],
+                                   axis=0)                 # (S, H)
             s_w = s_w * scale + jax.lax.dot_general(
-                qh, bcur_ref[b], nt,
-                preferred_element_type=jnp.float32) + tri
+                qh, bc_b, nt, preferred_element_type=jnp.float32) + tri
             m_old = m_scr[b]
             m_f = jnp.maximum(m_old, jnp.max(s_w, axis=1, keepdims=True))
             r1 = jnp.exp(m_old - m_f)
@@ -1192,14 +1208,15 @@ def _gpt_blocked_window_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv,
             den_f = den_scr[b] * r1 + jnp.sum(p_w, axis=1, keepdims=True)
             if kv_int8:
                 p_w = p_w * jax.lax.dot_general(
-                    qh, svw_scr[b], nt, preferred_element_type=jnp.float32)
+                    qh, svw_b, nt, preferred_element_type=jnp.float32)
             acc_f = acc_scr[b] * r1 + jnp.dot(
-                p_w.astype(cdt), vw_scr[b].astype(cdt),
+                p_w.astype(cdt), vw_b.astype(cdt),
                 preferred_element_type=jnp.float32)
             nrm = (acc_f / den_f).reshape(S, H, D)  # leading-dim split
             ao_scr[b] = jnp.sum(nrm * hm2[None], axis=1)  # head-collapse
         for s in range(S):
-            out = ao_scr[:, s]                     # (B, D)
+            out = jnp.concatenate([ao_scr[b, s:s + 1] for b in range(B)],
+                                  axis=0)          # (B, D)
             o = project(out.astype(cdt), wproj, sproj, bproj)
             if pre_ln:  # gpt2/gpt3 residual order (modeling_gpt.py:147-152)
                 h = h_scr[s] + o
@@ -1252,7 +1269,7 @@ def fused_decode_blocked_window(stack, hw, bias, bias_cur, cache_k, cache_v,
       only — the window's own buffer region is stale) plus padding/ALiBi.
       Keys stay on sublanes (lane-legality); the kernel transposes each
       row's block with an exact identity NT dot.
-    bias_cur: (B, S, H) fp32 bias rows for the window's own columns
+    bias_cur: (S, B, H) fp32 bias rows for the window's own columns
       (zeros for GPT; the ALiBi ramp at cache_len + s for Bloom).
 
     Returns (y (S, B, D), new_k, new_v (L, S, B, D) compute-dtype rows) for
@@ -1318,7 +1335,7 @@ def fused_decode_blocked_window(stack, hw, bias, bias_cur, cache_k, cache_v,
 
     sk_spec = per_kblock((B, H)) if kv_int8 else per_layer((1, 1, H))
     in_specs = [
-        fixed((S, B, D)), bias_kblock(), fixed((B, S, H)),
+        fixed((S, B, D)), bias_kblock(), fixed((S, B, H)),
         per_layer((1, D)), per_layer((1, D)),
         per_layer((D, 3 * D)), per_layer((1, 3 * D)), per_layer((1, 3 * D)),
         per_layer((D, D)), per_layer((1, D)), per_layer((1, D)),
@@ -1349,11 +1366,11 @@ def fused_decode_blocked_window(stack, hw, bias, bias_cur, cache_k, cache_v,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((S, B, D), hw.dtype),       # h
-                        pltpu.VMEM((B, S, H, D), jnp.float32),  # q expanded
-                        pltpu.VMEM((B, S, D), jnp.float32),     # window k
-                        pltpu.VMEM((B, S, D), jnp.float32),     # window v
-                        pltpu.VMEM((B, S, H), jnp.float32),     # window k sc
-                        pltpu.VMEM((B, S, H), jnp.float32),     # window v sc
+                        pltpu.VMEM((S, B, H, D), jnp.float32),  # q expanded
+                        pltpu.VMEM((S, B, D), jnp.float32),     # window k
+                        pltpu.VMEM((S, B, D), jnp.float32),     # window v
+                        pltpu.VMEM((S, B, H), jnp.float32),     # window k sc
+                        pltpu.VMEM((S, B, H), jnp.float32),     # window v sc
                         pltpu.VMEM((B, S * H, 1), jnp.float32),  # m
                         pltpu.VMEM((B, S * H, 1), jnp.float32),  # den
                         pltpu.VMEM((B, S * H, D), jnp.float32),  # acc

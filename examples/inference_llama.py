@@ -47,8 +47,15 @@ def main():
                              "per-step stream bounded by the window)")
     parser.add_argument("--moe_impl", type=str, default=None,
                         choices=["dense", "capacity", "ragged"],
-                        help="MoE dispatch for Mixtral checkpoints "
-                             "(ragged = lax.ragged_dot grouped matmuls)")
+                        help="MoE dispatch for Mixtral checkpoints. For "
+                             "DECODE/serving pick 'dense': at S==1 every "
+                             "expert is hit so both impls stream all expert "
+                             "bytes, and dense's one batched einsum beats "
+                             "ragged's sort + grouped dots (measured 1.15 "
+                             "vs 2.96 ms b8 int8, BENCH_DETAILS). 'ragged' "
+                             "(lax.ragged_dot grouped matmuls) wins "
+                             "TRAINING, where the E/k overcompute of dense "
+                             "is real FLOPs (128 vs 161 ms).")
     args, _ = parser.parse_known_args()
 
     import jax

@@ -295,7 +295,7 @@ def test_blocked_window_matches_window_kernel(kv_int8, ragged):
     y0, nk0, nv0 = fused_decode_window(stack, hw, bias_pad,
                                        jnp.asarray(cl), ck, cv, **kw)
     y1, nk1, nv1 = fused_decode_blocked_window(
-        stack, hw, bias_strict, jnp.zeros((B, S, Hh), jnp.float32), ck, cv,
+        stack, hw, bias_strict, jnp.zeros((S, B, Hh), jnp.float32), ck, cv,
         key_block=16, **kw)
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5,
                                rtol=1e-4)

@@ -164,7 +164,7 @@ def test_blocked_partials_unit():
     # (B, H, Dkv))
     for b in range(B):
         s = (qt[b] @ kq[1, b].astype(np.float32).T)        # (H, T)
-        s = s * np.repeat(ks[1, b], g, axis=-1).T * 0.5 + bias[b]
+        s = s * np.repeat(ks[1, b], g, axis=-1).T * 0.5 + bias[b].T
         mm = s.max(1)
         p = np.exp(s - mm[:, None])
         dd = p.sum(1)
