@@ -1121,9 +1121,12 @@ def _gpt_blocked_window_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv,
             # q rows lane-expanded to the (H, D) block-diagonal. Scratch is
             # written/read ONLY through static LEADING indices (ref[s] /
             # ref[s, b]): a ref[:, s] middle-dim index lowers to a gather,
-            # which hardware Mosaic rejects inside pl.when branches.
-            q_scr[s] = (qkv[:, None, :D].astype(jnp.float32)
-                        * hm2[None])               # (B, H, D)
+            # which hardware Mosaic rejects inside pl.when branches. The
+            # newaxis must NOT share an indexing expression with a partial
+            # slice — value[:, None, :D] emits a GATHER; slice first, then
+            # insert the axis (the S==1 kernel's proven qf[:, None, :]).
+            q_t = qkv[:, :D].astype(jnp.float32)
+            q_scr[s] = q_t[:, None, :] * hm2[None]  # (B, H, D)
             if kv_int8:
                 kq_s, ksc_s = quantize_rows(k_t.astype(jnp.float32))
                 vq_s, vsc_s = quantize_rows(v_t.astype(jnp.float32))

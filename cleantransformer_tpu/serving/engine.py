@@ -884,6 +884,12 @@ class ServingEngine:
         # to one-chunk ticks.
         self._tpr = (1.0 if not speculative
                      else max(1.0, (self.draft_len + 1) / 2))
+        # the (K+1)/2 prior is a GUESS; the first harvested sample is a
+        # measurement over >= chunk_size rounds x active slots, so it
+        # REPLACES the prior outright (EMA blending kept a dead workload
+        # above lookup_round_cost for ~3 harvests — most of a short
+        # generation ran at lookup prices before fallback engaged)
+        self._tpr_seeded = False
         self._last_exact = np.zeros(max_slots, np.int64)
         self._last_exact_chunk = np.zeros(max_slots, np.int64)
         # cumulative LOOKUP rounds / PLAIN steps dispatched (fallback mode
@@ -1275,9 +1281,14 @@ class ServingEngine:
             # slot's sample separately at weight 0.5 would down-weight slot
             # i's contribution by 0.5^(slots after i) — the estimate would
             # track only the last-iterated slots under heterogeneous
-            # acceptance and mis-size the adaptive dispatch depth
-            self._tpr = 0.5 * self._tpr + 0.5 * max(
-                1.0, sum(tpr_samples) / len(tpr_samples))
+            # acceptance and mis-size the adaptive dispatch depth. The
+            # FIRST sample replaces the (K+1)/2 prior outright (it is a
+            # measurement; blending kept dead workloads above the fallback
+            # threshold for ~3 harvests).
+            batch_rate = max(1.0, sum(tpr_samples) / len(tpr_samples))
+            self._tpr = (batch_rate if not self._tpr_seeded
+                         else 0.5 * self._tpr + 0.5 * batch_rate)
+            self._tpr_seeded = True
         if self.speculative:
             self._counts_at = {c: v for c, v in self._counts_at.items()
                                if c > chunk_no}
@@ -1361,7 +1372,11 @@ class ServingEngine:
         if self.speculative == "lookup":
             self._since_probe = 0 if lookup_wave else self._since_probe + 1
         rate = self._tpr if lookup_wave else 1.0
-        depth = 1 if probing else self._depth(rate)
+        # until the first harvested rate sample, lookup waves dispatch ONE
+        # chunk: the prior-guess depth enqueued ~3 waves' worth of rounds
+        # before the first measurement could trigger the fallback
+        depth = (1 if probing or (lookup_wave and not self._tpr_seeded)
+                 else self._depth(rate))
         for _ in range(depth):
             if lookup_wave:
                 # chunk_size speculation ROUNDS: 1..draft_len+1 tokens each
@@ -1412,8 +1427,8 @@ class ServingEngine:
         device work on the tunneled chip, BENCH_DETAILS adversarial line).
         Runs tiny throwaway requests; the speculation EMA, wave counters,
         and fetch count are restored so the engine starts traffic clean."""
-        snap = (self._tpr, self._lrounds, self._psteps, self._since_probe,
-                self._chunk_no)
+        snap = (self._tpr, self._tpr_seeded, self._lrounds, self._psteps,
+                self._since_probe, self._chunk_no)
 
         def _mini():
             rs = np.random.RandomState(0)
@@ -1432,8 +1447,8 @@ class ServingEngine:
                 _mini()                      # the fallback PLAIN chunk
             finally:
                 self.speculative = sp
-        (self._tpr, self._lrounds, self._psteps, self._since_probe,
-         self._chunk_no) = snap
+        (self._tpr, self._tpr_seeded, self._lrounds, self._psteps,
+         self._since_probe, self._chunk_no) = snap
         self._counts_at = {}
         self.fetches = 0
         self.steps = 0

@@ -820,6 +820,7 @@ def test_warmup_compiles_clean_and_serves_identically(gpt):
     assert warm._psteps == 0 and warm._lrounds == 0 and warm.steps == 0
     assert warm.fetches == 0 and warm._counts_at == {}
     assert warm._tpr == build()._tpr    # EMA restored to the virgin prior
+    assert warm._tpr_seeded is False    # first REAL sample still replaces
     assert warm.speculative == "lookup"
 
     rids = {warm.submit(p, max_new_tokens=12): p for p in prompts}
