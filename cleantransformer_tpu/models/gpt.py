@@ -162,9 +162,26 @@ def cache_write(kv_cache, li, x, offset):
         q = jnp.clip(jnp.round(x.astype(jnp.float32) / s[..., None]),
                      -127, 127).astype(jnp.int8)
         if kv_cache["q"].ndim == 4:
-            # fused-int8 layout: q (L,B,T,D), scale planes (L,B,T,H)
             B, H, S, hd = x.shape
             qt = jnp.transpose(q, (0, 2, 1, 3)).reshape(B, S, H * hd)
+            if "sT" in kv_cache:
+                # T-minor scale plane (L,B,H,T) — llama int8 head-major
+                # slabs (models/llama.py init_llama_cache); s is (B,H,S)
+                # already
+                if jnp.ndim(offset) == 0:
+                    return {"q": jax.lax.dynamic_update_slice(
+                                kv_cache["q"], qt[None], (li, 0, offset, 0)),
+                            "sT": jax.lax.dynamic_update_slice(
+                                kv_cache["sT"], s[None].astype(jnp.float32),
+                                (li, 0, 0, offset))}
+                pos = offset[:, None] + jnp.arange(S, dtype=jnp.int32)[None]
+                rows = jnp.arange(B)[:, None]
+                # (li, rows, :, pos): separated advanced indices put (B,S)
+                # first — values arrive (B, S, H)
+                return {"q": kv_cache["q"].at[li, rows, pos].set(qt),
+                        "sT": kv_cache["sT"].at[li, rows, :, pos].set(
+                            jnp.transpose(s, (0, 2, 1)).astype(jnp.float32))}
+            # fused-int8 layout: q (L,B,T,D), scale planes (L,B,T,H)
             st = jnp.transpose(s, (0, 2, 1))                     # (B,S,H)
             if jnp.ndim(offset) == 0:
                 return {"q": jax.lax.dynamic_update_slice(
@@ -222,6 +239,11 @@ def cache_layer_kv(buf, li, B, H, T, hd):
         if buf["q"].ndim == 4:  # fused-int8 -> (B,H,T,hd) + (B,H,T) views
             data = jax.lax.dynamic_slice(buf["q"], (li, 0, 0, 0),
                                          (1, B, T, H * hd))[0]
+            if "sT" in buf:  # T-minor scales are (B,H,T) natively
+                scales = jax.lax.dynamic_slice(buf["sT"], (li, 0, 0, 0),
+                                               (1, B, H, T))[0]
+                return (data.reshape(B, T, H, hd).transpose(0, 2, 1, 3),
+                        scales)
             scales = jax.lax.dynamic_slice(buf["s"], (li, 0, 0, 0),
                                            (1, B, T, H))[0]
             return (data.reshape(B, T, H, hd).transpose(0, 2, 1, 3),

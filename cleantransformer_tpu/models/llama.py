@@ -149,18 +149,22 @@ def init_llama_cache(config, batch_size, max_len, dtype=None,
         head_major = getattr(config, "decode_head_major", False)
     if getattr(config, "kv_cache_int8", False):
         if head_major:
-            # int8 HEAD-MAJOR slab: {"q": (L, B, T, Hkv*hd) int8, "s":
-            # (L, B, T, Hkv) f32} — S==1 decode streams it through the
-            # blocked GQA kernel (ops/gqa_decode.py) at the true int8
-            # byte rate; capacity tile-rounds so key-block divisors exist
-            # (models/gpt.py init_kv_cache fused branch rationale)
-            tile = 256 if max_len > 2048 else 8
+            # int8 HEAD-MAJOR slab: {"q": (L, B, T, Hkv*hd) int8, "sT":
+            # (L, B, Hkv, T) f32 T-MINOR scales} — S==1 decode streams it
+            # through the blocked GQA kernel (ops/gqa_decode.py) at the
+            # true int8 byte rate. The scales are T-minor so their tiled
+            # HBM image pads only the Hkv sublanes (2x) instead of the
+            # lanes (~32x, which used to cost the whole int8 saving — see
+            # ops/gqa_decode.py docstring); that puts the streamed key axis
+            # on lanes, so capacity rounds to 128/512 tiles to give the
+            # kernel 128-multiple key blocks.
+            tile = 512 if max_len > 2048 else 128
             T = -(-max_len // tile) * tile
             def fbuf():
                 return {"q": jnp.zeros((L, batch_size, T, Hkv * hd),
                                        jnp.int8),
-                        "s": jnp.zeros((L, batch_size, T, Hkv),
-                                       jnp.float32)}
+                        "sT": jnp.zeros((L, batch_size, Hkv, T),
+                                        jnp.float32)}
             return {"k": fbuf(), "v": fbuf(),
                     "length": jnp.zeros((), jnp.int32)}
         def buf():
@@ -338,7 +342,7 @@ def _gqa_attend_headmajor(q, k_slab, v_slab, k_cur, v_cur, mask_cache,
 def _gqa_blocked_attend(q, k_cur, v_cur, k_cache, v_cache, li, mask_cache,
                         mask_cur, scale, config):
     """S==1 GQA attention on an int8 HEAD-MAJOR cache slab ({"q":
-    (L, B, T, Dkv) int8, "s": (L, B, T, Hkv) f32}).
+    (L, B, T, Dkv) int8, "sT": (L, B, Hkv, T) f32 T-minor scales}).
 
     The cache columns stream through the blocked pallas kernel
     (ops/gqa_decode.gqa_blocked_partials — int8 bytes read exactly once,
@@ -372,7 +376,7 @@ def _gqa_blocked_attend(q, k_cur, v_cur, k_cache, v_cache, li, mask_cache,
     from cleantransformer_tpu.ops.gqa_decode import gqa_blocked_partials
     from cleantransformer_tpu.ops.pallas_kernels import should_interpret
     m, den, acc = gqa_blocked_partials(
-        q_tilde, k_cache["q"], k_cache["s"], v_cache["q"], v_cache["s"],
+        q_tilde, k_cache["q"], k_cache["sT"], v_cache["q"], v_cache["sT"],
         bias, li, kv_heads=Hkv, scale=scale,
         key_block=getattr(config, "blocked_key_rows", 1024),
         interpret=should_interpret())
@@ -548,7 +552,8 @@ def _llama_attention(attn_params, h, cos, sin, additive_mask, layer_kv,
 
                 def deq(buf):
                     qv = jax.lax.dynamic_slice_in_dim(buf["q"], li, 1, 0)[0]
-                    sc = jax.lax.dynamic_slice_in_dim(buf["s"], li, 1, 0)[0]
+                    sc = jax.lax.dynamic_slice_in_dim(buf["sT"], li, 1, 0)[0]
+                    sc = jnp.transpose(sc, (0, 2, 1))        # -> (B, T, Hkv)
                     return qv.astype(cdt) * jnp.repeat(
                         sc, hd, axis=-1).astype(cdt)
                 k_slab = deq(new_k)
@@ -1152,27 +1157,32 @@ def llama_forward(params, config, input_ids, attention_mask=None,
                 vq_r, vs_r = quant_rows(nvs)
                 if jnp.ndim(cache_len) == 1:
                     rows = jnp.arange(B)
+                    # sT ragged writes: (:, rows, :, cache_len) — separated
+                    # advanced indices put (B,) first, so values arrive as
+                    # (B, L, Hkv)
                     new_k = {"q": cache["k"]["q"].at[:, rows, cache_len].set(
                                  kq_r),
-                             "s": cache["k"]["s"].at[:, rows, cache_len].set(
-                                 ks_r)}
+                             "sT": cache["k"]["sT"]
+                                 .at[:, rows, :, cache_len].set(
+                                     jnp.transpose(ks_r, (1, 0, 2)))}
                     new_v = {"q": cache["v"]["q"].at[:, rows, cache_len].set(
                                  vq_r),
-                             "s": cache["v"]["s"].at[:, rows, cache_len].set(
-                                 vs_r)}
+                             "sT": cache["v"]["sT"]
+                                 .at[:, rows, :, cache_len].set(
+                                     jnp.transpose(vs_r, (1, 0, 2)))}
                 else:
                     new_k = {"q": jax.lax.dynamic_update_slice(
                                  cache["k"]["q"], kq_r[:, :, None, :],
                                  (0, 0, cache_len, 0)),
-                             "s": jax.lax.dynamic_update_slice(
-                                 cache["k"]["s"], ks_r[:, :, None, :],
-                                 (0, 0, cache_len, 0))}
+                             "sT": jax.lax.dynamic_update_slice(
+                                 cache["k"]["sT"], ks_r[:, :, :, None],
+                                 (0, 0, 0, cache_len))}
                     new_v = {"q": jax.lax.dynamic_update_slice(
                                  cache["v"]["q"], vq_r[:, :, None, :],
                                  (0, 0, cache_len, 0)),
-                             "s": jax.lax.dynamic_update_slice(
-                                 cache["v"]["s"], vs_r[:, :, None, :],
-                                 (0, 0, cache_len, 0))}
+                             "sT": jax.lax.dynamic_update_slice(
+                                 cache["v"]["sT"], vs_r[:, :, :, None],
+                                 (0, 0, 0, cache_len))}
             elif head_major and jnp.ndim(cache_len) == 1:
                 # ragged rows (serving): scatter each batch row at its own
                 # offset — still one contiguous-lane run per (layer, batch)

@@ -8,6 +8,18 @@ materialized int8->bf16 convert buffers (the dot can't fuse a convert into
 its operand stream, so the effective traffic is ~2.5x the int8 bytes); this
 kernel streams the int8 slab exactly once, dequantizing on the VMEM side.
 
+The fp32 dequant scales live T-MINOR ("sT": (L, B, Hkv, T)) — round-5
+reprofile: the original (L, B, T, Hkv) planes put Hkv=4 on the 128-wide
+lane axis, so their (8, 128)-tiled HBM image was ~32x padding and the
+"half the cache bytes" int8 stream actually moved the int8 payload PLUS
+scale tiles worth ~the whole saving (kernel matched, never beat, the bf16
+XLA path at ctx4k/8k). T-minor tiles pad only the 4-sublane dim (2x), so
+the scale stream is ~6% of the payload. The block's LAST dim is then the
+streamed key axis, which Mosaic only accepts when TK % 128 == 0 or
+TK == T — init_llama_cache rounds int8-hm capacity to 128/512 tiles and
+_aligned_key_block picks a 128-multiple block (whole-axis fallback for
+small unaligned slabs).
+
 One pallas_call per LAYER (inside the decode scan), grid (TB,) over
 ``key_block``-row cache blocks. The whole stacked (L, B, T, Dkv) cache is
 the operand and the LAYER is picked by a scalar-prefetch index in the block
@@ -49,7 +61,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cleantransformer_tpu.ops.fused_decode import blocked_key_block
+def _aligned_key_block(T, target):
+    """Largest 128-MULTIPLE divisor of T <= max(target, 128). The scale
+    blocks stream the key axis on LANES, where Mosaic requires
+    TK % 128 == 0 or TK == T; falls back to the whole axis for slabs whose
+    capacity isn't 128-aligned (tiny test caches — init_llama_cache rounds
+    real ones to 128/512 tiles, so the fallback block always fits VMEM)."""
+    if T % 128:
+        return T
+    TK = max(min((target // 128) * 128, T), 128)
+    while T % TK:
+        TK -= 128
+    return TK
 
 
 def _gqa_blocked_kernel(scal_ref, qt_ref, kq_ref, ks_ref, vq_ref, vs_ref,
@@ -90,9 +113,12 @@ def _gqa_blocked_kernel(scal_ref, qt_ref, kq_ref, ks_ref, vq_ref, vs_ref,
     for b in range(B):
         s_b = jax.lax.dot_general(qt_ref[b], kb[b], nt,
                                   preferred_element_type=jnp.float32)
-        if kv_int8:                                # (H, TK) scale plane
+        if kv_int8:
+            # (H, TK) scale plane: the T-minor block is already keys-on-
+            # lanes, so the group expansion is a plain NN dot
             s_b = s_b * jax.lax.dot_general(
-                expand, ks_ref[0, b], nt, preferred_element_type=jnp.float32)
+                expand, ks_ref[0, b], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         # bias streams on SUBLANES ((B, TK, 1) blocks — a (.., 1, TK) lane
         # block is Mosaic-illegal for TK % 128 != 0); the identity NT dot
         # is the legal MXU transpose and is EXACT (one 1.0*x product per
@@ -106,7 +132,8 @@ def _gqa_blocked_kernel(scal_ref, qt_ref, kq_ref, ks_ref, vq_ref, vs_ref,
         p = jnp.exp(s_b - m_new)                   # (H, TK) fp32
         den_scr[b] = den_scr[b] * r + jnp.sum(p, axis=1, keepdims=True)
         if kv_int8:
-            p = p * jax.lax.dot_general(expand, vs_ref[0, b], nt,
+            p = p * jax.lax.dot_general(expand, vs_ref[0, b],
+                                        (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
         av = jnp.dot(p.astype(cdt), vb[b],
                      preferred_element_type=jnp.float32)
@@ -131,7 +158,8 @@ def gqa_blocked_partials(q_tilde, kq, ks, vq, vs, bias, li, *, kv_heads,
     kq/vq: (L, B, T, Dkv) int8 (or float for a bf16 slab) — the FULL stacked
       cache; the layer is picked by the scalar-prefetched ``li`` in the
       block index maps so no layer slice is ever materialized.
-    ks/vs: (L, B, T, kv_heads) fp32 dequant scales, or None for a float slab.
+    ks/vs: (L, B, kv_heads, T) fp32 T-MINOR dequant scales ("sT" — see the
+      module docstring for why), or None for a float slab.
     bias: (B, T, 1) fp32 additive (strict causality + padding), >= -1e30 —
       keys on SUBLANES (a lane-oriented (B, 1, TK) block would need
       TK % 128 == 0); the kernel transposes each row with an exact
@@ -147,9 +175,9 @@ def gqa_blocked_partials(q_tilde, kq, ks, vq, vs, bias, li, *, kv_heads,
     # and 1024-row double-buffered blocks pushed the ctx8k b8 program ~1 MB
     # over the scoped-vmem budget at compile time. The extra grid steps
     # cost ~2 us each (~+0.35 ms/step at ctx8k x22 layers) — losing the
-    # table parking would cost more. ctx4k (T=4352, TK=544) fits as-is and
-    # keeps the larger block.
-    TK = blocked_key_block(T, min(key_block, 512) if T > 4608 else key_block)
+    # table parking would cost more. ctx4k (T=4608 after the 512-tile
+    # rounding, TK=512) fits as-is and keeps the larger block.
+    TK = _aligned_key_block(T, min(key_block, 512) if T > 4608 else key_block)
     TB = T // TK
     if not kv_int8:
         ks = vs = jnp.ones((L, 1, 1, 1), jnp.float32)
@@ -163,9 +191,15 @@ def gqa_blocked_partials(q_tilde, kq, ks, vq, vs, bias, li, *, kv_heads,
                             lambda tb, s: (s[0], 0, tb, 0),
                             memory_space=pltpu.VMEM)
 
-    ks_spec = per_kblock(Hkv) if kv_int8 else \
-        pl.BlockSpec((1, 1, 1, 1), lambda tb, s: (0, 0, 0, 0),
-                     memory_space=pltpu.VMEM)
+    if kv_int8:
+        # T-minor scale blocks: (1, B, Hkv, TK) — Hkv equals the array dim
+        # (sublanes), TK is 128-aligned or the whole axis (lanes)
+        ks_spec = pl.BlockSpec((1, B, Hkv, TK),
+                               lambda tb, s: (s[0], 0, 0, tb),
+                               memory_space=pltpu.VMEM)
+    else:
+        ks_spec = pl.BlockSpec((1, 1, 1, 1), lambda tb, s: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
     in_specs = [
         fixed((B, H, Dkv)),
         per_kblock(Dkv), ks_spec,

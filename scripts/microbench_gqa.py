@@ -75,9 +75,12 @@ def main():
         kq = jnp.asarray(rs.randint(-127, 128, (L, B, T, Dkv)), jnp.int8)
         vq = jnp.asarray(rs.randint(-127, 128, (L, B, T, Dkv)), jnp.int8)
         if "int8" in which:
-            ks = jnp.asarray(np.abs(rs.randn(L, B, T, Hkv)) * .01 + .01,
+            # T-minor scale planes ("sT") — lanes carry the key axis, so the
+            # tiled HBM image pads only the Hkv sublanes (2x, vs ~32x for
+            # the old (L, B, T, Hkv) planes this bench diagnosed)
+            ks = jnp.asarray(np.abs(rs.randn(L, B, Hkv, T)) * .01 + .01,
                              jnp.float32)
-            vs = jnp.asarray(np.abs(rs.randn(L, B, T, Hkv)) * .01 + .01,
+            vs = jnp.asarray(np.abs(rs.randn(L, B, Hkv, T)) * .01 + .01,
                              jnp.float32)
             run_variant("int8", kq, ks, vq, vs)
         if "int8_nosc" in which:

@@ -1,10 +1,10 @@
 """int8 HEAD-MAJOR KV cache + blocked GQA decode kernel (ops/gqa_decode.py,
 models/llama.py _gqa_blocked_attend).
 
-The int8-hm slab {"q": (L, B, T, Dkv) int8, "s": (L, B, T, Hkv) f32} is the
-llama-family long-context decode layout: S==1 decode streams it through the
-blocked pallas kernel (int8 bytes read once), prefill rides flash-bsd on the
-dequantized slab. Quantization math is identical to the 5D int8 dict path
+The int8-hm slab {"q": (L, B, T, Dkv) int8, "sT": (L, B, Hkv, T) f32 T-minor
+scales} is the llama-family long-context decode layout: S==1 decode streams
+it through the blocked pallas kernel (int8 bytes read once), prefill rides
+flash-bsd on the dequantized slab. Quantization math is identical to the 5D int8 dict path
 (cache_write), so the two layouts see the same stored values; attention
 summation ORDER differs (online blocks), so parity is float-tolerance plus
 greedy-token agreement — the contract ops/fused_decode's blocked kernel set.
@@ -50,14 +50,16 @@ def _inputs(bsz=3, seq=7, seed=0, pad=True):
 
 def test_int8_hm_cache_layout():
     _, mhm = _pair()
+    # capacity rounds to 128 tiles so the T-minor scale blocks get
+    # 128-multiple key blocks (lanes-streamed key axis)
     cache = mhm.init_cache(2, 64)
     L, Hkv, hd = 3, 2, 8
-    assert cache["k"]["q"].shape == (L, 2, 64, Hkv * hd)
+    assert cache["k"]["q"].shape == (L, 2, 128, Hkv * hd)
     assert cache["k"]["q"].dtype == jnp.int8
-    assert cache["k"]["s"].shape == (L, 2, 64, Hkv)
-    # capacity tile-rounds past 2048
+    assert cache["k"]["sT"].shape == (L, 2, Hkv, 128)
+    # capacity tile-rounds to 512 past 2048
     big = mhm.init_cache(1, 2100)
-    assert big["k"]["q"].shape[2] % 256 == 0
+    assert big["k"]["q"].shape[2] % 512 == 0
 
 
 def test_int8_hm_greedy_matches_5d():
@@ -142,33 +144,34 @@ def test_int8_hm_ragged_matches_per_row():
 
 
 def test_blocked_partials_unit():
-    """gqa_blocked_partials vs a dense numpy oracle (int8 + bf16 slabs)."""
+    """gqa_blocked_partials vs a dense numpy oracle (int8 + T-minor scale
+    planes; T=256 with key_block=128 exercises the online block rescale)."""
     from cleantransformer_tpu.ops.gqa_decode import gqa_blocked_partials
     rs = np.random.RandomState(0)
-    L, B, T, Hkv, hd, H = 2, 2, 32, 2, 8, 4
+    L, B, T, Hkv, hd, H = 2, 2, 256, 2, 8, 4
     Dkv = Hkv * hd
     g = H // Hkv
     kq = rs.randint(-127, 128, (L, B, T, Dkv)).astype(np.int8)
-    ks = np.abs(rs.randn(L, B, T, Hkv)).astype(np.float32) * 0.05 + 0.01
+    ks = np.abs(rs.randn(L, B, Hkv, T)).astype(np.float32) * 0.05 + 0.01
     vq = rs.randint(-127, 128, (L, B, T, Dkv)).astype(np.int8)
-    vs = np.abs(rs.randn(L, B, T, Hkv)).astype(np.float32) * 0.05 + 0.01
+    vs = np.abs(rs.randn(L, B, Hkv, T)).astype(np.float32) * 0.05 + 0.01
     qt = rs.randn(B, H, Dkv).astype(np.float32) * 0.3
-    cl = 19
+    cl = 150
     bias = np.where(np.arange(T) < cl, 0.0, -1e30).astype(np.float32)
     bias = np.broadcast_to(bias, (B, T)).copy()[..., None]
     m, den, acc = jax.jit(
         lambda *a: gqa_blocked_partials(*a, kv_heads=Hkv, scale=0.5,
-                                        key_block=8, interpret=True))(
+                                        key_block=128, interpret=True))(
         qt, kq, ks, vq, vs, bias, np.int32(1))
     # dense oracle on layer 1 (flash orientation: m/den (B, H, 1), acc
     # (B, H, Dkv))
     for b in range(B):
         s = (qt[b] @ kq[1, b].astype(np.float32).T)        # (H, T)
-        s = s * np.repeat(ks[1, b], g, axis=-1).T * 0.5 + bias[b].T
+        s = s * np.repeat(ks[1, b], g, axis=0) * 0.5 + bias[b].T
         mm = s.max(1)
         p = np.exp(s - mm[:, None])
         dd = p.sum(1)
-        pv = p * np.repeat(vs[1, b], g, axis=-1).T
+        pv = p * np.repeat(vs[1, b], g, axis=0)
         aa = pv @ vq[1, b].astype(np.float32)              # (H, Dkv)
         np.testing.assert_allclose(np.asarray(m)[b, :, 0], mm, rtol=2e-4,
                                    atol=1e-5)
