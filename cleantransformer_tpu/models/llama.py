@@ -371,8 +371,10 @@ def _gqa_blocked_attend(q, k_cur, v_cur, k_cache, v_cache, li, mask_cache,
     q_tilde = qt.reshape(B, H, Dkv)
 
     T = k_cache["q"].shape[2]
+    # dense (B, T) bias — a trailing size-1 dim would tile to 128 lanes in
+    # HBM and cost ~half the int8 payload's bandwidth to stream
     bias = jnp.maximum(jnp.broadcast_to(mask_cache[:, 0, 0, :], (B, T)),
-                       -1e30)[..., None]
+                       -1e30)
     from cleantransformer_tpu.ops.gqa_decode import gqa_blocked_partials
     from cleantransformer_tpu.ops.pallas_kernels import should_interpret
     m, den, acc = gqa_blocked_partials(

@@ -43,9 +43,13 @@ current token's column (quantize-roundtripped to match the later cache
 write), normalizes, and extracts the block diagonal — all small-tensor XLA
 work.
 
-Causality/padding ride the (B, T, 1) additive bias plane (strict
+Causality/padding ride the (B, T) additive bias plane (strict
 col < cache_len — the current token is the caller's merged column), clamped
-to -1e30 so exp underflows masked columns to exactly 0.
+to -1e30 so exp underflows masked columns to exactly 0. 2-D on purpose: a
+(B, T, 1) plane tiles its size-1 minor to 128 lanes, so streaming it cost
+as many HBM bytes as the padded scale planes did (~50% of the int8
+payload); (B, T) is dense and the kernel reads each row as a static
+(1, TK) sublane slice — no transpose dot needed.
 
 Numerics mirror the XLA int8 decode path (models/llama.py _gqa_attend):
 bf16 dot operands (int8 values are exact in bf16), fp32 accumulation and
@@ -107,7 +111,6 @@ def _gqa_blocked_kernel(scal_ref, qt_ref, kq_ref, ks_ref, vq_ref, vs_ref,
                   == jax.lax.broadcasted_iota(jnp.int32, (H, Hkv), 1)
                   ).astype(jnp.float32)
     nt = (((1,), (1,)), ((), ()))                  # contract both minors
-    one = jnp.ones((1, 1), jnp.float32)
     kb = kq_ref[0].astype(cdt)                     # (B, TK, Dkv)
     vb = vq_ref[0].astype(cdt)
     for b in range(B):
@@ -119,13 +122,8 @@ def _gqa_blocked_kernel(scal_ref, qt_ref, kq_ref, ks_ref, vq_ref, vs_ref,
             s_b = s_b * jax.lax.dot_general(
                 expand, ks_ref[0, b], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        # bias streams on SUBLANES ((B, TK, 1) blocks — a (.., 1, TK) lane
-        # block is Mosaic-illegal for TK % 128 != 0); the identity NT dot
-        # is the legal MXU transpose and is EXACT (one 1.0*x product per
-        # output element)
-        bias_b = jax.lax.dot_general(one, bias_ref[b], nt,
-                                     preferred_element_type=jnp.float32)
-        s_b = s_b * scale + bias_b                 # (1, TK) broadcasts
+        # dense (B, TK) bias block: row b as a static leading 2-D slice
+        s_b = s_b * scale + bias_ref[b:b + 1, :]   # (1, TK) broadcasts
         m_old = m_scr[b]                           # (H, 1)
         m_new = jnp.maximum(m_old, jnp.max(s_b, axis=1, keepdims=True))
         r = jnp.exp(m_old - m_new)
@@ -160,10 +158,8 @@ def gqa_blocked_partials(q_tilde, kq, ks, vq, vs, bias, li, *, kv_heads,
       block index maps so no layer slice is ever materialized.
     ks/vs: (L, B, kv_heads, T) fp32 T-MINOR dequant scales ("sT" — see the
       module docstring for why), or None for a float slab.
-    bias: (B, T, 1) fp32 additive (strict causality + padding), >= -1e30 —
-      keys on SUBLANES (a lane-oriented (B, 1, TK) block would need
-      TK % 128 == 0); the kernel transposes each row with an exact
-      identity NT dot.
+    bias: (B, T) fp32 additive (strict causality + padding), >= -1e30 —
+      2-D so the HBM image is dense (see the module docstring).
     Returns (m (B, H, 1), den (B, H, 1), acc (B, H, Dkv)) fp32 partials.
     """
     L, B, T, Dkv = kq.shape
@@ -204,7 +200,7 @@ def gqa_blocked_partials(q_tilde, kq, ks, vq, vs, bias, li, *, kv_heads,
         fixed((B, H, Dkv)),
         per_kblock(Dkv), ks_spec,
         per_kblock(Dkv), ks_spec,
-        pl.BlockSpec((B, TK, 1), lambda tb, s: (0, tb, 0),
+        pl.BlockSpec((B, TK), lambda tb, s: (0, tb),
                      memory_space=pltpu.VMEM),
     ]
     out_specs = [fixed((B, H, 1)), fixed((B, H, 1)), fixed((B, H, Dkv))]

@@ -158,7 +158,7 @@ def test_blocked_partials_unit():
     qt = rs.randn(B, H, Dkv).astype(np.float32) * 0.3
     cl = 150
     bias = np.where(np.arange(T) < cl, 0.0, -1e30).astype(np.float32)
-    bias = np.broadcast_to(bias, (B, T)).copy()[..., None]
+    bias = np.broadcast_to(bias, (B, T)).copy()
     m, den, acc = jax.jit(
         lambda *a: gqa_blocked_partials(*a, kv_heads=Hkv, scale=0.5,
                                         key_block=128, interpret=True))(
@@ -167,7 +167,7 @@ def test_blocked_partials_unit():
     # (B, H, Dkv))
     for b in range(B):
         s = (qt[b] @ kq[1, b].astype(np.float32).T)        # (H, T)
-        s = s * np.repeat(ks[1, b], g, axis=0) * 0.5 + bias[b].T
+        s = s * np.repeat(ks[1, b], g, axis=0) * 0.5 + bias[b][None, :]
         mm = s.max(1)
         p = np.exp(s - mm[:, None])
         dd = p.sum(1)
