@@ -540,9 +540,19 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
                                    jnp.finfo(jnp.float32).min, 0.0)  # (1, T)
                 bias_cur = jax.lax.dynamic_slice_in_dim(
                     ab, cache_len, 1, axis=2)[:, :, 0]           # (B, H)
-            bias = (mask_additive[:, 0, 0, :, None]
-                    + jnp.broadcast_to(strict, (B, T))[:, :, None]
-                    + jnp.transpose(ab, (0, 2, 1)))              # (B, T, H)
+            # T-minor (B, H, T) bias when the capacity is 128-aligned and
+            # the step streams (blocked kernel): the transposed (B, T, H)
+            # plane pays ~8x HBM lane padding per streamed key block. The
+            # whole-block kernel keeps the legacy orientation.
+            bias_t_minor = not _whole and T % 128 == 0
+            if bias_t_minor:
+                bias = (mask_additive[:, 0, 0, None, :]
+                        + jnp.broadcast_to(strict, (B, T))[:, None, :]
+                        + ab)                                    # (B, H, T)
+            else:
+                bias = (mask_additive[:, 0, 0, :, None]
+                        + jnp.broadcast_to(strict, (B, T))[:, :, None]
+                        + jnp.transpose(ab, (0, 2, 1)))          # (B, T, H)
             blocks = params["blocks"]
             stack = {
                 "ln1w": blocks["input_layernorm"]["w"],
@@ -579,7 +589,7 @@ def bloom_forward(params, config, input_ids, attention_mask=None, position_ids=N
                     n_head=Hh, eps=config.layer_norm_epsilon,
                     act="bloom_gelu", scale=1.0 / math.sqrt(hd), pre_ln=True,
                     key_block=getattr(config, "decode_key_block", 512),
-                    interpret=should_interpret())
+                    bias_t_minor=bias_t_minor, interpret=should_interpret())
             if isinstance(nk, dict) or jnp.ndim(nk) == 4:
                 new_k, new_v = nk, nv  # in-place: the updated cache buffers
             else:

@@ -739,9 +739,9 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
             if additive_mask is not None:
                 bias_bt = bias_bt + additive_mask[:, 0, 0, :]
             bias_bt = jnp.broadcast_to(bias_bt, (B, T)).astype(jnp.float32)
-            bias = jnp.broadcast_to(bias_bt[:, :, None], (B, T, Hh))
             bias_cur = jnp.zeros((B, Hh), jnp.float32)
             if whole:
+                bias = jnp.broadcast_to(bias_bt[:, :, None], (B, T, Hh))
                 y, nk, nv = gpt_fused_decode(
                     params["blocks"], h[:, 0, :], bias, bias_cur, kbuf,
                     cache["v"], config=config, version=version,
@@ -753,12 +753,19 @@ def gpt_forward(params, config, input_ids, attention_mask=None, position_ids=Non
                 # LONG CONTEXT: the layer's cache block exceeds VMEM —
                 # stream it in key blocks with online-softmax partials
                 # (ops/fused_decode._gpt_blocked_kernel) instead of
-                # bailing to the ~125-fusion XLA per-layer path
+                # bailing to the ~125-fusion XLA per-layer path. GPT bias
+                # is head-uniform: a 128-aligned capacity takes the dense
+                # T-minor (B, 1, T) plane (the head-broadcast (B, T, H)
+                # stream paid ~10x HBM lane padding per key block)
+                t_minor = T % 128 == 0
+                bias = (bias_bt[:, None, :] if t_minor
+                        else jnp.broadcast_to(bias_bt[:, :, None],
+                                              (B, T, Hh)))
                 y, nk, nv = gpt_fused_blocked(
                     params["blocks"], h[:, 0, :], bias, bias_cur, kbuf,
                     cache["v"], config=config, version=version,
                     key_block=getattr(config, "decode_key_block", 512),
-                    interpret=should_interpret())
+                    bias_t_minor=t_minor, interpret=should_interpret())
             if isinstance(nk, dict) or jnp.ndim(nk) == 4:
                 # in-place mode: nk/nv ARE the updated cache buffers
                 new_k, new_v = nk, nv

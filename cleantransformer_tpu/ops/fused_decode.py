@@ -743,7 +743,7 @@ def _gpt_blocked_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv, sqkv,
                         wfc2, sfc2, bfc2, ck_ref, sk_ref, cv_ref, sv_ref,
                         y_ref, nk_ref, nv_ref, h_scr, q_scr, k_scr, v_scr,
                         m_scr, den_scr, acc_scr, *, B, H, D, hd, L, TB, eps,
-                        act, scale, pre_ln, kv_int8):
+                        act, scale, pre_ln, kv_int8, sk_t_minor, bias_ht):
     """LONG-CONTEXT single-token decode: the whole stack as ONE program with
     a (L, TB) grid — each layer's KV cache streams through VMEM in TB
     key-blocks with online-softmax partials (flash-decode / split-K style),
@@ -820,28 +820,69 @@ def _gpt_blocked_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv, sqkv,
         den_scr[:] = jnp.zeros((B, H), jnp.float32)
         acc_scr[:] = jnp.zeros((B, D), jnp.float32)
 
-    # online-softmax partial over this key-block
+    # online-softmax partial over this key-block — FLASH ORIENTATION
+    # (round-5 reprofile): per batch row, scores are (H, TK) with keys on
+    # the 128-wide lanes. The old (B, TK, H) head-collapse form put H=12 on
+    # lanes (9% utilization on every softmax op) and forced the bias and
+    # int8-scale planes into H-minor layouts whose (8, 128)-tiled HBM
+    # images were ~10x padding — streaming them cost as much bandwidth as
+    # the cache payload (ops/gqa_decode.py has the same diagnosis for GQA).
+    # The per-row partial state transposes back into the (B, H) / (B, D)
+    # scratch the epilogue has always used, via exact identity NT dots
+    # (one 1.0*x product per element).
+    nt = (((1,), (1,)), ((), ()))                  # contract both minors
+    eye_h = (jax.lax.broadcasted_iota(jnp.int32, (H, H), 0)
+             == jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
+             ).astype(jnp.float32)
+    one = jnp.ones((1, 1), jnp.float32)
     qf = q_scr[:]
-    kc = ck_ref[0].astype(jnp.float32)                       # (B, TK, D)
-    vc = cv_ref[0].astype(jnp.float32)
-    sc = jnp.dot((kc * qf[:, None, :]).reshape(B * TK, D), hm,
-                 preferred_element_type=jnp.float32).reshape(B, TK, H)
-    if kv_int8:
-        sc = sc * sk_ref[0]
-    sc = sc * scale + bias_ref[:].astype(jnp.float32)        # (B, TK, H)
-    m_blk = jnp.max(sc, axis=1)                              # (B, H)
-    m_new = jnp.maximum(m_scr[:], m_blk)
-    r = jnp.exp(m_scr[:] - m_new)                            # (B, H)
-    p = jnp.exp(sc - m_new[:, None, :])                      # (B, TK, H)
-    if kv_int8:
-        p = p * sv_ref[0]
-    pexp = jnp.dot(p.reshape(B * TK, H), hmT,
-                   preferred_element_type=jnp.float32).reshape(B, TK, D)
-    r_lanes = jnp.dot(r, hmT, preferred_element_type=jnp.float32)  # (B, D)
-    m_scr[:] = m_new
-    den_scr[:] = den_scr[:] * r + jnp.sum(jnp.exp(sc - m_new[:, None, :]),
-                                          axis=1)
-    acc_scr[:] = acc_scr[:] * r_lanes + jnp.sum(pexp * vc, axis=1)
+    kc = ck_ref[0].astype(cdt)                                # (B, TK, D)
+    vc = cv_ref[0].astype(cdt)
+    for b in range(B):
+        qt_b = (qf[b:b + 1] * hmT).astype(cdt)     # (H, D) block-diagonal
+        s_b = jax.lax.dot_general(qt_b, kc[b], nt,
+                                  preferred_element_type=jnp.float32)
+        if kv_int8:
+            if sk_t_minor:                         # "sT": (H, TK) native
+                s_b = s_b * sk_ref[0, b]
+            else:                                  # "s": (TK, H) -> (H, TK)
+                s_b = s_b * jax.lax.dot_general(
+                    eye_h, sk_ref[0, b], nt,
+                    preferred_element_type=jnp.float32)
+        if bias_ht:
+            bias_b = bias_ref[b]                   # (Hb, TK), Hb in {1, H}
+        else:                                      # (TK, H) -> (H, TK)
+            bias_b = jax.lax.dot_general(eye_h, bias_ref[b], nt,
+                                         preferred_element_type=jnp.float32)
+        s_b = s_b * scale + bias_b                 # (H, TK)
+        m_old = jax.lax.dot_general(eye_h, m_scr[b:b + 1], nt,
+                                    preferred_element_type=jnp.float32)
+        m_new = jnp.maximum(m_old, jnp.max(s_b, axis=1, keepdims=True))
+        r = jnp.exp(m_old - m_new)                 # (H, 1)
+        p = jnp.exp(s_b - m_new)                   # (H, TK) fp32
+        den_old = jax.lax.dot_general(eye_h, den_scr[b:b + 1], nt,
+                                      preferred_element_type=jnp.float32)
+        den_new = den_old * r + jnp.sum(p, axis=1, keepdims=True)
+        if kv_int8:
+            if sk_t_minor:
+                p = p * sv_ref[0, b]
+            else:
+                p = p * jax.lax.dot_general(
+                    eye_h, sv_ref[0, b], nt,
+                    preferred_element_type=jnp.float32)
+        av = jnp.dot(p.astype(cdt), vc[b],
+                     preferred_element_type=jnp.float32)      # (H, D)
+        # diagonal extract (row h's own hd lanes) + per-lane rescale keep
+        # the accumulator in the epilogue's (B, D) lanes-packed form
+        r_row = jax.lax.dot_general(one, r, nt,
+                                    preferred_element_type=jnp.float32)
+        r_lanes = jnp.dot(r_row, hmT, preferred_element_type=jnp.float32)
+        acc_scr[b:b + 1] = (acc_scr[b:b + 1] * r_lanes
+                            + jnp.sum(av * hmT, axis=0, keepdims=True))
+        m_scr[b:b + 1] = jax.lax.dot_general(
+            one, m_new, nt, preferred_element_type=jnp.float32)
+        den_scr[b:b + 1] = jax.lax.dot_general(
+            one, den_new, nt, preferred_element_type=jnp.float32)
 
     # block epilogue (last key-block): merge the current token's column,
     # normalize, proj + MLP + residual, advance the residual stream
@@ -898,25 +939,43 @@ def blocked_key_block(T, target=512):
 
 @functools.partial(jax.jit, static_argnames=("n_head", "eps", "act", "scale",
                                               "pre_ln", "key_block",
-                                              "interpret"))
+                                              "bias_t_minor", "interpret"))
 def fused_decode_blocked(stack, h0, bias, bias_cur, cache_k, cache_v, *,
                          n_head, eps, act, scale, pre_ln, key_block=512,
-                         interpret=False):
+                         bias_t_minor=False, interpret=False):
     """Long-context single-token decode step (see _gpt_blocked_kernel).
 
-    Same operand contract as fused_decode_step's legacy mode (strict-causal
-    (B, T, H) bias over cache keys, (B, H) current-column bias), but the
-    cache streams in ``key_block``-row blocks, so any context length that
-    fits HBM works. Returns (y (B, D), new_k, new_v (L, B, D) rows) for
-    fused_cache_append."""
+    Same operand contract as fused_decode_step's legacy mode ((B, H)
+    current-column bias), but the cache streams in ``key_block``-row blocks,
+    so any context length that fits HBM works. The key bias is either the
+    legacy strict-causal (B, T, H) plane, or — with ``bias_t_minor=True``,
+    requires T % 128 == 0 — a T-MINOR (B, Hb, T) plane with Hb in {1, H}
+    (Hb=1 broadcasts over heads in-kernel): T-minor planes tile densely in
+    HBM where the H-minor layout paid ~10x lane padding per streamed block.
+    An int8 cache dict may carry "s" (L,B,T,H) or T-minor "sT" (L,B,H,T)
+    scale planes (same tradeoff; "sT" requires T % 128 == 0). Returns
+    (y (B, D), new_k, new_v (L, B, D) rows) for fused_cache_append."""
     kv_int8 = isinstance(cache_k, dict)
+    sk_t_minor = kv_int8 and "sT" in cache_k
     if kv_int8:
-        cache_k, sk = cache_k["q"], cache_k["s"]
-        cache_v, sv = cache_v["q"], cache_v["s"]
+        skey = "sT" if sk_t_minor else "s"
+        cache_k, sk = cache_k["q"], cache_k[skey]
+        cache_v, sv = cache_v["q"], cache_v[skey]
     L, B, T, D = cache_k.shape
     H = n_head
     hd = D // H
-    TK = blocked_key_block(T, key_block)
+    if bias_t_minor or sk_t_minor:
+        # lane-streamed key axes (bias rows / sT scale planes) need
+        # 128-aligned blocks; init_kv_cache rounds long capacities to
+        # 256/512 tiles so one always exists
+        if T % 128:
+            raise ValueError(
+                f"T-minor blocked operands require T % 128 == 0, got {T}")
+        TK = max(min(key_block - key_block % 128, T), 128)
+        while T % TK:
+            TK -= 128
+    else:
+        TK = blocked_key_block(T, key_block)
     TB = T // TK
     if not kv_int8:
         sk = sv = jnp.ones((L, 1, 1, H), jnp.float32)
@@ -961,10 +1020,20 @@ def fused_decode_blocked(stack, h0, bias, bias_cur, cache_k, cache_v, *,
                             memory_space=pltpu.VMEM)
 
     def bias_kblock():
+        if bias_t_minor:  # (B, Hb, T): keys on lanes, dense HBM tiles
+            Hb = bias.shape[1]
+            return pl.BlockSpec((B, Hb, TK), lambda l, tb: (0, 0, tb),
+                                memory_space=pltpu.VMEM)
         return pl.BlockSpec((B, TK, H), lambda l, tb: (0, tb, 0),
                             memory_space=pltpu.VMEM)
 
-    sk_spec = per_kblock((B, H)) if kv_int8 else per_layer((1, 1, H))
+    if kv_int8 and sk_t_minor:  # "sT" (L, B, H, T): keys on lanes
+        sk_spec = pl.BlockSpec((1, B, H, TK), lambda l, tb: (l, 0, 0, tb),
+                               memory_space=pltpu.VMEM)
+    elif kv_int8:
+        sk_spec = per_kblock((B, H))
+    else:
+        sk_spec = per_layer((1, 1, H))
     in_specs = [
         fixed((B, D)), bias_kblock(), fixed((B, H)),
         per_layer((1, D)), per_layer((1, D)),
@@ -988,7 +1057,7 @@ def fused_decode_blocked(stack, h0, bias, bias_cur, cache_k, cache_v, *,
     kernel = functools.partial(
         _gpt_blocked_kernel, B=B, H=H, D=D, hd=hd, L=L, TB=TB,
         eps=eps, act=ACT2FN[act], scale=scale, pre_ln=pre_ln,
-        kv_int8=kv_int8)
+        kv_int8=kv_int8, sk_t_minor=sk_t_minor, bias_ht=bias_t_minor)
 
     y, k_out, v_out = pl.pallas_call(
         kernel,
@@ -1018,7 +1087,7 @@ def _gpt_blocked_window_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv,
                                h_scr, q_scr, kw_scr, vw_scr, skw_scr,
                                svw_scr, m_scr, den_scr, acc_scr, ao_scr, *,
                                S, B, H, D, hd, L, TB, eps, act, scale,
-                               pre_ln, kv_int8):
+                               pre_ln, kv_int8, sk_t_minor, bias_ht):
     """LONG-CONTEXT S-token decode window: _gpt_blocked_kernel's key-block
     online-softmax streaming married to _gpt_window_kernel's multi-query
     window — grid (L, TB), per-QUERY running (max, denominator, accumulator)
@@ -1154,23 +1223,46 @@ def _gpt_blocked_window_kernel(x_ref, bias_ref, bcur_ref, ln1w, ln1b, wqkv,
         sc = jax.lax.dot_general(qe, kc[b], nt,
                                  preferred_element_type=jnp.float32)
         if kv_int8:                                # (SH, TK) scale plane
-            sc = sc * jax.lax.dot_general(
-                qh, sk_ref[0, b], nt, preferred_element_type=jnp.float32)
-        # the bias streams on SUBLANES ((B, TK, H) blocks — a (.., H, TK)
-        # lane block would need TK % 128 == 0); the identity NT dot is the
-        # legal MXU transpose and is EXACT (one 1.0*x product per element)
-        bias_b = jax.lax.dot_general(eye_h, bias_ref[b], nt,
-                                     preferred_element_type=jnp.float32)
-        sc = sc * scale + jnp.broadcast_to(
-            bias_b[None], (S, H, TK)).reshape(SH, TK)
+            if sk_t_minor:                         # "sT": (H, TK) native
+                sc = sc * jax.lax.dot_general(
+                    qh, sk_ref[0, b], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:                                  # "s": (TK, H) via NT
+                sc = sc * jax.lax.dot_general(
+                    qh, sk_ref[0, b], nt,
+                    preferred_element_type=jnp.float32)
+        if bias_ht:
+            # T-minor (B, Hb, TK) block: dense HBM tiles (the legacy
+            # (B, TK, H) stream paid ~10x lane padding per block)
+            bias_b = bias_ref[b]                   # (Hb, TK), Hb in {1, H}
+            if bias_b.shape[0] == 1:
+                bias_b = jnp.broadcast_to(bias_b, (SH, TK))
+            else:
+                bias_b = jnp.broadcast_to(bias_b[None],
+                                          (S, H, TK)).reshape(SH, TK)
+        else:
+            # legacy (B, TK, H) block streams keys on SUBLANES; the
+            # identity NT dot is the legal MXU transpose and is EXACT
+            # (one 1.0*x product per element)
+            bias_b = jax.lax.dot_general(eye_h, bias_ref[b], nt,
+                                         preferred_element_type=jnp.float32)
+            bias_b = jnp.broadcast_to(bias_b[None],
+                                      (S, H, TK)).reshape(SH, TK)
+        sc = sc * scale + bias_b
         m_old = m_scr[b]                           # (SH, 1)
         m_new = jnp.maximum(m_old, jnp.max(sc, axis=1, keepdims=True))
         r = jnp.exp(m_old - m_new)
         p = jnp.exp(sc - m_new)                    # (SH, TK) fp32
         den_scr[b] = den_scr[b] * r + jnp.sum(p, axis=1, keepdims=True)
         if kv_int8:
-            p = p * jax.lax.dot_general(qh, sv_ref[0, b], nt,
-                                        preferred_element_type=jnp.float32)
+            if sk_t_minor:
+                p = p * jax.lax.dot_general(
+                    qh, sv_ref[0, b], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                p = p * jax.lax.dot_general(
+                    qh, sv_ref[0, b], nt,
+                    preferred_element_type=jnp.float32)
         av = jnp.dot(p.astype(cdt), vc[b],
                      preferred_element_type=jnp.float32)
         m_scr[b] = m_new
@@ -1260,27 +1352,34 @@ def blocked_window_key_block(S, B, T, D, F, H, weight_bytes=2, cache_bytes=2,
 
 @functools.partial(jax.jit, static_argnames=("n_head", "eps", "act", "scale",
                                               "pre_ln", "key_block",
-                                              "interpret"))
+                                              "bias_t_minor", "interpret"))
 def fused_decode_blocked_window(stack, hw, bias, bias_cur, cache_k, cache_v,
                                 *, n_head, eps, act, scale, pre_ln,
-                                key_block=512, interpret=False):
+                                key_block=512, bias_t_minor=False,
+                                interpret=False):
     """Long-context S-token decode window (see _gpt_blocked_window_kernel).
 
     hw: (S, B, D) embedded window tokens (compute dtype).
-    bias: (B, T, H) fp32 additive KEY bias over the streamed cache that
-      STRICTLY masks every column >= the row's cache_len (committed keys
-      only — the window's own buffer region is stale) plus padding/ALiBi.
-      Keys stay on sublanes (lane-legality); the kernel transposes each
-      row's block with an exact identity NT dot.
+    bias: fp32 additive KEY bias over the streamed cache that STRICTLY
+      masks every column >= the row's cache_len (committed keys only — the
+      window's own buffer region is stale) plus padding/ALiBi. Legacy
+      layout (B, T, H) (keys on sublanes, transposed per block with an
+      exact identity NT dot) or — with ``bias_t_minor=True``, requires
+      T % 128 == 0 — T-MINOR (B, Hb, T) with Hb in {1, H}, whose HBM tiles
+      are dense where the H-minor plane paid ~10x lane padding.
     bias_cur: (S, B, H) fp32 bias rows for the window's own columns
       (zeros for GPT; the ALiBi ramp at cache_len + s for Bloom).
+    An int8 cache dict may carry "s" (L,B,T,H) or T-minor "sT" (L,B,H,T)
+    scale planes.
 
     Returns (y (S, B, D), new_k, new_v (L, S, B, D) compute-dtype rows) for
     fused_cache_append — identical contract to fused_decode_window."""
     kv_int8 = isinstance(cache_k, dict)
+    sk_t_minor = kv_int8 and "sT" in cache_k
     if kv_int8:
-        cache_k, sk = cache_k["q"], cache_k["s"]
-        cache_v, sv = cache_v["q"], cache_v["s"]
+        skey = "sT" if sk_t_minor else "s"
+        cache_k, sk = cache_k["q"], cache_k[skey]
+        cache_v, sv = cache_v["q"], cache_v[skey]
     L, B, T, D = cache_k.shape
     S = hw.shape[0]
     H = n_head
@@ -1305,6 +1404,17 @@ def fused_decode_blocked_window(stack, hw, bias, bias_cur, cache_k, cache_v,
         S, B, T, D, F, H, weight_bytes=wqkv.dtype.itemsize,
         cache_bytes=cache_k.dtype.itemsize, kv_int8=kv_int8,
         target=key_block)
+    if bias_t_minor or sk_t_minor:
+        # lane-streamed key axes need 128-aligned blocks; round the
+        # VMEM-fit block DOWN to a 128-multiple divisor (smaller always
+        # still fits)
+        if T % 128:
+            raise ValueError(
+                f"T-minor blocked operands require T % 128 == 0, got {T}")
+        t = max(TK - TK % 128, 128)
+        while T % t:
+            t -= 128
+        TK = t
     TB = T // TK
 
     operands = (
@@ -1333,10 +1443,20 @@ def fused_decode_blocked_window(stack, hw, bias, bias_cur, cache_k, cache_v,
                             memory_space=pltpu.VMEM)
 
     def bias_kblock():
+        if bias_t_minor:
+            Hb = bias.shape[1]
+            return pl.BlockSpec((B, Hb, TK), lambda l, tb: (0, 0, tb),
+                                memory_space=pltpu.VMEM)
         return pl.BlockSpec((B, TK, H), lambda l, tb: (0, tb, 0),
                             memory_space=pltpu.VMEM)
 
-    sk_spec = per_kblock((B, H)) if kv_int8 else per_layer((1, 1, H))
+    if kv_int8 and sk_t_minor:
+        sk_spec = pl.BlockSpec((1, B, H, TK), lambda l, tb: (l, 0, 0, tb),
+                               memory_space=pltpu.VMEM)
+    elif kv_int8:
+        sk_spec = per_kblock((B, H))
+    else:
+        sk_spec = per_layer((1, 1, H))
     in_specs = [
         fixed((S, B, D)), bias_kblock(), fixed((S, B, H)),
         per_layer((1, D)), per_layer((1, D)),
@@ -1360,7 +1480,7 @@ def fused_decode_blocked_window(stack, hw, bias, bias_cur, cache_k, cache_v,
     kernel = functools.partial(
         _gpt_blocked_window_kernel, S=S, B=B, H=H, D=D, hd=hd, L=L, TB=TB,
         eps=eps, act=ACT2FN[act], scale=scale, pre_ln=pre_ln,
-        kv_int8=kv_int8)
+        kv_int8=kv_int8, sk_t_minor=sk_t_minor, bias_ht=bias_t_minor)
 
     y, k_out, v_out = pl.pallas_call(
         kernel,
@@ -1420,7 +1540,8 @@ def gpt_fused_decode(blocks, h0, bias, bias_cur, cache_k, cache_v, *,
 
 
 def gpt_fused_blocked(blocks, h0, bias, bias_cur, cache_k, cache_v, *,
-                      config, version, key_block=512, interpret=False):
+                      config, version, key_block=512, bias_t_minor=False,
+                      interpret=False):
     """GPT adapter over fused_decode_blocked (long-context twin of
     gpt_fused_decode)."""
     hd = h0.shape[-1] // config.n_head
@@ -1429,7 +1550,7 @@ def gpt_fused_blocked(blocks, h0, bias, bias_cur, cache_k, cache_v, *,
         n_head=config.n_head, eps=config.layer_norm_epsilon,
         act=config.afn, scale=1.0 / math.sqrt(hd),
         pre_ln=(version != "gpt"), key_block=key_block,
-        interpret=interpret)
+        bias_t_minor=bias_t_minor, interpret=interpret)
 
 
 def gpt_fused_window(blocks, hw, bias, cache_len, cache_k, cache_v, *,
